@@ -1,0 +1,67 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline declared queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-count via a cheap
+``count()`` action over the final plan) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bicis_spark.plans import queries as registry  # noqa: E402
+from bicis_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family; grows with coverage.
+HEADLINE = [
+    "hour_profile",
+    "weekday_profile",
+    "count_rows",
+    "boolean_or_filter",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bicis_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_queries = registry.queries()
+    names = [n for n in HEADLINE if n in all_queries]
+
+    # warm-up: JVM + parquet footers
+    all_queries[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = all_queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

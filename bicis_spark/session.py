@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Replaces the reference's ad-hoc session setup (notebook-local
+``spark.executor.memory=4g``, ``/root/reference/notebooks/Spark test.ipynb``
+cell 2) with a single configured entry point designed for scale:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  subsumes the reference's hand-tuned ``numPartitions`` choices
+  (``next_window_target.py:53``).
+- ``spark.sql.session.timeZone=UTC`` so timestamp semantics match the
+  DuckDB oracle (naive-UTC) bit-for-bit.
+- Arrow enabled for the few pandas boundaries (vectorized transfer).
+- shuffle partitions sized to cores for local mode; on a real cluster this
+  is AQE-coalesced from a higher initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "bicis_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or ``*``.
+    """
+    env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None and env_cpus:
+        cores = int(env_cpus)
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or (cores if cores else 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
+        # Spark cannot read natively; read as long nanos + convert (sources.io)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,96 @@
+"""Readers and writers.
+
+Replaces the reference's scan surface (SURVEY.md §2.1 S3-S8):
+``csv.DictReader`` single-process iteration (``bicis/lib/parse_raw_data.py:
+126-144``), inferred-schema CSV loads (``bicis/lib/utils.py:15-26``), and raw
+``sc.textFile`` header-sniffing (``build_dataset.py:155-167``) all become
+schema-explicit columnar reads. Parquet is the default interchange format
+(columnar, predicate pushdown, column pruning); CSV/JSON kept for parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+from bicis_spark.schemas import TABLES
+
+
+def _physical_read_schema(schema: StructType, ns_cols: frozenset[str]) -> StructType:
+    """Parquet TIMESTAMP(NANOS) columns are read as long (nanosAsLong) and
+    converted to microsecond timestamps after the scan."""
+    return StructType(
+        [
+            StructField(f.name, LongType() if f.name in ns_cols else f.dataType, True)
+            for f in schema.fields
+        ]
+    )
+
+
+# tables whose timestamps are stored as parquet TIMESTAMP(NANOS)
+_NANOS_TS: dict[str, frozenset[str]] = {"events": frozenset({"ts"})}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver test table with its explicit schema.
+
+    Explicit schema (not parquet-footer trust alone) pins column order and
+    integer widths so downstream plans and oracle hashes are deterministic.
+    """
+    schema = TABLES[name]
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _NANOS_TS.get(name)
+    if not ns_cols:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.schema(_physical_read_schema(schema, ns_cols)).parquet(path)
+    # nanos → micros with integer division (DuckDB truncates identically);
+    # double math would lose precision above 2^53 ns.
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df.select(*[f.name for f in schema.fields])
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for ``spark.sql`` queries —
+    the rebuild's equivalent of the reference's notebook exploration surface
+    (SURVEY.md §3 entry point 3)."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ";",
+    header: bool = True,
+) -> DataFrame:
+    """Schema-explicit CSV scan (S3/S4). The reference's `;`-delimited dialect
+    reads (``parse_raw_data.py:126-144``) map here; dialect column renaming
+    lives in operators.unify."""
+    return spark.read.csv(path, schema=schema, sep=sep, header=header)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Parquet sink — replaces headered-CSV sinks (S7, ``split.py:49-72``).
+    ``partition_by`` enables partition pruning for time/key-filtered reads."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Headered CSV sink kept for reference parity (S7)."""
+    df.write.mode(mode).csv(path, header=True)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON sink for small metadata/metrics outputs (S8)."""
+    df.write.mode(mode).json(path)

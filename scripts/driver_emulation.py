@@ -1,0 +1,61 @@
+"""Emulate the spark-graft driver's verify: t1 smoke (entry at sf0.001) and
+t2 correctness (every queries() entry vs oracle_sql() through DuckDB at
+sf0.01, row count + order-insensitive exact values). Exit 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bicis_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="driver_emulation")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = entrymod.entry(spark)
+    n = df.count()
+    print(f"t1 entry: rows={n} schema={df.schema.simpleString()}")
+    ok = n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.oracle_utils import assert_oracle_match  # noqa: E402
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            if name in oracles:
+                assert_oracle_match(sdf, con, oracles[name], name)
+                print(f"t2 {name}: MATCH")
+            else:
+                print(f"t2 {name}: rows-only rows={sdf.count()}")
+        except AssertionError as exc:
+            ok = False
+            print(f"t2 {name}: MISMATCH — {exc}")
+        except Exception as exc:  # noqa: BLE001
+            ok = False
+            print(f"t2 {name}: ERROR — {type(exc).__name__}: {exc}")
+
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
