@@ -1,0 +1,79 @@
+"""ML surface: Poisson GLM fit / predict / evaluate (SURVEY.md §2.11).
+
+Reference semantics (``bicis/etl/models/poisson_regression.py:12-48``,
+``bicis/etl/model_selection/evaluate_model.py:28-41``): fit
+``GeneralizedLinearRegression(family='poisson', link∈{log,identity,sqrt})``
+on the assembled dataset, predict, and compute MSE — which the reference
+does by collecting predictions to the driver and calling sklearn.
+
+Spark-first: features go through ``VectorAssembler`` (replacing the
+hand-rolled CSV→LabeledPoint parsers, ``build_dataset.py:179-212``);
+evaluation is a distributed aggregate (``avg(pow(label-prediction,2))``) —
+no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.regression import (
+    GeneralizedLinearRegression,
+    GeneralizedLinearRegressionModel,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VALID_LINKS = ("log", "identity", "sqrt")
+
+
+def assemble_features(
+    df: DataFrame,
+    feature_cols: list[str] | None = None,
+    target_col: str = "target",
+    id_col: str = "id",
+) -> DataFrame:
+    """[id, target, f...] → [id, label, features vector]."""
+    feature_cols = feature_cols or [
+        c for c in df.columns if c not in (id_col, target_col)
+    ]
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    return assembler.transform(df).select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("double").alias("label"),
+        "features",
+    )
+
+
+def fit_poisson(
+    dataset: DataFrame, link: str = "log", max_iter: int = 1, reg_param: float = 0.0
+) -> GeneralizedLinearRegressionModel:
+    """M1 — same MLlib estimator the reference uses, same defaults
+    (maxIter=1, poisson_regression.py:13-24)."""
+    if link not in VALID_LINKS:
+        raise ValueError(f"link must be one of {VALID_LINKS}")
+    glr = GeneralizedLinearRegression(
+        family="poisson", link=link, maxIter=max_iter, regParam=reg_param
+    )
+    return glr.fit(dataset)
+
+
+def predict(model: GeneralizedLinearRegressionModel, dataset: DataFrame) -> DataFrame:
+    """M2 — [id, label, prediction] (drops the features vector like
+    poisson_regression.py:46)."""
+    return model.transform(dataset).select("id", "label", "prediction")
+
+
+def evaluate_mse(predictions: DataFrame) -> DataFrame:
+    """M3 — distributed MSE, 1-row frame [mse]."""
+    return predictions.agg(
+        F.avg(F.pow(F.col("label") - F.col("prediction"), F.lit(2))).alias("mse")
+    )
+
+
+def train_predict_evaluate(
+    dataset: DataFrame, link: str = "log", max_iter: int = 1, id_col: str = "id"
+) -> tuple[GeneralizedLinearRegressionModel, DataFrame, DataFrame]:
+    """End-to-end M1→M3 (the reference's fit→predict→evaluate DAG)."""
+    assembled = assemble_features(dataset, id_col=id_col)
+    model = fit_poisson(assembled, link=link, max_iter=max_iter)
+    preds = predict(model, assembled)
+    return model, preds, evaluate_mse(preds)

@@ -1,5 +1,319 @@
-"""Declared queries for the full bicis pipeline stages (split, window
-target, lag features, dataset assembly, quality). Filled in as operators
-land (SURVEY.md §7 build order)."""
+"""Declared queries for the full bicis pipeline (SURVEY.md §7 build order):
+split bounds (A1/X8), 3-way time split (F1), forward rolling-window target
+(W1), hourly pivot (A5), circular lag features (W3+J4), dataset assembly
+(J2/F3), fails report (L5), Poisson GLM (M1-M3, rows-only).
+
+Mapping onto driver data (FIXTURES.md §4): station=user_id, rent events =
+event_type 'click', return events = 'view'; split periods shrunk to 7 days
+(events span ~30 days vs the reference's multi-year trips).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bicis_spark.operators.dataset import assemble_dataset, fails_report
+from bicis_spark.operators.features import circular_lag_features, hour_profile_pivot
+from bicis_spark.operators.model import train_predict_evaluate
+from bicis_spark.operators.profiles import station_profile
+from bicis_spark.operators.split import SplitPeriods, split_bounds, with_split_label
+from bicis_spark.operators.targets import next_window_count
+from bicis_spark.plans.core_queries import RENT_TYPE, RETURN_TYPE, events_as_trips
+from bicis_spark.plans.queries import register
+from bicis_spark.sources.io import read_table
+
+WINDOW_S = 3600
+WINDOW_US = WINDOW_S * 1_000_000
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments
+# ---------------------------------------------------------------------------
+
+# the inner-joined hour profile (same as core_queries.hour_profile)
+_PROF_CTES = f"""
+rent_l1 AS (
+    SELECT user_id AS station, date_trunc('hour', ts) AS period,
+           hour(ts) AS hour, count(*) AS cnt
+    FROM events WHERE event_type = '{RENT_TYPE}' GROUP BY 1, 2, 3
+),
+rent_prof AS (SELECT station, hour, avg(cnt) AS n_rents FROM rent_l1 GROUP BY 1, 2),
+ret_l1 AS (
+    SELECT user_id AS station, date_trunc('hour', ts) AS period,
+           hour(ts) AS hour, count(*) AS cnt
+    FROM events WHERE event_type = '{RETURN_TYPE}' GROUP BY 1, 2, 3
+),
+ret_prof AS (SELECT station, hour, avg(cnt) AS n_returns FROM ret_l1 GROUP BY 1, 2),
+prof AS (
+    SELECT rent_prof.station, rent_prof.hour, n_rents, n_returns
+    FROM rent_prof JOIN ret_prof
+      ON rent_prof.station = ret_prof.station AND rent_prof.hour = ret_prof.hour
+)
+"""
+
+_TGT_CTES = f"""
+e AS (
+    SELECT event_id, user_id, ts, epoch_us(ts) AS sec
+    FROM events WHERE event_type = '{RENT_TYPE}'
+),
+tgt AS (
+    SELECT event_id, cnt FROM (
+        SELECT event_id, sec,
+               count(*) OVER (PARTITION BY user_id ORDER BY sec
+                              RANGE BETWEEN CURRENT ROW AND {WINDOW_US - 1} FOLLOWING) AS cnt,
+               max(sec) OVER (PARTITION BY user_id) AS mx
+        FROM e
+    ) w WHERE sec <= mx - {WINDOW_US}
+)
+"""
+
+
+def _lag_feature_sql(window_size: int = 24) -> str:
+    cols = []
+    for metric in ("n_rents", "n_returns"):
+        for i in range(window_size):
+            cols.append(
+                f"coalesce(max(CASE WHEN p.hour = (24 + hour(e.ts) - {1 + i}) % 24 "
+                f"THEN p.{metric} END), 0.0) AS {metric}_{i}_hb"
+            )
+    return ",\n       ".join(cols)
+
+
+_FEAT_CTE = f"""
+feat AS (
+    SELECT e.event_id,
+       {_lag_feature_sql()}
+    FROM e LEFT JOIN prof p ON p.station = e.user_id
+    GROUP BY e.event_id
+)
+"""
+
+
+def _profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rents, returns = events_as_trips(spark, sf_dir)
+    n_rents = station_profile(rents, "user_id", "ts", "hour", "n_rents")
+    n_returns = station_profile(returns, "user_id", "ts", "hour", "n_returns")
+    return n_rents.join(n_returns, on=["station", "hour"], how="inner")
+
+
+def _click_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rents, _ = events_as_trips(spark, sf_dir)
+    return rents
+
+
+# ---------------------------------------------------------------------------
+# A1/X8: split bounds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_bounds",
+    f"""
+    SELECT least(max(CASE WHEN event_type = '{RENT_TYPE}' THEN ts END),
+                 max(CASE WHEN event_type = '{RETURN_TYPE}' THEN ts END)) AS max_date,
+           least(max(CASE WHEN event_type = '{RENT_TYPE}' THEN ts END),
+                 max(CASE WHEN event_type = '{RETURN_TYPE}' THEN ts END))
+               - INTERVAL 14 DAY AS training_end_date,
+           least(max(CASE WHEN event_type = '{RENT_TYPE}' THEN ts END),
+                 max(CASE WHEN event_type = '{RETURN_TYPE}' THEN ts END))
+               - INTERVAL 7 DAY AS testing_start_date
+    FROM events
+    """,
+)
+def split_bounds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 grand aggregate + X8 least-of-maxes (split.py:36-46): rent/return
+    max dates come from the two event streams."""
+    events = read_table(spark, sf_dir, "events")
+    pseudo_trips = events.select(
+        F.when(F.col("event_type") == RENT_TYPE, F.col("ts")).alias("rent_date"),
+        F.when(F.col("event_type") == RETURN_TYPE, F.col("ts")).alias("return_date"),
+    )
+    bounds = split_bounds(
+        pseudo_trips, ("rent_date", "return_date"), SplitPeriods(7, 7)
+    )
+    return bounds.select("max_date", "training_end_date", "testing_start_date")
+
+
+# ---------------------------------------------------------------------------
+# F1: 3-way time split (exact <, >=, <= edges), as per-split counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_split_counts",
+    """
+    WITH bounds AS (SELECT max(ts) AS mx FROM events)
+    SELECT CASE WHEN ts < mx - INTERVAL 14 DAY THEN 'training'
+                WHEN ts >= mx - INTERVAL 14 DAY AND ts < mx - INTERVAL 7 DAY THEN 'validation'
+                WHEN ts >= mx - INTERVAL 7 DAY AND ts <= mx THEN 'testing'
+           END AS split,
+           count(*) AS n,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts
+    FROM events, bounds
+    GROUP BY 1
+    """,
+)
+def time_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-way split F1 semantics via the engine's split operator, reduced
+    to per-split counts + boundary timestamps (hash-checkable)."""
+    events = read_table(spark, sf_dir, "events")
+    trips_like = events.select("event_id", F.col("ts").alias("rent_date"), "ts")
+    bounds = split_bounds(trips_like, ("rent_date", "ts"), SplitPeriods(7, 7))
+    labeled = with_split_label(trips_like, bounds, "rent_date")
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: forward rolling window target (the centerpiece)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "next_window_target",
+    f"WITH {_TGT_CTES.strip().rstrip()} SELECT event_id, cnt AS n_rents FROM tgt",
+)
+def next_window_target_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return next_window_count(
+        _click_events(spark, sf_dir),
+        station_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        window_seconds=WINDOW_S,
+        out_name="n_rents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: hourly pivot
+# ---------------------------------------------------------------------------
+
+_PIVOT_COLS = ",\n       ".join(
+    f"coalesce(max(n_rents) FILTER (WHERE hour = {h}), 0.0) AS n_rents_h{h}"
+    for h in range(24)
+)
+
+
+@register(
+    "hour_profile_pivot",
+    f"WITH {_PROF_CTES.strip()} SELECT station,\n       {_PIVOT_COLS}\nFROM prof GROUP BY station",
+)
+def hour_profile_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    profile = _profile_df(spark, sf_dir)
+    out = hour_profile_pivot(profile, "n_rents")
+    return out.withColumn("station", F.col("station").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# W3+J4: circular lag features
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "circular_lag_features",
+    f"""
+    WITH {_PROF_CTES.strip()},
+    e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '{RENT_TYPE}')
+    SELECT e.event_id,
+       {_lag_feature_sql()}
+    FROM e LEFT JOIN prof p ON p.station = e.user_id
+    GROUP BY e.event_id
+    """,
+)
+def circular_lag_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return circular_lag_features(
+        _click_events(spark, sf_dir),
+        _profile_df(spark, sf_dir),
+        station_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/F3: dataset assembly (target ⋈ features on id)
+# ---------------------------------------------------------------------------
+
+_DATASET_SQL = f"""
+WITH {_PROF_CTES.strip()},
+{_TGT_CTES.strip()},
+{_FEAT_CTE.strip()}
+SELECT tgt.event_id, tgt.cnt AS target, feat.* EXCLUDE (event_id)
+FROM tgt JOIN feat ON tgt.event_id = feat.event_id
+"""
+
+
+@register("ml_dataset", _DATASET_SQL)
+def ml_dataset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = _click_events(spark, sf_dir)
+    target = next_window_count(
+        clicks, "user_id", "ts", "event_id", WINDOW_S, "target"
+    )
+    features = circular_lag_features(
+        clicks, _profile_df(spark, sf_dir), "user_id", "ts", "event_id"
+    )
+    return assemble_dataset(features, target, id_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# L5: fails report (input vs output reconciliation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fails_report_counts",
+    f"""
+    WITH {_TGT_CTES.strip()}
+    SELECT (SELECT count(*) FROM e) AS input_count,
+           (SELECT count(*) FROM tgt) AS output_count,
+           (SELECT count(*) FROM e) - (SELECT count(*) FROM tgt) AS number_of_errors
+    """,
+)
+def fails_report_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = _click_events(spark, sf_dir).select("event_id")
+    target = next_window_count(
+        _click_events(spark, sf_dir), "user_id", "ts", "event_id", WINDOW_S, "n"
+    )
+    counts, _ = fails_report(clicks, target, id_col="event_id")
+    return counts
+
+
+@register(
+    "fails_report_error_ids",
+    f"""
+    WITH {_TGT_CTES.strip()}
+    SELECT event_id FROM e
+    WHERE event_id NOT IN (SELECT event_id FROM tgt)
+    ORDER BY event_id LIMIT 100
+    """,
+)
+def fails_report_error_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = _click_events(spark, sf_dir).select("event_id")
+    target = next_window_count(
+        _click_events(spark, sf_dir), "user_id", "ts", "event_id", WINDOW_S, "n"
+    )
+    _, error_ids = fails_report(clicks, target, id_col="event_id")
+    return error_ids
+
+
+# ---------------------------------------------------------------------------
+# M1-M3: Poisson GLM (model output is solver-dependent → rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@register("glm_poisson_predictions", None)
+def glm_poisson_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dataset = ml_dataset_q(spark, sf_dir)
+    _, preds, _ = train_predict_evaluate(dataset, link="log", max_iter=1, id_col="event_id")
+    return preds
+
+
+@register("glm_poisson_mse", None)
+def glm_poisson_mse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dataset = ml_dataset_q(spark, sf_dir)
+    _, _, mse = train_predict_evaluate(dataset, link="log", max_iter=1, id_col="event_id")
+    return mse
