@@ -37,7 +37,7 @@ def parse_duration_seconds(col: Column) -> Column:
     all integer tokens from e.g. ``"0H 32MIN 15SEG"``, require ≥3, take the
     first 3 as H/M/S (``parse_raw_data.py:58-64``); null on failure.
     """
-    as_int = F.try_cast(col, "long")
+    as_int = col.try_cast("long")
     tokens = F.regexp_extract_all(col, F.lit(r"(\d+)"), 1)
     hms = (
         F.element_at(tokens, 1).cast("long") * 3600

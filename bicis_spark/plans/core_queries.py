@@ -155,3 +155,371 @@ def boolean_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.where(
         (F.col("user_id") == 3) | (F.col("event_type") == RENT_TYPE)
     ).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "timestamp_range_filter",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2024-01-08 00:00:00'
+      AND o_orderdate < TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def timestamp_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (split.py:51,58-61): half-open timestamp range, pushed to the scan."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.where(
+        (F.col("o_orderdate") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2.7: UNION ALL (unify's concatenation shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_all_sources",
+    f"""
+    SELECT event_id AS id, ts, 'rent' AS kind FROM events WHERE event_type = '{RENT_TYPE}'
+    UNION ALL
+    SELECT event_id AS id, ts, 'return' AS kind FROM events WHERE event_type = '{RETURN_TYPE}'
+    """,
+)
+def union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: per-dialect normalization then UNION ALL (unify.py:36-37 via
+    chained iterators) — `unionByName` here."""
+    rents, returns = events_as_trips(spark, sf_dir)
+    a = rents.select(F.col("event_id").alias("id"), "ts", F.lit("rent").alias("kind"))
+    b = returns.select(
+        F.col("event_id").alias("id"), "ts", F.lit("return").alias("kind")
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# X1/X2: multi-format timestamp + duration parsing (round-trip through
+# strings synthesized from driver columns, so the oracle sees identical input)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multi_format_timestamp_parse",
+    """
+    WITH s AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 3
+                   WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y %H:%M')
+                   WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y %H:%M:%S')
+                   ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')
+               END AS raw
+        FROM orders
+    )
+    SELECT o_orderkey, raw,
+           coalesce(try_strptime(raw, '%d/%m/%Y %H:%M'),
+                    try_strptime(raw, '%d/%m/%Y %H:%M:%S'),
+                    try_strptime(raw, '%Y-%m-%d %H:%M:%S.%f')) AS parsed
+    FROM s
+    """,
+)
+def multi_format_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (parse_raw_data.py:67-76): three formats tried in order, null on
+    failure. Input strings are synthesized per-row in one of the three
+    formats; both engines parse the identical strings."""
+    from bicis_spark.functions.parsing import parse_timestamp_multi
+
+    orders = read_table(spark, sf_dir, "orders")
+    raw = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format("o_orderdate", "dd/MM/yyyy HH:mm"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss"),
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    with_raw = orders.select("o_orderkey", raw.alias("raw"))
+    # padded variants of the reference formats (the synthesized strings are
+    # zero-padded; lenient d/M patterns also accept them)
+    return with_raw.select(
+        "o_orderkey",
+        "raw",
+        parse_timestamp_multi(F.col("raw")).alias("parsed"),
+    )
+
+
+@register(
+    "duration_parse",
+    """
+    WITH s AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 4
+                   WHEN 0 THEN CAST(o_orderkey % 120 AS VARCHAR)
+                   WHEN 1 THEN concat(o_orderkey % 3, 'H ', o_orderkey % 60, 'MIN ', o_orderkey % 59, 'SEG')
+                   WHEN 2 THEN concat(o_orderkey % 60, 'MIN ', o_orderkey % 59, 'SEG')
+                   ELSE 'garbage'
+               END AS raw
+        FROM orders
+    )
+    SELECT o_orderkey, raw,
+           CASE
+               WHEN try_cast(raw AS BIGINT) IS NOT NULL THEN try_cast(raw AS BIGINT) * 60
+               WHEN len(regexp_extract_all(raw, '(\\d+)', 1)) >= 3 THEN
+                    CAST(regexp_extract_all(raw, '(\\d+)', 1)[1] AS BIGINT) * 3600
+                  + CAST(regexp_extract_all(raw, '(\\d+)', 1)[2] AS BIGINT) * 60
+                  + CAST(regexp_extract_all(raw, '(\\d+)', 1)[3] AS BIGINT)
+           END AS duration_s
+    FROM s
+    """,
+)
+def duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (parse_raw_data.py:55-64): int ⇒ minutes; "xH yMIN zSEG" ⇒
+    h/m/s; <3 numeric tokens ⇒ null. Strings synthesized per-row."""
+    from bicis_spark.functions.parsing import parse_duration_seconds
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    raw = (
+        F.when(k % 4 == 0, (k % 120).cast("string"))
+        .when(
+            k % 4 == 1,
+            F.concat(
+                (k % 3).cast("string"),
+                F.lit("H "),
+                (k % 60).cast("string"),
+                F.lit("MIN "),
+                (k % 59).cast("string"),
+                F.lit("SEG"),
+            ),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                (k % 60).cast("string"),
+                F.lit("MIN "),
+                (k % 59).cast("string"),
+                F.lit("SEG"),
+            ),
+        )
+        .otherwise(F.lit("garbage"))
+    )
+    with_raw = orders.select("o_orderkey", raw.alias("raw"))
+    return with_raw.select(
+        "o_orderkey", "raw", parse_duration_seconds(F.col("raw")).alias("duration_s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/J4: expression join + broadcast dimension joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_per_region",
+    """
+    SELECT r.r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: two broadcast dimension hops + agg. Money sums go through exact
+    DECIMAL then back to DOUBLE (order-independent, oracle-bitwise)."""
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "revenue_per_brand",
+    """
+    SELECT p.p_brand,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def revenue_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 on the fact table: lineitem ⋈ broadcast(part), revenue in exact
+    decimal arithmetic."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    revenue_expr = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue_expr).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "orders_events_expr_join",
+    f"""
+    SELECT o.o_orderkey, e.event_id
+    FROM orders o
+    JOIN events e
+      ON o.o_custkey = e.user_id
+     AND date_trunc('day', o.o_orderdate) = date_trunc('day', e.ts)
+     AND e.event_type = '{RENT_TYPE}'
+    """,
+)
+def orders_events_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (Spark test.ipynb cell 8): compound expression equi-join — still
+    hashable keys, so Catalyst picks SMJ/broadcast, never a cartesian."""
+    orders = read_table(spark, sf_dir, "orders")
+    events = read_table(spark, sf_dir, "events")
+    return orders.join(
+        events,
+        (orders["o_custkey"] == events["user_id"])
+        & (
+            F.date_trunc("day", orders["o_orderdate"])
+            == F.date_trunc("day", events["ts"])
+        )
+        & (events["event_type"] == RENT_TYPE),
+    ).select("o_orderkey", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 + extensions: ordering, limit, top-k per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_events_top100",
+    """
+    SELECT event_id, ts, user_id
+    FROM events
+    ORDER BY ts DESC, event_id
+    LIMIT 100
+    """,
+)
+def latest_events_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: descending sort + limit, tie-broken on the unique id so the
+    result set is deterministic. Spark executes this as TakeOrderedAndProject
+    (per-partition top-k + merge) — no global sort at scale."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.col("ts").desc(), F.col("event_id"))
+        .select("event_id", "ts", "user_id")
+        .limit(100)
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (SURVEY.md §2.6 extension): row_number window,
+    deterministic tie-break."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: hourly resample; TPC-H-style pricing summary (bench headline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (notebook resample('H').count()): tumbling 1-hour buckets."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (PAPERS.md / pyspark_guide common OLAP pattern): the
+    bench headline aggregate. All money math in exact decimals."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        lineitem.where(
+            F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
