@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design:
+- **Exact** is a hash groupBy on the dedup key — one shuffle, map-side
+  combine; at 100 TB use the fingerprint column as the key so the shuffle
+  moves 8-byte hashes, not documents.
+- **N-gram Jaccard** blocks candidate pairs through a shingle inverted
+  index; hot shingles (df > max_doc_freq) are dropped from *candidate
+  generation only* (standard frequency cap — they generate O(df²) pairs and
+  near-zero selectivity) while exact Jaccard is computed on the full sets,
+  so verified scores are unaffected by the cap.
+- **MinHash+LSH** is the sub-quadratic path: k hashes → b bands; a pair
+  collides iff some band matches, then candidates are verified with exact
+  Jaccard. All signature math happens array-side in codegen (no explode
+  until the tiny band keys).
+- **SimHash** gives a 64-bit signature; near-dup = small Hamming distance,
+  blocked by signature bytes.
+- **Embedding cosine** quantizes floats to integers so dot products are
+  exact (order-independent) — bitwise-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bicis_spark.extensions.similarity import cosine_sim, quantize
+
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest id per duplicate group (deterministic winner)."""
+    w_min = F.min(id_col).alias(id_col)
+    groups = df.groupBy(*key_cols).agg(w_min, F.count(F.lit(1)).alias("n_copies"))
+    return groups.select(id_col, *key_cols, "n_copies")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles, array-side (no explode)."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, make))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Exact Jaccard near-dup via shingle-inverted-index blocking.
+
+    Output: [doc_a, doc_b, inter, size_a, size_b, jaccard] with
+    doc_a < doc_b and jaccard >= threshold. Jaccard is
+    |A∩B| / (|A|+|B|−|A∩B|) on distinct shingle sets — exact integers, so
+    the double division is bitwise-deterministic.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    inv = sh.select("doc", F.explode("sh").alias("s"))
+    # frequency cap: hot shingles out of candidate generation only
+    rare = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).where(
+        F.col("df_") <= max_doc_freq
+    )
+    inv_capped = inv.join(rare.select("s"), "s")
+
+    a = inv_capped.alias("a")
+    b = inv_capped.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on the FULL shingle sets (cap bounds candidates,
+    # never the emitted scores)
+    sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    out = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("size_a", F.size("sh_a").cast("long"))
+        .withColumn("size_b", F.size("sh_b").cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the sub-quadratic scale path)
+# ---------------------------------------------------------------------------
+
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1; a·h + b stays under 2^63 (ANSI-safe)
+
+
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_j(x) = (a_j·x + b_j) mod p —
+    fixed pseudo-random constants (no RNG: reproducible across runs)."""
+    coeffs = []
+    ga, gb = 0x9E3779B9, 0xC2B2AE3D
+    for j in range(1, k + 1):
+        coeffs.append((((ga * j) % (MINHASH_P - 1)) + 1, (gb * j) % MINHASH_P))
+    return coeffs
+
+
+def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
+    """k-element MinHash signature, computed array-side: one xxhash64 pass
+    over the shingles (folded to 31 bits), then k affine min-reductions —
+    no explode, no UDF."""
+    hashed = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
+
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = [
+        F.array_min(F.transform(hashed, affine(a, b))) for a, b in _minhash_coeffs(k)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    b bands × r = k/b rows; P(collision) ≈ 1 − (1 − j^r)^b. Candidates come
+    from band-bucket self-joins (shuffle on tiny (band, hash) keys);
+    verification joins back the full shingle sets and computes exact Jaccard,
+    so emitted pairs are exact — LSH only bounds recall.
+    """
+    r = k // bands
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    ).where(F.size("sh") > 0)
+    with_sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.element_at("sig", i * r + j + 1) for j in range(r)])
+                ).alias("bh"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = with_sig.select("doc", F.explode(band_arr).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash signature from token xxhash64s: bit i of the signature is the
+    sign of Σ_tokens (±1 by the token-hash's bit i). Array-side, no UDF."""
+    toks = F.split(text, " ")
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_step(i: int):
+        mask = F.lit(1 << i)
+        return lambda s, h: s + (h.bitwiseAND(mask) != 0).cast("long") * 2 - 1
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_sum = F.aggregate(hashed, F.lit(0).cast("long"), bit_step(i))
+        acc = acc + F.when(bit_sum > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on signature
+    prefixes (bit_count available as a builtin)."""
+    sigs = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sig"))
+    n_blocks = bits // block_bits
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("sig", i * block_bits)
+                .bitwiseAND(F.lit((1 << block_bits) - 1))
+                .alias("bv"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    blocks = sigs.select("doc", "sig", F.explode(block_arr).alias("b")).select(
+        "doc", "sig", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All-pairs cosine near-dup on quantized embeddings (exact integer dot
+    products ⇒ bitwise-deterministic cosine).
+
+    The brute-force O(n²) form — correct baseline; the LSH-bucketed variant
+    in similarity.py is the scale path.
+    """
+    q = df.select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    pairs = a.join(b, F.col("a.vid") < F.col("b.vid"))
+    sim = cosine_sim(F.col("a.qv"), F.col("b.qv"))
+    return (
+        pairs.select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Determinism strategy: floats quantize to integers (floor(x·10⁶) after an
+exact float→double widening), so dot products and norms are exact int64
+sums — order-independent, identical in Spark and the DuckDB oracle. With
+64-dim vectors the dot product is bounded by 64·(2·10⁵)² ≈ 2.6·10¹² ≪ 2⁶³.
+
+Scale design:
+- Brute-force top-k: corpus ⨯ broadcast(queries) — the O(Q·N) baseline;
+  each executor scans its corpus slice once, no corpus shuffle, top-k via
+  per-query window. Right answer for small Q.
+- LSH-bucketed: deterministic integer hyperplanes → sign-bit bucket;
+  candidates only within matching buckets (plus the query's bucket), then
+  exact re-rank. Sub-linear candidate sets; recall bounded by bucket
+  collision probability. The IVF analog (train centroids) would slot in the
+  same two-phase shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<long>: floor(double(x)·10⁶). floor (not round)
+    sidesteps cross-engine tie-rounding differences."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def int_norm2(a: Column) -> Column:
+    return int_dot(a, a)
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Exact-integer cosine: dot/(√‖a‖·√‖b‖) with all inputs exact int64 —
+    the double math sees identical operands in any engine."""
+    return int_dot(a, b).cast("double") / (
+        F.sqrt(int_norm2(a).cast("double")) * F.sqrt(int_norm2(b).cast("double"))
+    )
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors: [query_id, neighbor_id, cosine, rank].
+
+    Self-matches excluded; ties break on neighbor_id (deterministic).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane_coeff(plane: int, dim: int) -> int:
+    """Deterministic small-integer hyperplane component in [-3, 3] — a fixed
+    pseudo-random pattern with no RNG (reproducible, oracle-expressible)."""
+    return ((1 + (dim + 1) * (plane + 3)) % 7) - 3
+
+
+def lsh_bucket(qvec: Column, n_planes: int = 8, dims: int = 64) -> Column:
+    """Sign-bit bucket id from integer hyperplane dot products."""
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        coeffs = [_hyperplane_coeff(p, i) for i in range(dims)]
+        dot = F.aggregate(
+            F.zip_with(
+                qvec,
+                F.array(*[F.lit(c).cast("long") for c in coeffs]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    exact cosine re-rank within. 2^n_planes buckets ⇒ ~N/2^p candidates per
+    query. Recall < 1 by construction (bucket boundaries); raise recall via
+    multi-probe or more tables — same plan shape."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dims))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dims))
+    pairs = c.join(F.broadcast(q), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

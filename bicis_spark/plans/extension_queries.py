@@ -1,5 +1,287 @@
 """Declared queries for the LLM-data-pipeline extension operators
-(dedup, similarity search, text analysis, multimodal). Filled in as
-operators land (SURVEY.md §7.8)."""
+(SURVEY.md §7.8): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding-cosine), similarity search (brute-force + LSH ANN), text analysis
+(quality, lang-id, token counts, fingerprints), multimodal binary columns.
+
+Oracle notes: every float output derives from exact integer arithmetic
+(quantized dot products, int/int divisions), so DuckDB comparisons are
+bitwise. MinHash/SimHash/LSH queries are rows-only (their xxhash64-based
+signatures have no DuckDB equivalent); their *verification* math is still
+exact."""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bicis_spark.extensions.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bicis_spark.extensions.multimodal import (
+    decode_media,
+    frame_sample,
+    to_binary_table,
+)
+from bicis_spark.extensions.similarity import ann_topk_bruteforce, ann_topk_lsh
+from bicis_spark.extensions.text import (
+    fingerprints,
+    language_id,
+    quality_metrics,
+    token_count,
+)
+from bicis_spark.plans.queries import register
+from bicis_spark.sources.io import read_table
+
+# DuckDB fragment: distinct 3-word shingle sets per doc
+_SH_CTE = """
+sh AS (
+    SELECT doc_id AS doc,
+           list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+"""
+
+# DuckDB fragment: quantized embedding vectors (floor(double(x)*1e6))
+_QV_CTE = """
+q AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+    FROM embeddings
+)
+"""
+
+_DOT = (
+    "list_sum(list_transform(range(64), i -> {a}.qv[i+1] * {b}.qv[i+1]))::DOUBLE"
+)
+_NORM = "sqrt(list_sum(list_transform(range(64), i -> {x}.qv[i+1] * {x}.qv[i+1]))::DOUBLE)"
+_COS = f"{_DOT} / ({_NORM.format(x='{a}')} * {_NORM.format(x='{b}')})"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies, min(n_chars) AS n_chars
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = exact_dedup(docs, ["text"], "doc_id")
+    # re-attach a cheap metadata column; drop the (long) text key from output
+    docs_meta = docs.select(F.col("doc_id"), "n_chars")
+    return out.join(docs_meta, "doc_id").select("doc_id", "n_copies", "n_chars")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE.strip()},
+    inv AS (SELECT doc, unnest(sh) AS s FROM sh),
+    rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 50),
+    invc AS (SELECT inv.doc, inv.s FROM inv JOIN rare USING (s)),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM invc a JOIN invc b ON a.s = b.s AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.sh, sb.sh))::BIGINT AS inter,
+           len(sa.sh)::BIGINT AS size_a,
+           len(sb.sh)::BIGINT AS size_b,
+           len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc = doc_a
+    JOIN sh sb ON sb.doc = doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE >= 0.4
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4, max_doc_freq=50)
+
+
+@register("dedup_minhash_lsh", None)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4)
+
+
+@register("dedup_simhash", None)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_QV_CTE.strip()}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS.format(a='a', b='b')} AS cosine
+    FROM q a JOIN q b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a', b='b')} >= 0.45
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+    WITH {_QV_CTE.strip()},
+    scored AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS.format(a='qs', b='c')} AS cosine
+        FROM q qs JOIN q c ON c.vec_id != qs.vec_id
+        WHERE qs.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_bruteforce(emb, queries, k=5)
+
+
+@register("ann_topk_lsh", None)
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_lsh(emb, queries, k=5, n_planes=8, dims=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_counts",
+    "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents",
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(toks)::BIGINT AS n_tokens,
+           (length(text) - len(toks) + 1)::DOUBLE / len(toks)::DOUBLE AS avg_token_len,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+               / len(toks)::DOUBLE AS stopword_ratio,
+           len(list_distinct(toks))::BIGINT AS n_unique_tokens,
+           len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS unique_ratio
+    FROM t
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_metrics(docs)
+
+
+@register(
+    "language_id",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))::BIGINT AS score_en,
+               len(list_filter(toks, x -> x IN ('data','table','row','column','query')))::BIGINT AS score_es,
+               len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))::BIGINT AS score_zh
+        FROM t
+    )
+    SELECT doc_id, score_en, score_es, score_zh,
+           CASE WHEN score_en >= score_es AND score_en >= score_zh THEN 'en'
+                WHEN score_es >= score_zh THEN 'es'
+                ELSE 'zh' END AS predicted_lang
+    FROM s
+    """,
+)
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(regexp_extract_all(text, '(.)', 1), c -> unicode(c)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           length(text)::BIGINT AS n_bytes,
+           unicode(substring(text, 1, 1))::BIGINT AS first_byte,
+           list_sum(list_transform(regexp_extract_all(substring(text, 1, 16), '(.)', 1),
+                                   c -> unicode(c)::BIGINT))::BIGINT AS byte_sum_16
+    FROM documents
+    """,
+)
+def multimodal_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary wrap → mapInPandas decode stub. The oracle replays the fake
+    features byte-wise (corpus is ASCII so char codes == bytes)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_media(to_binary_table(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           (off // 64)::BIGINT AS frame_no,
+           unicode(substring(text, off + 1, 1))::BIGINT AS frame_byte
+    FROM documents, LATERAL unnest(range(0, length(text), 64)) AS t(off)
+    """,
+)
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return frame_sample(to_binary_table(docs), every_n_bytes=64)
