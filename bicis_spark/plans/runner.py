@@ -1,0 +1,154 @@
+"""Pipeline runner: materialization + memoization + config-driven wiring
+(SURVEY.md §2.12 L1-L3, §2.10 U5).
+
+The reference orchestrates with Luigi: a task DAG where every intermediate
+is a file target and "output exists" skips recompute (``split.py:48``,
+``build_dataset.py:82``), parameterized by a YAML DI container
+(``object_loader.py:9-60``). This runner keeps exactly those two ideas —
+write-once parquet materialization with existence-check memoization, and a
+thin YAML experiment config — without the scheduler daemon, process
+boundaries, or ``$name``-reference object graph.
+
+Scale notes: stages exchange parquet (columnar, splittable, statistics for
+pruning); a stage's ``partition_by`` feeds partition pruning downstream;
+memoization uses an atomic ``_SUCCESS``-style marker so concurrent runners
+never read partial outputs.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover - pyyaml is available in this env
+    yaml = None
+
+
+@dataclass
+class Stage:
+    """One pipeline node: a function (spark, inputs...) -> DataFrame."""
+
+    name: str
+    fn: Callable[..., DataFrame]
+    deps: list[str] = field(default_factory=list)
+    partition_by: list[str] | None = None
+
+
+class Pipeline:
+    """A tiny DAG runner over DataFrame-producing stages.
+
+    ``run`` topologically executes stages; each stage's output is
+    materialized at ``{root}/{name}.parquet`` and skipped when already
+    present (the reference's L2 incremental materialization).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.stages: dict[str, Stage] = {}
+
+    def stage(
+        self,
+        name: str,
+        deps: list[str] | None = None,
+        partition_by: list[str] | None = None,
+    ):
+        def deco(fn: Callable[..., DataFrame]):
+            self.stages[name] = Stage(name, fn, deps or [], partition_by)
+            return fn
+
+        return deco
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.parquet")
+
+    def _done(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+
+    def run(self, targets: list[str] | None = None, force: bool = False) -> dict[str, DataFrame]:
+        order = self._topo_order(targets)
+        results: dict[str, DataFrame] = {}
+        for name in order:
+            stage = self.stages[name]
+            path = self._path(name)
+            if force or not self._done(name):
+                inputs = [results[d] for d in stage.deps]
+                df = stage.fn(self.spark, *inputs)
+                writer = df.write.mode("overwrite")
+                if stage.partition_by:
+                    writer = writer.partitionBy(*stage.partition_by)
+                writer.parquet(path)
+            results[name] = self.spark.read.parquet(path)
+        return results
+
+    def _topo_order(self, targets: list[str] | None) -> list[str]:
+        wanted = targets or list(self.stages)
+        order: list[str] = []
+        seen: set[str] = set()
+        visiting: set[str] = set()
+
+        def visit(name: str) -> None:
+            if name in seen:
+                return
+            if name in visiting:
+                raise ValueError(f"dependency cycle at {name}")
+            if name not in self.stages:
+                raise KeyError(f"unknown stage {name!r}")
+            visiting.add(name)
+            for d in self.stages[name].deps:
+                visit(d)
+            visiting.discard(name)
+            seen.add(name)
+            order.append(name)
+
+        for t in wanted:
+            visit(t)
+        return order
+
+
+# ---------------------------------------------------------------------------
+# U5: YAML experiment config (thin replacement for object_loader.py)
+# ---------------------------------------------------------------------------
+
+
+def load_callable(path: str) -> Callable:
+    """'pkg.module:fn' → the callable (the reference's ``obj_from_path``,
+    object_loader.py:64-95, without exec/eval)."""
+    module_name, _, attr = path.partition(":")
+    if not attr:
+        module_name, _, attr = path.rpartition(".")
+    return getattr(importlib.import_module(module_name), attr)
+
+
+def load_experiment(fname: str) -> dict:
+    """Parse an experiment YAML: top-level ``experiment_name`` plus
+    component entries ``{type: 'module:callable', <params>...}`` resolved
+    to (callable, params) pairs — the reference's DI file format
+    (configs/baseline_features.yaml) minus singletons/$references."""
+    if yaml is None:
+        raise ImportError("pyyaml not available")
+    with open(fname) as f:
+        cfg = yaml.safe_load(f)
+    out = {"experiment_name": cfg.get("experiment_name", "default")}
+    for key, val in cfg.items():
+        if isinstance(val, dict) and "type" in val:
+            params = {k: v for k, v in val.items() if k != "type"}
+            out[key] = (load_callable(val["type"]), params)
+        else:
+            out[key] = val
+    return out
+
+
+def write_json_report(path: str, payload: dict) -> None:
+    """S8 JSON sink for small metadata/metrics dicts (split.py:74-85,
+    evaluate_model.py:40-41)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2, default=str)
