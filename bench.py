@@ -20,12 +20,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bicis_spark.plans import queries as registry  # noqa: E402
 from bicis_spark.session import get_spark  # noqa: E402
 
-# Headline set: one per operator family; grows with coverage.
+# Headline set: one per operator family.
 HEADLINE = [
-    "hour_profile",
-    "weekday_profile",
-    "count_rows",
-    "boolean_or_filter",
+    "hour_profile",            # two-level agg + join (flagship)
+    "next_window_target",      # range-frame window (W1 centerpiece)
+    "circular_lag_features",   # pivot + broadcast map join (W3/J4)
+    "ml_dataset",              # full feature/target assembly (J2)
+    "pricing_summary",         # TPC-H Q1 shape, decimal aggs
+    "revenue_per_brand",       # fact x broadcast dim join
+    "topk_orders_per_customer",  # window top-k
+    "hourly_event_counts",     # tumbling buckets (A6)
+    "dedup_ngram_jaccard",     # shingle blocking + exact verify
+    "dedup_minhash_lsh",       # LSH scale path
+    "ann_topk_bruteforce",     # similarity search baseline
+    "text_quality",            # text analysis column exprs
+    "doc_fingerprints",        # rolling-hash fingerprint
 ]
 
 

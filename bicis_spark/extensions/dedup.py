@@ -28,6 +28,24 @@ from pyspark.sql import functions as F
 from bicis_spark.extensions.similarity import cosine_sim, quantize
 
 
+def _partitioned(df: DataFrame, parallelism: int | None) -> DataFrame:
+    """Spread CPU-heavy per-row array work across cores.
+
+    Real 100 TB inputs arrive in thousands of splits, but a small local file
+    is one row-group = one task; an explicit hash repartition costs one tiny
+    shuffle and unlocks all cores. Uses defaultParallelism when unset."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def _reusable(df: DataFrame, parallelism: int | None, key: str) -> DataFrame:
+    """Hash-repartition AFTER the heavy per-row compute so every downstream
+    consumer reads the same shuffle output (ReusedExchange) instead of
+    recomputing the expensive projection once per consumer."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
@@ -57,6 +75,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     max_doc_freq: int = 50,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup via shingle-inverted-index blocking.
 
@@ -65,25 +84,51 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|−|A∩B|) on distinct shingle sets — exact integers, so
     the double division is bitwise-deterministic.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-    ).where(F.size("sh") > 0)
-    inv = sh.select("doc", F.explode("sh").alias("s"))
+    sh = _reusable(
+        _partitioned(df, parallelism)
+        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
+        .where(F.size("sh") > 0),
+        parallelism,
+        "doc",
+    )
+    # invert on 64-bit shingle hashes: the self-join shuffles/compares longs,
+    # not strings. Hash collisions can only ADD candidates (exact
+    # verification below filters them), never drop true pairs.
+    inv = sh.select("doc", F.explode("sh").alias("s")).select(
+        "doc", F.xxhash64("s").alias("h")
+    )
     # frequency cap: hot shingles out of candidate generation only
-    rare = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).where(
+    rare = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df_")).where(
         F.col("df_") <= max_doc_freq
     )
-    inv_capped = inv.join(rare.select("s"), "s")
+    inv_capped = inv.join(rare.select("h"), "h")
 
     a = inv_capped.alias("a")
     b = inv_capped.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+    # count-based pruning BEFORE any per-pair set work: jaccard >= t implies
+    # |A∩B| >= t/(1+t)·(|A|+|B|), and shared-capped-count <= |A∩B| only when
+    # the cap fired (documented recall bound), so pairs below the bound can
+    # never qualify. This collapses ~N·df² candidate rows to the handful of
+    # real near-dups before the expensive exact verification.
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    # exact verification on the FULL shingle sets (cap bounds candidates,
-    # never the emitted scores)
+    sizes = sh.select("doc", F.size("sh").alias("sz"))
+    sza = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("szb"))
+    candidates = (
+        shared.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .where(
+            F.col("shared") * F.lit(1.0 + threshold)
+            >= F.lit(threshold) * (F.col("sza") + F.col("szb"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    # exact verification on the FULL shingle sets (cap/hashing bound
+    # candidates, never the emitted scores)
     sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
@@ -143,6 +188,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.4,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -152,9 +198,13 @@ def minhash_lsh_pairs(
     so emitted pairs are exact — LSH only bounds recall.
     """
     r = k // bands
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-    ).where(F.size("sh") > 0)
+    sh = _reusable(
+        _partitioned(df, parallelism)
+        .select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh"))
+        .where(F.size("sh") > 0),
+        parallelism,
+        "doc",
+    )
     with_sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
     band_arr = F.array(
         *[
@@ -226,10 +276,13 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     block_bits: int = 8,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on signature
     prefixes (bit_count available as a builtin)."""
-    sigs = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sig"))
+    sigs = _partitioned(df, parallelism).select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sig")
+    )
     n_blocks = bits // block_bits
     block_arr = F.array(
         *[
@@ -286,7 +339,7 @@ def embedding_neardup_pairs(
     The brute-force O(n²) form — correct baseline; the LSH-bucketed variant
     in similarity.py is the scale path.
     """
-    q = df.select(
+    q = _partitioned(df, None).select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
     )
     a, b = q.alias("a"), q.alias("b")

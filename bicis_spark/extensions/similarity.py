@@ -59,7 +59,8 @@ def ann_topk_bruteforce(
 
     Self-matches excluded; ties break on neighbor_id (deterministic).
     """
-    c = corpus.select(
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n_parts).select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )
     q = queries.select(
@@ -121,7 +122,9 @@ def ann_topk_lsh(
     exact cosine re-rank within. 2^n_planes buckets ⇒ ~N/2^p candidates per
     query. Recall < 1 by construction (bucket boundaries); raise recall via
     multi-probe or more tables — same plan shape."""
-    c = corpus.select(
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dims))
     q = queries.select(

@@ -87,3 +87,46 @@ def rents_returns_profile(
     n_rents = station_profile(df, rent_station, rent_ts, key, "n_rents")
     n_returns = station_profile(df, return_station, return_ts, key, "n_returns")
     return n_rents.join(n_returns, on=["station", key], how="inner")
+
+
+def event_profile_single_scan(
+    events: DataFrame,
+    station_col: str,
+    ts_col: str,
+    key: str,
+    is_rent: Column,
+    is_return: Column,
+) -> DataFrame:
+    """rents_returns_profile for a single event stream where rent/return is
+    a per-row predicate — ONE scan and one shuffle chain instead of two.
+
+    Identical semantics to joining the two separately-built profiles:
+    level 1 counts both kinds per (station, period, key); level 2 averages
+    each kind over the periods where that kind was observed (``avg`` skips
+    the nulls injected for unobserved periods); the final both-non-null
+    filter is the inner-join condition. Exact integer counts ⇒ identical
+    averages. At 100 TB this halves the fact-table scan and removes a join.
+    """
+    if key not in VALID_KEYS:
+        raise ValueError(f"key must be one of {VALID_KEYS}")
+    ts = F.col(ts_col)
+    level1 = (
+        events.where(F.col(station_col).isNotNull() & ts.isNotNull())
+        .where(is_rent | is_return)
+        .groupBy(
+            F.col(station_col).alias("station"),
+            period_start(ts, key).alias("period"),
+            time_key(ts, key).alias(key),
+        )
+        .agg(
+            F.count(F.when(is_rent, F.lit(1))).alias("cr"),
+            F.count(F.when(is_return, F.lit(1))).alias("cv"),
+        )
+    )
+    profile = level1.groupBy("station", key).agg(
+        F.avg(F.when(F.col("cr") > 0, F.col("cr"))).alias("n_rents"),
+        F.avg(F.when(F.col("cv") > 0, F.col("cv"))).alias("n_returns"),
+    )
+    return profile.where(
+        F.col("n_rents").isNotNull() & F.col("n_returns").isNotNull()
+    )

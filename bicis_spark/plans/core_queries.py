@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bicis_spark.operators.profiles import rents_returns_profile, station_profile
+from bicis_spark.operators.profiles import event_profile_single_scan, station_profile
 from bicis_spark.plans.queries import register
 from bicis_spark.sources.io import read_table
 
@@ -66,10 +66,12 @@ JOIN ret_prof ON rent_prof.station = ret_prof.station
 
 @register("hour_profile", _HOUR_PROFILE_ORACLE)
 def hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rents, returns = events_as_trips(spark, sf_dir)
-    n_rents = station_profile(rents, "user_id", "ts", "hour", "n_rents")
-    n_returns = station_profile(returns, "user_id", "ts", "hour", "n_returns")
-    joined = n_rents.join(n_returns, on=["station", "hour"], how="inner")
+    events = read_table(spark, sf_dir, "events")
+    joined = event_profile_single_scan(
+        events, "user_id", "ts", "hour",
+        is_rent=F.col("event_type") == RENT_TYPE,
+        is_return=F.col("event_type") == RETURN_TYPE,
+    )
     return joined.select(
         F.col("station").cast("long").alias("station"),
         F.col("hour").cast("long").alias("hour"),
@@ -114,10 +116,12 @@ JOIN ret_prof ON rent_prof.station = ret_prof.station
 def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-weekday profile: exercises the ISO weekday shift formula and the
     (iso_year, iso_week) period grouping (W2, basic_features.py:78-80)."""
-    rents, returns = events_as_trips(spark, sf_dir)
-    n_rents = station_profile(rents, "user_id", "ts", "weekday", "n_rents")
-    n_returns = station_profile(returns, "user_id", "ts", "weekday", "n_returns")
-    joined = n_rents.join(n_returns, on=["station", "weekday"], how="inner")
+    events = read_table(spark, sf_dir, "events")
+    joined = event_profile_single_scan(
+        events, "user_id", "ts", "weekday",
+        is_rent=F.col("event_type") == RENT_TYPE,
+        is_return=F.col("event_type") == RETURN_TYPE,
+    )
     return joined.select(
         F.col("station").cast("long").alias("station"),
         F.col("weekday").cast("long").alias("weekday"),

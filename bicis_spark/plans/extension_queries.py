@@ -90,9 +90,17 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv AS (SELECT doc, unnest(sh) AS s FROM sh),
     rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 50),
     invc AS (SELECT inv.doc, inv.s FROM inv JOIN rare USING (s)),
-    cand AS (
-        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    shared AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
         FROM invc a JOIN invc b ON a.s = b.s AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sh za ON za.doc = doc_a
+        JOIN sh zb ON zb.doc = doc_b
+        WHERE shared * (1.0 + 0.4) >= 0.4 * (len(za.sh) + len(zb.sh))
     )
     SELECT doc_a, doc_b,
            len(list_intersect(sa.sh, sb.sh))::BIGINT AS inter,

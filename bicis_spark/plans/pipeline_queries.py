@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from bicis_spark.operators.dataset import assemble_dataset, fails_report
 from bicis_spark.operators.features import circular_lag_features, hour_profile_pivot
 from bicis_spark.operators.model import train_predict_evaluate
-from bicis_spark.operators.profiles import station_profile
+from bicis_spark.operators.profiles import event_profile_single_scan
 from bicis_spark.operators.split import SplitPeriods, split_bounds, with_split_label
 from bicis_spark.operators.targets import next_window_count
 from bicis_spark.plans.core_queries import RENT_TYPE, RETURN_TYPE, events_as_trips
@@ -90,10 +90,12 @@ feat AS (
 
 
 def _profile_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rents, returns = events_as_trips(spark, sf_dir)
-    n_rents = station_profile(rents, "user_id", "ts", "hour", "n_rents")
-    n_returns = station_profile(returns, "user_id", "ts", "hour", "n_returns")
-    return n_rents.join(n_returns, on=["station", "hour"], how="inner")
+    events = read_table(spark, sf_dir, "events")
+    return event_profile_single_scan(
+        events, "user_id", "ts", "hour",
+        is_rent=F.col("event_type") == RENT_TYPE,
+        is_return=F.col("event_type") == RETURN_TYPE,
+    )
 
 
 def _click_events(spark: SparkSession, sf_dir: str) -> DataFrame:
