@@ -527,3 +527,212 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7 engine surface): INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "users_intersect",
+    f"""
+    SELECT user_id FROM events WHERE event_type = '{RENT_TYPE}'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = '{RETURN_TYPE}'
+    """,
+)
+def users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rents, returns = events_as_trips(spark, sf_dir)
+    return rents.select("user_id").intersect(returns.select("user_id"))
+
+
+@register(
+    "hours_except",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_start FROM events WHERE event_type = '{RENT_TYPE}'
+    EXCEPT
+    SELECT date_trunc('hour', ts) AS hour_start FROM events WHERE event_type = 'error'
+    """,
+)
+def hours_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics = Spark subtract): hours with rent activity
+    but no errors."""
+    events = read_table(spark, sf_dir, "events")
+    rents = events.where(F.col("event_type") == RENT_TYPE)
+    errors = events.where(F.col("event_type") == "error")
+    hr = F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    return rents.select(hr).subtract(errors.select(hr))
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup (§2.4 extension surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_order_counts",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           GROUPING(l_returnflag, l_linestatus) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping-id (bit encodings verified identical between
+    Spark's grouping_id() and DuckDB's GROUPING())."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+@register(
+    "cube_event_counts",
+    """
+    SELECT event_type, user_id % 4 AS user_bucket, count(*) AS n,
+           GROUPING(event_type, user_id % 4) AS gid
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 4)
+    """,
+)
+def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 4
+    )
+    return events.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact + approximate distinct / quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_user_stats",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           quantile_cont(value, 0.5) AS p50_value
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count + exact interpolated median (interpolation
+    verified bit-identical between Spark percentile and DuckDB
+    quantile_cont)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.percentile("value", F.lit(0.5)).alias("p50_value"),
+    )
+
+
+@register("approx_distinct_stats", None)
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL/KLL sketches are engine-specific -> rows-only check (the exact
+    versions above are the oracle-gated counterparts)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("approx_p50"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (pyspark_guide common pattern: lag + cumulative gap count)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionization",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions via lag + running sum — the batch form of
+    streaming session windows (order tie-broken on event_id)."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap > 1_800_000_000, F.lit(1)).otherwise(F.lit(0))
+    sessions = (
+        events.withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom cogrouped-applyInPandas operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_latest_order",
+    f"""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '{RENT_TYPE}'),
+    m AS (
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, m.o_orderkey, m.o_orderdate, m.o_totalprice
+    FROM e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each rent event enriched with the user's latest
+    order at-or-before the event (merge_asof per key via cogrouped
+    applyInPandas; ties -> max o_orderkey)."""
+    from bicis_spark.operators.asof import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    rents = events.where(F.col("event_type") == RENT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return asof_join(
+        rents,
+        orders,
+        left_ts="ts",
+        right_ts="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
