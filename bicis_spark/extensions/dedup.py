@@ -39,11 +39,17 @@ def _partitioned(df: DataFrame, parallelism: int | None) -> DataFrame:
 
 
 def _reusable(df: DataFrame, parallelism: int | None, key: str) -> DataFrame:
-    """Hash-repartition AFTER the heavy per-row compute so every downstream
-    consumer reads the same shuffle output (ReusedExchange) instead of
-    recomputing the expensive projection once per consumer."""
+    """Hash-repartition + persist AFTER the heavy per-row compute.
+
+    Multi-consumer subplans are NOT deduplicated by exchange reuse here:
+    per-consumer column pruning makes each copy's scan (ReadSchema) differ,
+    so Catalyst sees non-identical subtrees and recomputes the expensive
+    projection once per consumer (verified empirically: 8 scans, zero
+    ReusedExchange). An explicit persist (memory, spill-to-disk) is the
+    reference's own L4 pattern (build_dataset.py:123,136) applied at the
+    one spot measurement says it pays."""
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, key)
+    return df.repartition(n, key).persist()
 
 
 
