@@ -1,0 +1,123 @@
+"""Unit tests for dedup / similarity / text / multimodal operators on
+crafted fixtures (behavioral contracts beyond the oracle queries)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bicis_spark.extensions.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bicis_spark.extensions.multimodal import decode_media, frame_sample, to_binary_table
+from bicis_spark.extensions.similarity import ann_topk_bruteforce, ann_topk_lsh
+from bicis_spark.extensions.text import char_fingerprint, FP_MOD
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 0
+    (2, "completely different words about spark query engines and windows"),
+    (3, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs_df):
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(docs_df, ["text"]).collect()}
+    assert out == {0: 2, 1: 1, 2: 1}  # winner = min id; 3 deduped into 0
+
+
+def test_ngram_jaccard_finds_neardup(spark, docs_df):
+    pairs = ngram_jaccard_pairs(docs_df, threshold=0.4, parallelism=2).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in got and 0.4 <= got[(0, 1)] < 1.0
+    assert all(2 not in p for p in got)
+
+
+def test_minhash_lsh_finds_exact_dup(spark, docs_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_pairs(
+        docs_df, threshold=0.4, parallelism=2
+    ).collect()}
+    # identical docs have identical signatures -> must collide in every band
+    assert pairs[(0, 3)] == 1.0
+    assert all(2 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(
+        docs_df, max_hamming=3, parallelism=2
+    ).collect()}
+    assert pairs[(0, 3)] == 0
+
+
+def test_embedding_neardup_and_topk(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (3, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in embedding_neardup_pairs(
+        df, threshold=0.95
+    ).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+
+    topk = ann_topk_bruteforce(df, df.where(F.col("vec_id") == 0), k=2)
+    rows = sorted(topk.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 3]  # ranked by cosine
+    assert rows[0]["cosine"] > rows[1]["cosine"]
+
+
+def test_ann_lsh_subset_of_bruteforce(spark, sf_dir):
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    brute = ann_topk_bruteforce(emb, queries, k=5).collect()
+    lsh = ann_topk_lsh(emb, queries, k=5).collect()
+    brute_pairs = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in brute}
+    # LSH cosine scores must agree exactly with brute force where both found
+    # the pair (same quantized math); LSH finds a subset of all pairs
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_pairs:
+            assert r["cosine"] == brute_pairs[key]
+
+
+def test_char_fingerprint_reference_value(spark):
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    fp = df.select(char_fingerprint(F.col("text")).alias("fp")).first()["fp"]
+    assert fp == ((0 * 31 + 97) * 31 + 98) * 31 + 99  # 96354, matches oracle
+    assert fp < FP_MOD
+
+
+def test_multimodal_decode_and_frames(spark, docs_df):
+    binary = to_binary_table(docs_df)
+    feats = {r["doc_id"]: r for r in decode_media(binary).collect()}
+    assert feats[0]["n_bytes"] == len(DOCS[0][1])
+    assert feats[0]["first_byte"] == ord("t")
+    assert feats[0]["byte_sum_16"] == sum(DOCS[0][1].encode()[:16])
+
+    frames = frame_sample(binary, every_n_bytes=10).collect()
+    doc0 = sorted(
+        [(r["frame_no"], r["frame_byte"]) for r in frames if r["doc_id"] == 0]
+    )
+    text0 = DOCS[0][1].encode()
+    assert doc0 == [(i // 10, text0[i]) for i in range(0, len(text0), 10)]
+
+
+def test_multimodal_strict_decode_raises(spark, docs_df):
+    binary = to_binary_table(docs_df)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_media(binary, strict=True).collect()
