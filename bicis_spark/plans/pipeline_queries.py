@@ -319,3 +319,39 @@ def glm_poisson_mse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset = ml_dataset_q(spark, sf_dir)
     _, _, mse = train_predict_evaluate(dataset, link="log", max_iter=1, id_col="event_id")
     return mse
+
+
+# ---------------------------------------------------------------------------
+# §2.9: Structured Streaming variant (finite file source driven to
+# completion through the memory sink — result equals the batch aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 as a streaming query: watermarked tumbling windows over a file
+    source, driven to completion (complete mode ⇒ equals batch)."""
+    import os
+    import tempfile
+
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import (
+        hourly_counts_stream,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), f"bicis_spark_stream_events_{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, EVENTS)
+    return run_to_completion(
+        hourly_counts_stream(stream), "streaming_hourly_counts_mem"
+    )

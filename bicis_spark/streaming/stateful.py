@@ -1,0 +1,77 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.9 / pyspark_guide Stateful): per-station running totals that
+survive across micro-batches.
+
+This is the engine's extension slot for operators that windowed aggregation
+can't express (running counters, custom session logic, online feature
+state). State is per-key and partitioned with the shuffle — at scale the
+state store shards across executors; the timeout policy bounds state for
+keys that go quiet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("station", LongType()),
+        StructField("total_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("total", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _update_running_counts(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    total, last_us = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        total += len(pdf)
+        if len(pdf):
+            batch_max = pdf["ts"].max()
+            last_us = max(last_us, int(batch_max.value // 1000))
+    state.update((total, last_us))
+    yield pd.DataFrame(
+        {
+            "station": [key[0]],
+            "total_events": [total],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+        }
+    )
+
+
+def running_station_counts(
+    events: DataFrame, station_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-station cumulative event count, emitted once per micro-batch per
+    active key. State: (total, last event time in micros)."""
+    keyed = events.select(
+        events[station_col].alias("station"), events[ts_col].alias("ts")
+    ).groupBy("station")
+    return keyed.applyInPandasWithState(
+        _update_running_counts,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
