@@ -736,3 +736,30 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
         tiebreak="o_orderkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Entry point 3 (SURVEY.md §3): ad-hoc SQL over registered views — the
+# reference's notebook exploration surface, served by spark.sql (identical
+# Catalyst plan as the DataFrame API)
+# ---------------------------------------------------------------------------
+
+_ADHOC_SQL = """
+SELECT n.n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("sql_adhoc_orders_by_nation", _ADHOC_SQL)
+def sql_adhoc_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() string surface: same SQL text runs on both engines
+    (views registered via sources.io.register_views)."""
+    from bicis_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ADHOC_SQL)
