@@ -51,3 +51,67 @@ def next_window_count(
         .where(F.col("_sec") <= F.col("_max_sec") - F.lit(w_us))
         .select(F.col(id_col), F.col("_cnt").cast("long").alias(out_name))
     )
+
+
+def next_window_count_bucketed(
+    df: DataFrame,
+    station_col: str,
+    ts_col: str,
+    id_col: str = "id",
+    window_seconds: int = 3600,
+    out_name: str = "n_rents",
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Skew-bounded variant of ``next_window_count`` for hot stations.
+
+    A range-frame window partitions by station alone, so one hot station's
+    entire history lands in a single task — and AQE's skew splitting does
+    NOT apply to window exchanges (only joins). This variant re-keys the
+    window to (station, time bucket), bounding every task by a bucket of
+    events: each event goes to its home bucket, and events in the first W
+    of a bucket are *replicated* into the previous bucket so forward
+    windows that cross the boundary still see them; only home-bucket rows
+    emit results. The per-station max (for the full-window mask) is a
+    separate tiny aggregate joined back by station.
+
+    Equivalent output to ``next_window_count`` whenever
+    ``bucket_seconds >= window_seconds``; cost: duplicating the W-sized
+    bucket prefix (W/bucket fraction of rows) + one extra small join.
+    """
+    if bucket_seconds < window_seconds:
+        raise ValueError("bucket must be at least the window length")
+    w_us = window_seconds * 1_000_000
+    b_us = bucket_seconds * 1_000_000
+
+    base = (
+        df.where(F.col(station_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("_sec", F.unix_micros(F.col(ts_col)))
+        .withColumn("_bucket", (F.col("_sec") / F.lit(b_us)).cast("long"))
+    )
+    home = base.withColumn("_home", F.lit(True))
+    # replicate the first W of each bucket into the previous bucket
+    spill = (
+        base.where(F.col("_sec") % F.lit(b_us) < F.lit(w_us))
+        .withColumn("_bucket", F.col("_bucket") - F.lit(1))
+        .withColumn("_home", F.lit(False))
+    )
+    union = home.unionByName(spill)
+
+    frame = (
+        Window.partitionBy(station_col, "_bucket")
+        .orderBy("_sec")
+        .rangeBetween(0, w_us - 1)
+    )
+    counted = union.withColumn("_cnt", F.count(F.lit(1)).over(frame)).where(
+        F.col("_home")
+    )
+
+    maxes = (
+        base.groupBy(station_col)
+        .agg(F.max("_sec").alias("_max_sec"))
+    )
+    return (
+        counted.join(F.broadcast(maxes), station_col)
+        .where(F.col("_sec") <= F.col("_max_sec") - F.lit(w_us))
+        .select(F.col(id_col), F.col("_cnt").cast("long").alias(out_name))
+    )

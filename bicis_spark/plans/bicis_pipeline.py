@@ -82,19 +82,31 @@ def build_pipeline(
         rents = labeled.where(F.col("mode") == "rent")
         return circular_lag_features(rents, prof, "station", "ts", "id")
 
-    @p.stage("dataset", deps=["features", "target"])
-    def dataset(s: SparkSession, feats: DataFrame, tgt: DataFrame) -> DataFrame:
-        return assemble_dataset(feats, tgt, id_col="id")
+    @p.stage("dataset", deps=["features", "target", "split"])
+    def dataset(s: SparkSession, feats: DataFrame, tgt: DataFrame, labeled: DataFrame) -> DataFrame:
+        ds = assemble_dataset(feats, tgt, id_col="id")
+        # carry the split label so fit/predict honor the time split
+        # (BuildDataset(dataset_type) — one labeled pass instead of three)
+        return ds.join(labeled.select("id", "split"), "id")
 
     @p.stage("predictions", deps=["dataset"])
     def predictions(s: SparkSession, ds: DataFrame) -> DataFrame:
-        assembled = assemble_features(ds)
-        model = fit_poisson(assembled, link="log", max_iter=1)
-        return predict(model, assembled)
+        feature_cols = [c for c in ds.columns if c not in ("id", "target", "split")]
+        assembled = assemble_features(
+            ds, feature_cols=feature_cols
+        ).join(ds.select("id", "split"), "id")
+        # fit ONLY on training (interface.py:40-45 / M4); predict all splits
+        model = fit_poisson(
+            assembled.where(F.col("split") == "training"), link="log", max_iter=1
+        )
+        return predict(model, assembled).join(ds.select("id", "split"), "id")
 
     @p.stage("evaluation", deps=["predictions"])
     def evaluation(s: SparkSession, preds: DataFrame) -> DataFrame:
-        return evaluate_mse(preds)
+        # per-split MSE (ModelEvaluationTask over each dataset_type)
+        return preds.groupBy("split").agg(
+            F.avg(F.pow(F.col("label") - F.col("prediction"), F.lit(2))).alias("mse")
+        )
 
     @p.stage("fails", deps=["split", "dataset"])
     def fails(s: SparkSession, labeled: DataFrame, ds: DataFrame) -> DataFrame:

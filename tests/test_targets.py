@@ -100,3 +100,50 @@ def test_null_station_dropped(spark):
     )
     res = next_window_count(df, "station", "ts", "id", 3600, "cnt")
     assert {r["id"] for r in res.collect()} == {1}
+
+
+def test_bucketed_variant_equals_plain(spark):
+    """Skew-bounded bucketed window == plain window on random data,
+    including events straddling bucket boundaries."""
+    from bicis_spark.operators.targets import next_window_count_bucketed
+
+    rng = random.Random(7)
+    events = []
+    eid = 0
+    for st in ["A", "HOT"]:
+        n = 300 if st == "HOT" else 60
+        for _ in range(n):
+            # span ~3 days so day buckets actually split; cluster some
+            # events right at day boundaries
+            base_s = rng.choice(
+                [rng.randint(0, 260_000), 86_400 - rng.randint(0, 3600), 86_400]
+            )
+            ts = BASE + dt.timedelta(
+                seconds=base_s, microseconds=rng.randint(0, 999_999)
+            )
+            events.append((eid, st, ts))
+            eid += 1
+    df = spark.createDataFrame(
+        events, "id long, station string, ts timestamp"
+    )
+    plain = {
+        r["id"]: r["cnt"]
+        for r in next_window_count(df, "station", "ts", "id", 3600, "cnt").collect()
+    }
+    bucketed = {
+        r["id"]: r["cnt"]
+        for r in next_window_count_bucketed(
+            df, "station", "ts", "id", 3600, "cnt", bucket_seconds=86_400
+        ).collect()
+    }
+    assert bucketed == plain
+    assert plain == brute_force(events, 3600)
+
+
+def test_bucketed_rejects_small_bucket(spark):
+    from bicis_spark.operators.targets import next_window_count_bucketed
+    import pytest
+
+    df = spark.createDataFrame([(0, "A", BASE)], "id long, station string, ts timestamp")
+    with pytest.raises(ValueError, match="bucket"):
+        next_window_count_bucketed(df, "station", "ts", "id", 3600, "c", 1800)
