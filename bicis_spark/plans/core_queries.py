@@ -763,3 +763,42 @@ def sql_adhoc_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ADHOC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# W4: duration derivation from two timestamps (return_date − rent_date ≙
+# ship delay; notebooks/Explore the data.ipynb cell 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ship_delay_stats",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           (CAST(sum(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) AS DOUBLE)
+               / count(*)) / 1000000.0 AS avg_delay_s,
+           max(epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1000000.0
+               AS max_delay_s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 duration arithmetic: timestamp difference in exact integer
+    microseconds, averaged (exact int sums), scaled to seconds in double."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    delay_us = F.unix_micros(F.col("l_shipdate")) - F.unix_micros(F.col("o_orderdate"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                (F.sum(delay_us).cast("double") / F.count(F.lit(1)))
+                / F.lit(1_000_000.0)
+            ).alias("avg_delay_s"),
+            (F.max(delay_us) / F.lit(1_000_000.0)).alias("max_delay_s"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""IO parity: CSV sink/scan round-trip (S3/S7), parquet partition pruning
+layout, nanos-timestamp handling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bicis_spark.schemas import EVENTS, TABLES
+from bicis_spark.sources.io import read_csv, read_table, write_csv, write_parquet
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    """S7 headered CSV sink → S3 schema-explicit scan preserves values
+    (timestamps via ISO strings — the reference's unify.py:43-45 format)."""
+    events = read_table(spark, sf_dir, "events").limit(100)
+    out = str(tmp_path / "events_csv")
+    formatted = events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    write_csv(formatted, out)
+    back = read_csv(
+        spark,
+        out,
+        schema="event_id long, ts string, user_id long, event_type string, value double",
+        sep=",",
+    ).withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    orig = {r["event_id"]: r for r in events.collect()}
+    rt = {r["event_id"]: r for r in back.collect()}
+    assert set(orig) == set(rt)
+    for k in orig:
+        assert rt[k]["ts"] == orig[k]["ts"]
+        assert rt[k]["value"] == orig[k]["value"]
+        assert rt[k]["event_type"] == orig[k]["event_type"]
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    """partition_by layout enables partition pruning: filtering on the
+    partition column scans only matching directories."""
+    events = read_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(events, out, partition_by=["event_type"])
+    clicks = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = clicks._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert clicks.count() == events.where(F.col("event_type") == "click").count()
+    # pruned scan reads one partition directory
+    assert "PartitionFilters: [isnotnull(event_type" in plan or "event_type=click" in plan
+
+
+def test_all_tables_readable_with_declared_schema(spark, sf_dir):
+    for name, schema in TABLES.items():
+        df = read_table(spark, sf_dir, name)
+        assert df.schema == schema or [f.name for f in df.schema.fields] == [
+            f.name for f in schema.fields
+        ]
+        assert df.count() > 0
