@@ -31,6 +31,21 @@ def _physical_read_schema(schema: StructType, ns_cols: frozenset[str]) -> Struct
 # tables whose timestamps are stored as parquet TIMESTAMP(NANOS)
 _NANOS_TS: dict[str, frozenset[str]] = {"events": frozenset({"ts"})}
 
+# runtime-settable SQL confs the engine depends on; applied defensively so
+# queries work on ANY caller-provided SparkSession (the driver builds its
+# own session and passes it in — it won't have session.py's configuration)
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver test table with its explicit schema.
@@ -38,6 +53,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Explicit schema (not parquet-footer trust alone) pins column order and
     integer widths so downstream plans and oracle hashes are deterministic.
     """
+    ensure_session_confs(spark)
     schema = TABLES[name]
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _NANOS_TS.get(name)
