@@ -293,3 +293,27 @@ def multimodal_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return frame_sample(to_binary_table(docs), every_n_bytes=64)
+
+
+@register(
+    "token_counts_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+               AS n_subtokens,
+           len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')))::BIGINT
+               AS n_unique_subtokens
+    FROM documents
+    """,
+)
+def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (word pieces + punctuation as separate
+    tokens) — the pre-tokenizer split most BPE vocabularies assume."""
+    docs = read_table(spark, sf_dir, "documents")
+    pat = F.lit(r"([a-zA-Z0-9]+|[^a-zA-Z0-9\s])")
+    toks = F.regexp_extract_all(F.col("text"), pat, 1)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_subtokens"),
+    )
