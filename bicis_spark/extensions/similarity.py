@@ -109,6 +109,80 @@ def lsh_bucket(qvec: Column, n_planes: int = 8, dims: int = 64) -> Column:
     return acc
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, deterministic
+    centroid-id tie-break). ``centroids``: [centroid_id, qv] — broadcast."""
+    pairs = vectors.crossJoin(
+        F.broadcast(centroids.select(F.col("centroid_id"), F.col(qv_col).alias("_cv")))
+    )
+    scored = pairs.withColumn("_sim", cosine_sim(F.col(qv_col), F.col("_cv")))
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, qv_col, "centroid_id")
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids_mod: int = 50,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by nearest
+    centroid; each query scans only its ``n_probe`` closest lists.
+
+    Centroids are a deterministic corpus subset (``vec_id % mod == 1``) —
+    the no-RNG stand-in for a k-means train step, which would slot in
+    unchanged (the assign/probe plan shape is identical). Scale: corpus
+    assignment is one broadcast pass; the search join is
+    (probe-list × queries), ~n_probe/n_centroids of the corpus per query.
+    """
+    cents = corpus.where(F.col(id_col) % n_centroids_mod == 1).select(
+        F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("qv"))
+    c_assigned = ivf_assign(c, cents, "neighbor_id").withColumnRenamed("qv", "cv")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    # each query probes its n_probe nearest centroids
+    q_pairs = q.crossJoin(
+        F.broadcast(cents.select("centroid_id", F.col("qv").alias("_cv")))
+    ).withColumn("_sim", cosine_sim(F.col("qv"), F.col("_cv")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    q_probes = (
+        q_pairs.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+
+    cand = c_assigned.join(F.broadcast(q_probes), "centroid_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

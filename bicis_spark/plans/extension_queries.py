@@ -317,3 +317,13 @@ def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_subtokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_subtokens"),
     )
+
+
+@register("ann_topk_ivf", None)
+def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN (deterministic centroid subset, n_probe=2)."""
+    from bicis_spark.extensions.similarity import ann_topk_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_ivf(emb, queries, k=5, n_centroids_mod=50, n_probe=2)

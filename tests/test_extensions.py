@@ -121,3 +121,21 @@ def test_multimodal_strict_decode_raises(spark, docs_df):
     binary = to_binary_table(docs_df)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         decode_media(binary, strict=True).collect()
+
+
+def test_ann_ivf_scores_match_bruteforce(spark, sf_dir):
+    from bicis_spark.sources.io import read_table
+    from bicis_spark.extensions.similarity import ann_topk_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    ivf = ann_topk_ivf(emb, queries, k=5).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:  # scores agree exactly where both found the pair
+            assert r["cosine"] == brute[key]
