@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bicis_spark.operators.profiles import event_profile_single_scan, station_profile
+from bicis_spark.operators.profiles import event_profile_single_scan
 from bicis_spark.plans.queries import register
 from bicis_spark.sources.io import read_table
 
@@ -802,3 +802,44 @@ def ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(delay_us) / F.lit(1_000_000.0)).alias("max_delay_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (bucketized equi-join form — no nested-loop join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_recent_orders",
+    f"""
+    SELECT e.event_id, o.o_orderkey
+    FROM events e JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate <= e.ts
+     AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+    WHERE e.event_type = '{RENT_TYPE}'
+    """,
+)
+def range_join_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to the same user's orders within the 7 days before the
+    event — bucketized so it executes as a hash equi-join, not a
+    BroadcastNestedLoopJoin."""
+    from bicis_spark.operators.rangejoin import range_join_lookback
+
+    events = read_table(spark, sf_dir, "events")
+    rents = events.where(F.col("event_type") == RENT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    out = range_join_lookback(
+        rents,
+        orders,
+        left_ts="ts",
+        right_ts="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        lookback_seconds=7 * 86_400,
+    )
+    return out.select("event_id", "o_orderkey")
