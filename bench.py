@@ -35,6 +35,10 @@ HEADLINE = [
     "ann_topk_bruteforce",     # similarity search baseline
     "text_quality",            # text analysis column exprs
     "doc_fingerprints",        # rolling-hash fingerprint
+    "sessionization",          # lag + running-sum window
+    "asof_latest_order",       # cogrouped applyInPandas merge_asof
+    "range_join_recent_orders",  # bucketized range equi-join
+    "curation_pipeline",       # composed quality->dedup->lang pipeline
 ]
 
 

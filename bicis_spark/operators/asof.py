@@ -45,6 +45,18 @@ def asof_join(
     left_cols = list(left.columns)
     sort_right = [right_ts] + ([tiebreak] if tiebreak else [])
 
+    # prune right keys with no left rows BEFORE the cogroup shuffle: keys
+    # only on the right produce empty merges but still cost a full Python
+    # round-trip each (and shuffle their rows). Broadcast left-semi join —
+    # at scale this also stops shuffling right rows nobody asks for.
+    from pyspark.sql import functions as F
+
+    right = right.join(
+        F.broadcast(left.select(F.col(by_left).alias(by_right)).distinct()),
+        on=by_right,
+        how="leftsemi",
+    )
+
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame(columns=[f.name for f in out_fields])

@@ -327,3 +327,67 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return ann_topk_ivf(emb, queries, k=5, n_centroids_mod=50, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: quality filter → exact dedup → language id —
+# the operators chained the way a real training-data pipeline runs them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+        SELECT doc_id, text,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS unique_ratio
+        FROM t
+    ),
+    kept AS (
+        SELECT doc_id, text, n_tokens, unique_ratio
+        FROM q WHERE n_tokens >= 30 AND unique_ratio >= 0.3
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+               min(unique_ratio) AS unique_ratio
+        FROM kept GROUP BY text
+    ),
+    lang AS (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
+                         >= len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
+                     AND len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
+                         >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
+                    THEN 'en'
+                    WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
+                         >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
+                    THEN 'es'
+                    ELSE 'zh' END AS predicted_lang
+        FROM t
+    )
+    SELECT d.doc_id, d.n_tokens, d.unique_ratio, l.predicted_lang
+    FROM deduped d JOIN lang l ON l.doc_id = d.doc_id
+    """,
+)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter → exact-dedup → language-tag, composed from the
+    individual operators (each independently oracle-gated above)."""
+    docs = read_table(spark, sf_dir, "documents")
+    q = quality_metrics(docs)
+    kept = docs.join(
+        q.where((F.col("n_tokens") >= 30) & (F.col("unique_ratio") >= 0.3)).select(
+            "doc_id", "n_tokens", "unique_ratio"
+        ),
+        "doc_id",
+    )
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("unique_ratio").alias("unique_ratio"),
+    )
+    lang = language_id(docs).select("doc_id", "predicted_lang")
+    return deduped.join(lang, "doc_id").select(
+        "doc_id", "n_tokens", "unique_ratio", "predicted_lang"
+    )
