@@ -391,3 +391,47 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.join(lang, "doc_id").select(
         "doc_id", "n_tokens", "unique_ratio", "predicted_lang"
     )
+
+
+@register(
+    "top_shingles",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(range(len(toks)-2),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS s
+        FROM t WHERE len(toks) >= 3
+    )
+    SELECT s, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM sh GROUP BY s
+    ORDER BY n DESC, s LIMIT 20
+    """,
+)
+def top_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (lateral unnest) + agg + deterministic top-k: the corpus's
+    hottest 3-gram shingles (non-distinct, so repeats within a doc count)."""
+    from bicis_spark.extensions.dedup import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - 3)
+    raw_shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    sh = (
+        docs.where(F.size(toks) >= 3)
+        .select("doc_id", F.explode(raw_shingles).alias("s"))
+    )
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n").desc(), "s")
+        .limit(20)
+    )
