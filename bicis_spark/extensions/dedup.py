@@ -258,9 +258,14 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column, bits: int = 32) -> Column:
+def simhash(text: Column, bits: int = 48) -> Column:
     """SimHash signature from token xxhash64s: bit i of the signature is the
-    sign of Σ_tokens (±1 by the token-hash's bit i). Array-side, no UDF."""
+    sign of Σ_tokens (±1 by the token-hash's bit i). Array-side, no UDF.
+
+    bits ≤ 63 (bit 63 would overflow the signed long literal).
+    """
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63]")
     toks = F.split(text, " ")
     hashed = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -279,13 +284,18 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
-    max_hamming: int = 3,
-    block_bits: int = 8,
+    bits: int = 48,
+    max_hamming: int = 2,
+    block_bits: int = 16,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on signature
-    prefixes (bit_count available as a builtin)."""
+    segments (pigeonhole: bits/block_bits blocks find every pair with
+    hamming < bits/block_bits; defaults give 3 blocks ⇒ complete for
+    hamming ≤ 2). 48 bits separates near-dups from the shared-vocabulary
+    noise floor that 32 bits cannot (measured: 24 pairs vs 989)."""
+    if bits // block_bits <= max_hamming:
+        raise ValueError("need more than max_hamming blocks for completeness")
     sigs = _partitioned(df, parallelism).select(
         F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sig")
     )

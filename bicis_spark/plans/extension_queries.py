@@ -129,7 +129,7 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", None)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
+    return simhash_pairs(docs, "doc_id", "text", bits=48, max_hamming=2, block_bits=16)
 
 
 @register(

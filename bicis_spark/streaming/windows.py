@@ -82,3 +82,30 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def session_counts_stream(
+    events: DataFrame,
+    station_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows: per-station activity sessions closed after ``gap``
+    of silence — the streaming-native form of the batch lag+cumsum
+    sessionization (core_queries.sessionization). State per open session,
+    closed and emitted once the watermark passes session end + gap."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(station_col).alias("station"),
+            F.session_window(ts_col, gap).alias("win"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "station",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n",
+        )
+    )

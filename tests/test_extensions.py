@@ -54,7 +54,7 @@ def test_minhash_lsh_finds_exact_dup(spark, docs_df):
 
 def test_simhash_identical_docs_distance_zero(spark, docs_df):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(
-        docs_df, max_hamming=3, parallelism=2
+        docs_df, max_hamming=2, parallelism=2
     ).collect()}
     assert pairs[(0, 3)] == 0
 

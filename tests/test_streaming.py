@@ -63,3 +63,28 @@ def test_sliding_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     got = {(r["station"], r["win_start"], r["n"]) for r in result.collect()}
     want = {(r["station"], r["win_start"], r["n"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_session_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    from bicis_spark.streaming.windows import session_counts_stream
+
+    src = _events_stream_dir(spark, sf_dir, tmp_path)
+    stream_src = read_events_stream(spark, src, EVENTS)
+    result = run_to_completion(
+        session_counts_stream(stream_src), "session_counts_t"
+    )
+    batch = (
+        spark.read.schema(EVENTS)
+        .parquet(src)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("user_id").alias("station"),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n",
+        )
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
