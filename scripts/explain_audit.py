@@ -28,7 +28,7 @@ def audit(plan: str) -> dict[str, object]:
         "bnl": plan.count("BroadcastNestedLoopJoin"),
         "exchanges": plan.count("Exchange "),
         "reused_exchange": plan.count("ReusedExchange"),
-        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
     }
 
 

@@ -101,3 +101,47 @@ def test_lag_features_observed_period_profile(spark):
     assert r["n_rents_0_hb"] == 5.0
     assert r["n_returns_0_hb"] == 7.0
     assert r["n_rents_1_hb"] == 0.0
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Bucketized range join == naive inequality join, including exact
+    boundary rows (right_ts == left_ts and right_ts == left_ts - lookback)."""
+    import datetime as dt
+
+    from bicis_spark.operators.rangejoin import range_join_lookback
+
+    B = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (1, 10, B + dt.timedelta(days=10)),
+            (2, 10, B + dt.timedelta(days=20)),
+            (3, 20, B + dt.timedelta(days=10)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, B + dt.timedelta(days=10)),            # == left ts (in)
+            (101, 10, B + dt.timedelta(days=3)),              # == ts - 7d (in)
+            (102, 10, B + dt.timedelta(days=2, hours=23)),    # just outside
+            (103, 10, B + dt.timedelta(days=10, seconds=1)),  # future (out)
+            (104, 20, B + dt.timedelta(days=9)),              # other key (in)
+            (105, 30, B + dt.timedelta(days=10)),             # unmatched key
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    out = range_join_lookback(
+        left, right, "ts", "o_orderdate", "user_id", "o_custkey", 7 * 86_400
+    )
+    got = {(r["event_id"], r["o_orderkey"]) for r in out.collect()}
+
+    naive = left.join(
+        right,
+        (left["user_id"] == right["o_custkey"])
+        & (right["o_orderdate"] <= left["ts"])
+        & (right["o_orderdate"] >= left["ts"] - F.expr("INTERVAL 7 DAYS")),
+    )
+    want = {(r["event_id"], r["o_orderkey"]) for r in naive.collect()}
+    assert got == want
+    assert (1, 100) in got and (1, 101) in got and (1, 102) not in got
+    assert (3, 104) in got
