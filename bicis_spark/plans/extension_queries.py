@@ -176,8 +176,31 @@ def ann_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_bruteforce(emb, queries, k=5)
 
 
-@register("ann_topk_lsh", None)
+_LSH_ORACLE = """
+    WITH {QV},
+    b AS (SELECT vec_id, qv, (CASE WHEN list_sum(list_transform(range(64), i -> q.qv[i+1] * ([1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1]::BIGINT[])[i+1])) > 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(64), i -> q.qv[i+1] * ([2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2, -1, 3, 0, -3, 1, -2, 2]::BIGINT[])[i+1])) > 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(64), i -> q.qv[i+1] * ([3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3, 1, -1, -3, 2, 0, -2, 3]::BIGINT[])[i+1])) > 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(64), i -> q.qv[i+1] * ([-3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3, 3, 2, 1, 0, -1, -2, -3]::BIGINT[])[i+1])) > 0 THEN 8 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(64), i -> q.qv[i+1] * ([-2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2, -2]::BIGINT[])[i+1])) > 0 THEN 16 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(64), i -> q.qv[i+1] * ([-1, 0, 1, 2, 3, -3, -2, -1, 0, 1, 2, 3, -3, -2, -1, 0, 1, 2, 3, -3, -2, -1, 0, 1, 2, 3, -3, -2, -1, 0, 1, 2, 3, -3, -2, -1, 0, 1, 2, 3, -3, -2, -1, 0, 1, 2, 3, -3, -2, -1, 0, 1, 2, 3, -3, -2, -1, 0, 1, 2, 3, -3, -2, -1]::BIGINT[])[i+1])) > 0 THEN 32 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(64), i -> q.qv[i+1] * ([0, 2, -3, -1, 1, 3, -2, 0, 2, -3, -1, 1, 3, -2, 0, 2, -3, -1, 1, 3, -2, 0, 2, -3, -1, 1, 3, -2, 0, 2, -3, -1, 1, 3, -2, 0, 2, -3, -1, 1, 3, -2, 0, 2, -3, -1, 1, 3, -2, 0, 2, -3, -1, 1, 3, -2, 0, 2, -3, -1, 1, 3, -2, 0]::BIGINT[])[i+1])) > 0 THEN 64 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(64), i -> q.qv[i+1] * ([1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1, -3, 0, 3, -1, 2, -2, 1]::BIGINT[])[i+1])) > 0 THEN 128 ELSE 0 END) AS bucket FROM q),
+    scored AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {COS} AS cosine
+        FROM b qs JOIN b c ON c.bucket = qs.bucket AND c.vec_id != qs.vec_id
+        WHERE qs.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """.replace("{QV}", _QV_CTE.strip()).replace(
+    "{COS}", _COS.format(a="qs", b="c")
+)
+
+
+@register("ann_topk_lsh", _LSH_ORACLE)
 def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH sign-bit buckets are pure integer arithmetic — the oracle
+    replays the identical hyperplanes, so even this *approximate* operator
+    is hash-checked exactly."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return ann_topk_lsh(emb, queries, k=5, n_planes=8, dims=64)
