@@ -843,3 +843,46 @@ def range_join_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_seconds=7 * 86_400,
     )
     return out.select("event_id", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Moment statistics with exact decimal sums (variance/stddev without
+# order-dependent float accumulation — the formula runs on exactly-equal
+# inputs in both engines, so even sqrt results are bitwise identical)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_moment_stats",
+    """
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           sx / n AS mean_value,
+           (sx2 - sx * sx / n) / n AS var_pop,
+           sqrt((sx2 - sx * sx / n) / n) AS stddev_pop
+    FROM s
+    """,
+)
+def value_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sx2"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    var_pop = (sx2 - sx * sx / n) / n
+    return s.select(
+        "event_type",
+        "n",
+        (sx / n).alias("mean_value"),
+        var_pop.alias("var_pop"),
+        F.sqrt(var_pop).alias("stddev_pop"),
+    )
