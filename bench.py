@@ -31,7 +31,7 @@ HEADLINE = [
     "topk_orders_per_customer",  # window top-k
     "hourly_event_counts",     # tumbling buckets (A6)
     "dedup_ngram_jaccard",     # shingle blocking + exact verify
-    "dedup_minhash_lsh",       # LSH scale path
+    "dedup_minhash_lsh_fast",  # LSH scale path (xxhash64)
     "ann_topk_bruteforce",     # similarity search baseline
     "text_quality",            # text analysis column exprs
     "doc_fingerprints",        # rolling-hash fingerprint

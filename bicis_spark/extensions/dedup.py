@@ -171,11 +171,33 @@ def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
     return coeffs
 
 
-def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
-    """k-element MinHash signature, computed array-side: one xxhash64 pass
-    over the shingles (folded to 31 bits), then k affine min-reductions —
-    no explode, no UDF."""
-    hashed = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
+def poly_hash(s: Column) -> Column:
+    """Polynomial rolling hash over characters, mod 2^31-1 — slower than
+    xxhash64 but expressible in ANY SQL engine (the oracle replays it
+    exactly), making even the LSH-approximate dedup hash-checkable."""
+    chars = F.regexp_extract_all(s, F.lit("(.)"), 1)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(MINHASH_P),
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, k: int = 32, hash_mode: str = "xxhash64"
+) -> Column:
+    """k-element MinHash signature, computed array-side: one hash pass over
+    the shingles (folded to 31 bits), then k affine min-reductions — no
+    explode, no UDF. ``hash_mode='poly'`` swaps in the oracle-expressible
+    polynomial hash."""
+    if hash_mode == "xxhash64":
+        hashed = F.transform(
+            shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P))
+        )
+    elif hash_mode == "poly":
+        hashed = F.transform(shingle_col, poly_hash)
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
     def affine(a: int, b: int):
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
@@ -195,6 +217,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.4,
     parallelism: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -211,13 +234,16 @@ def minhash_lsh_pairs(
         parallelism,
         "doc",
     )
-    with_sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k))
+    with_sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k, hash_mode))
+    # band key: the r signature values concatenated. Folding through
+    # xxhash64 would shrink the shuffled key, but the plain string keeps the
+    # key oracle-expressible; band-bucket cardinality is identical.
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[F.element_at("sig", i * r + j + 1) for j in range(r)])
+                F.concat_ws(
+                    ",", *[F.element_at("sig", i * r + j + 1) for j in range(r)]
                 ).alias("bh"),
             )
             for i in range(bands)
