@@ -284,16 +284,37 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column, bits: int = 48) -> Column:
-    """SimHash signature from token xxhash64s: bit i of the signature is the
+def poly_hash2(s: Column) -> Column:
+    """Second independent polynomial hash (multiplier 37) — combined with
+    poly_hash it yields 62 oracle-expressible hash bits."""
+    chars = F.regexp_extract_all(s, F.lit("(.)"), 1)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(37) + F.ascii(c)) % F.lit(MINHASH_P),
+    )
+
+
+def simhash(text: Column, bits: int = 48, hash_mode: str = "xxhash64") -> Column:
+    """SimHash signature from token hashes: bit i of the signature is the
     sign of Σ_tokens (±1 by the token-hash's bit i). Array-side, no UDF.
 
-    bits ≤ 63 (bit 63 would overflow the signed long literal).
+    bits ≤ 63 (bit 63 would overflow the signed long literal); in 'poly'
+    mode bits ≤ 62 (two 31-bit polynomial hashes concatenated).
     """
     if not 1 <= bits <= 63:
         raise ValueError("bits must be in [1, 63]")
     toks = F.split(text, " ")
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_mode == "xxhash64":
+        hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    elif hash_mode == "poly":
+        if bits > 62:
+            raise ValueError("poly mode supplies 62 hash bits")
+        hashed = F.transform(
+            toks, lambda t: poly_hash(t) + poly_hash2(t) * F.lit(1 << 31)
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
     def bit_step(i: int):
         mask = F.lit(1 << i)
@@ -314,6 +335,7 @@ def simhash_pairs(
     max_hamming: int = 2,
     block_bits: int = 16,
     parallelism: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on signature
     segments (pigeonhole: bits/block_bits blocks find every pair with
@@ -323,7 +345,8 @@ def simhash_pairs(
     if bits // block_bits <= max_hamming:
         raise ValueError("need more than max_hamming blocks for completeness")
     sigs = _partitioned(df, parallelism).select(
-        F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sig")
+        F.col(id_col).alias("doc"),
+        simhash(F.col(text_col), bits, hash_mode).alias("sig"),
     )
     n_blocks = bits // block_bits
     block_arr = F.array(

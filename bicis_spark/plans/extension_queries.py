@@ -181,10 +181,58 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", None)
+def _simhash_oracle_sql(bits: int = 48, max_hamming: int = 2, block_bits: int = 16) -> str:
+    """DuckDB SQL replaying the poly-mode SimHash pipeline: dual polynomial
+    token hashes -> per-bit sign sums -> signature -> segment blocking ->
+    Hamming filter."""
+    poly = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(regexp_extract_all(t, '(.)', 1), c -> unicode(c)::BIGINT)), "
+        "(acc, x) -> (acc * {m} + x) % 2147483647)"
+    )
+    combined = f"({poly.format(m=31)}) + ({poly.format(m=37)}) * 2147483648"
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    n_blocks = bits // block_bits
+    mask = (1 << block_bits) - 1
+    block_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc, sig, {i} AS blk, (sig >> {i * block_bits}) & {mask} AS bv FROM sig"
+        for i in range(n_blocks)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id AS doc,
+               list_transform(string_split(text, ' '), t -> {combined}) AS hs
+        FROM documents
+    ),
+    sig AS (SELECT doc, {sig_terms} AS sig FROM t),
+    blocks AS (
+{block_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               a.sig AS sig_a, b.sig AS sig_b
+        FROM blocks a JOIN blocks b
+          ON a.blk = b.blk AND a.bv = b.bv AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with oracle-replayable dual polynomial hashes
+    (production default stays xxhash64 via hash_mode)."""
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", bits=48, max_hamming=2, block_bits=16)
+    return simhash_pairs(
+        docs, "doc_id", "text", bits=48, max_hamming=2, block_bits=16,
+        hash_mode="poly",
+    )
 
 
 @register(
@@ -397,9 +445,47 @@ def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_ivf", None)
+_IVF_ORACLE = f"""
+    WITH {_QV_CTE.strip()},
+    cents AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % 50 = 1),
+    assign AS (
+        SELECT vec_id, qv, centroid_id FROM (
+            SELECT v.vec_id, v.qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
+                                               c.centroid_id) AS rn
+            FROM q v CROSS JOIN cents c
+        ) t WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, qv, centroid_id FROM (
+            SELECT v.vec_id, v.qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
+                                               c.centroid_id) AS rn
+            FROM q v CROSS JOIN cents c
+            WHERE v.vec_id % 100 = 0
+        ) t WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_COS.format(a='p', b='a')} AS cosine
+        FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+        WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """
+
+
+@register("ann_topk_ivf", _IVF_ORACLE)
 def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF inverted-list ANN (deterministic centroid subset, n_probe=2)."""
+    """IVF inverted-list ANN (deterministic centroid subset, n_probe=2) —
+    assignment and probing replayed exactly by the oracle."""
     from bicis_spark.extensions.similarity import ann_topk_ivf
 
     emb = read_table(spark, sf_dir, "embeddings")
