@@ -886,3 +886,112 @@ def value_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_pop.alias("var_pop"),
         F.sqrt(var_pop).alias("stddev_pop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lead/lag + cumulative windows; unpivot (A5 inverse)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "next_event_gap",
+    f"""
+    SELECT event_id,
+           (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            - epoch_us(ts)) AS gap_us
+    FROM events
+    WHERE event_type = '{RENT_TYPE}'
+    """,
+)
+def next_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead(): microseconds to the user's next rent event (null at series
+    end) — the inverse perspective of the W1 forward window."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    rents = events.where(F.col("event_type") == RENT_TYPE)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return rents.select("event_id", gap.alias("gap_us"))
+
+
+@register(
+    "running_value_total",
+    f"""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM events
+    WHERE event_type = '{RENT_TYPE}'
+    """,
+)
+def running_value_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user spend — running sum over an exact decimal so
+    every prefix is order-exact (frame order pinned by (ts, event_id))."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    rents = events.where(F.col("event_type") == RENT_TYPE)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rents.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+_UNPIVOT_STACK = ", ".join(f"'{h}', n_rents_h{h}" for h in range(24))
+
+
+@register(
+    "unpivot_hour_profile",
+    """
+    WITH rent_l1 AS (
+        SELECT user_id AS station, date_trunc('hour', ts) AS period,
+               hour(ts) AS hour, count(*) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3
+    ),
+    rent_prof AS (SELECT station, hour, avg(cnt) AS n_rents FROM rent_l1 GROUP BY 1, 2),
+    ret_l1 AS (
+        SELECT user_id AS station, date_trunc('hour', ts) AS period,
+               hour(ts) AS hour, count(*) AS cnt
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3
+    ),
+    ret_prof AS (SELECT station, hour, avg(cnt) AS n_returns FROM ret_l1 GROUP BY 1, 2),
+    prof AS (
+        SELECT rent_prof.station, rent_prof.hour, n_rents
+        FROM rent_prof JOIN ret_prof
+          ON rent_prof.station = ret_prof.station AND rent_prof.hour = ret_prof.hour
+    ),
+    pivoted AS (
+        SELECT station, h.h AS hour,
+               coalesce(max(n_rents) FILTER (WHERE prof.hour = h.h), 0.0) AS n_rents
+        FROM prof CROSS JOIN (SELECT unnest(range(24)) AS h) h
+        GROUP BY station, h.h
+    )
+    SELECT station, hour::BIGINT AS hour, n_rents FROM pivoted
+    """,
+)
+def unpivot_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then unpivot (stack): the 24-column hourly pivot melted back to
+    long form — round-trips A5 and exercises the stack/unpivot surface."""
+    from bicis_spark.operators.features import hour_profile_pivot
+    from bicis_spark.plans.pipeline_queries import _profile_df
+
+    pivoted = hour_profile_pivot(_profile_df(spark, sf_dir), "n_rents")
+    unpivoted = pivoted.selectExpr(
+        "station", f"stack(24, {_UNPIVOT_STACK}) AS (hour, n_rents)"
+    )
+    return unpivoted.select(
+        F.col("station").cast("long").alias("station"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_rents",
+    )
