@@ -11,11 +11,19 @@ registry (one entry per implemented operator from SURVEY.md §2).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bicis_spark.plans import queries as _registry
+# the driver may load this file by path from any cwd; make the package
+# importable regardless
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from bicis_spark.plans import queries as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
