@@ -5,16 +5,25 @@ For each left row, attach the latest right row of the same key with
 ``right_ts <= left_ts`` (backward direction). This is the canonical
 time-series enrichment (trades⋈quotes, events⋈latest-order).
 
-Implementation: cogrouped ``applyInPandas`` + ``pd.merge_asof`` per key —
-the documented pattern when built-in operators can't express the semantics.
-Both sides hash-partition by key (one shuffle each); within a group,
-merge_asof is O(n log n) sort + linear merge, Arrow-batched. Skewed keys
-are the scale risk — AQE skew handling doesn't apply inside cogroup, so
-extremely hot keys would need a secondary time-bucket split (bucketize the
-range key + equi-join, same guide); not needed at driver scales.
+Two plans:
 
-Determinism: right rows are sorted by (ts, *tiebreak) and merge_asof takes
-the last match, so ties resolve to the max tiebreak column.
+1. **JVM-native (default when the left side has a unique id column)** —
+   equi-join on the key with the time bound as a join predicate, then a
+   hash aggregate ``max_by(struct(right_cols), struct(right_ts, tiebreak))``
+   per left id, then a left join back onto the left side. Every stage is
+   whole-stage-codegen'd JVM work: the equi-join gets AQE skew-splitting
+   (unavailable inside cogroup), the aggregate gets map-side partial
+   combine, and no Python worker ever starts. This is the 100 TB plan.
+
+2. **Cogrouped ``applyInPandas`` + ``pd.merge_asof`` fallback** — used when
+   no unique left id exists (merge_asof needs no id). O(n log n) per key,
+   Arrow-batched, but a Python boundary and no skew mitigation: keep out
+   of hot paths.
+
+Determinism: ties at equal ``right_ts`` resolve to the max ``tiebreak``
+column in both plans (merge_asof takes the last row of the
+(ts, tiebreak)-sorted right side; max_by orders the struct
+lexicographically).
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -35,9 +45,73 @@ def asof_join(
     by_right: str,
     right_cols: Sequence[str],
     tiebreak: str | None = None,
+    left_id: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: left columns + ``right_cols`` (null when no
-    right row at-or-before the left timestamp exists for the key)."""
+    right row at-or-before the left timestamp exists for the key).
+
+    Pass ``left_id`` (a unique left column) to get the pure-JVM
+    join+aggregate plan; otherwise the cogrouped-pandas fallback runs.
+    """
+    if left_id is not None:
+        return _asof_join_native(
+            left, right, left_ts, right_ts, by_left, by_right,
+            right_cols, tiebreak, left_id,
+        )
+    return _asof_join_cogrouped(
+        left, right, left_ts, right_ts, by_left, by_right, right_cols, tiebreak
+    )
+
+
+def _asof_join_native(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by_left: str,
+    by_right: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None,
+    left_id: str,
+) -> DataFrame:
+    """Join + max_by plan (the shape this operator's own oracle SQL uses:
+    plans/core_queries.py asof_latest_order)."""
+    order_cols = [F.col(f"_r.{right_ts}")] + (
+        [F.col(f"_r.{tiebreak}")] if tiebreak and tiebreak != right_ts else []
+    )
+    probe = left.select(left_id, by_left, left_ts).alias("_l")
+    build = right.alias("_r")
+    best = (
+        probe.join(
+            build,
+            (F.col(f"_l.{by_left}") == F.col(f"_r.{by_right}"))
+            & (F.col(f"_r.{right_ts}") <= F.col(f"_l.{left_ts}")),
+            "inner",
+        )
+        .groupBy(F.col(f"_l.{left_id}").alias(left_id))
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(f"_r.{c}").alias(c) for c in right_cols]),
+                F.struct(*order_cols),
+            ).alias("_best")
+        )
+    )
+    return left.join(best, on=left_id, how="left").select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_best.{c}").alias(c) for c in right_cols],
+    )
+
+
+def _asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by_left: str,
+    by_right: str,
+    right_cols: Sequence[str],
+    tiebreak: str | None,
+) -> DataFrame:
     out_fields = list(left.schema.fields) + [
         right.schema[c] for c in right_cols
     ]
@@ -49,23 +123,34 @@ def asof_join(
     # only on the right produce empty merges but still cost a full Python
     # round-trip each (and shuffle their rows). Broadcast left-semi join —
     # at scale this also stops shuffling right rows nobody asks for.
-    from pyspark.sql import functions as F
-
     right = right.join(
         F.broadcast(left.select(F.col(by_left).alias(by_right)).distinct()),
         on=by_right,
         how="leftsemi",
     )
+    # rows with a null right timestamp can never match; drop pre-shuffle
+    right = right.where(F.col(right_ts).isNotNull())
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame(columns=[f.name for f in out_fields])
-        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
-        if rpdf.empty:
-            out = lpdf.copy()
+        # null left timestamps break merge_asof's monotonicity requirement
+        # (NaT sorts last) — split them out and emit with null right cols,
+        # preserving left-join semantics.
+        null_mask = lpdf[left_ts].isna()
+        null_part = lpdf[null_mask]
+        lpdf = lpdf[~null_mask].sort_values(left_ts, kind="mergesort")
+
+        def with_null_right(part: pd.DataFrame) -> pd.DataFrame:
+            out = part.copy()
             for c in right_cols:
                 out[c] = None
             return out[[f.name for f in out_fields]]
+
+        if lpdf.empty:
+            return with_null_right(null_part)
+        if rpdf.empty:
+            return with_null_right(pd.concat([lpdf, null_part]))
         rpdf = rpdf.sort_values(sort_right, kind="mergesort")[
             [right_ts, *[c for c in right_cols if c != right_ts]]
         ]
@@ -79,7 +164,10 @@ def asof_join(
         )
         if right_ts in left_cols:
             merged = merged.rename(columns={f"{right_ts}_r": right_ts})
-        return merged[[f.name for f in out_fields]]
+        merged = merged[[f.name for f in out_fields]]
+        if not null_part.empty:
+            merged = pd.concat([merged, with_null_right(null_part)])
+        return merged
 
     return (
         left.groupBy(by_left)

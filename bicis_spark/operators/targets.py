@@ -86,12 +86,12 @@ def next_window_count_bucketed(
     base = (
         df.where(F.col(station_col).isNotNull() & F.col(ts_col).isNotNull())
         .withColumn("_sec", F.unix_micros(F.col(ts_col)))
-        .withColumn("_bucket", (F.col("_sec") / F.lit(b_us)).cast("long"))
+        .withColumn("_bucket", F.floor(F.col("_sec") / F.lit(b_us)).cast("long"))
     )
     home = base.withColumn("_home", F.lit(True))
     # replicate the first W of each bucket into the previous bucket
     spill = (
-        base.where(F.col("_sec") % F.lit(b_us) < F.lit(w_us))
+        base.where(F.pmod(F.col("_sec"), F.lit(b_us)) < F.lit(w_us))
         .withColumn("_bucket", F.col("_bucket") - F.lit(1))
         .withColumn("_home", F.lit(False))
     )

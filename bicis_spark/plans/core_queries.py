@@ -661,8 +661,9 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, ts, event_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
         FROM g
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -715,8 +716,9 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each rent event enriched with the user's latest
-    order at-or-before the event (merge_asof per key via cogrouped
-    applyInPandas; ties -> max o_orderkey)."""
+    order at-or-before the event (ties -> max o_orderkey). The unique
+    event_id selects the pure-JVM join+max_by plan — no Python stage, AQE
+    skew-split applies to the hot-user equi-join."""
     from bicis_spark.operators.asof import asof_join
 
     events = read_table(spark, sf_dir, "events")
@@ -735,6 +737,7 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_right="o_custkey",
         right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
         tiebreak="o_orderkey",
+        left_id="event_id",
     )
 
 

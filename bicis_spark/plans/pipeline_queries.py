@@ -18,7 +18,7 @@ from bicis_spark.operators.features import circular_lag_features, hour_profile_p
 from bicis_spark.operators.model import train_predict_evaluate
 from bicis_spark.operators.profiles import event_profile_single_scan
 from bicis_spark.operators.split import SplitPeriods, split_bounds, with_split_label
-from bicis_spark.operators.targets import next_window_count
+from bicis_spark.operators.targets import next_window_count_bucketed
 from bicis_spark.plans.core_queries import RENT_TYPE, RETURN_TYPE, events_as_trips
 from bicis_spark.plans.queries import register
 from bicis_spark.sources.io import read_table
@@ -180,7 +180,10 @@ def time_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"WITH {_TGT_CTES.strip().rstrip()} SELECT event_id, cnt AS n_rents FROM tgt",
 )
 def next_window_target_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return next_window_count(
+    """Declared plan is the skew-bounded (station, day-bucket) window — a hot
+    station's history is never a single task (output-equivalent to the plain
+    per-station window for bucket >= W; property-tested)."""
+    return next_window_count_bucketed(
         _click_events(spark, sf_dir),
         station_col="user_id",
         ts_col="ts",
@@ -252,7 +255,7 @@ FROM tgt JOIN feat ON tgt.event_id = feat.event_id
 @register("ml_dataset", _DATASET_SQL)
 def ml_dataset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = _click_events(spark, sf_dir)
-    target = next_window_count(
+    target = next_window_count_bucketed(
         clicks, "user_id", "ts", "event_id", WINDOW_S, "target"
     )
     features = circular_lag_features(
@@ -277,7 +280,7 @@ def ml_dataset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fails_report_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = _click_events(spark, sf_dir).select("event_id")
-    target = next_window_count(
+    target = next_window_count_bucketed(
         _click_events(spark, sf_dir), "user_id", "ts", "event_id", WINDOW_S, "n"
     )
     counts, _ = fails_report(clicks, target, id_col="event_id")
@@ -295,7 +298,7 @@ def fails_report_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fails_report_error_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = _click_events(spark, sf_dir).select("event_id")
-    target = next_window_count(
+    target = next_window_count_bucketed(
         _click_events(spark, sf_dir), "user_id", "ts", "event_id", WINDOW_S, "n"
     )
     _, error_ids = fails_report(clicks, target, id_col="event_id")
@@ -347,7 +350,16 @@ def streaming_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_completion,
     )
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    # cache key includes a content fingerprint (mtime+size of the source
+    # parquet files) so regenerated testdata invalidates the staged copy
+    src_files = sorted(
+        f for f in os.listdir(sf_dir) if f.startswith("events") and f.endswith(".parquet")
+    )
+    fp = 0
+    for f in src_files:
+        st = os.stat(os.path.join(sf_dir, f))
+        fp = (fp * 1_000_003 + int(st.st_mtime_ns) + st.st_size) % (1 << 61)
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp:x}"
     src = os.path.join(tempfile.gettempdir(), f"bicis_spark_stream_events_{tag}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
