@@ -2,9 +2,9 @@
 embedding-cosine near-dup.
 
 Scale design:
-- **Exact** is a hash groupBy on the dedup key — one shuffle, map-side
-  combine; at 100 TB use the fingerprint column as the key so the shuffle
-  moves 8-byte hashes, not documents.
+- **Exact** is a hash groupBy on a 128-bit fingerprint of the dedup key
+  (two seeded xxhash64s) — one shuffle moving 16-byte hashes, not
+  documents, with map-side combine.
 - **N-gram Jaccard** blocks candidate pairs through a shingle inverted
   index; hot shingles (df > max_doc_freq) are dropped from *candidate
   generation only* (standard frequency cap — they generate O(df²) pairs and
@@ -53,13 +53,32 @@ def _reusable(df: DataFrame, parallelism: int | None, key: str) -> DataFrame:
 
 
 
+def fingerprint_cols(key_cols: list[str]) -> list[Column]:
+    """128-bit dedup key: two independently-seeded xxhash64 fingerprints.
+
+    Grouping on these moves 16 bytes per row through the shuffle instead of
+    the key columns themselves (documents can be megabytes); two independent
+    64-bit hashes put the per-pair collision odds at ~2^-128, far below any
+    practical corpus size (a single xxhash64 starts colliding around 2^32
+    documents)."""
+    return [
+        F.xxhash64(F.lit(seed), *key_cols).alias(f"_fp{seed}") for seed in (1, 2)
+    ]
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest id per duplicate group (deterministic winner)."""
-    w_min = F.min(id_col).alias(id_col)
-    groups = df.groupBy(*key_cols).agg(w_min, F.count(F.lit(1)).alias("n_copies"))
-    return groups.select(id_col, *key_cols, "n_copies")
+    """Keep the lowest id per duplicate group (deterministic winner).
+
+    The groupBy key is the 128-bit fingerprint of ``key_cols`` — the shuffle
+    carries (16-byte fingerprint, id), never the documents. Map-side partial
+    aggregation reduces each partition to its distinct fingerprints before
+    the exchange."""
+    groups = df.select(F.col(id_col), *fingerprint_cols(key_cols)).groupBy(
+        "_fp1", "_fp2"
+    ).agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    return groups.select(id_col, "n_copies")
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -409,6 +428,44 @@ def embedding_neardup_pairs(
     )
     a, b = q.alias("a"), q.alias("b")
     pairs = a.join(b, F.col("a.vid") < F.col("b.vid"))
+    sim = cosine_sim(F.col("a.qv"), F.col("b.qv"))
+    return (
+        pairs.select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-bit LSH blocking + exact
+    verify — candidates are restricted to pairs sharing a hyperplane
+    bucket, collapsing the all-pairs O(n²) join to ~n²/2^planes bucket-local
+    work (and at 100 TB the bucket key is the shuffle key: no broadcast, no
+    cartesian). Same output columns as ``embedding_neardup_pairs``; recall
+    bounded by bucket collisions exactly like ``ann_topk_lsh`` (high-cosine
+    pairs agree on most hyperplane signs, so near-dups rarely split
+    buckets; fewer planes ⇒ higher recall, more candidates).
+    """
+    from bicis_spark.extensions.similarity import lsh_bucket
+
+    q = _partitioned(df, None).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dims))
+    a, b = q.alias("a"), q.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+    )
     sim = cosine_sim(F.col("a.qv"), F.col("b.qv"))
     return (
         pairs.select(

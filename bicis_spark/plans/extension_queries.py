@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from bicis_spark.extensions.dedup import (
     embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -26,7 +27,12 @@ from bicis_spark.extensions.multimodal import (
     frame_sample,
     to_binary_table,
 )
-from bicis_spark.extensions.similarity import ann_topk_bruteforce, ann_topk_lsh
+from bicis_spark.extensions.similarity import (
+    ann_recall,
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_lsh,
+)
 from bicis_spark.extensions.text import (
     fingerprints,
     language_id,
@@ -76,9 +82,12 @@ _COS = f"{_DOT} / ({_NORM.format(x='{a}')} * {_NORM.format(x='{b}')})"
     """,
 )
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed exact dedup: the shuffle moves 16-byte hashes, not
+    document text; the oracle groups by the raw text, proving the
+    fingerprint path reproduces exact-text semantics."""
     docs = read_table(spark, sf_dir, "documents")
     out = exact_dedup(docs, ["text"], "doc_id")
-    # re-attach a cheap metadata column; drop the (long) text key from output
+    # re-attach a cheap metadata column via the surviving ids
     docs_meta = docs.select(F.col("doc_id"), "n_chars")
     return out.join(docs_meta, "doc_id").select("doc_id", "n_copies", "n_chars")
 
@@ -250,14 +259,52 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
+def _lsh_bucket_sql(rel: str, n_planes: int, dims: int = 64) -> str:
+    """DuckDB expression replaying ``similarity.lsh_bucket`` exactly — the
+    same deterministic integer hyperplanes, sign bits packed to a bucket."""
+    from bicis_spark.extensions.similarity import _hyperplane_coeff
+
+    terms = []
+    for p in range(n_planes):
+        arr = (
+            "["
+            + ", ".join(str(_hyperplane_coeff(p, i)) for i in range(dims))
+            + "]::BIGINT[]"
+        )
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range({dims}), "
+            f"i -> {rel}.qv[i+1] * ({arr})[i+1])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    f"""
+    WITH {_QV_CTE.strip()},
+    b AS (SELECT vec_id, qv, {_lsh_bucket_sql('q', 4)} AS bucket FROM q)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           {_COS.format(a='a', b='c')} AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_COS.format(a='a', b='c')} >= 0.45
+    """,
+)
+def dedup_embedding_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: sign-bit LSH blocking replaces the
+    all-pairs cartesian; exact cosine verify on bucket-local candidates.
+    The oracle replays the identical hyperplanes."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ann_topk_bruteforce",
-    f"""
+_BF_ORACLE = f"""
     WITH {_QV_CTE.strip()},
     scored AS (
         SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -271,8 +318,10 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
     ) t WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("ann_topk_bruteforce", _BF_ORACLE)
 def ann_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
@@ -447,7 +496,30 @@ def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_ORACLE = f"""
     WITH {_QV_CTE.strip()},
-    cents AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % 50 = 1),
+    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % 50 = 1),
+    asg0 AS (
+        SELECT vec_id, qv, centroid_id FROM (
+            SELECT v.vec_id, v.qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
+                                               c.centroid_id) AS rn
+            FROM q v CROSS JOIN cents0 c
+        ) t WHERE rn = 1
+    ),
+    mean1 AS (
+        SELECT centroid_id, i,
+               CAST(floor(CAST(sum(qv[i+1]) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        FROM asg0, range(64) t(i)
+        GROUP BY centroid_id, i
+    ),
+    cents AS (
+        SELECT c.centroid_id, coalesce(l.qv, c.qv) AS qv
+        FROM cents0 c LEFT JOIN (
+            SELECT centroid_id, list(m ORDER BY i) AS qv
+            FROM mean1 GROUP BY centroid_id
+        ) l USING (centroid_id)
+    ),
     assign AS (
         SELECT vec_id, qv, centroid_id FROM (
             SELECT v.vec_id, v.qv, c.centroid_id,
@@ -484,13 +556,58 @@ _IVF_ORACLE = f"""
 
 @register("ann_topk_ivf", _IVF_ORACLE)
 def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF inverted-list ANN (deterministic centroid subset, n_probe=2) —
-    assignment and probing replayed exactly by the oracle."""
-    from bicis_spark.extensions.similarity import ann_topk_ivf
-
+    """IVF inverted-list ANN with a trained coarse quantizer: deterministic
+    seed centroids refined by one exact k-means step (integer-mean update),
+    n_probe=2 — training, assignment, and probing all replayed exactly by
+    the oracle."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return ann_topk_ivf(emb, queries, k=5, n_centroids_mod=50, n_probe=2)
+    return ann_topk_ivf(
+        emb, queries, k=5, n_centroids_mod=50, n_probe=2, train_iters=1
+    )
+
+
+def _recall_oracle(approx_sql: str, k: int = 5) -> str:
+    """Recall@k contract: approximate top-k joined against the exact
+    (brute-force) top-k, counted per query. Composes the two queries'
+    oracle SQL verbatim as nested CTEs."""
+    return f"""
+    WITH bf AS ({_BF_ORACLE}),
+    ax AS ({approx_sql}),
+    base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0)
+    SELECT base.query_id,
+           CAST(count(ax.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(ax.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+    FROM base
+    LEFT JOIN bf ON bf.query_id = base.query_id
+    LEFT JOIN ax ON ax.query_id = bf.query_id AND ax.neighbor_id = bf.neighbor_id
+    GROUP BY base.query_id
+    """
+
+
+@register("ann_lsh_recall", _recall_oracle(_LSH_ORACLE))
+def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the LSH ANN path against brute force — the
+    approximate operator ships with its accuracy contract."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_lsh(emb, queries, k=5, n_planes=8, dims=64)
+    return ann_recall(base, exact, approx, 5)
+
+
+@register("ann_ivf_recall", _recall_oracle(_IVF_ORACLE))
+def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the trained-IVF ANN path against brute force."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_ivf(
+        emb, queries, k=5, n_centroids_mod=50, n_probe=2, train_iters=1
+    )
+    return ann_recall(base, exact, approx, 5)
 
 
 # ---------------------------------------------------------------------------
@@ -517,27 +634,29 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
                min(unique_ratio) AS unique_ratio
         FROM kept GROUP BY text
-    ),
-    lang AS (
-        SELECT doc_id,
-               CASE WHEN len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
-                         >= len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
-                     AND len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
-                         >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
-                    THEN 'en'
-                    WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
-                         >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
-                    THEN 'es'
-                    ELSE 'zh' END AS predicted_lang
-        FROM t
     )
-    SELECT d.doc_id, d.n_tokens, d.unique_ratio, l.predicted_lang
-    FROM deduped d JOIN lang l ON l.doc_id = d.doc_id
+    SELECT d.doc_id, d.n_tokens, d.unique_ratio,
+           CASE WHEN len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
+                     >= len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
+                 AND len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
+                     >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
+                THEN 'en'
+                WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
+                     >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
+                THEN 'es'
+                ELSE 'zh' END AS predicted_lang
+    FROM deduped d JOIN t ON t.doc_id = d.doc_id
     """,
 )
 def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter → exact-dedup → language-tag, composed from the
-    individual operators (each independently oracle-gated above)."""
+    individual operators (each independently oracle-gated above).
+
+    Scale shape: the dedup groupBy keys on 128-bit text fingerprints (the
+    shuffle never carries document text), and language id runs only on the
+    dedup survivors — a left-semi prune before the per-token scoring."""
+    from bicis_spark.extensions.dedup import fingerprint_cols
+
     docs = read_table(spark, sf_dir, "documents")
     q = quality_metrics(docs)
     kept = docs.join(
@@ -546,12 +665,17 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    deduped = kept.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min("n_tokens").alias("n_tokens"),
-        F.min("unique_ratio").alias("unique_ratio"),
+    deduped = (
+        kept.select("doc_id", "n_tokens", "unique_ratio", *fingerprint_cols(["text"]))
+        .groupBy("_fp1", "_fp2")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("unique_ratio").alias("unique_ratio"),
+        )
     )
-    lang = language_id(docs).select("doc_id", "predicted_lang")
+    survivors = docs.join(deduped.select("doc_id"), "doc_id", "leftsemi")
+    lang = language_id(survivors).select("doc_id", "predicted_lang")
     return deduped.join(lang, "doc_id").select(
         "doc_id", "n_tokens", "unique_ratio", "predicted_lang"
     )
