@@ -69,6 +69,71 @@ def evaluate_mse(predictions: DataFrame) -> DataFrame:
     )
 
 
+def fit_ols_exact(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Closed-form single-feature OLS — the gaussian identity-link GLM the
+    reference's model surface reduces to for one feature
+    (``poisson_regression.py:13-24`` with family/link swapped; evaluation
+    semantics per ``evaluate_model.py:28-41``).
+
+    1-row frame [n_rows, slope, intercept, mse]. All sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in exact DECIMAL (order-
+    independent); slope/intercept/mse are then fixed float expression trees
+    over those exact sums, so the oracle replays them bit-for-bit —
+    actual regression math under the hash gate, not a rows-only check.
+    """
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    s = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    c = s.withColumn(
+        "slope",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+    ).withColumn(
+        "intercept",
+        (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"),
+    )
+    # SSE expansion: every term references only exact sums + the two
+    # coefficients, mirroring the oracle's expression order exactly
+    mse = (
+        F.col("syy")
+        - F.lit(2) * F.col("slope") * F.col("sxy")
+        - F.lit(2) * F.col("intercept") * F.col("sy")
+        + F.col("slope") * F.col("slope") * F.col("sxx")
+        + F.lit(2) * F.col("slope") * F.col("intercept") * F.col("sx")
+        + F.col("n") * F.col("intercept") * F.col("intercept")
+    ) / F.col("n")
+    return c.select(
+        F.col("n").cast("long").alias("n_rows"),
+        "slope",
+        "intercept",
+        mse.alias("mse"),
+    )
+
+
+def ols_predict_exact(
+    df: DataFrame, x_col: str, y_col: str, id_cols: list[str]
+) -> DataFrame:
+    """Per-row predictions from the exact-OLS fit: [ids..., label,
+    prediction]. The 1-row coefficient frame broadcasts; prediction =
+    intercept + slope·x is a fixed float expression (bitwise across
+    engines given identical coefficients)."""
+    coef = fit_ols_exact(df, x_col, y_col).select("slope", "intercept")
+    x_d = F.col(x_col).cast("decimal(18,2)").cast("double")
+    y_d = F.col(y_col).cast("decimal(18,2)").cast("double")
+    return df.crossJoin(F.broadcast(coef)).select(
+        *id_cols,
+        y_d.alias("label"),
+        (F.col("intercept") + F.col("slope") * x_d).alias("prediction"),
+    )
+
+
 def train_predict_evaluate(
     dataset: DataFrame, link: str = "log", max_iter: int = 1, id_col: str = "id"
 ) -> tuple[GeneralizedLinearRegressionModel, DataFrame, DataFrame]:

@@ -310,6 +310,70 @@ def fails_report_error_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_OLS_SUMS_SQL = """
+s AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+    FROM lineitem
+),
+c AS (
+    SELECT n, sx, sy, sxy, sxx, syy,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+    FROM s
+),
+c2 AS (SELECT *, (sy - slope * sx) / n AS intercept FROM c)
+"""
+
+
+@register(
+    "ols_fit_stats",
+    f"""
+    WITH {_OLS_SUMS_SQL.strip()}
+    SELECT CAST(n AS BIGINT) AS n_rows, slope, intercept,
+           (syy - 2 * slope * sxy - 2 * intercept * sy + slope * slope * sxx
+            + 2 * slope * intercept * sx + n * intercept * intercept) / n AS mse
+    FROM c2
+    """,
+)
+def ols_fit_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M3 with the hash gate on real model math: closed-form OLS
+    (gaussian identity-link GLM) of extendedprice on quantity — exact
+    decimal sufficient statistics, fixed float expression tree."""
+    from bicis_spark.operators.model import fit_ols_exact
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return fit_ols_exact(lineitem, "l_quantity", "l_extendedprice")
+
+
+@register(
+    "ols_predictions",
+    f"""
+    WITH {_OLS_SUMS_SQL.strip()}
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS label,
+           c2.intercept + c2.slope
+               * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS prediction
+    FROM lineitem, c2
+    """,
+)
+def ols_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 under the hash gate: per-row predictions from the exact OLS fit
+    (coefficient row broadcast; prediction is a fixed float expression)."""
+    from bicis_spark.operators.model import ols_predict_exact
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return ols_predict_exact(
+        lineitem, "l_quantity", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+
+
 @register("glm_poisson_predictions", None)
 def glm_poisson_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset = ml_dataset_q(spark, sf_dir)
