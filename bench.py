@@ -32,14 +32,20 @@ HEADLINE = [
     "hourly_event_counts",     # tumbling buckets (A6)
     "dedup_ngram_jaccard",     # shingle blocking + exact verify
     "dedup_minhash_lsh_fast",  # LSH scale path (xxhash64)
-    "ann_topk_bruteforce",     # similarity search baseline
+    "ann_topk_lsh",            # similarity search scale path (bucketed)
+    "ann_topk_ivf",            # trained-IVF inverted lists (scale path)
+    "dedup_embedding_cosine_lsh",  # LSH-blocked near-dup (scale path)
     "text_quality",            # text analysis column exprs
     "doc_fingerprints",        # rolling-hash fingerprint
     "sessionization",          # lag + running-sum window
-    "asof_latest_order",       # cogrouped applyInPandas merge_asof
+    "asof_latest_order",       # JVM-native as-of join (join + max_by)
     "range_join_recent_orders",  # bucketized range equi-join
     "curation_pipeline",       # composed quality->dedup->lang pipeline
+    "ols_fit_stats",           # exact-sum closed-form OLS (model math)
 ]
+# Non-headline baselines (quadratic by design; measured but kept out of the
+# headline so the total reflects the plans you'd run at scale):
+# ann_topk_bruteforce, dedup_embedding_cosine.
 
 
 def main() -> None:

@@ -129,6 +129,82 @@ def ivf_assign(
     )
 
 
+def kmeans_refine_exact(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+) -> DataFrame:
+    """Deterministic Lloyd refinement for spherical (cosine) k-means on
+    quantized integer vectors — [centroid_id, qv].
+
+    Each iteration: assign every vector to its max-cosine centroid
+    (centroid-id tie-break), then recompute each centroid as the
+    element-wise integer mean ``floor(sum/count)`` of its members (empty
+    clusters keep their previous centroid). Everything stays exact int64 —
+    no RNG, no float accumulation order — so a SQL oracle replays training
+    bit-for-bit. The mean (not the raw sum) keeps centroid components at
+    vector magnitude, so downstream int64 dot products cannot overflow
+    regardless of cluster size.
+
+    Scale: assignment is a broadcast(centroids) map pass; the update is a
+    posexplode to (centroid, dim) rows with map-side partial aggregation —
+    64·N tiny rows through one shuffle per iteration.
+    """
+    cents = seeds
+    for _ in range(n_iter):
+        assigned = ivf_assign(vectors, cents, id_col, qv_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(F.col(qv_col)))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.floor(
+                    F.sum("col").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("m")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("_new_qv")
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_new_qv"), F.col(qv_col)).alias(qv_col),
+            )
+        )
+    return cents
+
+
+def ann_recall(
+    base_queries: DataFrame,
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against the exact
+    top-k: [query_id, n_hits, recall]. ``base_queries`` is the full query-id
+    frame so queries with zero approximate hits still appear (recall 0)."""
+    inter = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    hits = inter.groupBy("query_id").agg(F.count(F.lit(1)).alias("_h"))
+    return base_queries.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("_h"), F.lit(0)).cast("double") / F.lit(float(k))
+        ).alias("recall"),
+    )
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,22 +213,28 @@ def ann_topk_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: partition the corpus into inverted lists by nearest
+    """IVF ANN: partition the corpus into inverted lists by nearest
     centroid; each query scans only its ``n_probe`` closest lists.
 
-    Centroids are a deterministic corpus subset (``vec_id % mod == 1``) —
-    the no-RNG stand-in for a k-means train step, which would slot in
-    unchanged (the assign/probe plan shape is identical). Scale: corpus
-    assignment is one broadcast pass; the search join is
-    (probe-list × queries), ~n_probe/n_centroids of the corpus per query.
+    Centroids start from a deterministic corpus subset
+    (``vec_id % mod == 1``) and are refined with ``train_iters`` exact
+    k-means steps (``kmeans_refine_exact`` — deterministic, oracle-
+    replayable). Scale: corpus assignment is one broadcast pass; the search
+    join is (probe-list × queries), ~n_probe/n_centroids of the corpus per
+    query.
     """
-    cents = corpus.where(F.col(id_col) % n_centroids_mod == 1).select(
-        F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col)).alias("qv")
-    )
     c = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
     ).select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("qv"))
+    seeds = corpus.where(F.col(id_col) % n_centroids_mod == 1).select(
+        F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    # persist: the trained centroids feed two broadcast consumers (corpus
+    # assignment + query probing); without a persist each broadcast re-runs
+    # the training shuffle
+    cents = kmeans_refine_exact(c, seeds, train_iters, "neighbor_id", "qv").persist()
     c_assigned = ivf_assign(c, cents, "neighbor_id").withColumnRenamed("qv", "cv")
 
     q = queries.select(
