@@ -29,10 +29,17 @@ def assemble_dataset(
     """features ⋈ target on id (inner) → [id, target, features...].
 
     Inner join == the reference's "both sides non-null" filter (J2+F3).
+    Component schemas are validated disjoint first (the reference's
+    composite-builder name-overlap check, ``base_builders.py:48-50``).
     """
+    from bicis_spark.plans.runner import validate_disjoint_outputs
+
     target_named = target.select(
         F.col(id_col),
         F.col([c for c in target.columns if c != id_col][0]).alias(target_col),
+    )
+    validate_disjoint_outputs(
+        {"target": target_named, "features": features}, [id_col]
     )
     return target_named.join(features, on=id_col, how="inner")
 

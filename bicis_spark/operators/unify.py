@@ -128,11 +128,19 @@ def normalize_dialect(raw: DataFrame, dialect: Dialect) -> DataFrame:
     if "duration" in df.columns:
         df = df.withColumn("duration_s", parse_duration_seconds(F.col("duration")))
         if "return_date" not in df.columns:
+            # only positive durations derive a return_date: the reference's
+            # falsy timedelta(0) skips derivation and integer parsing
+            # (isdigit) rejects negatives (parse_raw_data.py:108-115), so
+            # zero/negative durations leave return_date null and the row is
+            # dropped by the validity filter below
             df = df.withColumn(
                 "return_date",
-                F.timestamp_micros(
-                    F.unix_micros(F.col("rent_date"))
-                    + F.col("duration_s") * F.lit(1_000_000)
+                F.when(
+                    F.col("duration_s") > 0,
+                    F.timestamp_micros(
+                        F.unix_micros(F.col("rent_date"))
+                        + F.col("duration_s") * F.lit(1_000_000)
+                    ),
                 ),
             )
         # the reference drops the redundant duration after deriving

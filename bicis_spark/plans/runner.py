@@ -131,19 +131,75 @@ def load_experiment(fname: str) -> dict:
     """Parse an experiment YAML: top-level ``experiment_name`` plus
     component entries ``{type: 'module:callable', <params>...}`` resolved
     to (callable, params) pairs — the reference's DI file format
-    (configs/baseline_features.yaml) minus singletons/$references."""
+    (``object_loader.py:9-60``), including its two graph features:
+
+    - ``$name`` references: a string param ``"$other"`` (at any nesting
+      depth) resolves to the resolved value of top-level entry ``other``.
+    - singletons: every entry is resolved exactly once; all references to
+      it receive the *same* object (``object_loader.py:29-41``'s instance
+      cache). Reference cycles raise instead of recursing forever.
+    """
     if yaml is None:
         raise ImportError("pyyaml not available")
     with open(fname) as f:
         cfg = yaml.safe_load(f)
-    out = {"experiment_name": cfg.get("experiment_name", "default")}
-    for key, val in cfg.items():
+
+    resolved: dict[str, object] = {}
+    resolving: set[str] = set()
+
+    def resolve_entry(key: str) -> object:
+        if key in resolved:
+            return resolved[key]
+        if key not in cfg:
+            raise KeyError(f"${key} does not reference a config entry")
+        if key in resolving:
+            raise ValueError(f"$-reference cycle at {key!r}")
+        resolving.add(key)
+        val = cfg[key]
         if isinstance(val, dict) and "type" in val:
-            params = {k: v for k, v in val.items() if k != "type"}
-            out[key] = (load_callable(val["type"]), params)
+            params = {
+                k: resolve_value(v) for k, v in val.items() if k != "type"
+            }
+            out_val: object = (load_callable(val["type"]), params)
         else:
-            out[key] = val
+            out_val = resolve_value(val)
+        resolving.discard(key)
+        resolved[key] = out_val
+        return out_val
+
+    def resolve_value(v: object) -> object:
+        if isinstance(v, str) and v.startswith("$"):
+            return resolve_entry(v[1:])
+        if isinstance(v, list):
+            return [resolve_value(x) for x in v]
+        if isinstance(v, dict):
+            return {k: resolve_value(x) for k, x in v.items()}
+        return v
+
+    out = {"experiment_name": cfg.get("experiment_name", "default")}
+    for key in cfg:
+        out[key] = resolve_entry(key)
     return out
+
+
+def validate_disjoint_outputs(
+    frames: dict[str, DataFrame], join_keys: list[str]
+) -> None:
+    """Composite-builder schema validation (the reference's name-overlap
+    check, ``base_builders.py:48-50``): component outputs joined on
+    ``join_keys`` must not share any non-key column — a silent overlap
+    would produce ambiguous/duplicated feature columns."""
+    seen: dict[str, str] = {}
+    for name, df in frames.items():
+        for col in df.columns:
+            if col in join_keys:
+                continue
+            if col in seen:
+                raise ValueError(
+                    f"output column {col!r} produced by both "
+                    f"{seen[col]!r} and {name!r}"
+                )
+            seen[col] = name
 
 
 def write_json_report(path: str, payload: dict) -> None:

@@ -71,3 +71,63 @@ def test_load_experiment(tmp_path):
 def test_load_callable_dotted():
     fn = load_callable("bicis_spark.operators.targets.next_window_count")
     assert fn.__name__ == "next_window_count"
+
+
+def test_load_experiment_dollar_refs_are_singletons(tmp_path):
+    cfg = tmp_path / "exp2.yaml"
+    cfg.write_text(
+        "experiment_name: refs\n"
+        "target_builder:\n"
+        "  type: bicis_spark.operators.targets:next_window_count\n"
+        "  window_seconds: 3600\n"
+        "trainer:\n"
+        "  type: bicis_spark.operators.model:fit_poisson\n"
+        "  target: $target_builder\n"
+        "evaluator:\n"
+        "  type: bicis_spark.operators.model:fit_poisson\n"
+        "  target: $target_builder\n"
+        "  nested:\n"
+        "    also: [$target_builder]\n"
+    )
+    exp = load_experiment(str(cfg))
+    _, trainer_params = exp["trainer"]
+    _, eval_params = exp["evaluator"]
+    # references resolve to the component AND share one instance
+    assert trainer_params["target"] is exp["target_builder"]
+    assert eval_params["target"] is exp["target_builder"]
+    assert eval_params["nested"]["also"][0] is exp["target_builder"]
+
+
+def test_load_experiment_ref_cycle_raises(tmp_path):
+    import pytest
+
+    cfg = tmp_path / "cyc.yaml"
+    cfg.write_text(
+        "a:\n  type: bicis_spark.operators.model:fit_poisson\n  x: $b\n"
+        "b:\n  type: bicis_spark.operators.model:fit_poisson\n  x: $a\n"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        load_experiment(str(cfg))
+
+
+def test_load_experiment_unknown_ref_raises(tmp_path):
+    import pytest
+
+    cfg = tmp_path / "unk.yaml"
+    cfg.write_text("a:\n  type: bicis_spark.operators.model:fit_poisson\n  x: $nope\n")
+    with pytest.raises(KeyError, match="nope"):
+        load_experiment(str(cfg))
+
+
+def test_validate_disjoint_outputs(spark):
+    import pytest
+
+    from bicis_spark.plans.runner import validate_disjoint_outputs
+
+    a = spark.range(1).select(F.col("id"), F.lit(1).alias("f1"))
+    b = spark.range(1).select(F.col("id"), F.lit(2).alias("f2"))
+    validate_disjoint_outputs({"a": a, "b": b}, ["id"])  # disjoint: ok
+
+    c = spark.range(1).select(F.col("id"), F.lit(3).alias("f1"))
+    with pytest.raises(ValueError, match="f1"):
+        validate_disjoint_outputs({"a": a, "c": c}, ["id"])

@@ -89,6 +89,24 @@ def test_duration_under_three_tokens_null(spark):
     assert out.count() == 0
 
 
+def test_zero_and_negative_durations_dropped(spark):
+    """parse_raw_data.py:108-115: falsy timedelta(0) skips return_date
+    derivation, and isdigit() rejects negative strings — both row shapes
+    must be dropped, not given return_date <= rent_date."""
+    raw = spark.createDataFrame(
+        [
+            ("2015-03-01 08:00:00.000000", "A", "B", "0"),
+            ("2015-03-01 09:00:00.000000", "A", "B", "-5"),
+            ("2015-03-01 10:00:00.000000", "A", "B", "0H 0MIN 0SEG"),
+            ("2015-03-01 11:00:00.000000", "A", "B", "7"),
+        ],
+        ["FECHA_HORA_RETIRO", "NOMBRE_ORIGEN", "NOMBRE_DESTINO", "TIEMPO_USO"],
+    )
+    rows = normalize_dialect(raw, FIELDS_V4).collect()
+    assert len(rows) == 1
+    assert rows[0]["return_date"] == dt.datetime(2015, 3, 1, 11, 7)
+
+
 def test_dense_ids_deterministic(spark):
     raw = spark.createDataFrame(
         [
