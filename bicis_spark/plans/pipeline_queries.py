@@ -394,28 +394,13 @@ def glm_poisson_mse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "streaming_hourly_counts",
-    """
-    SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n
-    FROM events GROUP BY 1
-    """,
-)
-def streaming_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 as a streaming query: watermarked tumbling windows over a file
-    source, driven to completion (complete mode ⇒ equals batch)."""
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as a parquet directory for the file-source
+    stream. The cache key includes a content fingerprint (mtime+size of the
+    source parquet) so regenerated testdata invalidates the staged copy."""
     import os
     import tempfile
 
-    from bicis_spark.schemas import EVENTS
-    from bicis_spark.streaming.windows import (
-        hourly_counts_stream,
-        read_events_stream,
-        run_to_completion,
-    )
-
-    # cache key includes a content fingerprint (mtime+size of the source
-    # parquet files) so regenerated testdata invalidates the staged copy
     src_files = sorted(
         f for f in os.listdir(sf_dir) if f.startswith("events") and f.endswith(".parquet")
     )
@@ -427,7 +412,72 @@ def streaming_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(tempfile.gettempdir(), f"bicis_spark_stream_events_{tag}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    return src
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 as a streaming query: watermarked tumbling windows over a file
+    source, driven to completion (complete mode ⇒ equals batch)."""
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import (
+        hourly_counts_stream,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    src = _staged_events_dir(spark, sf_dir)
     stream = read_events_stream(spark, src, EVENTS)
     return run_to_completion(
         hourly_counts_stream(stream), "streaming_hourly_counts_mem"
+    )
+
+
+@register(
+    "streaming_session_counts",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts)
+                        >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS sid
+        FROM g
+    )
+    SELECT user_id AS station, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-minute inactivity gap) driven to
+    completion — the streaming-native sessionization. The oracle replays
+    Spark's session_window merge rule in batch SQL: two events share a
+    session iff their gap is < 30 min (windows [ts, ts+gap) overlap), and
+    the emitted session end is last event + gap."""
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        session_counts_stream,
+    )
+
+    src = _staged_events_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src, EVENTS)
+    return run_to_completion(
+        session_counts_stream(stream), "streaming_session_counts_mem"
     )

@@ -139,3 +139,59 @@ def test_ann_ivf_scores_match_bruteforce(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in brute:  # scores agree exactly where both found the pair
             assert r["cosine"] == brute[key]
+
+
+def test_lsh_bucket_expr_path_equals_column_path(spark, sf_dir):
+    """The F.expr fast-construction path must produce identical buckets to
+    the Column-API form (same hyperplanes, same arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.extensions.similarity import lsh_bucket, quantize
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(200)
+    q = emb.select(F.col("vec_id"), quantize(F.col("embedding")).alias("qv"))
+    both = q.select(
+        "vec_id",
+        lsh_bucket("qv", 8, 64).alias("fast"),
+        lsh_bucket(F.col("qv"), 8, 64).alias("slow"),
+    )
+    assert both.where(F.col("fast") != F.col("slow")).count() == 0
+
+
+def test_minhash_expr_path_equals_signature_fn(spark, sf_dir):
+    """minhash_lsh_pairs' SQL-string signature must equal minhash_signature
+    (the Column-API reference implementation) element-wise, in both hash
+    modes."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.extensions.dedup import (
+        MINHASH_P,
+        _minhash_coeffs,
+        minhash_signature,
+        shingles,
+    )
+    from bicis_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(100)
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    for hash_mode in ("xxhash64", "poly"):
+        if hash_mode == "xxhash64":
+            hs_sql = f"transform(sh, s -> pmod(xxhash64(s), {MINHASH_P}))"
+        else:
+            hs_sql = (
+                f"transform(sh, s -> aggregate(regexp_extract_all(s, '(.)', 1), "
+                f"0L, (acc, c) -> (acc * 31 + ascii(c)) % {MINHASH_P}))"
+            )
+        sig_sql = "array(" + ", ".join(
+            f"array_min(transform(_hs, h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+            for a, b in _minhash_coeffs(32)
+        ) + ")"
+        both = (
+            sh.withColumn("_hs", F.expr(hs_sql))
+            .withColumn("fast", F.expr(sig_sql))
+            .withColumn("slow", minhash_signature(F.col("sh"), 32, hash_mode))
+        )
+        assert both.where(F.col("fast") != F.col("slow")).count() == 0, hash_mode
