@@ -427,6 +427,72 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components_min_label(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """[doc_id, cluster_id]: each node labeled with the minimum id reachable
+    in the undirected pair graph — the canonical-representative step that
+    turns near-dup PAIRS into dedup DECISIONS (keep one doc per cluster).
+
+    Iterative min-label propagation: every round each node takes the min of
+    its own label and its neighbors' labels; converges to the component
+    minimum in diameter rounds, independent of partitioning (deterministic
+    fixpoint). The loop is driver-side but each round is one distributed
+    join+aggregate; ``localCheckpoint`` truncates lineage so plans stay
+    flat. Near-dup graphs are overwhelmingly tiny cliques (diameter 1-2),
+    so rounds ≈ 3; for adversarial long-chain graphs the
+    large-star/small-star variant (same join shapes, log-diameter rounds)
+    is the drop-in upgrade. At cluster scale swap localCheckpoint for a
+    reliable checkpoint dir.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("v")).distinct()
+    labels = nodes.withColumn("lbl", F.col("v")).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["v"] == nbr_min["src"], "left")
+            .select(
+                F.col("v"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bicis_spark.extensions.dedup import (
+    connected_components_min_label,
     embedding_neardup_pairs,
     embedding_neardup_pairs_lsh,
     exact_dedup,
@@ -681,6 +682,86 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_CASE = """CASE WHEN len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
+                     >= len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
+                 AND len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
+                     >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
+                THEN 'en'
+                WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
+                     >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
+                THEN 'es'
+                ELSE 'zh' END"""
+
+_POLY_TEXT_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(regexp_extract_all(text, '(.)', 1), c -> unicode(c)::BIGINT)), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647)"
+)
+
+
+@register(
+    "stratified_sample_by_lang",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    lang AS (SELECT doc_id, text, {_LANG_CASE} AS predicted_lang FROM t),
+    h AS (
+        SELECT doc_id, predicted_lang, {_POLY_TEXT_SQL} % 1000 AS bucket
+        FROM lang
+    )
+    SELECT doc_id, predicted_lang FROM h
+    WHERE bucket < CASE predicted_lang WHEN 'en' THEN 500
+                                       WHEN 'es' THEN 300 ELSE 100 END
+    """,
+)
+def stratified_sample_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash stratified sampling: keep 50% of English,
+    30% of 'es', 10% of 'zh' — the rate decision is the oracle-replayable
+    polynomial text hash mod 1000, so the sampled corpus is identical
+    across engines, runs, and partitionings (no RNG anywhere)."""
+    from bicis_spark.extensions.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = language_id(docs).select("doc_id", "predicted_lang").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    out = stratified_sample(
+        labeled, "predicted_lang", {"en": 500, "es": 300, "zh": 100}
+    )
+    return out.select("doc_id", "predicted_lang")
+
+
+@register(
+    "curation_quota_sample",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    lang AS (
+        SELECT doc_id, len(toks)::BIGINT AS n_tokens, {_LANG_CASE} AS predicted_lang
+        FROM t
+    )
+    SELECT doc_id, predicted_lang, n_tokens FROM (
+        SELECT doc_id, predicted_lang, n_tokens,
+               row_number() OVER (PARTITION BY predicted_lang
+                                  ORDER BY n_tokens DESC, doc_id) AS rk
+        FROM lang
+    ) r WHERE rk <= 50
+    """,
+)
+def curation_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota: cap every language at its 50 longest documents
+    (ties on doc_id) — the 'budget per source' curation primitive, one
+    window shuffle."""
+    from bicis_spark.extensions.sampling import quota_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = language_id(docs).select("doc_id", "predicted_lang").join(
+        quality_metrics(docs).select("doc_id", "n_tokens"), "doc_id"
+    )
+    out = quota_sample(
+        labeled, "predicted_lang", 50, [F.col("n_tokens").desc()]
+    )
+    return out.select("doc_id", "predicted_lang", "n_tokens")
+
+
 @register(
     "top_shingles",
     """
@@ -723,6 +804,36 @@ def top_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "s")
         .limit(20)
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges2 AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS v FROM edges2),
+    reach(src, dst) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges2 e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (min-label propagation) over
+    the MinHash+LSH pair graph — pairs become keep/drop decisions (one
+    canonical doc per cluster). The oracle computes the same components via
+    a recursive reachability CTE."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="poly"
+    )
+    return connected_components_min_label(pairs)
 
 
 @register("dedup_minhash_lsh_fast", None)

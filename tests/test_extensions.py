@@ -195,3 +195,20 @@ def test_minhash_expr_path_equals_signature_fn(spark, sf_dir):
             .withColumn("slow", minhash_signature(F.col("sh"), 32, hash_mode))
         )
         assert both.where(F.col("fast") != F.col("slow")).count() == 0, hash_mode
+
+
+def test_connected_components_min_label(spark):
+    """Chain, clique, and isolated-pair components all labeled with their
+    minimum id; convergence requires multi-hop propagation for the chain."""
+    from bicis_spark.extensions.dedup import connected_components_min_label
+
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_min_label(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
