@@ -1,0 +1,221 @@
+"""Training-corpus curation operators beyond dedup/sampling: benchmark
+decontamination, PII detection/redaction, intra-document repetition
+metrics (Gopher-style quality rules), fixed-token chunking, and
+concat-and-chunk sequence packing.
+
+Scale design notes (100 TB corpus, 1000 executors):
+
+- **Decontamination** is a semi-join of the corpus against the *benchmark*
+  shingle set. Benchmarks are tiny relative to the corpus (millions of
+  n-grams vs trillions), so the eval shingles are hashed to 64-bit keys
+  and broadcast: the corpus is scanned once, never shuffled. This is the
+  standard 13-gram eval-overlap filter (GPT-3 appendix C shape).
+- **PII** and **repetition** are pure per-row column expressions — map-only,
+  no shuffle, whole-stage codegen. The repetition metrics deliberately
+  avoid explode+groupBy (which would shuffle one row per token): top-token
+  frequency is an array-fold over the distinct tokens of the row.
+- **Chunking** is a per-row explode (map-only, output rows ∝ tokens /
+  chunk_size). **Packing** needs a running token offset, which is the one
+  genuinely order-dependent op here: it windows *within a shard column*
+  (source, crawl, file) so the shuffle is one exchange keyed by shard and
+  no global total order is ever materialized — the classic two-pass
+  distributed prefix-sum shape with the shard as the outer pass.
+
+Determinism: counts and offsets are exact integers; every ratio is an
+exact-int / exact-int double division; no RNG anywhere. All expressions
+have DuckDB twins so every operator is oracle-gated bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bicis_spark.extensions.text import tokens
+
+# Conservative, RE2-and-Java-compatible PII patterns (kept deliberately
+# simple: the point is the plumbing — swap in hardened patterns per
+# deployment).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+1-555-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """All (overlapping, order-preserving, non-distinct) n-word grams."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[doc_id, n_overlap]: corpus documents sharing >= 1 distinct n-gram
+    with ANY benchmark document, with the count of distinct overlapping
+    n-grams (the eval-overlap contamination signal).
+
+    The benchmark side collapses to its distinct 64-bit n-gram hashes and
+    is broadcast; the corpus explodes its distinct n-gram hashes and
+    probes the broadcast table — corpus rows are never shuffled. 64-bit
+    xxhash64 keys make a false contamination flag a ~2^-64-per-pair event
+    (no exact-verify pass needed at any realistic benchmark size).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+            ).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))).alias(
+            "g"
+        ),
+    ).select(F.col(id_col), F.xxhash64("g").alias("gh"))
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def pii_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts plus the fully redacted text (each
+    pattern class replaced by its <CLASS> tag). Map-only column
+    expressions; redaction order is fixed (email, phone, ipv4) so output
+    is deterministic even for overlapping matches."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, red.alias("redacted_text"))
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate n-gram
+    fractions (n=2,3) and the top single-token frequency fraction.
+
+    Shuffle-free by construction: top-token frequency folds over the
+    row's DISTINCT tokens (O(unique x tokens) per row, trivially
+    vectorized) instead of explode -> groupBy, which would shuffle one
+    row per token across the cluster.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+
+    def dup_frac(n: int) -> Column:
+        grams = word_ngrams(toks, n)
+        total = F.size(grams).cast("long")
+        dups = total - F.size(F.array_distinct(grams)).cast("long")
+        return F.when(total > 0, dups.cast("double") / total.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    top_cnt = F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.greatest(
+            acc, F.size(F.filter(toks, lambda t: t == x)).cast("long")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+        top_cnt.alias("top_token_count"),
+        (top_cnt.cast("double") / n_tok.cast("double")).alias("top_token_frac"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[doc_id, chunk_id, n_chunk_tokens, chunk_text]: split every document
+    into consecutive fixed-token-count windows (context-length chunking).
+    Map-only explode; chunks partition the token stream exactly (no
+    overlap, no loss)."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.floor((F.size(toks) - 1) / F.lit(chunk_tokens)).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("_n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("chunk_id"),
+        toks.alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.least(
+            F.lit(chunk_tokens).cast("long"),
+            F.col("_n") - F.col("chunk_id") * F.lit(chunk_tokens),
+        ).alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("_toks"),
+                (F.col("chunk_id") * F.lit(chunk_tokens) + 1).cast("int"),
+                chunk_tokens,
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents are
+    concatenated in id order and cut into fixed ``seq_tokens`` training
+    sequences. Emits, per document, where its tokens land:
+    [doc_id, shard, n_tokens, start_seq, start_offset, end_seq].
+
+    One window shuffle keyed by the shard column — no global ordering is
+    ever needed, so shards pack independently and in parallel (exactly how
+    a 100 TB tokenize-and-pack job shards by input file)."""
+    toks = tokens(F.col(text_col))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(shard_col).alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    cum = base.withColumn("_end", F.sum("n_tokens").over(w))
+    start = F.col("_end") - F.col("n_tokens")
+    return cum.select(
+        F.col(id_col),
+        F.col("shard"),
+        F.col("n_tokens"),
+        F.floor(start / F.lit(seq_tokens)).cast("long").alias("start_seq"),
+        F.pmod(start, F.lit(seq_tokens)).cast("long").alias("start_offset"),
+        F.floor((F.col("_end") - 1) / F.lit(seq_tokens))
+        .cast("long")
+        .alias("end_seq"),
+    )

@@ -441,16 +441,23 @@ def connected_components_min_label(
     in the undirected pair graph — the canonical-representative step that
     turns near-dup PAIRS into dedup DECISIONS (keep one doc per cluster).
 
-    Iterative min-label propagation: every round each node takes the min of
-    its own label and its neighbors' labels; converges to the component
-    minimum in diameter rounds, independent of partitioning (deterministic
-    fixpoint). The loop is driver-side but each round is one distributed
-    join+aggregate; ``localCheckpoint`` truncates lineage so plans stay
-    flat. Near-dup graphs are overwhelmingly tiny cliques (diameter 1-2),
-    so rounds ≈ 3; for adversarial long-chain graphs the
-    large-star/small-star variant (same join shapes, log-diameter rounds)
-    is the drop-in upgrade. At cluster scale swap localCheckpoint for a
-    reliable checkpoint dir.
+    Min-label propagation accelerated by pointer doubling
+    (Shiloach–Vishkin style): every round each node takes
+    ``min(own label, neighbors' labels, label-of-its-label)``. The extra
+    ``l(l(v))`` hop makes label chains collapse geometrically, so
+    convergence is O(log diameter) rounds instead of O(diameter) — the
+    difference between 3 rounds and 30 on an adversarial chain graph at
+    100 TB. Correctness is monotone-fixpoint: labels only ever decrease,
+    always name a node inside the same component (``l(v)``'s component ==
+    ``v``'s component, so the jump never escapes), and the loop only stops
+    when the plain neighbor rule is at fixpoint — which forces labels
+    constant per component and equal to the component minimum.
+
+    Each round is two distributed joins + an aggregate;
+    ``localCheckpoint`` truncates lineage so plans stay flat. Near-dup
+    graphs are overwhelmingly tiny cliques (diameter 1-2), so rounds ≈ 2-3
+    either way. At cluster scale swap localCheckpoint for a reliable
+    checkpoint dir.
     """
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
@@ -468,12 +475,24 @@ def connected_components_min_label(
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        stepped = labels.join(nbr_min, labels["v"] == nbr_min["src"], "left").select(
+            F.col("v"),
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer doubling: follow one label hop (l(l(v))) and take the min.
+        # lbl always names a node in v's component, so its own label is a
+        # valid (and often much smaller) label for v.
+        hop = labels.select(
+            F.col("v").alias("_hv"), F.col("lbl").alias("_hlbl")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["v"] == nbr_min["src"], "left")
+            stepped.join(hop, stepped["lbl"] == hop["_hv"], "left")
             .select(
                 F.col("v"),
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("_hlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)

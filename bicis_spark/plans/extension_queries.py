@@ -836,6 +836,222 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_min_label(pairs)
 
 
+# ---------------------------------------------------------------------------
+# Curation: decontamination, PII, repetition, chunking, packing
+# ---------------------------------------------------------------------------
+
+# DuckDB fragment: per-doc distinct n-gram lists (n words per gram)
+def _grams_cte(n: int) -> str:
+    return f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= {n}
+               THEN list_transform(range(len(t)-{n - 1}), i -> array_to_string(t[i+1:i+{n}], ' '))
+               ELSE [] END) AS gs
+    FROM tok
+)
+"""
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+    WITH {_grams_cte(4)},
+    bench AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 20 <> 0)
+    SELECT corpus.doc_id, count(*)::BIGINT AS n_overlap
+    FROM corpus JOIN bench USING (gr)
+    GROUP BY corpus.doc_id
+    """,
+)
+def benchmark_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-overlap decontamination (the GPT-3-style n-gram filter): flag
+    training documents sharing any distinct 4-gram with the benchmark
+    slice (doc_id % 20 == 0 stands in for the eval set). The benchmark
+    collapses to broadcast 64-bit gram hashes; the corpus is scanned once
+    and never shuffled (counts aggregate on the doc id after the
+    broadcast probe)."""
+    from bicis_spark.extensions.curation import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, n=4)
+
+
+@register(
+    "pii_scrub",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 3
+                       THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 5
+                       THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(text, '\+1-555-[0-9]{4}'))::BIGINT AS n_phone,
+           len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g') AS redacted_text
+    FROM aug
+    """,
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over a deterministically PII-augmented
+    corpus (the raw corpus has none, so emails/phones/IPs are injected as
+    pure doc_id expressions — identically on both engines). Map-only
+    column expressions, no shuffle."""
+    from bicis_spark.extensions.curation import pii_metrics
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 3,
+                F.concat(
+                    F.lit(" host 10."),
+                    (d % 256).cast("string"),
+                    F.lit(".0."),
+                    (d % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 5,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_metrics(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_email"),
+        F.col("n_phone"),
+        F.col("n_ipv4"),
+        "redacted_text",
+    )
+
+
+@register(
+    "doc_repetition",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    m AS (
+        SELECT doc_id, len(t)::BIGINT AS n_tokens,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(len(t)-1), i -> array_to_string(t[i+1:i+2], ' '))
+                    ELSE [] END AS g2,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(len(t)-2), i -> array_to_string(t[i+1:i+3], ' '))
+                    ELSE [] END AS g3,
+               list_max(list_transform(list_distinct(t),
+                        x -> len(list_filter(t, y -> y = x))))::BIGINT AS top_token_count
+        FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN len(g2) > 0
+                THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)::DOUBLE
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN len(g3) > 0
+                THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)::DOUBLE
+                ELSE 0.0 END AS dup_trigram_frac,
+           top_token_count,
+           top_token_count::DOUBLE / n_tokens::DOUBLE AS top_token_frac
+    FROM m
+    """,
+)
+def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate bigram/trigram
+    fractions and top-token frequency fraction, all computed array-side
+    per row (zero shuffle — deliberately not explode+groupBy)."""
+    from bicis_spark.extensions.curation import repetition_metrics
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    e AS (
+        SELECT doc_id, t, len(t)::BIGINT AS n,
+               unnest(range(((len(t)-1) // 16) + 1)) AS chunk_id
+        FROM tok
+    )
+    SELECT doc_id, chunk_id,
+           least(16, n - chunk_id*16)::BIGINT AS n_chunk_tokens,
+           array_to_string(t[chunk_id*16+1 : chunk_id*16+16], ' ') AS chunk_text
+    FROM e
+    """,
+)
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: every document cut into consecutive
+    16-token windows (no overlap, no token lost). Map-only explode —
+    output rows scale with tokens/16, never shuffled."""
+    from bicis_spark.extensions.curation import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=16)
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH tok AS (
+        SELECT doc_id, source AS shard,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS e
+        FROM tok
+    )
+    SELECT doc_id, shard, n_tokens,
+           ((e - n_tokens) // 64)::BIGINT AS start_seq,
+           ((e - n_tokens) % 64)::BIGINT AS start_offset,
+           ((e - 1) // 64)::BIGINT AS end_seq
+    FROM c
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per source shard, documents are
+    concatenated in id order and cut into 64-token training sequences;
+    emits where each document's tokens land (start_seq/start_offset/
+    end_seq). One window exchange keyed by shard — shards pack
+    independently, no global order."""
+    from bicis_spark.extensions.curation import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_tokens=64)
+
+
 @register("dedup_minhash_lsh_fast", None)
 def dedup_minhash_lsh_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash+LSH path (xxhash64 signatures — JVM-native, ~3x

@@ -1,0 +1,113 @@
+"""Unit tests for the curation operators (decontamination, PII,
+repetition, chunking, packing) on crafted fixtures — behavioral contracts
+beyond the oracle queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bicis_spark.extensions.curation import (
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+    pii_metrics,
+    repetition_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "s0"),
+            (2, "one two three four five six seven", "s0"),
+            (3, "alpha beta gamma delta other words here", "s0"),
+            (4, "totally unrelated text with no overlap at all", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark, corpus):
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta yy", "b")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in decontaminate(corpus, bench, n=4).collect()}
+    # docs 1 and 3 share the 4-gram "alpha beta gamma delta"; 2 and 4 don't
+    assert got == {1: 1, 3: 1}
+
+
+def test_pii_metrics_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@x.example.com or sue@y.example.org thanks"),
+            (2, "server 192.168.1.10 then call +1-555-0199"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_metrics(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (2, 0, 0)
+    assert rows[1]["redacted_text"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ipv4"]) == (0, 1, 1)
+    assert rows[2]["redacted_text"] == "server <IPV4> then call <PHONE>"
+    assert rows[3]["redacted_text"] == "nothing sensitive here"
+
+
+def test_repetition_metrics_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a b a b a")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    # "a a a a": 3 bigrams all "a a" -> 2/3 dup; top token 4/4
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert rows[1]["dup_trigram_frac"] == pytest.approx(1 / 2)
+    assert (rows[1]["top_token_count"], rows[1]["top_token_frac"]) == (4, 1.0)
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["top_token_frac"] == pytest.approx(1 / 4)
+    # "a b a b a": bigrams [ab, ba, ab, ba] -> 2 dups of 4
+    assert rows[3]["dup_bigram_frac"] == pytest.approx(1 / 2)
+    assert (rows[3]["top_token_count"], rows[3]["n_tokens"]) == (3, 5)
+
+
+def test_chunks_partition_tokens_exactly(spark, corpus):
+    chunks = chunk_documents(corpus, chunk_tokens=3)
+    # reassembling chunks in order reproduces every document verbatim
+    back = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("rebuilt"),
+            F.sum("n_chunk_tokens").alias("n"),
+        )
+        .join(corpus, "doc_id")
+    )
+    bad = back.where(
+        (F.col("rebuilt") != F.col("text"))
+        | (F.col("n") != F.size(F.split("text", " ")))
+    )
+    assert bad.count() == 0
+    # chunk sizes: all == 3 except possibly the last chunk per doc
+    sizes = chunks.groupBy("doc_id").agg(
+        F.max("chunk_id").alias("last"),
+        F.min("n_chunk_tokens").alias("mn"),
+        F.max("n_chunk_tokens").alias("mx"),
+    )
+    assert sizes.where(F.col("mx") > 3).count() == 0
+
+
+def test_pack_sequences_offsets_contiguous(spark, corpus):
+    out = {r["doc_id"]: r for r in pack_sequences(corpus, seq_tokens=8).collect()}
+    # s0 docs in id order: 6, 7, 7 tokens -> starts at 0, 6, 13; s1: 8 tokens at 0
+    assert (out[1]["start_seq"], out[1]["start_offset"], out[1]["end_seq"]) == (0, 0, 0)
+    assert (out[2]["start_seq"], out[2]["start_offset"], out[2]["end_seq"]) == (0, 6, 1)
+    assert (out[3]["start_seq"], out[3]["start_offset"], out[3]["end_seq"]) == (1, 5, 2)
+    assert (out[4]["start_seq"], out[4]["start_offset"], out[4]["end_seq"]) == (0, 0, 0)
+    assert out[4]["shard"] == "s1"

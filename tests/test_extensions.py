@@ -212,3 +212,16 @@ def test_connected_components_min_label(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_pointer_doubling_log_rounds(spark):
+    """A 60-node chain must converge well inside 8 rounds — only possible
+    with the pointer-doubling hop (plain neighbor-min needs 59)."""
+    from bicis_spark.extensions.dedup import connected_components_min_label
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["doc_a", "doc_b"]
+    )
+    got = connected_components_min_label(pairs, max_iter=8).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 61
