@@ -9,7 +9,7 @@ integers, so results are bitwise-reproducible against the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 FP_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*31 + char within int64
@@ -101,3 +101,69 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col), char_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def term_doc_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[doc_id, token, tf_d]: per-document term frequencies. The explode is
+    immediately aggregated on (doc, token) so map-side partial combine
+    collapses repeats before the shuffle."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf_d"))
+    )
+
+
+def vocab_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[token, tf, df]: corpus vocabulary with total term frequency and
+    document frequency — the tokenizer-training / vocab-build precursor.
+
+    Deliberately two-level (per-doc counts, then token totals) instead of
+    ``countDistinct``: the doc-frequency becomes a plain ``count(*)`` over
+    already-unique (doc, token) rows, so no distinct-expand pass, and the
+    second shuffle is vocabulary-sized."""
+    return (
+        term_doc_counts(df, text_col, id_col)
+        .groupBy("token")
+        .agg(
+            F.sum("tf_d").cast("long").alias("tf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` most characteristic terms per document by tf·idf, with a
+    RATIONAL idf (n_docs/df, not log) so every score is an exact-int /
+    exact-int double division and the oracle comparison stays bitwise
+    (swap in log-idf for production ranking — ordering is what matters).
+
+    Plan: (doc,token) counts join a BROADCAST vocabulary (vocab ≪ corpus),
+    n_docs attached via broadcast cross-join of a 1-row aggregate — the
+    corpus-sized side is shuffled once, by the per-doc window."""
+    dt = term_doc_counts(df, text_col, id_col)
+    vocab = vocab_stats(df, text_col, id_col)
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("_n"))
+    scored = (
+        dt.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf_d") * F.col("_n")).cast("double") / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(id_col, "token", "tf_d", "df", "score")
+    )

@@ -836,6 +836,55 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_min_label(pairs)
 
 
+@register(
+    "vocab_stats",
+    """
+    WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tfd AS (SELECT doc_id, token, count(*)::BIGINT AS tf_d FROM dt GROUP BY 1, 2)
+    SELECT token, CAST(sum(tf_d) AS BIGINT) AS tf, count(*)::BIGINT AS df
+    FROM tfd GROUP BY token
+    """,
+)
+def vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (tokenizer-training precursor): total term
+    frequency + document frequency per token, two-level aggregation (no
+    countDistinct expand)."""
+    from bicis_spark.extensions.text import vocab_stats
+
+    return vocab_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tfd AS (SELECT doc_id, token, count(*)::BIGINT AS tf_d FROM dt GROUP BY 1, 2),
+    vocab AS (
+        SELECT token, count(*)::BIGINT AS df FROM tfd GROUP BY token
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+        SELECT tfd.doc_id, tfd.token, tfd.tf_d, vocab.df,
+               (tfd.tf_d * n.n_docs)::DOUBLE / vocab.df::DOUBLE AS score
+        FROM tfd JOIN vocab USING (token), n
+    )
+    SELECT doc_id, token, tf_d, df, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token) AS rk
+        FROM scored
+    ) r WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf with rational idf
+    (n_docs/df — exact ints, bitwise-comparable; same ordering story as
+    log-idf). Vocabulary joins broadcast; one corpus shuffle (the per-doc
+    window)."""
+    from bicis_spark.extensions.text import tfidf_top_terms
+
+    return tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+
+
 # ---------------------------------------------------------------------------
 # Curation: decontamination, PII, repetition, chunking, packing
 # ---------------------------------------------------------------------------

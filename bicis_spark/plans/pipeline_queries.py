@@ -394,10 +394,16 @@ def glm_poisson_mse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+def _staged_events_dir(
+    spark: SparkSession, sf_dir: str, single_file: bool = False
+) -> str:
     """Stage the events table as a parquet directory for the file-source
     stream. The cache key includes a content fingerprint (mtime+size of the
-    source parquet) so regenerated testdata invalidates the staged copy."""
+    source parquet) so regenerated testdata invalidates the staged copy.
+
+    ``single_file=True`` stages one parquet file ⇒ one microbatch: needed
+    by append-mode queries whose batch-equality argument relies on no
+    watermark-driven state eviction between triggers (stream-stream join)."""
     import os
     import tempfile
 
@@ -408,10 +414,13 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     for f in src_files:
         st = os.stat(os.path.join(sf_dir, f))
         fp = (fp * 1_000_003 + int(st.st_mtime_ns) + st.st_size) % (1 << 61)
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp:x}"
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp:x}" + ("_1f" if single_file else "")
     src = os.path.join(tempfile.gettempdir(), f"bicis_spark_stream_events_{tag}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+        df = read_table(spark, sf_dir, "events")
+        if single_file:
+            df = df.coalesce(1)
+        df.write.mode("overwrite").parquet(src)
     return src
 
 
@@ -480,4 +489,62 @@ def streaming_session_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, src, EVENTS)
     return run_to_completion(
         session_counts_stream(stream), "streaming_session_counts_mem"
+    )
+
+
+@register(
+    "streaming_view_purchase_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_view_purchase_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join: purchases matched to same-user views
+    within the preceding hour, as a watermarked event-time-bounded inner
+    join (state bounded by the range condition; matches emitted
+    immediately). Single-file staging ⇒ one microbatch ⇒ no mid-stream
+    eviction, so the result equals the batch range join the oracle runs."""
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import (
+        read_events_stream,
+        run_append_to_completion,
+        view_purchase_join_stream,
+    )
+
+    src = _staged_events_dir(spark, sf_dir, single_file=True)
+    stream = read_events_stream(spark, src, EVENTS)
+    views = stream.where(F.col("event_type") == "view")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    return run_append_to_completion(
+        view_purchase_join_stream(views, purchases),
+        "streaming_view_purchase_join_mem",
+    )
+
+
+@register(
+    "streaming_distinct_user_types",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_distinct_user_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTINCT via dropDuplicates: each (user, event_type) key
+    emitted exactly once, first time seen. Projecting to the key columns
+    makes the output a pure set — processing order can't leak — so the
+    streaming result equals batch DISTINCT regardless of file order."""
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import (
+        distinct_keys_stream,
+        read_events_stream,
+        run_append_to_completion,
+    )
+
+    src = _staged_events_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src, EVENTS)
+    return run_append_to_completion(
+        distinct_keys_stream(stream, ["user_id", "event_type"]),
+        "streaming_distinct_user_types_mem",
     )

@@ -84,6 +84,68 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
+def view_purchase_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase attributed to every view by
+    the same user within ``horizon`` before it (the canonical streaming
+    attribution join). Both sides carry watermarks and the join has an
+    explicit event-time bound, so state is provably bounded: a buffered
+    view can be evicted once the watermark passes ``view_ts + horizon``
+    (Spark derives this from the range condition — without it the join
+    would hold all history). Inner-join matches are emitted immediately
+    (append mode), not withheld on the watermark."""
+    v = views.withWatermark(ts_col, watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col(ts_col).alias("view_ts"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+def distinct_keys_stream(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Streaming DISTINCT over key columns via ``dropDuplicates`` — emits
+    each key the first time it appears, exactly once. Projecting to the
+    key columns first makes the result a pure set (processing order can't
+    leak into the output), so it equals batch DISTINCT. State holds one
+    entry per distinct key forever; ``dropDuplicatesWithinWatermark`` is
+    the bounded-state variant when re-emitting a key after the horizon is
+    acceptable (the usual choice for infinite key spaces at 100 TB/day)."""
+    return events.select(*key_cols).dropDuplicates(key_cols)
+
+
+def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Like run_to_completion but append mode — required for stream-stream
+    joins and streaming dedup (complete mode is aggregation-only)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
 def session_counts_stream(
     events: DataFrame,
     station_col: str = "user_id",

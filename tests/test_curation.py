@@ -111,3 +111,26 @@ def test_pack_sequences_offsets_contiguous(spark, corpus):
     assert (out[3]["start_seq"], out[3]["start_offset"], out[3]["end_seq"]) == (1, 5, 2)
     assert (out[4]["start_seq"], out[4]["start_offset"], out[4]["end_seq"]) == (0, 0, 0)
     assert out[4]["shard"] == "s1"
+
+
+def test_vocab_stats_and_tfidf(spark):
+    from bicis_spark.extensions.text import tfidf_top_terms, vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "cherry cherry date")],
+        "doc_id long, text string",
+    )
+    vocab = {r["token"]: (r["tf"], r["df"]) for r in vocab_stats(df).collect()}
+    assert vocab == {
+        "apple": (3, 2),
+        "banana": (1, 1),
+        "cherry": (3, 2),
+        "date": (1, 1),
+    }
+    top = tfidf_top_terms(df, k=1).collect()
+    best = {r["doc_id"]: (r["token"], r["score"]) for r in top}
+    # doc1: banana tf_d=1 df=1 -> 3.0; apple tf_d=2 df=2 -> 3.0; tie -> 'apple' first
+    assert best[1] == ("apple", 3.0)
+    assert best[2][0] == "cherry" or best[2][0] == "apple"
+    # doc3: cherry 2*3/2=3.0 ties date 1*3/1=3.0 -> 'cherry' on token order
+    assert best[3] == ("cherry", 3.0)
