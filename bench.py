@@ -42,6 +42,9 @@ HEADLINE = [
     "range_join_recent_orders",  # bucketized range equi-join
     "curation_pipeline",       # composed quality->dedup->lang pipeline
     "ols_fit_stats",           # exact-sum closed-form OLS (model math)
+    "benchmark_decontamination",  # broadcast n-gram semi-join (corpus unshuffled)
+    "sequence_packing",        # per-shard concat-and-chunk packing window
+    "tfidf_top_terms",         # explode agg + broadcast vocab join
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):

@@ -80,7 +80,13 @@ def decontaminate(
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
-    corpus_grams = corpus.select(
+    # round-robin the corpus before the explode: locally the whole table is
+    # one parquet split, so the (expensive) per-row gram construction would
+    # run in a single task; on a cluster the scan already yields many
+    # splits and AQE coalesces this exchange away
+    corpus_grams = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))).alias(
             "g"

@@ -108,7 +108,10 @@ def term_doc_counts(
 ) -> DataFrame:
     """[doc_id, token, tf_d]: per-document term frequencies. The explode is
     immediately aggregated on (doc, token) so map-side partial combine
-    collapses repeats before the shuffle."""
+    collapses repeats before the shuffle. No pre-explode repartition: the
+    split+explode is cheap enough that an extra exchange of the raw text
+    costs more than the parallelism it buys (measured — unlike the n-gram
+    construction in curation.decontaminate, which does repartition)."""
     return (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy(id_col, "token")
@@ -151,7 +154,12 @@ def tfidf_top_terms(
     n_docs attached via broadcast cross-join of a 1-row aggregate — the
     corpus-sized side is shuffled once, by the per-doc window."""
     dt = term_doc_counts(df, text_col, id_col)
-    vocab = vocab_stats(df, text_col, id_col)
+    # vocab derives from the SAME dt subtree (not a second scan+explode):
+    # Spark reuses the (doc,token) exchange for both consumers
+    vocab = dt.groupBy("token").agg(
+        F.sum("tf_d").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
     n_docs = df.select(F.count(F.lit(1)).cast("long").alias("_n"))
     scored = (
         dt.join(F.broadcast(vocab), "token")

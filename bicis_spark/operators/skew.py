@@ -1,0 +1,84 @@
+"""Skew mitigation operators: salted aggregation and salted broadcast-side
+replication join — the manual tools for hot keys where AQE's skew-join
+splitting doesn't reach (AQE splits skewed SortMergeJoin partitions, but
+not window exchanges or aggregations over a pathological key).
+
+Salting semantics (reference: standard Spark skew patterns,
+pyspark_guide 'Skew: salting'):
+
+- **Salted aggregation**: deterministic per-row salt spreads one hot key
+  over ``n_salts`` reducers; a second, tiny aggregation over (key) merges
+  the partial results. Works for any algebraic aggregate (sum/count/min/
+  max and anything with a merge function).
+- **Salted join**: the skewed (large) side gets a deterministic salt in
+  [0, n_salts); the small side is replicated n_salts times with an
+  exploded salt column, and the join key becomes (key, salt). Every
+  reducer sees 1/n_salts of the hot key's rows. The small side must be
+  broadcast-sized × n_salts.
+
+Determinism: the salt is a hash of a UNIQUE row column (never rand()), so
+replays, retries, and repartitions produce identical partial groups —
+required for the exactly-once semantics of speculative execution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(unique_col: str | Column, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts): hash of a unique column.
+    xxhash64 is uniform, so a hot key splits ~evenly across salts."""
+    c = F.col(unique_col) if isinstance(unique_col, str) else unique_col
+    return F.pmod(F.xxhash64(c), F.lit(n_salts)).cast("int")
+
+
+def salted_count(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    unique_col: str,
+    n_salts: int = 16,
+    out_name: str = "n",
+) -> DataFrame:
+    """Two-phase count per key: partial counts on (key, salt) — the wide
+    shuffle, skew bounded at rows/n_salts per reducer — then a merge over
+    the (key)-level partials, whose input is at most n_salts rows per key
+    regardless of how hot the key is."""
+    partial = (
+        df.withColumn("_salt", salt_col(unique_col, n_salts))
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count(F.lit(1)).alias("_pn"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.sum("_pn").cast("long").alias(out_name))
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    unique_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed big side to a small side on ``on``, spreading each hot
+    key across ``n_salts`` tasks: big rows get a deterministic salt (from
+    ``unique_col``, or the whole row's key by default), the small side is
+    exploded once per salt value, and the equi-join runs on (key, salt).
+
+    With the small side broadcast, this is a map-side join — the salt then
+    only matters if a later stage reuses the exchange; with a shuffle
+    join, it is what prevents the single-straggler hot-key task.
+    """
+    uc = unique_col if unique_col is not None else on
+    big_s = big.withColumn("_salt", salt_col(uc, n_salts))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    out = big_s.join(F.broadcast(small_s), [on, "_salt"], how)
+    return out.drop("_salt")

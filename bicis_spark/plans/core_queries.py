@@ -998,3 +998,25 @@ def unpivot_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour").cast("long").alias("hour"),
         "n_rents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation surface (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_event_counts",
+    "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+)
+def salted_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts through the SALTED two-phase aggregation
+    (operators/skew.py): partial counts on (user, salt-of-event_id), then
+    a merge over at most n_salts partials per user. Output-identical to a
+    plain groupBy (the oracle), but a pathologically hot user is bounded
+    at 1/16 of its rows per task — the manual fix for skew AQE can't
+    split (window exchanges, aggregations)."""
+    from bicis_spark.operators.skew import salted_count
+
+    events = read_table(spark, sf_dir, "events")
+    return salted_count(events, ["user_id"], "event_id", n_salts=16, out_name="n")

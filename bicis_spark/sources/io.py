@@ -110,3 +110,31 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON sink for small metadata/metrics outputs (S8)."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (catalog-registered): rows are hash-split
+    into ``n_buckets`` files per partition by ``bucket_cols``, optionally
+    sorted within buckets.
+
+    This is the pre-shuffle strategy for repeated co-located joins at
+    100 TB: two tables bucketed on the join key with the same bucket count
+    join with NO exchange on either side (and no sort, if sortBy matches)
+    — the shuffle is paid once at write time and amortized over every
+    subsequent join/aggregation on that key. Verified by
+    tests/test_io.py::test_bucketed_join_has_no_exchange.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -57,3 +57,37 @@ def test_all_tables_readable_with_declared_schema(spark, sf_dir):
             f.name for f in schema.fields
         ]
         assert df.count() > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with zero Exchange operators — the write-time shuffle
+    is the only one ever paid."""
+    from bicis_spark.sources.io import write_bucketed_table
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed_table(left, "bkt_left", ["k"], 4, sort_cols=["k"],
+                         path=str(tmp_path / "l"))
+    write_bucketed_table(right, "bkt_right", ["k"], 4, sort_cols=["k"],
+                         path=str(tmp_path / "r"))
+    try:
+        with_bc_off = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+        old = {k: spark.conf.get(k) for k in with_bc_off}
+        for k, v in with_bc_off.items():
+            spark.conf.set(k, v)
+        try:
+            joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 1000
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
