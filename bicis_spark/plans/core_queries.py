@@ -1020,3 +1020,108 @@ def salted_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_table(spark, sf_dir, "events")
     return salted_count(events, ["user_id"], "event_id", n_salts=16, out_name="n")
+
+
+# ---------------------------------------------------------------------------
+# Profiling, rank functions, JSON extraction (engine surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_profile_orders",
+    """
+    SELECT 'o_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           min(o_orderkey)::BIGINT AS min_num, max(o_orderkey)::BIGINT AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_custkey), min(o_custkey), max(o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus), NULL, NULL FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderpriority), NULL, NULL FROM orders
+    """,
+)
+def table_profile_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (operators/stats.py): one aggregation
+    pass over the table yields null counts, exact cardinalities, and
+    integral ranges for every profiled column; stack pivots to long form.
+    approx_count_distinct is the documented 100 TB path."""
+    from bicis_spark.operators.stats import profile_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@register(
+    "order_rank_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY date_trunc('month', o_orderdate), o_orderkey)
+               AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY date_trunc('month', o_orderdate))
+    """,
+)
+def order_rank_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full rank-function surface in one window pass: rank/dense_rank/
+    percent_rank/cume_dist over a deliberately tie-heavy key (order month
+    — rank semantics depend only on sort-key VALUES, so ties are
+    engine-independent), plus ntile over a unique ordering (ntile depends
+    on row order, so its sort key must be total)."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    w = Window.partitionBy("o_orderpriority").orderBy(month)
+    wu = Window.partitionBy("o_orderpriority").orderBy(month, "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(wu).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a field from the JSON ``props``
+    column (get_json_object — JVM-side JSON path, no UDF) and aggregate
+    it per event type. At scale the extraction runs inside the scan
+    project, before the groupBy shuffle."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(k).alias("n_k"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+        F.sum(k).cast("long").alias("k_sum"),
+    )

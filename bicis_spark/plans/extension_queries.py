@@ -1101,6 +1101,99 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_tokens=64)
 
 
+@register(
+    "dedup_fuzzy_prefix",
+    """
+    WITH t AS (
+        SELECT doc_id, substr(text, 1, 60) AS pfx,
+               string_split(text, ' ')[1] AS blk
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.pfx, b.pfx)::BIGINT AS edit_dist
+    FROM t a JOIN t b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+     AND levenshtein(a.pfx, b.pfx) <= 12
+    """,
+)
+def dedup_fuzzy_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup (the OCR-noise / boilerplate-variant
+    detector): candidate pairs share a cheap blocking key (first token),
+    then an exact levenshtein verify on the 60-char prefix keeps pairs
+    within distance 12. The equi-join on the block key is the only
+    shuffle; edit distance runs only inside blocks — never all-pairs.
+    At 100 TB the block key would be a fingerprint band (as in LSH) but
+    the join shape is identical."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.substring("text", 1, 60).alias("pfx"),
+        F.split(F.col("text"), " ").getItem(0).alias("blk"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.levenshtein(F.col("a.pfx"), F.col("b.pfx")) <= 12),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).cast("long").alias(
+                "edit_dist"
+            ),
+        )
+    )
+
+
+@register(
+    "neardup_survivors",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges2 AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS v FROM edges2),
+    reach(src, dst) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges2 e ON e.a = r.dst
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS kept
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def neardup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup DECISION table: MinHash+LSH pairs →
+    connected components → one canonical document per cluster. Every
+    corpus document appears with its cluster id and a kept flag
+    (kept ⇔ it IS the cluster minimum; untouched docs keep themselves).
+    This is the keep/drop list a curation run applies."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="poly"
+    )
+    clusters = connected_components_min_label(pairs)
+    return (
+        docs.select("doc_id")
+        .join(clusters.withColumnRenamed("cluster_id", "_cid"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_cid"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("_cid"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "kept"
+            ),
+        )
+    )
+
+
 @register("dedup_minhash_lsh_fast", None)
 def dedup_minhash_lsh_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash+LSH path (xxhash64 signatures — JVM-native, ~3x

@@ -52,3 +52,16 @@ def test_salted_join_equals_plain(spark, skewed):
         .collect()
     )
     assert salted == plain
+
+
+def test_profile_table_exact(spark):
+    from bicis_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "k long, s string",
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    k, s = rows["k"], rows["s"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"], k["min_num"], k["max_num"]) == (4, 1, 3, 1, 3)
+    assert (s["n_rows"], s["n_nulls"], s["n_distinct"], s["min_num"], s["max_num"]) == (4, 1, 2, None, None)
