@@ -134,6 +134,60 @@ def ols_predict_exact(
     )
 
 
+def grid_eval_ols(df: DataFrame, x_cols: list[str], y_col: str) -> DataFrame:
+    """Model-selection grid in ONE scan: closed-form OLS of ``y_col`` on
+    each candidate feature, emitting [config, n_rows, slope, intercept,
+    mse] per candidate (the reference's evaluate-many-models loop,
+    ``model_selection/evaluate_model.py:35-41``, collapsed into a single
+    aggregation pass).
+
+    All per-feature sufficient statistics accumulate side-by-side in one
+    grand aggregate — k models cost one table scan, not k. Coefficients/
+    MSE are fixed float expression trees over exact DECIMAL sums (same
+    bitwise-replay story as fit_ols_exact)."""
+    y = F.col(y_col).cast("decimal(18,2)")
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    ]
+    for i, xc in enumerate(x_cols):
+        x = F.col(xc).cast("decimal(18,2)")
+        aggs += [
+            F.sum(x).cast("double").alias(f"sx{i}"),
+            F.sum(x * y).cast("double").alias(f"sxy{i}"),
+            F.sum(x * x).cast("double").alias(f"sxx{i}"),
+        ]
+    wide = df.agg(*aggs)
+    for i, xc in enumerate(x_cols):
+        wide = wide.withColumn(
+            f"slope{i}",
+            (F.col("n") * F.col(f"sxy{i}") - F.col(f"sx{i}") * F.col("sy"))
+            / (F.col("n") * F.col(f"sxx{i}") - F.col(f"sx{i}") * F.col(f"sx{i}")),
+        ).withColumn(
+            f"intercept{i}",
+            (F.col("sy") - F.col(f"slope{i}") * F.col(f"sx{i}")) / F.col("n"),
+        ).withColumn(
+            f"mse{i}",
+            (
+                F.col("syy")
+                - F.lit(2) * F.col(f"slope{i}") * F.col(f"sxy{i}")
+                - F.lit(2) * F.col(f"intercept{i}") * F.col("sy")
+                + F.col(f"slope{i}") * F.col(f"slope{i}") * F.col(f"sxx{i}")
+                + F.lit(2) * F.col(f"slope{i}") * F.col(f"intercept{i}") * F.col(f"sx{i}")
+                + F.col("n") * F.col(f"intercept{i}") * F.col(f"intercept{i}")
+            )
+            / F.col("n"),
+        )
+    parts = ", ".join(
+        f"'{xc}', CAST(n AS BIGINT), slope{i}, intercept{i}, mse{i}"
+        for i, xc in enumerate(x_cols)
+    )
+    return wide.selectExpr(
+        f"stack({len(x_cols)}, {parts}) AS (config, n_rows, slope, intercept, mse)"
+    )
+
+
 def train_predict_evaluate(
     dataset: DataFrame, link: str = "log", max_iter: int = 1, id_col: str = "id"
 ) -> tuple[GeneralizedLinearRegressionModel, DataFrame, DataFrame]:

@@ -103,3 +103,51 @@ def time_split(
         "testing": labeled.where(F.col("split") == "testing").drop("split"),
         "metadata": bounds,
     }
+
+
+def rolling_origin_folds(
+    df, ts_col: str, n_folds: int = 3, horizon_s: int = 7 * 86400
+):
+    """Rolling-origin (time-series) cross-validation folds: fold k trains
+    on everything before ``anchor - k*horizon`` and tests on the next
+    ``horizon`` — the temporally-honest CV for forecasting models
+    (reference model-selection semantics: train strictly precedes test,
+    reference ``evaluate_model.py`` dataset_type loop generalized to k
+    rolling folds).
+
+    [fold, n_train, n_test, train_end, test_end] per fold. One scan: the
+    1-row anchor broadcasts, events explode onto the (tiny) fold list and
+    aggregate by fold with map-side combine. All boundary arithmetic is
+    integer epoch-microseconds — no interval/calendar semantics to
+    diverge between engines.
+    """
+    from pyspark.sql import functions as F
+
+    h_us = horizon_s * 1_000_000
+    anchor = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("_mx"))
+    e = df.select(F.unix_micros(F.col(ts_col)).alias("_us")).crossJoin(
+        F.broadcast(anchor)
+    )
+    folds = e.select(
+        "_us",
+        "_mx",
+        F.explode(F.sequence(F.lit(1), F.lit(n_folds))).alias("fold"),
+    )
+    train_cut = F.col("_mx") - F.col("fold") * F.lit(h_us)
+    test_cut = F.col("_mx") - (F.col("fold") - F.lit(1)) * F.lit(h_us)
+    return (
+        folds.groupBy(F.col("fold").cast("long").alias("fold"))
+        .agg(
+            F.sum(F.when(F.col("_us") < train_cut, 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                F.when((F.col("_us") >= train_cut) & (F.col("_us") < test_cut), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_test"),
+            F.timestamp_micros(F.min(train_cut)).alias("train_end"),
+            F.timestamp_micros(F.min(test_cut)).alias("test_end"),
+        )
+    )

@@ -374,6 +374,101 @@ def ols_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ols_grid_eval",
+    """
+    WITH s AS (
+        SELECT count(*)::DOUBLE AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx0,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy0,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx0,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx1,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy1,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxx1,
+               CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+               CAST(sum(CAST(l_tax AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy2,
+               CAST(sum(CAST(l_tax AS DECIMAL(18,2))
+                        * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sxx2
+        FROM lineitem
+    ),
+    c AS (
+        SELECT *,
+               (n * sxy0 - sx0 * sy) / (n * sxx0 - sx0 * sx0) AS slope0,
+               (n * sxy1 - sx1 * sy) / (n * sxx1 - sx1 * sx1) AS slope1,
+               (n * sxy2 - sx2 * sy) / (n * sxx2 - sx2 * sx2) AS slope2
+        FROM s
+    ),
+    c2 AS (
+        SELECT *,
+               (sy - slope0 * sx0) / n AS intercept0,
+               (sy - slope1 * sx1) / n AS intercept1,
+               (sy - slope2 * sx2) / n AS intercept2
+        FROM c
+    )
+    SELECT 'l_quantity' AS config, CAST(n AS BIGINT) AS n_rows,
+           slope0 AS slope, intercept0 AS intercept,
+           (syy - 2 * slope0 * sxy0 - 2 * intercept0 * sy + slope0 * slope0 * sxx0
+            + 2 * slope0 * intercept0 * sx0 + n * intercept0 * intercept0) / n AS mse
+    FROM c2
+    UNION ALL
+    SELECT 'l_discount', CAST(n AS BIGINT), slope1, intercept1,
+           (syy - 2 * slope1 * sxy1 - 2 * intercept1 * sy + slope1 * slope1 * sxx1
+            + 2 * slope1 * intercept1 * sx1 + n * intercept1 * intercept1) / n
+    FROM c2
+    UNION ALL
+    SELECT 'l_tax', CAST(n AS BIGINT), slope2, intercept2,
+           (syy - 2 * slope2 * sxy2 - 2 * intercept2 * sy + slope2 * slope2 * sxx2
+            + 2 * slope2 * intercept2 * sx2 + n * intercept2 * intercept2) / n
+    FROM c2
+    """,
+)
+def ols_grid_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-selection grid under the hash gate: three candidate features
+    fitted and scored in ONE scan (per-feature sufficient statistics
+    side-by-side in a single grand aggregate, k models != k scans)."""
+    from bicis_spark.operators.model import grid_eval_ols
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return grid_eval_ols(
+        lineitem, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice"
+    )
+
+
+@register(
+    "cv_rolling_folds",
+    """
+    WITH b AS (SELECT max(epoch_us(ts))::BIGINT AS mx FROM events),
+    f AS (SELECT unnest(range(1, 4))::BIGINT AS fold),
+    x AS (SELECT epoch_us(ts)::BIGINT AS us, fold, mx FROM events, b, f)
+    SELECT fold,
+           sum(CASE WHEN us < mx - fold * 604800000000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_train,
+           sum(CASE WHEN us >= mx - fold * 604800000000
+                     AND us < mx - (fold - 1) * 604800000000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_test,
+           make_timestamp(min(mx - fold * 604800000000)) AS train_end,
+           make_timestamp(min(mx - (fold - 1) * 604800000000)) AS test_end
+    FROM x GROUP BY fold
+    """,
+)
+def cv_rolling_folds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin time-series cross-validation folds over events:
+    3 folds, 7-day horizon, all boundary arithmetic in integer epoch-µs
+    (no calendar semantics to diverge)."""
+    from bicis_spark.operators.split import rolling_origin_folds
+
+    events = read_table(spark, sf_dir, "events")
+    return rolling_origin_folds(events, "ts", n_folds=3, horizon_s=7 * 86400)
+
+
 @register("glm_poisson_predictions", None)
 def glm_poisson_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset = ml_dataset_q(spark, sf_dir)

@@ -91,3 +91,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Reading one partition of a partitionBy-written table must show a
+    PartitionFilter and scan only that partition's files."""
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")
+    )
+    path = str(tmp_path / "parts")
+    write_parquet(df, path, partition_by=["bucket"])
+    got = spark.read.parquet(path).where(F.col("bucket") == 2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate must land in PartitionFilters (directory-level
+    # pruning), NOT as a post-scan Filter over the data
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "= 2" in m.group(1), plan
+    assert got.count() == 25

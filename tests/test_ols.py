@@ -46,3 +46,24 @@ def test_mse_matches_residual_average(lineitem):
         F.avg(F.pow(F.col("label") - F.col("prediction"), F.lit(2))).alias("m")
     ).collect()[0]["m"]
     assert math.isclose(fit["mse"], direct, rel_tol=1e-9)
+
+
+def test_grid_eval_matches_single_fit(spark, sf_dir):
+    """The grid's l_quantity row must equal the dedicated single-feature
+    fit bit-for-bit (same sums, same expression trees)."""
+    from bicis_spark.operators.model import fit_ols_exact, grid_eval_ols
+    from bicis_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    single = fit_ols_exact(li, "l_quantity", "l_extendedprice").collect()[0]
+    grid = {
+        r["config"]: r
+        for r in grid_eval_ols(
+            li, ["l_quantity", "l_discount"], "l_extendedprice"
+        ).collect()
+    }
+    g = grid["l_quantity"]
+    assert (g["n_rows"], g["slope"], g["intercept"], g["mse"]) == (
+        single["n_rows"], single["slope"], single["intercept"], single["mse"],
+    )
+    assert grid["l_discount"]["mse"] != g["mse"]

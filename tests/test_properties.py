@@ -76,3 +76,54 @@ def test_dialect_mapping_total_over_header_variants(spark, casing, pad):
     out = normalize_dialect(raw, FIELDS_V1)
     assert set(out.columns) == {"rent_date", "rent_station", "return_date", "return_station"}
     assert out.count() == 1
+
+
+doc_corpora = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=40).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=doc_corpora, chunk=st.integers(1, 7))
+@SETTINGS
+def test_chunking_conserves_tokens(spark, texts, chunk):
+    """Chunks partition every document's token stream exactly: sizes sum
+    to the token count, no chunk exceeds the limit, rebuild == original."""
+    from bicis_spark.extensions.curation import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=chunk).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        rs = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert sum(r["n_chunk_tokens"] for r in rs) == len(toks)
+        assert all(r["n_chunk_tokens"] <= chunk for r in rs)
+        assert " ".join(r["chunk_text"] for r in rs) == text
+
+
+@given(texts=doc_corpora, seq=st.integers(1, 9))
+@SETTINGS
+def test_packing_offsets_contiguous(spark, texts, seq):
+    """Within a shard, each doc starts exactly where the previous ended
+    (concat-and-chunk): start/end seqs and offsets are the running token
+    cumsum in disguise."""
+    from bicis_spark.extensions.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t, f"s{i % 2}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    rows = sorted(pack_sequences(df, seq_tokens=seq).collect(),
+                  key=lambda r: (r["shard"], r["doc_id"]))
+    cum: dict[str, int] = {}
+    for r in rows:
+        start = cum.get(r["shard"], 0)
+        assert r["start_seq"] == start // seq
+        assert r["start_offset"] == start % seq
+        end = start + r["n_tokens"]
+        assert r["end_seq"] == (end - 1) // seq
+        cum[r["shard"]] = end
