@@ -1125,3 +1125,67 @@ def json_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("k_max"),
         F.sum(k).cast("long").alias("k_sum"),
     )
+
+
+@register(
+    "upsert_latest_events",
+    """
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    ) r WHERE rk = 1
+    """,
+)
+def upsert_latest_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / MERGE-style upsert: latest-wins per key — the
+    standard 'apply a change log' primitive (one window shuffle keyed by
+    the upsert key; at scale this is the compaction pass of any
+    merge-on-read table format)."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "user_event_histogram",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY event_type) AS histogram
+    FROM c GROUP BY user_id
+    """,
+)
+def user_event_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation parity: per-user event-type histogram
+    serialized deterministically (collect_list is unordered by contract,
+    so the list is array_sort'ed before joining — the only way an
+    aggregated string column can survive a bitwise gate)."""
+    events = read_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "n"))),
+                lambda x: F.concat(
+                    x["event_type"], F.lit(":"), x["n"].cast("string")
+                ),
+            ),
+        ).alias("histogram")
+    )

@@ -643,3 +643,42 @@ def streaming_distinct_user_types_q(spark: SparkSession, sf_dir: str) -> DataFra
         distinct_keys_stream(stream, ["user_id", "event_type"]),
         "streaming_distinct_user_types_mem",
     )
+
+
+@register(
+    "streaming_enriched_segment_stats",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def streaming_enriched_segment_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a BROADCAST static
+    dimension (no watermark needed on the static side — the planner
+    re-reads/broadcasts it per microbatch), then aggregates per segment.
+    The canonical production shape for enriching a feed with reference
+    data. Value sums go through exact DECIMAL so complete-mode streaming
+    equals the batch oracle bitwise."""
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+    )
+
+    src = _staged_events_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src, EVENTS)
+    dim = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_to_completion(agg, "streaming_enriched_segment_stats_mem")
