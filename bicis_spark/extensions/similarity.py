@@ -176,11 +176,23 @@ def ivf_assign(
         "_sim",
         cosine_from_norms(F.col(qv_col), F.col("_cv"), F.col("_vn"), F.col("_cn"), dims),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+    # argmax via max_by hash-aggregate, NOT a row_number window: the agg
+    # gets map-side partial combine so the (vector x centroid) pair rows
+    # never shuffle — only one row per vector does. Tie-break identical to
+    # ORDER BY _sim DESC, centroid_id: maximize (_sim, -centroid_id).
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, qv_col, "centroid_id")
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col(qv_col).alias("_qv"), F.col("centroid_id")),
+                F.struct(F.col("_sim"), (-F.col("centroid_id")).alias("_nc")),
+            ).alias("_best")
+        )
+        .select(
+            id_col,
+            F.col("_best._qv").alias(qv_col),
+            F.col("_best.centroid_id").alias("centroid_id"),
+        )
     )
 
 

@@ -92,6 +92,19 @@ def read_csv(
     return spark.read.csv(path, schema=schema, sep=sep, header=header)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> DataFrame:
+    """Schema-explicit JSON-lines scan (the S4 discipline applied to the
+    JSON source): no schema inference (an extra full read at 100 TB) and
+    deterministic column types. Corrupt lines surface in the
+    ``_corrupt_record``-free PERMISSIVE default as nulls; switch to
+    FAILFAST per pipeline policy."""
+    return spark.read.schema(schema).json(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
     """Parquet sink — replaces headered-CSV sinks (S7, ``split.py:49-72``).

@@ -110,3 +110,21 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "= 2" in m.group(1), plan
     assert got.count() == 25
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """JSON-lines sink -> schema-explicit JSONL scan round-trips values
+    (timestamps included) without inference."""
+    from bicis_spark.sources.io import read_jsonl, write_json
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", -1.0)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "jl")
+    write_json(df, path)
+    back = read_jsonl(spark, path, df.schema)
+    assert sorted((r["id"], r["s"], r["v"]) for r in back.collect()) == [
+        (1, "a", 2.5),
+        (2, "b", -1.0),
+    ]
+    assert back.schema == df.schema
