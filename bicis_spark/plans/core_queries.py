@@ -1189,3 +1189,88 @@ def user_event_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("histogram")
     )
+
+
+@register(
+    "order_window_frames",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w_run AS running_last,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           lag(o_totalprice, 1) OVER w_seq AS prev_price,
+           lead(o_totalprice, 1) OVER w_seq AS next_price,
+           avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_window_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME semantics parity: first/last/nth_value with explicit
+    ROWS frames, lag/lead, and a 3-row moving average — all over one
+    total order (orderdate, orderkey) so frames are engine-independent.
+    The ma3 average divides a DOUBLE sum of at most 3 values — the
+    accumulation order inside a ROWS frame is the frame order in both
+    engines, so it stays bitwise."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy(*ordering)
+    ma3 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_run).alias("running_last"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.lag("o_totalprice", 1).over(w_seq).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w_seq).alias("next_price"),
+        F.avg("o_totalprice").over(ma3).alias("ma3"),
+    )
+
+
+@register(
+    "incremental_user_totals",
+    """
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def incremental_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance under the hash gate: the per-user
+    totals are computed by FOLDING a delta batch (events on/after
+    2024-01-20) into the pre-materialized history state — never
+    re-aggregating history — and must equal the oracle's full GROUP BY.
+    At 100 TB this is the rolling-metrics pattern: update cost is
+    O(delta), not O(history)."""
+    from bicis_spark.operators.incremental import count_sum_state, merge_count_sum
+
+    events = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    hist = count_sum_state(events.where(F.col("ts") < cut), ["user_id"], "value")
+    delta = count_sum_state(events.where(F.col("ts") >= cut), ["user_id"], "value")
+    merged = merge_count_sum(hist, delta, ["user_id"])
+    return merged.select(
+        "user_id", "n", F.col("s").cast("double").alias("total_value")
+    )

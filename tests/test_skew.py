@@ -65,3 +65,26 @@ def test_profile_table_exact(spark):
     k, s = rows["k"], rows["s"]
     assert (k["n_rows"], k["n_nulls"], k["n_distinct"], k["min_num"], k["max_num"]) == (4, 1, 3, 1, 3)
     assert (s["n_rows"], s["n_nulls"], s["n_distinct"], s["min_num"], s["max_num"]) == (4, 1, 2, None, None)
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """merge(state(history), state(delta)) == state(history ∪ delta) —
+    the delta-folding contract, including keys only in one side."""
+    from bicis_spark.operators.incremental import count_sum_state, merge_count_sum
+
+    hist = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    delta = spark.createDataFrame(
+        [(2, 7.5), (3, 1.25)], "k long, v double"
+    )
+    merged = merge_count_sum(
+        count_sum_state(hist, ["k"], "v"),
+        count_sum_state(delta, ["k"], "v"),
+        ["k"],
+    )
+    full = count_sum_state(hist.union(delta), ["k"], "v")
+    as_map = lambda df: {
+        r["k"]: (r["n"], float(r["s"])) for r in df.collect()
+    }
+    assert as_map(merged) == as_map(full)
