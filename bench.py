@@ -77,6 +77,19 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # round-1 comparability: the r1 headline was 17 queries; r2 added six
+    # new operator families. This subtotal covers the 16 r1 queries still
+    # in the headline (ann_topk_bruteforce was demoted to a non-headline
+    # recall baseline per round-1 advice) — compare it, not the total.
+    r1_set = [
+        "hour_profile", "next_window_target", "circular_lag_features",
+        "ml_dataset", "pricing_summary", "revenue_per_brand",
+        "topk_orders_per_customer", "hourly_event_counts",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh_fast", "text_quality",
+        "doc_fingerprints", "sessionization", "asof_latest_order",
+        "range_join_recent_orders", "curation_pipeline",
+    ]
+    r1_overlap = round(sum(timings[q] for q in r1_set if q in timings), 4)
     print(
         json.dumps(
             {
@@ -84,6 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r1_overlap_total": r1_overlap,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
