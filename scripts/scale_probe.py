@@ -1,0 +1,84 @@
+"""Scaling probe: run representative headline queries at every available
+scale factor and print per-SF wall time + input-rows/sec, as measured
+evidence for SCALE.md's linearity claims (sub-linear time growth vs the
+100x row growth from sf0.001 to sf0.1 = fixed overhead still dominating;
+~linear growth = compute-bound already).
+
+Usage: python scripts/scale_probe.py [sf_dir_root=/root/testdata]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bicis_spark.plans import queries as registry  # noqa: E402
+from bicis_spark.session import get_spark  # noqa: E402
+
+PROBES = [
+    "hour_profile",          # agg+join on events
+    "pricing_summary",       # scan-agg on lineitem (largest table)
+    "next_window_target",    # bucketed window
+    "dedup_minhash_lsh_fast",  # LSH self-join on documents
+    "ann_topk_lsh",          # bucketed ANN on embeddings
+    "sequence_packing",      # per-shard window on documents
+]
+
+TABLE_OF = {
+    "hour_profile": "events",
+    "pricing_summary": "lineitem",
+    "next_window_target": "events",
+    "dedup_minhash_lsh_fast": "documents",
+    "ann_topk_lsh": "embeddings",
+    "sequence_packing": "documents",
+}
+
+
+def main() -> None:
+    root = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata"
+    sfs = sorted(
+        d for d in os.listdir(root) if d.startswith("sf") and
+        os.path.isdir(os.path.join(root, d))
+    )
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    import duckdb
+
+    rows_per_sf: dict[str, dict[str, int]] = {}
+    for sf in sfs:
+        rows_per_sf[sf] = {}
+        for t in set(TABLE_OF.values()):
+            rows_per_sf[sf][t] = duckdb.sql(
+                f"SELECT count(*) FROM '{os.path.join(root, sf, t)}.parquet'"
+            ).fetchone()[0]
+
+    out: dict[str, dict[str, dict[str, float]]] = {}
+    for name in PROBES:
+        out[name] = {}
+        for sf in sfs:
+            sf_dir = os.path.join(root, sf)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            n = rows_per_sf[sf][TABLE_OF[name]]
+            out[name][sf] = {
+                "sec": round(best, 4),
+                "input_rows": n,
+                "rows_per_sec": round(n / best),
+            }
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,3 +88,70 @@ def test_session_counts_stream_equals_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in result.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode semantics under late data: an event older than the
+    late-record filter watermark is dropped and its window never appears;
+    only windows fully below the final watermark are emitted.
+
+    Note the documented one-batch lag: the filter watermark trails the
+    eviction watermark by one microbatch (Spark computes the watermark
+    from the PREVIOUS batch's max event time), so the late event arrives
+    in batch 3, two batches after the event that advanced the watermark
+    past it."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "ts string, k string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    # batch 1: 00:00 and 05:00 -> eviction watermark becomes 04:00
+    write_batch([("2024-01-01 00:00:30", "a"), ("2024-01-01 05:00:00", "a")])
+    # batch 2: 06:00 -> filter watermark catches up to 04:00
+    write_batch([("2024-01-01 06:00:00", "a")])
+    # batch 3: 01:30 -- 2.5h behind the filter watermark: must be dropped
+    write_batch([("2024-01-01 01:30:00", "a")])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+    got = {
+        str(r["start"]): r["n"]
+        for r in spark.sql("SELECT * FROM late_drop_t").collect()
+    }
+    assert dropped == 1
+    # only the 00:00 window closed under the final watermark (05:00); the
+    # late event's 01:00 window must not exist; 05:00/06:00 stay open
+    assert got == {"2024-01-01 00:00:00": 1}, got
