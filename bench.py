@@ -76,6 +76,21 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # Accuracy contracts for the approximate ANN scale paths: mean recall@5
+    # vs exact brute force at this SF, recorded per round alongside the
+    # timings so the speed/accuracy trade is tracked, not assumed.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    recall: dict[str, float] = {}
+    for rname in ("ann_lsh_recall", "ann_ivf_recall"):
+        if rname in all_queries:
+            row = (
+                all_queries[rname](spark, sf_dir)
+                .agg(F.avg("recall").alias("r"))
+                .collect()[0]
+            )
+            recall[rname + "@5"] = round(float(row["r"]), 4)
+
     total = round(sum(timings.values()), 4)
     # round-1 comparability: the r1 headline was 17 queries; r2 added six
     # new operator families. This subtotal covers the 16 r1 queries still
@@ -98,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "r1_overlap_total": r1_overlap,
+                "ann_mean_recall": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -165,8 +165,11 @@ def chunk_documents(
     """[doc_id, chunk_id, n_chunk_tokens, chunk_text]: split every document
     into consecutive fixed-token-count windows (context-length chunking).
     Map-only explode; chunks partition the token stream exactly (no
-    overlap, no loss)."""
+    overlap, no loss). Null-text documents emit zero chunks — without the
+    filter, size(null)=-1 (legacy sizeOfNull) makes n_chunks=-1 and
+    F.sequence(0,-1) DESCENDS, emitting two bogus rows per null doc."""
     toks = tokens(F.col(text_col))
+    df = df.where(F.col(text_col).isNotNull() & (F.size(toks) > 0))
     n_chunks = F.floor((F.size(toks) - 1) / F.lit(chunk_tokens)).cast("long")
     return df.select(
         F.col(id_col),
@@ -205,13 +208,16 @@ def pack_sequences(
 
     One window shuffle keyed by the shard column — no global ordering is
     ever needed, so shards pack independently and in parallel (exactly how
-    a 100 TB tokenize-and-pack job shards by input file)."""
+    a 100 TB tokenize-and-pack job shards by input file).
+
+    Null-text documents are dropped: size(null)=-1 would otherwise shift
+    every later document's running offset within the shard."""
     toks = tokens(F.col(text_col))
     w = Window.partitionBy("shard").orderBy(id_col)
-    base = df.select(
+    base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.col(shard_col).alias("shard"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.greatest(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
     )
     cum = base.withColumn("_end", F.sum("n_tokens").over(w))
     start = F.col("_end") - F.col("n_tokens")

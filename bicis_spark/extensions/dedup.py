@@ -227,24 +227,18 @@ def minhash_signature(
     return F.array(*sig)
 
 
-def minhash_lsh_pairs(
+def _minhash_candidates(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    k: int = 32,
-    bands: int = 8,
-    threshold: float = 0.4,
-    parallelism: int | None = None,
-    hash_mode: str = "xxhash64",
-) -> DataFrame:
-    """LSH candidate generation + exact-Jaccard verification.
-
-    b bands × r = k/b rows; P(collision) ≈ 1 − (1 − j^r)^b. Candidates come
-    from band-bucket self-joins (shuffle on tiny (band, hash) keys);
-    verification joins back the full shingle sets and computes exact Jaccard,
-    so emitted pairs are exact — LSH only bounds recall.
-    """
+    id_col: str,
+    text_col: str,
+    n: int,
+    k: int,
+    bands: int,
+    parallelism: int | None,
+    hash_mode: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared LSH candidate generation: returns (shingle sets [doc, sh],
+    signatures [doc, sh, sig], candidate pairs [doc_a, doc_b])."""
     r = k // bands
     sh = _reusable(
         _partitioned(df, parallelism)
@@ -302,6 +296,30 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+    return sh, with_sig, candidates
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.4,
+    parallelism: int | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    b bands × r = k/b rows; P(collision) ≈ 1 − (1 − j^r)^b. Candidates come
+    from band-bucket self-joins (shuffle on tiny (band, hash) keys);
+    verification joins back the full shingle sets and computes exact Jaccard,
+    so emitted pairs are exact — LSH only bounds recall.
+    """
+    sh, with_sig, candidates = _minhash_candidates(
+        df, id_col, text_col, n, k, bands, parallelism, hash_mode
+    )
     sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -316,6 +334,59 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    parallelism: int | None = None,
+    hash_mode: str = "poly",
+) -> DataFrame:
+    """MinHash ACCURACY CONTRACT: for every LSH candidate pair, the sketch's
+    Jaccard estimate (matching signature positions / k — the unbiased
+    MinHash estimator) next to the exact shingle Jaccard:
+    [doc_a, doc_b, est_jaccard, jaccard].
+
+    No threshold — all candidates are emitted so the contract covers both
+    sides of the dedup boundary. est_jaccard is an integer count divided by
+    k (both exactly representable doubles), so the contract itself is
+    bitwise-deterministic and oracle-checkable in poly mode."""
+    sh, with_sig, candidates = _minhash_candidates(
+        df, id_col, text_col, n, k, bands, parallelism, hash_mode
+    )
+    sig_a = with_sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = with_sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    matches = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+            (
+                F.col("inter").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -469,7 +540,10 @@ def connected_components_min_label(
     labels = nodes.withColumn("lbl", F.col("v")).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    converged = False
+    rounds_run = 0
+    for _round in range(max_iter):
+        rounds_run = _round + 1
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["v"])
             .groupBy("src")
@@ -505,7 +579,24 @@ def connected_components_min_label(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels would silently split clusters: surface it.
+        # max_iter=30 with pointer doubling covers diameter ~2^30; hitting
+        # this means a pathological graph or a bug, never normal data.
+        import warnings
+
+        warnings.warn(
+            f"connected_components_min_label: no fixpoint after {max_iter} "
+            "rounds — labels may split components; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # Observability: rounds-to-fixpoint for the last invocation (read by
+    # scale probes / SCALE.md measurements; driver-side scalar, no plan cost).
+    connected_components_min_label.last_rounds = rounds_run
+    connected_components_min_label.last_converged = converged
     return labels.select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
@@ -554,17 +645,23 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_planes: int = 4,
+    n_bands: int = 4,
+    band_planes: int = 2,
     dims: int = 64,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: sign-bit LSH blocking + exact
-    verify — candidates are restricted to pairs sharing a hyperplane
-    bucket, collapsing the all-pairs O(n²) join to ~n²/2^planes bucket-local
-    work (and at 100 TB the bucket key is the shuffle key: no broadcast, no
-    cartesian). Same output columns as ``embedding_neardup_pairs``; recall
-    bounded by bucket collisions exactly like ``ann_topk_lsh`` (high-cosine
-    pairs agree on most hyperplane signs, so near-dups rarely split
-    buckets; fewer planes ⇒ higher recall, more candidates).
+    """Scale path for embedding near-dup: BANDED sign-bit LSH blocking +
+    exact verify (the MinHash-bands construction applied to hyperplane
+    signatures): ``n_bands`` independent tables, each keyed by
+    ``band_planes`` sign bits from a disjoint plane range; a pair is a
+    candidate iff it collides in ANY band, then exact cosine filters.
+
+    Recall per band = p^r (p = per-plane agreement prob, monotone in
+    cosine); across bands = 1 − (1 − p^r)^T — the OR over tables is what a
+    single 2^planes bucket key can't give (measured on sf0.01: single
+    4-plane table found 2 of 14 true pairs ≥ 0.45; 4 bands × 2 planes finds
+    all 14). At 100 TB each vector emits n_bands tiny (band, bits) keys —
+    the only shuffle — and candidates join back to vectors by id; no
+    broadcast, no cartesian.
     """
     from bicis_spark.extensions.similarity import (
         cosine_from_norms,
@@ -572,25 +669,49 @@ def embedding_neardup_pairs_lsh(
         norm_col,
     )
 
-    q = (
+    q = _reusable(
         _partitioned(df, None)
         .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv"))
-        .withColumn("bucket", lsh_bucket("qv", n_planes, dims))
-        .withColumn("n", norm_col(F.col("qv"), dims))
+        .withColumn("n", norm_col(F.col("qv"), dims)),
+        None,
+        "vid",
     )
-    a, b = q.alias("a"), q.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")),
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                lsh_bucket("qv", band_planes, dims, plane_offset=t * band_planes)
+                .alias("bits"),
+            )
+            for t in range(n_bands)
+        ]
+    )
+    blocks = q.select("vid", F.explode(band_arr).alias("b")).select(
+        "vid", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    qa = q.select(
+        F.col("vid").alias("vec_a"), F.col("qv").alias("qv_a"), F.col("n").alias("n_a")
+    )
+    qb = q.select(
+        F.col("vid").alias("vec_b"), F.col("qv").alias("qv_b"), F.col("n").alias("n_b")
     )
     sim = cosine_from_norms(
-        F.col("a.qv"), F.col("b.qv"), F.col("a.n"), F.col("b.n"), dims
+        F.col("qv_a"), F.col("qv_b"), F.col("n_a"), F.col("n_b"), dims
     )
     return (
-        pairs.select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            sim.alias("cosine"),
-        )
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

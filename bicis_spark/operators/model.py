@@ -180,7 +180,8 @@ def grid_eval_ols(df: DataFrame, x_cols: list[str], y_col: str) -> DataFrame:
             / F.col("n"),
         )
     parts = ", ".join(
-        f"'{xc}', CAST(n AS BIGINT), slope{i}, intercept{i}, mse{i}"
+        f"'{xc.replace(chr(39), chr(39) * 2)}', CAST(n AS BIGINT), "
+        f"slope{i}, intercept{i}, mse{i}"
         for i, xc in enumerate(x_cols)
     )
     return wide.selectExpr(

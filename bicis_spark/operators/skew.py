@@ -67,16 +67,37 @@ def salted_broadcast_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join a skewed big side to a small side on ``on``, spreading each hot
-    key across ``n_salts`` tasks: big rows get a deterministic salt (from
-    ``unique_col``, or the whole row's key by default), the small side is
-    exploded once per salt value, and the equi-join runs on (key, salt).
+    key across ``n_salts`` tasks: big rows get a deterministic salt — from
+    ``unique_col`` when given, else from a hash of the WHOLE row (hashing
+    the join key itself would give every row of a hot key the same salt,
+    silently disabling the mitigation) — the small side is exploded once
+    per salt value, and the equi-join runs on (key, salt).
+
+    Only ``inner``/``left``/``left_semi`` are accepted: the small side is
+    replicated n_salts times, so right/full outer joins would emit each
+    unmatched small-side row n_salts times (wrong multiplicity).
 
     With the small side broadcast, this is a map-side join — the salt then
     only matters if a later stage reuses the exchange; with a shuffle
     join, it is what prevents the single-straggler hot-key task.
     """
-    uc = unique_col if unique_col is not None else on
-    big_s = big.withColumn("_salt", salt_col(uc, n_salts))
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_broadcast_join: how={how!r} unsupported — the exploded "
+            f"small side duplicates unmatched rows; use one of {sorted(allowed)}"
+        )
+    if unique_col is not None:
+        salt = salt_col(unique_col, n_salts)
+    else:
+        # per-row salt: xxhash64 over every big-side column. Deterministic
+        # under retries/replays (pure function of row content); duplicate
+        # full rows share a salt, which only weakens spreading if one exact
+        # row dominates the key — pass unique_col for that case.
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+        ).cast("int")
+    big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
     )

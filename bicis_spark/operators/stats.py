@@ -32,28 +32,33 @@ def profile_table(
     casts whose formatting is engine-specific)."""
     cols = columns or df.columns
     dtypes = dict(df.dtypes)
+    # Internal aliases are POSITIONAL (_nn_0, _nd_0, ...), never derived
+    # from user column names — a name with a quote/space/hyphen would
+    # otherwise produce malformed stack() SQL even though the DataFrame
+    # API accepts it. The output literal escapes embedded single quotes.
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
-            .alias(f"_nn_{c}")
+            .alias(f"_nn_{i}")
         )
         nd = (
             F.countDistinct(F.col(c))
             if exact_distinct
             else F.approx_count_distinct(F.col(c))
         )
-        aggs.append(nd.cast("long").alias(f"_nd_{c}"))
+        aggs.append(nd.cast("long").alias(f"_nd_{i}"))
         if dtypes.get(c) in _INTEGRAL:
-            aggs.append(F.min(F.col(c)).cast("long").alias(f"_mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("long").alias(f"_mx_{c}"))
+            aggs.append(F.min(F.col(c)).cast("long").alias(f"_mn_{i}"))
+            aggs.append(F.max(F.col(c)).cast("long").alias(f"_mx_{i}"))
     wide = df.agg(*aggs)
     parts = []
-    for c in cols:
-        mn = f"_mn_{c}" if dtypes.get(c) in _INTEGRAL else "CAST(NULL AS BIGINT)"
-        mx = f"_mx_{c}" if dtypes.get(c) in _INTEGRAL else "CAST(NULL AS BIGINT)"
-        parts.append(f"'{c}', _n, _nn_{c}, _nd_{c}, {mn}, {mx}")
+    for i, c in enumerate(cols):
+        lit = c.replace("'", "''")
+        mn = f"_mn_{i}" if dtypes.get(c) in _INTEGRAL else "CAST(NULL AS BIGINT)"
+        mx = f"_mx_{i}" if dtypes.get(c) in _INTEGRAL else "CAST(NULL AS BIGINT)"
+        parts.append(f"'{lit}', _n, _nn_{i}, _nd_{i}, {mn}, {mx}")
     stack = (
         f"stack({len(cols)}, " + ", ".join(parts)
         + ") AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"

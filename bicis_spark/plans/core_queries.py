@@ -385,6 +385,58 @@ def revenue_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customers_without_events",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """,
+)
+def customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join (NOT EXISTS semantics): customers with no tracked
+    events. Anti joins never expand rows, so the plan is a one-sided probe
+    — broadcast-anti when the right side's distinct keys fit, shuffled-anti
+    otherwise; either way only the KEY column of the right side moves,
+    never its payload (Catalyst prunes to user_id before the exchange)."""
+    customer = read_table(spark, sf_dir, "customer")
+    events = read_table(spark, sf_dir, "events")
+    return customer.join(
+        events, customer["c_custkey"] == events["user_id"], "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@register(
+    "salted_join_supplier_revenue",
+    """
+    SELECT s.s_name, count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim through the SALTED replication join (operators/skew.py)
+    with the default per-row salt (xxhash64 over all fact columns — the
+    round-3 fix; salting the join key itself would no-op the mitigation).
+    Output-identical to the plain join the oracle runs; a pathologically
+    hot supplier key is spread across n_salts tasks."""
+    from bicis_spark.operators.skew import salted_broadcast_join
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    supplier = read_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    joined = salted_broadcast_join(lineitem, supplier, on="l_suppkey", n_salts=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
     "orders_events_expr_join",
     f"""
     SELECT o.o_orderkey, e.event_id
@@ -1036,14 +1088,20 @@ def salted_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(o_orderkey)::BIGINT AS min_num, max(o_orderkey)::BIGINT AS max_num
     FROM orders
     UNION ALL
-    SELECT 'o_custkey', count(*), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
-           count(DISTINCT o_custkey), min(o_custkey), max(o_custkey) FROM orders
+    SELECT 'o_custkey', count(*)::BIGINT,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_custkey)::BIGINT,
+           min(o_custkey)::BIGINT, max(o_custkey)::BIGINT FROM orders
     UNION ALL
-    SELECT 'o_orderstatus', count(*), sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
-           count(DISTINCT o_orderstatus), NULL, NULL FROM orders
+    SELECT 'o_orderstatus', count(*)::BIGINT,
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderstatus)::BIGINT,
+           NULL::BIGINT, NULL::BIGINT FROM orders
     UNION ALL
-    SELECT 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
-           count(DISTINCT o_orderpriority), NULL, NULL FROM orders
+    SELECT 'o_orderpriority', count(*)::BIGINT,
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderpriority)::BIGINT,
+           NULL::BIGINT, NULL::BIGINT FROM orders
     """,
 )
 def table_profile_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,6 +1114,23 @@ def table_profile_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     return profile_table(
         orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@register("table_profile_orders_approx")  # rows-only: HLL estimates have no
+def table_profile_orders_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ANALYZE path: same one-pass profile but n_distinct via
+    approx_count_distinct (HLL sketch, no Expand of the scan — exact
+    countDistinct over k columns multiplies partial-aggregate input k×).
+    Rows-only by design: HLL estimates are engine-specific, so no DuckDB
+    hash twin exists; exactness is covered by table_profile_orders."""
+    from bicis_spark.operators.stats import profile_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=False,
     )
 
 

@@ -36,9 +36,40 @@ def _cell_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse type class used for the pre-normalization parity check:
+    int-typed vs float-typed matters to the driver's value hash (DuckDB
+    HUGEINT fetches as float64 — the sessionization-r1 /
+    table_profile_orders-r2 bug class), so catch it locally."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def assert_oracle_match(spark_df, duck_con, sql: str, name: str = "query") -> None:
-    actual = _normalize(spark_df.toPandas())
-    expected = _normalize(duck_con.execute(sql).fetchdf())
+    raw_actual = spark_df.toPandas()
+    raw_expected = duck_con.execute(sql).fetchdf()
+
+    # Type-class parity BEFORE normalization: a bare sum()/count(DISTINCT)
+    # in a DuckDB oracle types HUGEINT -> float64, which the driver's
+    # type-sensitive hash rejects even when every value is equal. Fail
+    # here, with the column named, instead of in CORRECTNESS_r{N}.json.
+    for col in sorted(set(raw_actual.columns) & set(raw_expected.columns)):
+        ak, ek = _dtype_kind(raw_actual[col]), _dtype_kind(raw_expected[col])
+        assert ak == ek, (
+            f"{name}.{col}: dtype class mismatch: spark={ak} ({raw_actual[col].dtype})"
+            f" oracle={ek} ({raw_expected[col].dtype}) — if the oracle side is"
+            " float for an integer aggregate, CAST(... AS BIGINT) in the SQL"
+        )
+
+    actual = _normalize(raw_actual)
+    expected = _normalize(raw_expected)
 
     assert list(actual.columns) == list(expected.columns), (
         f"{name}: column mismatch: spark={list(actual.columns)} "

@@ -103,6 +103,24 @@ def test_chunks_partition_tokens_exactly(spark, corpus):
     assert sizes.where(F.col("mx") > 3).count() == 0
 
 
+def test_null_text_emits_no_chunks_and_no_offset_shift(spark):
+    """size(null) = -1 hazard (r2 ADVICE): a null-text doc must emit ZERO
+    chunk rows (not two bogus descending-sequence rows) and must not shift
+    later documents' packing offsets within its shard."""
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s0"), (2, None, "s0"), (3, "e f g h", "s0")],
+        "doc_id long, text string, source string",
+    )
+    chunks = chunk_documents(df, chunk_tokens=3)
+    assert chunks.where(F.col("doc_id") == 2).count() == 0
+    assert chunks.where(F.col("n_chunk_tokens") <= 0).count() == 0
+
+    packed = {r["doc_id"]: r for r in pack_sequences(df, seq_tokens=4).collect()}
+    assert 2 not in packed  # dropped, not emitted with n_tokens=-1
+    # doc 3 starts exactly where doc 1 ended (4 tokens → seq 1, offset 0)
+    assert (packed[3]["start_seq"], packed[3]["start_offset"]) == (1, 0)
+
+
 def test_pack_sequences_offsets_contiguous(spark, corpus):
     out = {r["doc_id"]: r for r in pack_sequences(corpus, seq_tokens=8).collect()}
     # s0 docs in id order: 6, 7, 7 tokens -> starts at 0, 6, 13; s1: 8 tokens at 0

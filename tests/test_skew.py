@@ -54,6 +54,51 @@ def test_salted_join_equals_plain(spark, skewed):
     assert salted == plain
 
 
+def test_salted_join_default_salt_spreads_and_matches(spark, skewed):
+    """With no unique_col, the salt must derive from the whole row (hashing
+    the join key would give every hot-key row the same salt — the silent
+    no-op ADVICE flagged in r2), and output must still equal the plain join."""
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(10)], "key long, name string"
+    )
+    out = salted_broadcast_join(skewed, dim, "key", n_salts=8)
+    plain = sorted(
+        (r["row_id"], r["name"])
+        for r in skewed.join(dim, "key").select("row_id", "name").collect()
+    )
+    salted = sorted((r["row_id"], r["name"]) for r in out.select("row_id", "name").collect())
+    assert salted == plain
+    # hot key 0 spreads: per-row hash over distinct row_ids hits many salts
+    n_salts_hit = (
+        skewed.where(F.col("key") == 0)
+        .select(
+            F.pmod(F.xxhash64("row_id", "key"), F.lit(8)).cast("int").alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts_hit > 1
+
+
+def test_salted_join_rejects_expanding_how(spark, skewed):
+    dim = spark.createDataFrame([(0, "x")], "key long, name string")
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_broadcast_join(skewed, dim, "key", how="full")
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_broadcast_join(skewed, dim, "key", how="right")
+
+
+def test_profile_table_hostile_column_names(spark):
+    """stack() SQL must survive quotes/spaces/hyphens in column names
+    (positional aliases + escaped literals)."""
+    from bicis_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["weird-col", "it's got space"])
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["weird-col"]["n_distinct"] == 2
+    assert rows["it's got space"]["n_nulls"] == 1
+
+
 def test_profile_table_exact(spark):
     from bicis_spark.operators.stats import profile_table
 
