@@ -98,17 +98,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_fuzzy_prefix",
     "neardup_survivors",
     "dedup_minhash_lsh_fast",
+    # -- new round-3 queries, never driver-checked ------------------------
+    "minhash_accuracy_contract",
+    "customers_without_events",
+    "salted_join_supplier_revenue",
+    "table_profile_orders_approx",
     # -- rotating core slots (fresh oracle fix + flagship plans) -----------
     "table_profile_orders",
     "hour_profile",
     "ml_dataset",
     "next_window_target",
     "sessionization",
-    "asof_latest_order",
     "pricing_summary",
-    "circular_lag_features",
-    "ols_fit_stats",
-    "union_all_sources",
 )
 
 

@@ -29,6 +29,7 @@ def test_driver_window_manifest_pinned():
         "glm_poisson_predictions",  # IRLS float iteration: no DuckDB twin
         "glm_poisson_mse",
         "dedup_minhash_lsh_fast",  # xxhash64 signatures: no DuckDB twin
+        "table_profile_orders_approx",  # HLL approx counts: no exact twin
     }
     missing = [n for n in first50 if n not in ORACLES and n not in rows_only]
     assert not missing, f"driver-window queries without oracle SQL: {missing}"
