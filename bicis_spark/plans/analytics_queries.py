@@ -1,0 +1,342 @@
+"""Declared queries for the round-3 analytics operators: ordered funnels,
+cohort retention, time-series gap fill + forward fill, declarative data-
+quality expectations, and sketch accuracy contracts (count-min, HLL).
+
+The reference's analytics surface is per-station pandas aggregation
+(bicis/etl/basic_features.py chained filters, notebook resample/fillna);
+these queries generalize that to the standard large-scale analytics
+battery, Spark-first. Oracle determinism follows the repo rules: integer
+arithmetic or exact DECIMAL sums everywhere, int/int double divisions
+(bitwise-identical IEEE ops on both engines), explicit BIGINT casts on
+every DuckDB aggregate (the UNION-branch HUGEINT lesson from rounds 1-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bicis_spark.operators.funnel import cohort_retention, funnel_counts
+from bicis_spark.operators.quality import (
+    check_foreign_key,
+    check_predicates,
+    check_unique,
+)
+from bicis_spark.operators.sketch import heavy_hitters_with_contract
+from bicis_spark.operators.timeseries import gap_fill_forward
+from bicis_spark.plans.queries import register
+from bicis_spark.sources.io import read_table
+
+# ---------------------------------------------------------------------------
+# Ordered funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+),
+c AS (
+    SELECT (SELECT count(*) FROM s1)::BIGINT AS n1,
+           (SELECT count(*) FROM s2)::BIGINT AS n2,
+           (SELECT count(*) FROM s3)::BIGINT AS n3
+)
+SELECT 1::BIGINT AS step, 'view' AS step_name, n1 AS n_users,
+       n1::DOUBLE / n1::DOUBLE AS conv_from_first FROM c
+UNION ALL
+SELECT 2::BIGINT, 'click', n2, n2::DOUBLE / n1::DOUBLE FROM c
+UNION ALL
+SELECT 3::BIGINT, 'purchase', n3, n3::DOUBLE / n1::DOUBLE FROM c
+"""
+
+
+@register("funnel_view_click_purchase", _FUNNEL_SQL)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> click -> purchase): each step counts
+    only events strictly after the user's previous-step time. Generalizes
+    the reference's chained per-step pandas filters
+    (bicis/etl/basic_features.py) to an arbitrary ordered funnel."""
+    events = read_table(spark, sf_dir, "events")
+    return funnel_counts(
+        events,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH first AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_bucket
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS act_bucket FROM events
+),
+j AS (
+    SELECT f.cohort_bucket,
+           (date_diff('day', f.cohort_bucket, a.act_bucket) / 7)::BIGINT
+               AS week_offset,
+           a.user_id
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    WHERE a.act_bucket >= f.cohort_bucket
+),
+per_cell AS (
+    SELECT cohort_bucket, week_offset, count(*)::BIGINT AS n_active
+    FROM j GROUP BY cohort_bucket, week_offset
+),
+sz AS (
+    SELECT cohort_bucket, count(*)::BIGINT AS n_cohort
+    FROM first GROUP BY cohort_bucket
+)
+SELECT p.cohort_bucket, p.week_offset, p.n_active, s.n_cohort,
+       p.n_active::DOUBLE / s.n_cohort::DOUBLE AS retention
+FROM per_cell p JOIN sz s ON p.cohort_bucket = s.cohort_bucket
+"""
+
+
+@register("cohort_retention_weekly", _COHORT_SQL)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup cohorts x weeks-since-signup activity matrix. The
+    activity side reduces to DISTINCT (user, week) before joining the
+    cohort table, so the full event stream never carries through."""
+    events = read_table(spark, sf_dir, "events")
+    return cohort_retention(
+        events, "user_id", "ts", F.col("event_type") == "signup", "week"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_SQL = """
+WITH obs AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS rev
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+spans AS (
+    SELECT event_type, min(hour) AS h0, max(hour) AS h1
+    FROM obs GROUP BY event_type
+),
+grid AS (
+    SELECT event_type,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM spans
+),
+j AS (
+    SELECT g.event_type, g.hour,
+           coalesce(o.n_events, 0)::BIGINT AS n_events, o.rev
+    FROM grid g LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.hour = o.hour
+)
+SELECT event_type, hour, n_events,
+       CAST(last_value(rev IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_ffill
+FROM j
+"""
+
+
+@register("hourly_gap_fill_ffill", _GAP_FILL_SQL)
+def hourly_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly grid over each type's observed span: missing
+    hours appear with n_events = 0 and the revenue forward-filled from the
+    last observed hour. Distributed equivalent of the reference's pandas
+    reindex + fillna (notebook resample; bicis/etl/basic_features.py
+    dense profile matrix). Sums go through exact DECIMAL."""
+    events = read_table(spark, sf_dir, "events")
+    obs = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_rev"),
+    )
+    filled = gap_fill_forward(
+        obs, "event_type", "hour", zero_fill_cols=["n_events"],
+        ffill_cols=["_rev"],
+    )
+    return filled.select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("_rev").cast("double").alias("rev_ffill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = """
+SELECT 'totalprice_positive' AS check_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+           THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+       (sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+            THEN 1 ELSE 0 END)::BIGINT = 0) AS passed
+FROM orders
+UNION ALL
+SELECT 'totalprice_below_450k', count(*)::BIGINT,
+       sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END)::BIGINT,
+       (sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END)::BIGINT = 0)
+FROM orders
+UNION ALL
+SELECT 'orderdate_not_null', count(*)::BIGINT,
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       (sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT = 0)
+FROM orders
+UNION ALL
+SELECT 'status_valid', count(*)::BIGINT,
+       sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  OR o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       (sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                   OR o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT = 0)
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique', count(*)::BIGINT,
+       (count(*) - count(DISTINCT o_orderkey))::BIGINT,
+       ((count(*) - count(DISTINCT o_orderkey))::BIGINT = 0)
+FROM orders
+UNION ALL
+SELECT 'custkey_fk', (SELECT count(*) FROM orders)::BIGINT,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT,
+       ((SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))::BIGINT = 0)
+"""
+
+
+@register("quality_expectations", _QUALITY_SQL)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declared constraint suite over orders: four row
+    predicates (one conditional-aggregation scan for all four), key
+    uniqueness, and referential integrity to customer. Generalizes the
+    reference's ad-hoc row guards + fails report
+    (bicis/etl/unify_data.py). totalprice_below_450k intentionally fails
+    on the test data, exercising the violation path."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    preds = check_predicates(
+        orders,
+        {
+            "totalprice_positive": (F.col("o_totalprice") <= 0)
+            | F.col("o_totalprice").isNull(),
+            "totalprice_below_450k": F.col("o_totalprice") > 450000,
+            "orderdate_not_null": F.col("o_orderdate").isNull(),
+            "status_valid": ~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull(),
+        },
+    )
+    uniq = check_unique(orders, "orderkey_unique", "o_orderkey")
+    fk = check_foreign_key(
+        orders, "o_custkey", customer, "c_custkey", "custkey_fk"
+    )
+    return (
+        preds.unionAll(uniq)
+        .unionAll(fk)
+        .withColumnRenamed("check", "check_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch accuracy contracts
+# ---------------------------------------------------------------------------
+
+_CMS_SQL = """
+SELECT user_id, count(*)::BIGINT AS exact_n, true AS est_ge_exact
+FROM events GROUP BY user_id
+ORDER BY exact_n DESC, user_id
+LIMIT 20
+"""
+
+
+@register("cms_heavy_hitters", _CMS_SQL)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest event users with the count-min one-sided guarantee
+    hash-gated per key: the oracle recomputes the exact counts and replays
+    est_ge_exact = true, which CMS guarantees deterministically — an
+    underestimating sketch bug fails the hash."""
+    events = read_table(spark, sf_dir, "events")
+    return heavy_hitters_with_contract(
+        events, "user_id", k=20, depth=4, width=1024
+    )
+
+
+_HLL_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+       true AS approx_within_10pct
+FROM events GROUP BY event_type
+"""
+
+
+@register("hll_distinct_contract", _HLL_SQL)
+def hll_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact distinct users + the HLL++ accuracy contract:
+    approx_count_distinct (rsd=0.05) must land within 10% of exact. The
+    sketch is order-insensitive (max-merge of register arrays), so the
+    flag is deterministic for a given dataset. At 100 TB the approx path
+    IS the plan (fixed-size registers, no distinct shuffle); this query
+    keeps it honest against the exact path while the data is small enough
+    to afford both."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.05).cast("double")
+                - F.countDistinct("user_id").cast("double")
+            )
+            <= 0.1 * F.countDistinct("user_id").cast("double")
+        ).alias("approx_within_10pct"),
+    )
+
+
+_QUANTILE_SQL = """
+SELECT quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem
+"""
+
+
+@register("quantile_interpolation", _QUANTILE_SQL)
+def quantile_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles of l_quantity. Both engines use the
+    same linear-interpolation definition (pos = p * (n-1)); l_quantity is
+    integer-valued and the probe fractions are exact binary doubles, so
+    the interpolated values are bitwise identical. The 100 TB path swaps
+    in approx_percentile (GK sketch) — this query pins the exact
+    semantics the sketch approximates."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.expr("percentile(l_quantity, 0.25D)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50D)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
+        F.expr("percentile(l_quantity, 0.95D)").alias("p95"),
+    )

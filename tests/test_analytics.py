@@ -1,0 +1,171 @@
+"""Semantics tests for the round-3 analytics operators: ordered funnel,
+cohort retention, gap fill + forward fill, quality expectations, CMS."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bicis_spark.operators.funnel import (
+    cohort_retention,
+    funnel_counts,
+    funnel_step_times,
+)
+from bicis_spark.operators.quality import (
+    check_foreign_key,
+    check_predicates,
+    check_unique,
+)
+from bicis_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    heavy_hitters_with_contract,
+)
+from bicis_spark.operators.timeseries import gap_fill_forward
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, kind string")
+
+
+STEPS = lambda: [  # noqa: E731
+    ("a", F.col("kind") == "a"),
+    ("b", F.col("kind") == "b"),
+    ("c", F.col("kind") == "c"),
+]
+
+
+def test_funnel_requires_strict_order(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes a -> b -> c in order
+            (1, _ts(1), "a"), (1, _ts(2), "b"), (1, _ts(3), "c"),
+            # u2's b happens BEFORE its a: stops at step 1
+            (2, _ts(5), "a"), (2, _ts(4), "b"),
+            # u3's c ties u3's b exactly: strict > excludes it
+            (3, _ts(1), "a"), (3, _ts(2), "b"), (3, _ts(2), "c"),
+            # u4 never does step a: not in the funnel at all
+            (4, _ts(1), "b"), (4, _ts(2), "c"),
+        ],
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(ev, "user_id", "ts", STEPS()).collect()
+    }
+    assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_funnel_uses_first_qualifying_time(spark):
+    # u1 has an early a; a later second a must not reopen the window:
+    # b before the FIRST a fails even though it follows the second a.
+    ev = _events(spark, [(1, _ts(3), "a"), (1, _ts(5), "a"), (1, _ts(4), "b")])
+    times = funnel_step_times(ev, "user_id", "ts", STEPS()[:2]).collect()[0]
+    assert times["t_a"] == _ts(3)
+    assert times["t_b"] == _ts(4)  # 4 > 3: qualifies against the first a
+
+
+def test_funnel_counts_monotonic(spark, sf_dir):
+    from bicis_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = (
+        funnel_counts(
+            ev,
+            "user_id",
+            "ts",
+            [
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+                ("purchase", F.col("event_type") == "purchase"),
+            ],
+        )
+        .orderBy("step")
+        .collect()
+    )
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0]["conv_from_first"] == 1.0
+
+
+def test_cohort_offset_zero_is_full_retention(spark, sf_dir):
+    """The qualifying event itself is activity in the cohort week, so every
+    cohort's week_offset=0 cell retains 100%."""
+    from bicis_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = cohort_retention(
+        ev, "user_id", "ts", F.col("event_type") == "signup", "week"
+    )
+    zero = out.where(F.col("week_offset") == 0).collect()
+    assert zero, "no offset-0 cells"
+    for r in zero:
+        assert r["n_active"] == r["n_cohort"]
+        assert r["retention"] == 1.0
+    # offsets never negative, retention never above 1
+    assert out.where(
+        (F.col("week_offset") < 0) | (F.col("retention") > 1.0)
+    ).count() == 0
+
+
+def test_gap_fill_forward(spark):
+    obs = spark.createDataFrame(
+        [
+            ("x", _ts(1), 5, 10.0),
+            ("x", _ts(4), 2, 7.0),  # hours 2 and 3 missing
+            ("y", _ts(2), 1, 3.0),
+        ],
+        "k string, hour timestamp, n long, v double",
+    )
+    out = gap_fill_forward(
+        obs, "k", "hour", zero_fill_cols=["n"], ffill_cols=["v"]
+    )
+    x = {r["hour"].hour: (r["n"], r["v"]) for r in out.where("k = 'x'").collect()}
+    assert x == {1: (5, 10.0), 2: (0, 10.0), 3: (0, 10.0), 4: (2, 7.0)}
+    y = {r["hour"].hour: (r["n"], r["v"]) for r in out.where("k = 'y'").collect()}
+    assert y == {2: (1, 3.0)}  # single observed hour: grid is one cell
+
+
+def test_quality_checks(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (2, None), (4, 3.0)], "id long, amt double"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "id long")
+    preds = check_predicates(
+        df,
+        {
+            "amt_positive": (F.col("amt") <= 0) | F.col("amt").isNull(),
+            "id_small": F.col("id") > 100,
+        },
+    )
+    got = {r["check"]: (r["n_rows"], r["n_violations"], r["passed"])
+           for r in preds.collect()}
+    assert got["amt_positive"] == (4, 2, False)
+    assert got["id_small"] == (4, 0, True)
+
+    uniq = check_unique(df, "id_unique", "id").collect()[0]
+    assert (uniq["n_violations"], uniq["passed"]) == (1, False)
+
+    fk = check_foreign_key(df, "id", parent, "id", "fk").collect()[0]
+    assert (fk["n_rows"], fk["n_violations"], fk["passed"]) == (4, 1, False)
+
+
+def test_cms_never_underestimates(spark):
+    rows = [(i % 7,) for i in range(500)] + [(99,)] * 300
+    df = spark.createDataFrame(rows, "k long")
+    exact = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counters = cms_build(df, "k", depth=4, width=64)
+    est = cms_estimate(counters, df.select("k").distinct(), "k", depth=4, width=64)
+    for r in est.collect():
+        assert r["cms_est"] >= exact[r["k"]], r
+
+    hh = heavy_hitters_with_contract(df, "k", k=3, depth=4, width=64)
+    got = hh.orderBy(F.desc("exact_n")).collect()
+    assert got[0]["k"] == 99 and got[0]["exact_n"] == 300
+    assert all(r["est_ge_exact"] for r in got)
