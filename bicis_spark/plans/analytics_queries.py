@@ -316,6 +316,123 @@ def hll_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Full-outer reconciliation, decile binning, fixed-width histogram
+# ---------------------------------------------------------------------------
+
+_RECON_SQL = """
+WITH o AS (
+    SELECT o_custkey AS key, count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+e AS (
+    SELECT user_id AS key, count(*)::BIGINT AS n_events
+    FROM events GROUP BY user_id
+)
+SELECT coalesce(o.key, e.key)::BIGINT AS key,
+       coalesce(o.n_orders, 0)::BIGINT AS n_orders,
+       coalesce(e.n_events, 0)::BIGINT AS n_events,
+       CASE WHEN o.key IS NULL THEN 'events_only'
+            WHEN e.key IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM o FULL OUTER JOIN e ON o.key = e.key
+"""
+
+
+@register("customer_event_reconciliation", _RECON_SQL)
+def customer_event_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-outer reconciliation of two aggregate ledgers (orders per
+    customer vs events per user): every key from either side with both
+    counts and a presence tag. Both sides reduce to one row per key
+    BEFORE the join, so the full-outer shuffle moves |keys| rows, not
+    the raw tables."""
+    orders = read_table(spark, sf_dir, "orders")
+    events = read_table(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_custkey").alias("o_key")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    e = events.groupBy(F.col("user_id").alias("e_key")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    joined = o.join(e, o["o_key"] == e["e_key"], "full_outer")
+    return joined.select(
+        F.coalesce("o_key", "e_key").cast("long").alias("key"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("o_key").isNull(), "events_only")
+        .when(F.col("e_key").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+_DECILE_SQL = """
+WITH ranked AS (
+    SELECT l_quantity, ntile(10) OVER (ORDER BY l_quantity) AS decile
+    FROM lineitem
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM ranked GROUP BY decile
+"""
+
+
+@register("quantity_deciles", _DECILE_SQL)
+def quantity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of l_quantity via ntile(10). Ties
+    permute only rows with EQUAL quantity across the fixed bucket sizes,
+    so the per-decile aggregates are deterministic even though row
+    assignment under ties is not. ntile needs a single total order —
+    fine here, but the 100 TB feature-binning path is approx_percentile
+    cutoffs (quantile_interpolation pins those semantics); this query
+    pins the exact-rank reference."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    ranked = li.select(
+        "l_quantity",
+        F.ntile(10).over(Window.orderBy("l_quantity")).alias("decile"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    ).select(F.col("decile").cast("long").alias("decile"), "n", "min_qty",
+             "max_qty", "sum_qty")
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       count(*)::BIGINT AS n,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM orders
+GROUP BY CAST(floor(o_totalprice / 25000.0) AS BIGINT)
+"""
+
+
+@register("totalprice_histogram", _HISTOGRAM_SQL)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (25k buckets): a single
+    map-side-combined hash aggregate — the scale-safe binning shape
+    (bucket count bounded by the value range, not the row count). The
+    bucket id is floor of an identical IEEE double division on both
+    engines."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
 _QUANTILE_SQL = """
 SELECT quantile_cont(l_quantity, 0.25) AS p25,
        quantile_cont(l_quantity, 0.50) AS p50,
