@@ -1,0 +1,80 @@
+"""PageRank on DataFrames with fixed-point integer arithmetic.
+
+Together with connected components (extensions/dedup.py, min-label +
+pointer doubling) this gives the engine an iterative-graph surface: each
+iteration is the Pregel step expressed relationally — join ranks to
+edges, integer-divide by out-degree, hash-aggregate inflow per dst, apply
+damping. No RDDs, no graph library: two shuffles per iteration (rank join
+on src, inflow agg on dst), both on stable keys AQE can handle.
+
+All arithmetic is scaled integers (rank × 1e6, damping as a rational
+85/100 with floor division), so results are bitwise deterministic under
+any partitioning / execution order — float summation order never enters —
+and the declared oracle unrolls the identical recurrence in SQL.
+
+At 100 TB scale: ranks and degrees are |V|-sized, edges |E|-sized; every
+stage is a key-partitioned join/agg with map-side partial aggregation on
+the inflow sum. Iteration count is fixed (power iteration converges
+geometrically; 5-20 rounds is the practical envelope). For long loops the
+plan lineage should be truncated every few rounds exactly as the
+connected-components loop does (localCheckpoint); at 5 rounds the plan
+stays shallow enough that the optimizer handles it whole.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """(node, rank_fp) after ``n_iter`` power iterations of
+
+        rank(v) <- base + (damping_num * sum_{u->v} rank(u) DIV outdeg(u))
+                            DIV damping_den
+
+    with base = scale * (damping_den - damping_num) DIV damping_den and
+    every rank held as a scaled BIGINT. ``edges`` must have distinct
+    (src, dst) rows; every src contributes, nodes with no inbound edges
+    settle at base."""
+    base = scale * (damping_den - damping_num) // damping_den
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    ranks = verts.select(
+        "v", F.lit(scale).cast("long").alias("rank_fp")
+    )
+    ew = edges.join(deg, on="src")
+    for _ in range(n_iter):
+        inflow = (
+            ew.join(ranks.withColumnRenamed("v", "src"), on="src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank_fp div outdeg")).alias("_inflow"))
+        )
+        ranks = (
+            verts.join(
+                inflow.withColumnRenamed("dst", "v"), on="v", how="left"
+            )
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_inflow, 0L)) "
+                        f"div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_fp"),
+            )
+        )
+    return ranks.select(F.col("v").alias("node"), "rank_fp")

@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bicis_spark.operators.funnel import cohort_retention, funnel_counts
+from bicis_spark.operators.graph import pagerank_fixed_point
+from bicis_spark.operators.intervals import interval_overlap_join
+from bicis_spark.operators.shuffle_order import epoch_shuffle
 from bicis_spark.operators.quality import (
     check_foreign_key,
     check_predicates,
@@ -431,6 +434,137 @@ def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+_INTERVAL_SQL = """
+WITH err AS (
+    SELECT event_id AS error_id, ts AS e_start,
+           ts + INTERVAL 30 MINUTE AS e_end
+    FROM events WHERE event_type = 'error'
+),
+pur AS (
+    SELECT event_id AS purchase_id, ts AS p_start,
+           ts + INTERVAL 30 MINUTE AS p_end
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT err.error_id, pur.purchase_id
+FROM err JOIN pur
+  ON err.e_start <= pur.p_end AND pur.p_start <= err.e_end
+"""
+
+
+@register("interval_overlap_error_purchase", _INTERVAL_SQL)
+def interval_overlap_error_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval-overlap join (error windows x purchase windows, 30-minute
+    extents) via the bucketed decomposition: equi-join on epoch buckets +
+    ownership dedup — never the O(|L|·|R|) BroadcastNestedLoopJoin a
+    naive theta-join plans to. The oracle is the plain inequality join
+    (DuckDB IEJoin), proving the bucketed plan emits exactly the true
+    overlap set, each pair once."""
+    events = read_table(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    err = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_start"),
+        (F.col("ts") + half_hour).alias("e_end"),
+    )
+    pur = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + half_hour).alias("p_end"),
+    )
+    pairs = interval_overlap_join(
+        err, pur, "e_start", "e_end", "p_start", "p_end", width_s=1800
+    )
+    return pairs.select("error_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-order shuffle and iterative PageRank
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SQL = """
+WITH k AS (
+    SELECT doc_id, md5('3:' || doc_id::VARCHAR) AS key FROM documents
+),
+s AS (
+    SELECT doc_id, key,
+           (('0x' || substr(key, 1, 8))::BIGINT % 8)::BIGINT AS shard
+    FROM k
+)
+SELECT shard,
+       row_number() OVER (
+           PARTITION BY shard ORDER BY key, doc_id
+       )::BIGINT AS position,
+       doc_id
+FROM s
+"""
+
+
+@register("training_epoch_shuffle", _SHUFFLE_SQL)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-3 deterministic training shuffle of the document corpus:
+    md5(epoch:id) gives the pseudo-random order and shard assignment with
+    zero RNG state, so loaders, retries, and re-runs agree. md5 is RFC
+    1321 on both engines, so key, shard, AND position replay bit-for-bit
+    in the oracle. Only shuffle: the per-shard window exchange — no
+    global sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    return epoch_shuffle(
+        docs.select("doc_id"), "doc_id", epoch=3, n_shards=8
+    ).select("shard", "position", "doc_id")
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unrolled fixed-point PageRank recurrence (DuckDB disallows
+    aggregates over the recursive reference, so the fixed iteration count
+    becomes chained CTEs — same codegen pattern as the SimHash oracle)."""
+    parts = [
+        """WITH u AS (
+    SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b FROM lineitem
+),
+e AS (
+    SELECT a AS src, b AS dst FROM u UNION SELECT b, a FROM u
+),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT v, 1000000::BIGINT AS rank_fp FROM v)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", r{i} AS (
+    SELECT v.v, (150000 + (85 * coalesce(inf.s, 0)) // 100)::BIGINT AS rank_fp
+    FROM v LEFT JOIN (
+        SELECT e.dst AS v, sum(r.rank_fp // d.outdeg)::BIGINT AS s
+        FROM e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON r.v = e.src
+        GROUP BY e.dst
+    ) inf ON v.v = inf.v
+)"""
+        )
+    parts.append(f"\nSELECT v AS node, rank_fp FROM r{n_iter}")
+    return "".join(parts)
+
+
+@register("pagerank_part_supplier", _pagerank_oracle(5))
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five power iterations of fixed-point PageRank over the bipartite
+    part <-> supplier graph (nodes namespaced by parity: supplier = 2k,
+    part = 2k+1; edges both directions so no rank mass dangles). Scaled-
+    integer arithmetic makes every rank bitwise deterministic; the oracle
+    unrolls the identical recurrence."""
+    li = read_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        (F.col("l_suppkey") * 2).alias("a"),
+        (F.col("l_partkey") * 2 + 1).alias("b"),
+    )
+    edges = (
+        u.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(u.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, n_iter=5)
 
 
 _QUANTILE_SQL = """

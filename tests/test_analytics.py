@@ -155,6 +155,89 @@ def test_quality_checks(spark):
     assert (fk["n_rows"], fk["n_violations"], fk["passed"]) == (4, 1, False)
 
 
+def test_interval_overlap_join(spark):
+    from bicis_spark.operators.intervals import interval_overlap_join
+
+    def iv(rows, id_name, s_name, e_name):
+        return spark.createDataFrame(
+            [(i, _ts(s, sm), _ts(e, em)) for i, (s, sm, e, em) in rows],
+            f"{id_name} long, {s_name} timestamp, {e_name} timestamp",
+        )
+
+    left = iv(
+        [
+            (1, (1, 0, 5, 0)),   # spans many buckets
+            (2, (10, 0, 10, 30)),
+            (3, (20, 0, 20, 10)),
+        ],
+        "lid", "ls", "le",
+    )
+    right = iv(
+        [
+            (10, (2, 0, 3, 0)),   # inside lid=1 (shares several buckets)
+            (11, (5, 0, 6, 0)),   # touches lid=1 endpoint: closed => overlap
+            (12, (10, 31, 11, 0)),  # starts 1 min after lid=2 ends: no
+            (13, (19, 0, 20, 0)),  # touches lid=3 start
+        ],
+        "rid", "rs", "re",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", width_s=3600
+        ).collect()
+    )
+    # each pair exactly once despite multi-bucket sharing
+    assert got == [(1, 10), (1, 11), (3, 13)]
+
+
+def test_epoch_shuffle_deterministic_and_contiguous(spark):
+    from bicis_spark.operators.shuffle_order import epoch_shuffle
+
+    ids = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = epoch_shuffle(ids, "doc_id", epoch=1, n_shards=4)
+    b = epoch_shuffle(ids.repartition(7), "doc_id", epoch=1, n_shards=4)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b  # partitioning-invariant
+    # positions are 1..n contiguous within each shard
+    by_shard = {}
+    for doc_id, shard, pos in rows_a:
+        by_shard.setdefault(shard, []).append(pos)
+    assert len(by_shard) == 4
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # a different epoch produces a different order
+    c = sorted(map(tuple, epoch_shuffle(ids, "doc_id", epoch=2, n_shards=4).collect()))
+    assert c != rows_a
+
+
+def test_pagerank_matches_reference_loop(spark):
+    from bicis_spark.operators.graph import pagerank_fixed_point
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank_fixed_point(df, n_iter=5).collect()}
+
+    # pure-python replay of the fixed-point recurrence
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    nodes = {n for e in edges for n in e}
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        inflow = defaultdict(int)
+        for s, d in edges:
+            inflow[d] += rank[s] // outdeg[s]
+        rank = {n: 150_000 + (85 * inflow[n]) // 100 for n in nodes}
+    assert got == rank
+    # node 4 has no inbound edges: settles at base
+    assert got[4] == 150_000
+
+
 def test_cms_never_underestimates(spark):
     rows = [(i % 7,) for i in range(500)] + [(99,)] * 300
     df = spark.createDataFrame(rows, "k long")
