@@ -482,6 +482,55 @@ def interval_overlap_error_purchase(
 
 
 # ---------------------------------------------------------------------------
+# Statistical anomaly detection
+# ---------------------------------------------------------------------------
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+st AS (
+    SELECT event_type, count(*)::BIGINT AS n, sum(n_events)::BIGINT AS s,
+           sum(n_events * n_events)::BIGINT AS q
+    FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.n_events
+FROM hourly h JOIN st ON h.event_type = st.event_type
+WHERE (st.n * h.n_events - st.s) * (st.n * h.n_events - st.s)
+      > 9 * (st.n * st.q - st.s * st.s)
+"""
+
+
+@register("hourly_anomalies", _ANOMALY_SQL)
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier hours per event type, with the sigma test done
+    entirely in integers: |x - mu| > 3*sigma over hourly counts x is
+    algebraically (n*x - S)^2 > 9*(n*Q - S^2) with S = sum(x),
+    Q = sum(x^2) — no float mean/stddev ever computed, so both engines
+    agree bitwise. Two hash aggregates + a 5-row broadcast join; the
+    statistics are over OBSERVED hours (compose with hourly_gap_fill_ffill
+    to include silent-zero hours)."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    st = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    dev = F.col("n") * F.col("n_events") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        hourly.join(F.broadcast(st), on="event_type")
+        .where(dev * dev > 9 * var_n2)
+        .select("event_type", "hour", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-order shuffle and iterative PageRank
 # ---------------------------------------------------------------------------
 
