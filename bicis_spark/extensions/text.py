@@ -175,3 +175,52 @@ def tfidf_top_terms(
         .where(F.col("_rk") <= k)
         .select(id_col, "token", "tf_d", "df", "score")
     )
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-id encoding against a corpus-derived vocabulary: dense ids
+    1..vocab_size by (tf desc, token) rank, 0 = OOV. Output
+    [id_col, n_tokens, n_oov, ids_str].
+
+    Plan shape (scales to 100 TB): the vocabulary aggregates corpus-wide
+    (vocab-sized shuffle), collapses to ONE map row, and broadcasts; each
+    document then encodes via ``transform`` + ``element_at`` — pure
+    map-side column expressions, the corpus is never exploded, re-shuffled,
+    or re-assembled. The single-partition vocab ranking window is bounded
+    by construction (a tokenizer vocabulary fits one task by definition).
+    """
+    dt = term_doc_counts(df, text_col, id_col)
+    vocab = dt.groupBy("token").agg(F.sum("tf_d").cast("long").alias("tf"))
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    vocab_ids = (
+        vocab.withColumn("id", F.row_number().over(w).cast("long"))
+        .where(F.col("id") <= vocab_size)
+    )
+    vmap = vocab_ids.agg(
+        F.map_from_arrays(
+            F.collect_list("token"), F.collect_list("id")
+        ).alias("_vmap")
+    )
+    toks = F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    ids = F.transform(
+        toks, lambda t: F.coalesce(F.element_at("_vmap", t), F.lit(0))
+    )
+    return (
+        df.crossJoin(F.broadcast(vmap))
+        .select(F.col(id_col), ids.alias("_ids"))
+        .select(
+            id_col,
+            F.size("_ids").cast("long").alias("n_tokens"),
+            F.size(F.filter("_ids", lambda x: x == 0))
+            .cast("long")
+            .alias("n_oov"),
+            F.concat_ws(
+                " ", F.transform("_ids", lambda x: x.cast("string"))
+            ).alias("ids_str"),
+        )
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bicis_spark.extensions.text import encode_documents
 from bicis_spark.operators.funnel import cohort_retention, funnel_counts
 from bicis_spark.operators.graph import pagerank_fixed_point
 from bicis_spark.operators.intervals import interval_overlap_join
@@ -479,6 +480,87 @@ def interval_overlap_error_purchase(
         err, pur, "e_start", "e_end", "p_start", "p_end", width_s=1800
     )
     return pairs.select("error_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary encoding and bounded-state streaming dedup
+# ---------------------------------------------------------------------------
+
+_ENCODE_SQL = """
+WITH dt AS (
+    SELECT doc_id, token, count(*)::BIGINT AS tf_d FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ) GROUP BY doc_id, token
+),
+v AS (SELECT token, sum(tf_d)::BIGINT AS tf FROM dt GROUP BY token),
+vid AS (
+    SELECT token,
+           row_number() OVER (ORDER BY tf DESC, token)::BIGINT AS id
+    FROM v QUALIFY id <= 1000
+),
+m AS (
+    SELECT map(list(token ORDER BY token), list(id ORDER BY token)) AS vmap
+    FROM vid
+),
+enc AS (
+    SELECT doc_id,
+           list_transform(
+               coalesce(string_split(text, ' '), CAST([] AS VARCHAR[])),
+               t -> coalesce(vmap[t][1], 0::BIGINT)
+           ) AS ids
+    FROM documents, m
+)
+SELECT doc_id, len(ids)::BIGINT AS n_tokens,
+       len(list_filter(ids, x -> x = 0))::BIGINT AS n_oov,
+       array_to_string(ids, ' ') AS ids_str
+FROM enc
+"""
+
+
+@register("vocab_encode_documents", _ENCODE_SQL)
+def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenize-and-encode: top-1000 vocabulary by term frequency
+    (dense ids, deterministic tie-break), then every document encoded to
+    id sequences via a BROADCAST token->id map + `transform` — the corpus
+    is never exploded or shuffled. Ids serialize to a string so the
+    comparison is scalar-exact."""
+    docs = read_table(spark, sf_dir, "documents")
+    return encode_documents(docs, vocab_size=1000)
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour
+    FROM events
+    """,
+)
+def streaming_dedup_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via dropDuplicatesWithinWatermark:
+    one emission per (user, type, hour-bucket). The bucket rides in the
+    key and the 2h delay exceeds the 1h bucket span, so every duplicate
+    pair sits inside the state horizon — emitted set == batch DISTINCT
+    (single-file staging ⇒ one microbatch ⇒ no mid-stream eviction
+    either). The unbounded-state variant is streaming_distinct_user_types;
+    this one's state is keys-per-horizon, the infinite-key-space shape."""
+    from bicis_spark.plans.pipeline_queries import _staged_events_dir
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import (
+        dedup_within_watermark_stream,
+        read_events_stream,
+        run_append_to_completion,
+    )
+
+    src = _staged_events_dir(spark, sf_dir, single_file=True)
+    stream = read_events_stream(spark, src, EVENTS)
+    keyed = stream.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    return run_append_to_completion(
+        dedup_within_watermark_stream(
+            keyed, ["user_id", "event_type", "hour"], "ts", "2 hours"
+        ),
+        "streaming_dedup_watermark_mem",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -129,6 +129,29 @@ def distinct_keys_stream(events: DataFrame, key_cols: list[str]) -> DataFrame:
     return events.select(*key_cols).dropDuplicates(key_cols)
 
 
+def dedup_within_watermark_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    holds a key's state only until the watermark passes its event time +
+    ``delay``, so state size is keys-per-horizon — the variant that
+    survives an infinite key space (100 TB/day of events), unlike
+    ``dropDuplicates`` whose state grows forever.
+
+    The contract this engine declares: include the key's time bucket in
+    ``key_cols`` and choose ``delay`` > the bucket span; then all
+    duplicates of a key are closer together than the state horizon and
+    each bucket-key emits exactly once — batch DISTINCT equality."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .select(*key_cols)
+    )
+
+
 def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Like run_to_completion but append mode — required for stream-stream
     joins and streaming dedup (complete mode is aggregation-only)."""
