@@ -21,6 +21,7 @@ from bicis_spark.operators.funnel import cohort_retention, funnel_counts
 from bicis_spark.operators.graph import pagerank_fixed_point
 from bicis_spark.operators.intervals import interval_overlap_join
 from bicis_spark.operators.shuffle_order import epoch_shuffle
+from bicis_spark.operators.snapshot import snapshot_diff
 from bicis_spark.operators.quality import (
     check_foreign_key,
     check_predicates,
@@ -561,6 +562,64 @@ def streaming_dedup_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "streaming_dedup_watermark_mem",
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-version reconciliation)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_SQL = """
+WITH old AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority, o_orderdate
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority, o_orderdate
+    FROM orders WHERE o_orderkey % 89 = 0
+),
+j AS (
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_custkey     IS DISTINCT FROM n.o_custkey
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                  OR o.o_orderdate   IS DISTINCT FROM n.o_orderdate
+                THEN 'changed' END AS status
+    FROM old o FULL OUTER JOIN orders n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, status FROM j WHERE status IS NOT NULL
+"""
+
+
+@register("snapshot_diff_orders", _SNAPSHOT_SQL)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version reconciliation: a deterministically-drifted old
+    snapshot (keys mod 97 missing, totalprice bumped on keys mod 101,
+    phantom keys from mod 89) diffed against the current orders table
+    into added/removed/changed rows. One column-pruned full-outer join;
+    unchanged keys (the bulk) never leave it."""
+    orders = read_table(spark, sf_dir, "orders")
+    compare = [
+        "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate",
+    ]
+    base = orders.where(F.pmod(F.col("o_orderkey"), F.lit(97)) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.pmod(F.col("o_orderkey"), F.lit(101)) == 0,
+            F.col("o_totalprice") + 1.0,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    extra = orders.where(F.pmod(F.col("o_orderkey"), F.lit(89)) == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    old = base.unionByName(extra)
+    return snapshot_diff(old, orders, ["o_orderkey"], compare)
 
 
 # ---------------------------------------------------------------------------

@@ -238,6 +238,41 @@ def test_pagerank_matches_reference_loop(spark):
     assert got[4] == 150_000
 
 
+def test_snapshot_diff_statuses(spark):
+    from bicis_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),   # unchanged: dropped from output
+         (2, "b", 20.0),   # null -> value: changed (null-safe compare)
+         (3, "x", 30.0),   # string changed
+         (5, "e", 50.0)],  # added; id=4 removed
+        "id long, s string, v double",
+    )
+    got = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_encode_documents_oov_and_null(spark):
+    from bicis_spark.extensions.text import encode_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a zz"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            encode_documents(docs, vocab_size=1).collect()}
+    # vocab_size=1 keeps only 'a' (tf=3); 'b' and 'zz' are OOV (id 0)
+    assert rows[1]["ids_str"] == "1 0 1"
+    assert (rows[1]["n_tokens"], rows[1]["n_oov"]) == (3, 1)
+    assert (rows[2]["n_tokens"], rows[2]["n_oov"]) == (2, 1)
+    assert (rows[3]["n_tokens"], rows[3]["n_oov"], rows[3]["ids_str"]) == (0, 0, "")
+
+
 def test_cms_never_underestimates(spark):
     rows = [(i % 7,) for i in range(500)] + [(99,)] * 300
     df = spark.createDataFrame(rows, "k long")
