@@ -45,6 +45,12 @@ HEADLINE = [
     "benchmark_decontamination",  # broadcast n-gram semi-join (corpus unshuffled)
     "sequence_packing",        # per-shard concat-and-chunk packing window
     "tfidf_top_terms",         # explode agg + broadcast vocab join
+    # round-3 additions
+    "funnel_view_click_purchase",  # ordered funnel (chained user-key joins)
+    "interval_overlap_error_purchase",  # bucketed interval-overlap join
+    "vocab_encode_documents",  # broadcast-map token encoding (corpus unshuffled)
+    "pagerank_part_supplier",  # iterative fixed-point graph (5 rounds)
+    "snapshot_diff_orders",    # full-outer version reconciliation
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -105,6 +111,15 @@ def main() -> None:
         "range_join_recent_orders", "curation_pipeline",
     ]
     r1_overlap = round(sum(timings[q] for q in r1_set if q in timings), 4)
+    # round-2 comparability: everything except the round-3 additions
+    r3_set = {
+        "funnel_view_click_purchase", "interval_overlap_error_purchase",
+        "vocab_encode_documents", "pagerank_part_supplier",
+        "snapshot_diff_orders",
+    }
+    r2_overlap = round(
+        sum(t for q, t in timings.items() if q not in r3_set), 4
+    )
     print(
         json.dumps(
             {
@@ -113,6 +128,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "r1_overlap_total": r1_overlap,
+                "r2_overlap_total": r2_overlap,
                 "ann_mean_recall": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
