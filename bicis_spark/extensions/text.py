@@ -177,6 +177,88 @@ def tfidf_top_terms(
     )
 
 
+def doc_cosine_topk(
+    df: DataFrame,
+    k: int = 3,
+    df_min: int = 2,
+    df_max: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` nearest documents per document by cosine similarity over
+    sparse term-frequency vectors, as an inverted-index join — the
+    doc-to-doc twin of the embedding ANN paths (similarity over CONTENT
+    rather than a trained vector).
+
+    Plan shape (scales to 100 TB): tokens outside the document-frequency
+    window [df_min, df_max] are pruned BEFORE any pair is formed — rare
+    terms (df < df_min) cannot produce a pair, and stop-like terms
+    (df > df_max) would each fan out df^2 pairs, so the cap bounds the
+    inverted-index join to df_max^2 pairs per token. Dot products and
+    squared norms are exact int64 sums of tf products (order-independent),
+    so the final cosine = dot / (sqrt(ss_a)*sqrt(ss_b)) is a deterministic
+    IEEE expression over exact integers and replays bitwise in the oracle.
+    Norms are over the PRUNED token space (consistent on both sides).
+    Shuffles: (doc,token) agg, token-keyed pair join, per-doc top-k window.
+    """
+    dt = term_doc_counts(df, text_col, id_col)
+    voc = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    keep = voc.where(
+        (F.col("df") >= df_min) & (F.col("df") <= df_max)
+    ).select("token")
+    tfk = dt.join(F.broadcast(keep), "token")
+    norms = tfk.groupBy(id_col).agg(
+        F.sum(F.col("tf_d") * F.col("tf_d")).cast("long").alias("ss")
+    )
+    a = tfk.select(
+        F.col(id_col).alias("id_a"), "token", F.col("tf_d").alias("tf_a")
+    )
+    b = tfk.select(
+        F.col(id_col).alias("id_b"), "token", F.col("tf_d").alias("tf_b")
+    )
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("ss").alias("ss_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("ss").alias("ss_b"))
+    scored = (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("ss_a").cast("double"))
+                * F.sqrt(F.col("ss_b").cast("double"))
+            ),
+        )
+    )
+    sym = scored.select(
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("neighbor_id"),
+        "dot",
+        "cosine",
+    ).unionAll(
+        scored.select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("neighbor_id"),
+            "dot",
+            "cosine",
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(id_col, "neighbor_id", "dot", "cosine", "rk")
+    )
+
+
 def encode_documents(
     df: DataFrame,
     vocab_size: int = 1000,

@@ -1,0 +1,126 @@
+"""ML featurization operators: the hashing trick for categorical columns
+and group-wise z-score / min-max scaling — the feature-engineering stage a
+training-data pipeline runs after curation, generalizing the reference's
+hand-built feature frame (bicis/etl/basic_features.py builds per-station
+feature columns in pandas; here the same shaping is declarative and
+dictionary-free).
+
+Scale + determinism notes:
+- Feature hashing needs NO vocabulary/dictionary build, no shuffle, and no
+  state: each (feature, value) maps to a slot via md5, a pure per-row
+  expression. That is the point of the trick at 100 TB — encoding is
+  embarrassingly parallel and new category values never require a refit.
+- md5 is RFC 1321 on both engines, so slots and signs replay bitwise in
+  the DuckDB oracle (same parity trick as the epoch shuffle).
+- Scaling statistics are exact int64 sums (S, Q = sum x^2); the z-score is
+  computed as (n*x - S) / sqrt((n*Q - S^2) * n / (n-1)) — every input to
+  the float expression is an exact integer, so the IEEE result is
+  deterministic. At 100 TB, swap the int64 accumulators for DECIMAL(38,0)
+  sums (n*Q can pass 2^63 around 10^10 rows of 5-digit values); the
+  expression shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_slot(feature: str, value: Column, n_buckets: int) -> Column:
+    """Slot index in [0, n_buckets) from the first 8 hex digits of
+    md5('<feature>:<value>')."""
+    h = F.md5(F.concat_ws(":", F.lit(feature), value.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    ).cast("long")
+
+
+def _hash_sign(feature: str, value: Column) -> Column:
+    """+1 / -1 from the parity of the 9th hex digit — the signed hashing
+    trick (Weinberger et al., 2009): collisions cancel in expectation
+    instead of always adding."""
+    h = F.md5(F.concat_ws(":", F.lit(feature), value.cast("string")))
+    digit = F.conv(F.substring(h, 9, 1), 16, 10).cast("long")
+    return F.when(digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: list[tuple[str, str]],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Signed hashing-trick encoding: each (feature, value) contributes
+    sign(hash) at slot(hash); contributions that collide in a slot sum.
+    Output [id_col, slot, val] — the sparse feature vector, one row per
+    occupied slot.
+
+    Plan: a union of per-feature projections (pure map-side), then one
+    hash aggregate on (id, slot). No dictionary, no broadcast, no second
+    pass — the only shuffle is the final group-by, which at 100 TB is
+    pre-combined map-side because (id, slot) repeats within a partition.
+    """
+    parts = [
+        df.select(
+            F.col(id_col),
+            _hash_slot(label, F.col(c), n_buckets).alias("slot"),
+            _hash_sign(label, F.col(c)).alias("sign"),
+        )
+        for label, c in feature_cols
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.groupBy(id_col, "slot")
+        .agg(F.sum("sign").cast("long").alias("val"))
+    )
+
+
+def scale_features(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    keep_cols: list[str],
+) -> DataFrame:
+    """Group-wise z-score and min-max scaling of an integer-valued column.
+
+    Per group g: z = (x - mean_g) / stddev_g computed as
+    (n*x - S) / sqrt((n*Q - S^2) * n / (n-1)), and
+    minmax = (x - min_g) / (max_g - min_g) — both pure functions of exact
+    integer group statistics, so bitwise-reproducible. Groups with n == 1
+    or zero variance / zero range yield NULL (guarded, not NaN).
+
+    Plan: one hash aggregate for the per-group statistics (map-side
+    combined), broadcast back onto the fact rows — the fact table itself
+    never shuffles, which is the property that matters at 100 TB.
+    """
+    x = F.col(value_col).cast("long")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_q"),
+        F.min(x).alias("_min"),
+        F.max(x).alias("_max"),
+    )
+    n, s, q = F.col("_n"), F.col("_s"), F.col("_q")
+    var_num = n * q - s * s  # n^2 * (n-1)/n * variance, exact int64
+    z = F.when(
+        (n > 1) & (var_num > 0),
+        (n * x - s).cast("double")
+        / F.sqrt(var_num.cast("double") * n.cast("double") / (n - 1).cast("double")),
+    )
+    rng = F.col("_max") - F.col("_min")
+    minmax = F.when(
+        rng > 0, (x - F.col("_min")).cast("double") / rng.cast("double")
+    )
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .select(
+            *keep_cols,
+            *group_cols,
+            x.alias(value_col),
+            z.alias("zscore"),
+            minmax.alias("minmax"),
+        )
+    )

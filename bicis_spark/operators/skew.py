@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,3 +103,47 @@ def salted_broadcast_join(
     )
     out = big_s.join(F.broadcast(small_s), [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Skew diagnosis: the ``top_n`` heaviest keys with their absolute
+    count, share of all rows, and ratio to the mean per-key load — the
+    numbers that decide whether a join/agg on this key needs salting, AQE
+    skew handling, or nothing.
+
+    Output [*key_cols, n, share, skew_ratio, rk]:
+    - share      = n / total_rows
+    - skew_ratio = n * n_keys / total_rows  (1.0 = perfectly uniform)
+
+    Plan: one map-combined count per key, a 1-row global rollup of
+    (total, n_keys) derived from the SAME aggregate subtree (exchange
+    reused, the fact table is scanned once), broadcast back, then a
+    top-n over the per-key counts. All ratios are exact-int/exact-int
+    double divisions.
+    """
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = per_key.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    w = Window.orderBy(F.desc("n"), *[F.asc(k) for k in key_cols])
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= top_n)
+        .select(
+            *key_cols,
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("n") * F.col("_n_keys")).cast("double")
+                / F.col("_total").cast("double")
+            ).alias("skew_ratio"),
+            "rk",
+        )
+    )

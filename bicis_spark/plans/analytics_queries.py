@@ -16,11 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bicis_spark.extensions.text import encode_documents
+from bicis_spark.extensions.text import doc_cosine_topk, encode_documents
+from bicis_spark.operators.bloom import bloom_semi_join
+from bicis_spark.operators.featurize import hashed_features, scale_features
 from bicis_spark.operators.funnel import cohort_retention, funnel_counts
 from bicis_spark.operators.graph import pagerank_fixed_point
 from bicis_spark.operators.intervals import interval_overlap_join
 from bicis_spark.operators.shuffle_order import epoch_shuffle
+from bicis_spark.operators.skew import key_skew_profile
 from bicis_spark.operators.snapshot import snapshot_diff
 from bicis_spark.operators.quality import (
     check_foreign_key,
@@ -755,6 +758,199 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_fixed_point(edges, n_iter=5)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi-join and key-skew diagnosis
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEMI_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+GROUP BY l_returnflag
+"""
+
+
+@register("bloom_pruned_part_revenue", _BLOOM_SEMI_SQL)
+def bloom_pruned_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem ⋉ (parts with p_size=1) with a broadcast bloom-bitmap
+    pre-filter on the fact scan, then the exact semi-join. The oracle is
+    the PLAIN semi-join — bloom false positives are provably absent from
+    the output, only from the shuffle. The 100 TB case: dimension key set
+    too big to broadcast, its 8 KiB bitmap is not."""
+    li = read_table(spark, sf_dir, "lineitem")
+    keys = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 1)
+        .select("p_partkey")
+    )
+    pruned = bloom_semi_join(li, keys, "l_partkey", "p_partkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+_SKEW_PROFILE_SQL = """
+WITH pk AS (
+    SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id
+),
+t AS (
+    SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM pk
+),
+r AS (
+    SELECT user_id, n,
+           row_number() OVER (ORDER BY n DESC, user_id)::BIGINT AS rk
+    FROM pk
+)
+SELECT r.user_id, r.n,
+       r.n::DOUBLE / t.total::DOUBLE AS share,
+       (r.n * t.n_keys)::DOUBLE / t.total::DOUBLE AS skew_ratio,
+       r.rk
+FROM r, t WHERE r.rk <= 20
+"""
+
+
+@register("key_skew_profile_events", _SKEW_PROFILE_SQL)
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest user_id keys in events with share-of-rows and
+    uniformity ratio — the diagnosis that decides between salting, AQE
+    skew join, or nothing. One scan: the global (total, n_keys) rollup
+    derives from the same per-key aggregate subtree."""
+    events = read_table(spark, sf_dir, "events")
+    return key_skew_profile(events, ["user_id"], top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# ML featurization: hashing trick + group-wise scaling
+# ---------------------------------------------------------------------------
+
+_HASHED_FEATS_SQL = """
+WITH u AS (
+    SELECT c_custkey, md5('mktsegment:' || c_mktsegment) AS h FROM customer
+    UNION ALL
+    SELECT c_custkey, md5('nationkey:' || c_nationkey::VARCHAR) AS h FROM customer
+),
+f AS (
+    SELECT c_custkey,
+           (('0x' || substr(h, 1, 8))::BIGINT % 64)::BIGINT AS slot,
+           (CASE WHEN ('0x' || substr(h, 9, 1))::BIGINT % 2 = 0
+                 THEN 1 ELSE -1 END)::BIGINT AS sign
+    FROM u
+)
+SELECT c_custkey, slot, sum(sign)::BIGINT AS val
+FROM f GROUP BY c_custkey, slot
+"""
+
+
+@register("hashed_features_customer", _HASHED_FEATS_SQL)
+def hashed_features_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick encoding of customer categoricals
+    (mktsegment, nationkey) into 64 slots: no vocabulary build, no
+    broadcast, pure per-row md5 slot/sign expressions + one map-combined
+    aggregate — the dictionary-free featurizer that stays embarrassingly
+    parallel at 100 TB."""
+    cust = read_table(spark, sf_dir, "customer")
+    return hashed_features(
+        cust,
+        "c_custkey",
+        [("mktsegment", "c_mktsegment"), ("nationkey", "c_nationkey")],
+        n_buckets=64,
+    )
+
+
+_SCALED_QTY_SQL = """
+WITH st AS (
+    SELECT l_returnflag, count(*)::BIGINT AS n, sum(l_quantity)::BIGINT AS s,
+           sum(l_quantity * l_quantity)::BIGINT AS q,
+           min(l_quantity)::BIGINT AS mn, max(l_quantity)::BIGINT AS mx
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber, l.l_returnflag,
+       l.l_quantity::BIGINT AS l_quantity,
+       CASE WHEN st.n > 1 AND st.n * st.q - st.s * st.s > 0 THEN
+           (st.n * l.l_quantity::BIGINT - st.s)::DOUBLE
+           / sqrt((st.n * st.q - st.s * st.s)::DOUBLE
+                  * st.n::DOUBLE / (st.n - 1)::DOUBLE)
+       END AS zscore,
+       CASE WHEN st.mx - st.mn > 0 THEN
+           (l.l_quantity::BIGINT - st.mn)::DOUBLE / (st.mx - st.mn)::DOUBLE
+       END AS minmax
+FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+"""
+
+
+@register("scaled_quantity_features", _SCALED_QTY_SQL)
+def scaled_quantity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score + min-max scaling of l_quantity per return flag.
+    The statistics are exact int64 sums; z = (n*x - S)/sqrt((n*Q - S^2)
+    * n/(n-1)) keeps every float op a deterministic function of exact
+    integers. One stats aggregate broadcast back — the fact table never
+    shuffles."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        "l_quantity",
+    )
+    return scale_features(
+        li, "l_quantity", ["l_returnflag"], ["l_orderkey", "l_linenumber"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse cosine doc-doc similarity join
+# ---------------------------------------------------------------------------
+
+_DOC_COSINE_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, count(*)::BIGINT AS tf_d FROM tok GROUP BY doc_id, token
+),
+voc AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+keep AS (SELECT token FROM voc WHERE df BETWEEN 2 AND 50),
+tfk AS (SELECT tf.doc_id, tf.token, tf.tf_d FROM tf JOIN keep USING (token)),
+norms AS (SELECT doc_id, sum(tf_d * tf_d)::BIGINT AS ss FROM tfk GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           sum(a.tf_d * b.tf_d)::BIGINT AS dot
+    FROM tfk a JOIN tfk b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+    SELECT id_a, id_b, dot,
+           dot::DOUBLE / (sqrt(na.ss::DOUBLE) * sqrt(nb.ss::DOUBLE)) AS cosine
+    FROM pairs
+    JOIN norms na ON pairs.id_a = na.doc_id
+    JOIN norms nb ON pairs.id_b = nb.doc_id
+),
+sym AS (
+    SELECT id_a AS doc_id, id_b AS neighbor_id, dot, cosine FROM scored
+    UNION ALL
+    SELECT id_b, id_a, dot, cosine FROM scored
+)
+SELECT doc_id, neighbor_id, dot, cosine, rk FROM (
+    SELECT doc_id, neighbor_id, dot, cosine,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id
+           )::BIGINT AS rk
+    FROM sym
+) WHERE rk <= 3
+"""
+
+
+@register("doc_cosine_topk", _DOC_COSINE_SQL)
+def doc_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar documents per document by sparse tf-vector
+    cosine, via an inverted-index join with a document-frequency window
+    prune (df in [2, 50]) so no token fans out more than df_max^2 pairs.
+    The content-similarity twin of the embedding ANN queries: same top-k
+    contract, but over exact token statistics with int64 dot products."""
+    docs = read_table(spark, sf_dir, "documents")
+    return doc_cosine_topk(docs, k=3, df_min=2, df_max=50)
 
 
 _QUANTILE_SQL = """
