@@ -1,0 +1,57 @@
+"""Slowly-changing-dimension (Type 2) build: collapse a keyed change
+stream into versioned dimension rows [key, attr, valid_from, valid_to,
+version, is_current].
+
+The reference keeps only current-state feature frames (pandas overwrite
+per run); SCD2 is the warehouse-standard way to keep the full history
+queryable with an as-of join (see operators/asof.py for the lookup side).
+
+Plan shape (scales to 100 TB): two windows over the SAME (key) partition
+ordering — change detection via lag(), interval close via lead() — so the
+fact stream shuffles ONCE on the dimension key and both windows run in
+that single exchange. Determinism: the window order includes a unique
+tiebreaker column, so equal-timestamp updates resolve identically
+everywhere (the repo's ntile/row_number total-order rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build the Type-2 history of ``attr_col`` per ``key_col``.
+
+    A new version opens at the first row whose attribute differs from the
+    previous row's (per key, ordered by (ts, tiebreak)); it closes at the
+    next version's valid_from (NULL valid_to = still current).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        df.select(key_col, attr_col, ts_col, tiebreak_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .where(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("version", F.row_number().over(w2).cast("long"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            key_col,
+            attr_col,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            "version",
+            "is_current",
+        )
+    )

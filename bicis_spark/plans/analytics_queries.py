@@ -977,3 +977,45 @@ def quantile_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.75D)").alias("p75"),
         F.expr("percentile(l_quantity, 0.95D)").alias("p95"),
     )
+
+
+_SCD2_SQL = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           lag(o_orderstatus) OVER w AS prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+    SELECT * FROM ranked WHERE prev IS NULL OR o_orderstatus <> prev
+)
+SELECT o_custkey,
+       o_orderstatus,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("scd2_customer_status", _SCD2_SQL)
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each customer's order
+    status over order dates: one row per (customer, status run) with
+    [valid_from, valid_to) interval, version number, and is_current flag.
+    The reference keeps only current-state frames (pandas overwrite per
+    run, bicis/etl/basic_features.py); SCD2 is the warehouse-standard way
+    to keep full history queryable with an as-of lookup. One shuffle on
+    the dimension key; both windows share the exchange."""
+    from bicis_spark.operators.scd import scd2_history
+
+    orders = read_table(spark, sf_dir, "orders")
+    return scd2_history(
+        orders,
+        key_col="o_custkey",
+        attr_col="o_orderstatus",
+        ts_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )

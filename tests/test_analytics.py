@@ -287,3 +287,48 @@ def test_cms_never_underestimates(spark):
     got = hh.orderBy(F.desc("exact_n")).collect()
     assert got[0]["k"] == 99 and got[0]["exact_n"] == 300
     assert all(r["est_ge_exact"] for r in got)
+
+
+def test_scd2_history_versions_and_intervals(spark):
+    from bicis_spark.operators.scd import scd2_history
+
+    rows = spark.createDataFrame(
+        [
+            # key 1: A A B A  -> versions A@1, B@3, A@4
+            (1, "A", _ts(1), 10),
+            (1, "A", _ts(2), 11),
+            (1, "B", _ts(3), 12),
+            (1, "A", _ts(4), 13),
+            # key 2: single constant run -> one open version
+            (2, "X", _ts(1), 20),
+            (2, "X", _ts(9), 21),
+            # key 3: equal timestamps, tiebreak decides order (31 < 32)
+            (3, "P", _ts(5), 31),
+            (3, "Q", _ts(5), 32),
+        ],
+        "k long, attr string, ts timestamp, uid long",
+    )
+    got = {
+        (r["k"], r["version"]): r
+        for r in scd2_history(rows, "k", "attr", "ts", "uid").collect()
+    }
+    assert len(got) == 3 + 1 + 2
+    assert got[(1, 1)]["attr"] == "A" and got[(1, 1)]["valid_to"] == _ts(3)
+    assert got[(1, 2)]["attr"] == "B" and got[(1, 2)]["valid_to"] == _ts(4)
+    assert got[(1, 3)]["attr"] == "A" and got[(1, 3)]["is_current"]
+    assert got[(2, 1)]["valid_from"] == _ts(1) and got[(2, 1)]["is_current"]
+    # tie at _ts(5): uid order makes P the first version, closed at ts(5)
+    assert got[(3, 1)]["attr"] == "P" and got[(3, 1)]["valid_to"] == _ts(5)
+    assert got[(3, 2)]["attr"] == "Q" and got[(3, 2)]["is_current"]
+
+
+def test_scd2_single_exchange_plan(spark, sf_dir):
+    from bicis_spark.operators.scd import scd2_history
+    from bicis_spark.sources.io import read_table
+
+    df = scd2_history(
+        read_table(spark, sf_dir, "orders"),
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
