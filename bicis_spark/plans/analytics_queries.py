@@ -1019,3 +1019,44 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="o_orderdate",
         tiebreak_col="o_orderkey",
     )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+counts AS (
+    SELECT doc_id, ch, count(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch
+),
+agg AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           count(*)::BIGINT AS n_distinct_chars,
+           CAST(sum(CAST(floor(c*log2(c)*1000000.0) AS BIGINT)) AS BIGINT)
+               AS sum_qlog,
+           CAST(sum(c*(c-1)) AS BIGINT) AS coll
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_distinct_chars,
+       CAST(floor(n_chars*log2(n_chars)*1000000.0) AS BIGINT) - sum_qlog
+           AS entropy_q,
+       (CAST(floor(n_chars*log2(n_chars)*1000000.0) AS BIGINT) - sum_qlog)
+           / (n_chars*1000000) AS entropy_bits,
+       coll / (n_chars*(n_chars-1)) AS collision_prob
+FROM agg
+"""
+
+
+@register("char_entropy_quality", _CHAR_ENTROPY_SQL)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy + Simpson collision probability per
+    document — the gibberish/boilerplate filter signal for corpus
+    curation. Bitwise-deterministic despite the transcendental: Spark
+    never calls the JVM log (1-ulp drift vs libm, measured); it joins a
+    driver-built broadcast table of floor(k*log2(k)*1e6) computed by
+    Python's libm, which DuckDB's log2 matches exactly."""
+    from bicis_spark.extensions.text import char_entropy
+
+    docs = read_table(spark, sf_dir, "documents")
+    return char_entropy(docs)

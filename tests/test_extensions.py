@@ -225,3 +225,33 @@ def test_connected_components_pointer_doubling_log_rounds(spark):
     got = connected_components_min_label(pairs, max_iter=8).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == 61
+
+
+def test_char_entropy_known_values(spark):
+    from bicis_spark.extensions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # one symbol: H = 0
+            (2, "aabb"),        # two equiprobable: H = 1 bit
+            (3, "abcd"),        # four equiprobable: H = 2 bits
+            (4, "aab"),         # H = log2(3) - (2/3)  ~ 0.9183
+            (5, None),          # dropped
+            (6, ""),            # dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["entropy_bits"] == 0.0 and got[1]["n_distinct_chars"] == 1
+    assert got[2]["entropy_bits"] == 1.0
+    assert got[3]["entropy_bits"] == 2.0
+    # doc 4: quantized H = (floor(3*log2(3)*1e6) - floor(2*log2(2)*1e6)) / 3e6
+    import math
+
+    expect = (math.floor(3 * math.log2(3) * 1e6) - 2_000_000) / 3e6
+    assert got[4]["entropy_q"] == math.floor(3 * math.log2(3) * 1e6) - 2_000_000
+    assert got[4]["entropy_bits"] == expect
+    # collision probs are exact rationals: aabb -> (2*1+2*1)/(4*3) = 1/3
+    assert got[2]["collision_prob"] == 4 / 12
+    assert got[1]["collision_prob"] == 1.0
