@@ -1060,3 +1060,52 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return char_entropy(docs)
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unroll k BPE training rounds as chained CTEs (count pairs -> pick
+    max -> scalar-subquery replace), mirroring the driver loop exactly —
+    same trick as _pagerank_oracle."""
+    from bicis_spark.extensions.bpe import SEP as s
+
+    ctes = [
+        f"r0 AS MATERIALIZED (SELECT doc_id, regexp_replace(text, '(.)', "
+        f"'{s}\\1{s}', 'g') AS s FROM documents "
+        "WHERE text IS NOT NULL AND length(text) > 0)"
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT z[1] AS l, z[2] AS r, count(*)::BIGINT AS c "
+            f"FROM (SELECT unnest(list_zip(a, a[2:])) AS z FROM "
+            f"(SELECT list_filter(string_split(s, '{s}'), x -> x <> '') AS a "
+            f"FROM r{i-1})) WHERE z[2] IS NOT NULL GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"r{i} AS MATERIALIZED (SELECT doc_id, replace(s, "
+                f"'{s}' || (SELECT l FROM m{i}) || '{s}{s}' || "
+                f"(SELECT r FROM m{i}) || '{s}', "
+                f"'{s}' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || "
+                f"'{s}') AS s FROM r{i-1})"
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS round, l AS merge_left, r AS merge_right, "
+        f"c AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@register("bpe_merge_table", _bpe_oracle(8))
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merges on the document corpus; output the merge table
+    in merge order with the winning pair's corpus frequency. Each round
+    is one map-side-combined pair count + one map-only replace; the
+    corpus never shuffles."""
+    from bicis_spark.extensions.bpe import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=8)

@@ -255,3 +255,19 @@ def test_char_entropy_known_values(spark):
     # collision probs are exact rationals: aabb -> (2*1+2*1)/(4*3) = 1/3
     assert got[2]["collision_prob"] == 4 / 12
     assert got[1]["collision_prob"] == 1.0
+
+
+def test_bpe_train_merges_and_greedy_overlap(spark):
+    from bicis_spark.extensions.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "ab")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=2).collect()]
+    # round 1: (a,b) appears 3x (beats (b,a) 1x); round 2: (ab,ab) once
+    assert got == [(1, "a", "b", 3), (2, "ab", "ab", 1)]
+
+    # greedy leftmost merge: "aaa" -> (aa, a), not (a, aa)
+    tri = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(tri, n_merges=2).collect()]
+    assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]
