@@ -51,6 +51,8 @@ HEADLINE = [
     "vocab_encode_documents",  # broadcast-map token encoding (corpus unshuffled)
     "pagerank_part_supplier",  # iterative fixed-point graph (5 rounds)
     "snapshot_diff_orders",    # full-outer version reconciliation
+    "scd2_customer_status",    # SCD2 dimension build (shared-exchange windows)
+    "char_entropy_quality",    # entropy via broadcast libm log table
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -115,7 +117,8 @@ def main() -> None:
     r3_set = {
         "funnel_view_click_purchase", "interval_overlap_error_purchase",
         "vocab_encode_documents", "pagerank_part_supplier",
-        "snapshot_diff_orders",
+        "snapshot_diff_orders", "scd2_customer_status",
+        "char_entropy_quality",
     }
     r2_overlap = round(
         sum(t for q, t in timings.items() if q not in r3_set), 4

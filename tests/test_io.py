@@ -128,3 +128,32 @@ def test_jsonl_round_trip(spark, tmp_path):
         (2, "b", -1.0),
     ]
     assert back.schema == df.schema
+
+
+def test_sorted_parquet_layout_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    from bicis_spark.sources.io import read_table, write_sorted_parquet
+
+    path = str(tmp_path / "orders_sorted")
+    orders = read_table(spark, sf_dir, "orders")
+    write_sorted_parquet(orders, path, ["o_orderdate"], n_partitions=4)
+
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) > 1
+    # per-file min/max ranges must be pairwise disjoint (the pruning
+    # property), and each file internally sorted
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["o_orderdate"])
+        vals = t.column("o_orderdate").to_pylist()
+        assert vals == sorted(vals)
+        ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+    # nothing lost
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == orders.count()
