@@ -104,3 +104,26 @@ def bpe_train(
         merges,
         "round long, merge_left string, merge_right string, pair_count long",
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = SEP,
+) -> DataFrame:
+    """Apply a trained merge list (from :func:`bpe_train`) to tokenize
+    each document; returns [id, tokens array<string>]. The apply side of
+    the tokenizer loop: K chained literal replaces, entirely map-only
+    column expressions — at 100 TB the corpus is tokenized in one
+    shuffle-free pass with the merge table folded into the plan as
+    literals (it's model state, K rows)."""
+    t = F.col(text_col)
+    s = F.regexp_replace(t, "(.)", sep + "$1" + sep)
+    for l, r in merges:
+        s = F.replace(s, F.lit(sep + l + sep + sep + r + sep), F.lit(sep + l + r + sep))
+    return df.where(t.isNotNull() & (F.length(t) > 0)).select(
+        id_col,
+        F.filter(F.split(s, sep), lambda x: x != F.lit("")).alias("tokens"),
+    )

@@ -1109,3 +1109,66 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=8)
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Like _bpe_oracle, but applies ALL k merges (builds r_k) and emits
+    per-document token statistics of the final tokenization."""
+    from bicis_spark.extensions.bpe import SEP as s
+
+    ctes = [
+        f"r0 AS MATERIALIZED (SELECT doc_id, regexp_replace(text, '(.)', "
+        f"'{s}\\1{s}', 'g') AS s FROM documents "
+        "WHERE text IS NOT NULL AND length(text) > 0)"
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT z[1] AS l, z[2] AS r, "
+            f"count(*)::BIGINT AS c "
+            f"FROM (SELECT unnest(list_zip(a, a[2:])) AS z FROM "
+            f"(SELECT list_filter(string_split(s, '{s}'), x -> x <> '') AS a "
+            f"FROM r{i-1})) WHERE z[2] IS NOT NULL GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} "
+            f"ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT doc_id, replace(s, "
+            f"'{s}' || (SELECT l FROM m{i}) || '{s}{s}' || "
+            f"(SELECT r FROM m{i}) || '{s}', "
+            f"'{s}' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || "
+            f"'{s}') AS s FROM r{i-1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT doc_id, "
+        f"len(list_filter(string_split(s, '{s}'), x -> x <> ''))::BIGINT "
+        f"AS n_tokens, "
+        f"len(list_distinct(list_filter(string_split(s, '{s}'), "
+        f"x -> x <> '')))::BIGINT AS n_unique_tokens "
+        f"FROM r{k}"
+    )
+
+
+@register("bpe_encode_stats", _bpe_encode_oracle(8))
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round trip: train 8 BPE merges, then apply them to the
+    corpus and report per-document token counts. The encode pass is
+    map-only (merge table folded in as literals), so tokenizing 100 TB
+    is a single shuffle-free scan."""
+    from bicis_spark.extensions.bpe import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train(docs, n_merges=8).collect()
+    ]
+    toks = bpe_encode(docs, merges)
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias(
+            "n_unique_tokens"
+        ),
+    )

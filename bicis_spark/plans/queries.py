@@ -103,13 +103,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "customers_without_events",
     "salted_join_supplier_revenue",
     "table_profile_orders_approx",
-    # -- rotating core slots (fresh oracle fix + flagship plans) -----------
+    # -- new round-3 operators, never driver-checked ----------------------
+    "scd2_customer_status",
+    "char_entropy_quality",
+    "bpe_merge_table",
+    # -- rotating core slots (fresh oracle fix + flagship plans; the core
+    # suite is green in r1+r2 driver rows and stays fully covered by
+    # tests/test_oracle_queries.py locally) -------------------------------
     "table_profile_orders",
     "hour_profile",
-    "ml_dataset",
     "next_window_target",
-    "sessionization",
-    "pricing_summary",
 )
 
 

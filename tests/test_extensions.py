@@ -271,3 +271,17 @@ def test_bpe_train_merges_and_greedy_overlap(spark):
     tri = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
     got = [tuple(r) for r in bpe_train(tri, n_merges=2).collect()]
     assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from bicis_spark.extensions.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "aba")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs, [("a", "b"), ("ab", "ab")]).collect()
+    }
+    assert got[1] == ["abab"]
+    assert got[2] == ["ab", "a"]
