@@ -46,17 +46,38 @@ def asof_join(
     right_cols: Sequence[str],
     tiebreak: str | None = None,
     left_id: str | None = None,
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: left columns + ``right_cols`` (null when no
-    right row at-or-before the left timestamp exists for the key).
+    """As-of join: left columns + ``right_cols`` (null when no right row
+    matches the search for the key). Full pandas ``merge_asof`` surface:
+
+    - ``direction='backward'``: latest right row with right_ts <= left_ts.
+    - ``direction='forward'``: earliest right row with right_ts >= left_ts.
+    - ``direction='nearest'``: right row minimizing |right_ts - left_ts|
+      (exact-distance ties prefer the backward row, then max tiebreak —
+      fixed so both engines agree).
+    - ``tolerance_s``: maximum allowed |right_ts - left_ts| in seconds.
+      At 100 TB a tolerance matters beyond semantics: it turns the time
+      predicate into a band, so the pre-aggregate join only materializes
+      pairs inside the band instead of a key's full history (and 'nearest'
+      WITHOUT a tolerance degenerates to the full per-key cross section —
+      pass one).
 
     Pass ``left_id`` (a unique left column) to get the pure-JVM
-    join+aggregate plan; otherwise the cogrouped-pandas fallback runs.
+    join+aggregate plan; otherwise the cogrouped-pandas fallback runs
+    (backward only — the fallback predates the direction surface).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     if left_id is not None:
         return _asof_join_native(
             left, right, left_ts, right_ts, by_left, by_right,
-            right_cols, tiebreak, left_id,
+            right_cols, tiebreak, left_id, direction, tolerance_s,
+        )
+    if direction != "backward" or tolerance_s is not None:
+        raise ValueError(
+            "direction/tolerance need the JVM plan — pass left_id"
         )
     return _asof_join_cogrouped(
         left, right, left_ts, right_ts, by_left, by_right, right_cols, tiebreak
@@ -73,26 +94,53 @@ def _asof_join_native(
     right_cols: Sequence[str],
     tiebreak: str | None,
     left_id: str,
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Join + max_by plan (the shape this operator's own oracle SQL uses:
     plans/core_queries.py asof_latest_order)."""
-    order_cols = [F.col(f"_r.{right_ts}")] + (
+    lts = F.col(f"_l.{left_ts}")
+    rts = F.col(f"_r.{right_ts}")
+    tie = (
         [F.col(f"_r.{tiebreak}")] if tiebreak and tiebreak != right_ts else []
     )
+    if direction == "backward":
+        cond = rts <= lts
+        order_key = F.struct(rts, *tie)  # maximize ts then tiebreak
+    elif direction == "forward":
+        # minimize ts: maximize its negation (epoch µs — exact long math)
+        cond = rts >= lts
+        order_key = F.struct(-F.unix_micros(rts), *tie)
+    else:  # nearest
+        cond = F.lit(True)
+        dist = F.abs(F.unix_micros(rts) - F.unix_micros(lts))
+        order_key = F.struct(
+            -dist,  # maximize -distance == minimize distance
+            (rts <= lts).cast("int"),  # distance tie: prefer backward
+            *tie,
+        )
+    if tolerance_s is not None:
+        bound = F.lit(int(tolerance_s) * 1_000_000)
+        diff = F.unix_micros(rts) - F.unix_micros(lts)
+        if direction == "backward":
+            cond = cond & (-diff <= bound)
+        elif direction == "forward":
+            cond = cond & (diff <= bound)
+        else:
+            cond = (diff <= bound) & (-diff <= bound)
     probe = left.select(left_id, by_left, left_ts).alias("_l")
     build = right.alias("_r")
     best = (
         probe.join(
             build,
-            (F.col(f"_l.{by_left}") == F.col(f"_r.{by_right}"))
-            & (F.col(f"_r.{right_ts}") <= F.col(f"_l.{left_ts}")),
+            (F.col(f"_l.{by_left}") == F.col(f"_r.{by_right}")) & cond,
             "inner",
         )
         .groupBy(F.col(f"_l.{left_id}").alias(left_id))
         .agg(
             F.max_by(
                 F.struct(*[F.col(f"_r.{c}").alias(c) for c in right_cols]),
-                F.struct(*order_cols),
+                order_key,
             ).alias("_best")
         )
     )

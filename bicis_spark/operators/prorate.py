@@ -1,0 +1,97 @@
+"""Exact interval proration — largest-remainder allocation across days.
+
+Revenue/usage attribution: a value attached to a time interval
+[start, end] is split across the calendar days the interval covers so
+that per-day shares are within one cent of equal AND the shares sum back
+to the original amount EXACTLY. The classic float approach
+(``amount / n_days`` then re-sum) both loses cents and produces
+order-dependent double sums; this operator is pure integer arithmetic:
+
+    cents   = round(amount * 100)            -- one IEEE op, deterministic
+    base    = cents DIV n_days               -- integer division
+    rem     = cents MOD n_days
+    day i gets  base + (1 if i < rem else 0) cents,  i = 0..n_days-1
+
+The plan is map-only explode (``sequence`` + ``explode`` — no Python, no
+shuffle) followed by a single hash aggregate on the day key, with exact
+BIGINT cent sums. At 100 TB the explode fan-out is bounded by the
+interval length in days; the aggregate output is one row per calendar
+day regardless of input size.
+
+Reference parity: the reference resamples per-hour usage with pandas
+``resample`` (notebooks) — this is the exact-arithmetic, distributed
+generalization of spreading an interval metric over time buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prorate_daily(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    amount_col: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Explode each [start, end] row into one row per covered calendar day
+    with an exact largest-remainder cent share.
+
+    Output: ``id_cols`` + ``day`` (DATE), ``day_index`` (0-based BIGINT),
+    ``n_days`` (BIGINT), ``daily_cents`` (BIGINT). Rows with null bounds,
+    null amount, or end < start are dropped (invalid intervals).
+    """
+    start_d = F.to_date(F.col(start_col))
+    end_d = F.to_date(F.col(end_col))
+    base = (
+        df.where(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & F.col(amount_col).isNotNull()
+            & (end_d >= start_d)
+        )
+        .select(
+            *id_cols,
+            start_d.alias("_start"),
+            (F.datediff(end_d, start_d) + F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.col(amount_col) * F.lit(100))
+            .cast("long")
+            .alias("_cents"),
+        )
+    )
+    exploded = base.select(
+        *base.columns,
+        F.explode(F.sequence(F.lit(0), (F.col("n_days") - 1).cast("int"))).alias(
+            "_i"
+        ),
+    )
+    return exploded.select(
+        *id_cols,
+        F.date_add(F.col("_start"), F.col("_i")).alias("day"),
+        F.col("_i").cast("long").alias("day_index"),
+        F.col("n_days"),
+        (
+            F.expr("_cents DIV n_days")  # integer division, never a double
+            + F.when(
+                F.col("_i") < F.pmod(F.col("_cents"), F.col("n_days")), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("daily_cents"),
+    )
+
+
+def prorated_daily_totals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    amount_col: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Per-day exact totals of the prorated shares: one hash aggregate over
+    the explode, BIGINT cent sums (never float accumulation)."""
+    daily = prorate_daily(df, start_col, end_col, amount_col, id_cols)
+    return daily.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        F.sum("daily_cents").alias("total_cents"),
+    )

@@ -1172,3 +1172,98 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k, hash-aggregation plan (window-free)
+# ---------------------------------------------------------------------------
+
+_TOPK_AGG_SQL = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rk
+    FROM orders
+)
+SELECT o_custkey, CAST(rk AS BIGINT) AS rank_in_group, o_totalprice, o_orderkey
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("topk_agg_orders_per_customer", _TOPK_AGG_SQL)
+def topk_agg_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via the two-phase salted hash-aggregation
+    plan (operators/topk.py) — same logical result as the window-sort
+    `topk_orders_per_customer`, but every shuffle moves at most
+    n_salts*k structs per group, so a hot customer cannot overload one
+    task's sort buffer at 100 TB. The oracle is the classic row_number
+    formulation, proving plan equivalence."""
+    from bicis_spark.operators.topk import topk_by_group_agg
+
+    orders = read_table(spark, sf_dir, "orders")
+    return topk_by_group_agg(
+        orders,
+        group_cols=["o_custkey"],
+        order_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        k=3,
+        payload_cols=["o_orderkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interval proration (largest-remainder daily revenue attribution)
+# ---------------------------------------------------------------------------
+
+_PRORATE_SQL = """
+WITH iv AS (
+    SELECT CAST(o.o_orderdate AS DATE) AS start_d,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+           (date_diff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) + 1)::BIGINT AS n_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+),
+ex AS (
+    SELECT start_d + CAST(t.i AS INTEGER) AS day,
+           cents // n_days
+               + CASE WHEN t.i < cents % n_days THEN 1 ELSE 0 END
+               AS daily_cents
+    FROM iv, UNNEST(generate_series(0, n_days - 1)) AS t(i)
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       count(*)::BIGINT AS n_slices,
+       CAST(sum(daily_cents) AS BIGINT) AS total_cents
+FROM ex GROUP BY day
+"""
+
+
+@register("prorated_daily_revenue", _PRORATE_SQL)
+def prorated_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prorate each lineitem's revenue across the [order date, ship date]
+    interval with exact largest-remainder cent allocation
+    (operators/prorate.py), then total per calendar day. Map-only
+    sequence+explode feeding one hash aggregate; BIGINT cent sums make the
+    result order-independent, and the allocation conserves every cent
+    (property-tested)."""
+    from bicis_spark.operators.prorate import prorated_daily_totals
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    iv = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    daily = prorated_daily_totals(
+        iv,
+        start_col="o_orderdate",
+        end_col="l_shipdate",
+        amount_col="l_extendedprice",
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"), "n_slices", "total_cents"
+    )

@@ -793,6 +793,106 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_FWD_TOL_US = 30 * 86_400 * 1_000_000  # 30 days
+
+
+@register(
+    "asof_forward_next_order",
+    f"""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '{RENT_TYPE}'),
+    m AS (
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+         AND epoch_us(o.o_orderdate) - epoch_us(e.ts) <= {_ASOF_FWD_TOL_US}
+    )
+    SELECT e.event_id, e.user_id, e.ts, m.o_orderkey, m.o_orderdate, m.o_totalprice
+    FROM e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+    """,
+)
+def asof_forward_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each rent event enriched with the
+    user's EARLIEST order at-or-after the event, but only within 30 days
+    (merge_asof direction='forward', tolerance). The tolerance doubles as
+    the scale guard — the pre-aggregate join materializes only in-band
+    pairs, not a user's entire future order history."""
+    from bicis_spark.operators.asof import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    rents = events.where(F.col("event_type") == RENT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return asof_join(
+        rents,
+        orders,
+        left_ts="ts",
+        right_ts="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak="o_orderkey",
+        left_id="event_id",
+        direction="forward",
+        tolerance_s=30 * 86_400,
+    )
+
+
+_ASOF_NEAR_TOL_US = 7 * 86_400 * 1_000_000  # 7 days
+
+
+@register(
+    "asof_nearest_order",
+    f"""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '{RENT_TYPE}'),
+    m AS (
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC,
+                            CASE WHEN o.o_orderdate <= e.ts THEN 1 ELSE 0 END DESC,
+                            o.o_orderkey DESC) AS rn
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) <= {_ASOF_NEAR_TOL_US}
+    )
+    SELECT e.event_id, e.user_id, e.ts, m.o_orderkey, m.o_orderdate, m.o_totalprice
+    FROM e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+    """,
+)
+def asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each rent event enriched with the order closest
+    in time (either direction) within a 7-day band; exact-distance ties
+    prefer the backward row then max orderkey. The band predicate is what
+    keeps 'nearest' scalable — without it every (user, order) pair joins."""
+    from bicis_spark.operators.asof import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    rents = events.where(F.col("event_type") == RENT_TYPE).select(
+        "event_id", "user_id", "ts"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return asof_join(
+        rents,
+        orders,
+        left_ts="ts",
+        right_ts="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        tiebreak="o_orderkey",
+        left_id="event_id",
+        direction="nearest",
+        tolerance_s=7 * 86_400,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry point 3 (SURVEY.md §3): ad-hoc SQL over registered views — the
 # reference's notebook exploration surface, served by spark.sql (identical

@@ -28,8 +28,50 @@ def _physical_read_schema(schema: StructType, ns_cols: frozenset[str]) -> Struct
     )
 
 
-# tables whose timestamps are stored as parquet TIMESTAMP(NANOS)
-_NANOS_TS: dict[str, frozenset[str]] = {"events": frozenset({"ts"})}
+def _nanos_ts_cols(path: str, schema: StructType) -> frozenset[str]:
+    """Timestamp columns physically stored as parquet TIMESTAMP(NANOS) at
+    ``path``, probed from the file footer (driver-side metadata read — no
+    data scan, safe at any table size).
+
+    The driver's testdata has shipped both encodings across rounds (NANOS
+    in rounds 1-2, MICROS in round 3), so the unit must be detected, not
+    assumed: Spark's ``nanosAsLong`` surfaces NANOS as raw longs needing a
+    ``DIV 1000``, while MICROS map straight onto TimestampType. Hard-coding
+    either silently shifts every timestamp by 1000×.
+    """
+    wanted = {f.name for f in schema.fields if isinstance(f.dataType, TimestampType)}
+    if not wanted:
+        return frozenset()
+    cache_key = (path, tuple(sorted(wanted)))
+    cached = _NANOS_PROBE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                return frozenset()
+            f = parts[0]
+        arrow = pq.ParquetFile(f).schema_arrow
+    except Exception:
+        return frozenset()  # fall back to logical-type read
+    out = set()
+    for fld in arrow:
+        t = fld.type
+        if fld.name in wanted and str(t).startswith("timestamp") and getattr(t, "unit", None) == "ns":
+            out.add(fld.name)
+    result = frozenset(out)
+    _NANOS_PROBE_CACHE[cache_key] = result
+    return result
+
+
+_NANOS_PROBE_CACHE: dict[tuple[str, tuple[str, ...]], frozenset[str]] = {}
 
 # runtime-settable SQL confs the engine depends on; applied defensively so
 # queries work on ANY caller-provided SparkSession (the driver builds its
@@ -56,7 +98,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     schema = TABLES[name]
     path = f"{sf_dir}/{name}.parquet"
-    ns_cols = _NANOS_TS.get(name)
+    ns_cols = _nanos_ts_cols(path, schema)
     if not ns_cols:
         return spark.read.schema(schema).parquet(path)
     df = spark.read.schema(_physical_read_schema(schema, ns_cols)).parquet(path)

@@ -332,3 +332,125 @@ def test_scd2_single_exchange_plan(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k via hash aggregation (operators/topk.py)
+# ---------------------------------------------------------------------------
+
+
+class TestTopkByGroupAgg:
+    def _df(self, spark):
+        rows = [
+            # group 1: clear ordering
+            (1, 10.0, 101), (1, 30.0, 102), (1, 20.0, 103), (1, 5.0, 104),
+            # group 2: ties on the order column -> tiebreak ascending id
+            (2, 7.0, 201), (2, 7.0, 202), (2, 7.0, 203), (2, 9.0, 204),
+            # group 3: fewer rows than k
+            (3, 1.0, 301),
+        ]
+        return spark.createDataFrame(rows, "g long, v double, id long")
+
+    def test_matches_window_semantics(self, spark):
+        from bicis_spark.operators.topk import topk_by_group_agg
+
+        out = topk_by_group_agg(
+            self._df(spark), ["g"], "v", "id", 2, ["id"]
+        ).orderBy("g", "rank_in_group")
+        got = [(r.g, r.rank_in_group, r.v, r.id) for r in out.collect()]
+        assert got == [
+            (1, 1, 30.0, 102), (1, 2, 20.0, 103),
+            (2, 1, 9.0, 204), (2, 2, 7.0, 201),
+            (3, 1, 1.0, 301),
+        ]
+
+    def test_salt_invariance(self, spark):
+        from bicis_spark.operators.topk import topk_by_group_agg
+
+        df = self._df(spark)
+        a = topk_by_group_agg(df, ["g"], "v", "id", 3, ["id"], n_salts=1)
+        b = topk_by_group_agg(df, ["g"], "v", "id", 3, ["id"], n_salts=32)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_ascending(self, spark):
+        from bicis_spark.operators.topk import topk_by_group_agg
+
+        out = topk_by_group_agg(
+            self._df(spark), ["g"], "v", "id", 1, ["id"], descending=False
+        )
+        got = {r.g: r.v for r in out.collect()}
+        assert got == {1: 5.0, 2: 7.0, 3: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Exact interval proration (operators/prorate.py)
+# ---------------------------------------------------------------------------
+
+
+class TestProrateDaily:
+    def _df(self, spark):
+        rows = [
+            # 100.01 over 3 days -> 10001 cents: 3334, 3334, 3333
+            (1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3), 100.01),
+            # single-day interval keeps everything
+            (2, dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 1), 55.55),
+            # invalid: end before start -> dropped
+            (3, dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 1), 10.0),
+            # null amount -> dropped
+            (4, dt.datetime(2024, 4, 1), dt.datetime(2024, 4, 2), None),
+        ]
+        return spark.createDataFrame(
+            rows, "id long, start timestamp, end timestamp, amount double"
+        )
+
+    def test_largest_remainder_shares(self, spark):
+        from bicis_spark.operators.prorate import prorate_daily
+
+        out = prorate_daily(self._df(spark), "start", "end", "amount", ["id"])
+        rows = sorted(
+            (r.id, str(r.day), r.daily_cents) for r in out.collect()
+        )
+        assert rows == [
+            (1, "2024-01-01", 3334),
+            (1, "2024-01-02", 3334),
+            (1, "2024-01-03", 3333),
+            (2, "2024-02-01", 5555),
+        ]
+
+    def test_conservation_property(self, spark, sf_dir):
+        """Every cent of every lineitem lands in exactly one daily share."""
+        from bicis_spark.operators.prorate import prorate_daily
+        from bicis_spark.sources.io import read_table
+
+        li = read_table(spark, sf_dir, "lineitem").limit(500)
+        orders = read_table(spark, sf_dir, "orders")
+        iv = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        daily = prorate_daily(
+            iv, "o_orderdate", "l_shipdate", "l_extendedprice",
+            ["l_orderkey", "l_linenumber"],
+        )
+        # (l_orderkey, l_linenumber) is not unique in the synthetic data, so
+        # compare SUMS per key: every cent of every source row must land in
+        # exactly one daily share (per-share spread is covered by the
+        # synthetic-rows test above).
+        per_item = daily.groupBy("l_orderkey", "l_linenumber").agg(
+            F.sum("daily_cents").alias("got"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("day_index") == 0, F.col("n_days"))
+            ).alias("n_days_sum"),
+        )
+        src = (
+            iv.where(F.to_date("l_shipdate") >= F.to_date("o_orderdate"))
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).alias("want")
+            )
+        )
+        joined = per_item.join(src, ["l_orderkey", "l_linenumber"]).collect()
+        assert joined
+        for r in joined:
+            assert r.got == r.want, (r.l_orderkey, r.l_linenumber)
+            assert r.n_rows == r.n_days_sum
