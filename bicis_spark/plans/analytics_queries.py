@@ -1267,3 +1267,92 @@ def prorated_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         F.col("day").cast("timestamp").alias("day"), "n_slices", "total_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sampling (hash-order top-n, zero RNG)
+# ---------------------------------------------------------------------------
+
+_GROUP_SAMPLE_SQL = """
+WITH h AS (
+    SELECT user_id, event_id, ts,
+           md5(user_id::VARCHAR || ':' || event_id::VARCHAR) AS sample_key
+    FROM events
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY sample_key, event_id
+    ) AS rn
+    FROM h
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rank_in_group, sample_key, event_id, ts
+FROM r WHERE rn <= 5
+"""
+
+
+@register("group_sample_events", _GROUP_SAMPLE_SQL)
+def group_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-without-replacement n-per-group sample with zero RNG: rank
+    rows by md5(group:id) and keep the first 5 per user. Runs on the
+    skew-bounded hash-agg top-k plan (operators/topk.py), so a bot user
+    with 10^9 events still ships at most n_salts*5 structs per shuffle —
+    the deterministic replacement for RAND()-based per-group sampling
+    (re-runs and retried tasks always pick identical rows)."""
+    from bicis_spark.operators.topk import topk_by_group_agg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.md5(
+            F.concat_ws(":", F.col("user_id"), F.col("event_id"))
+        ).alias("sample_key"),
+    )
+    return topk_by_group_agg(
+        ev,
+        group_cols=["user_id"],
+        order_col="sample_key",
+        tiebreak_col="event_id",
+        k=5,
+        payload_cols=["event_id", "ts"],
+        descending=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-percentile accuracy contract (GK sketch vs exact)
+# ---------------------------------------------------------------------------
+
+_APPROX_PCT_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+       TRUE AS within_rank_band
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("quantile_approx_contract", _APPROX_PCT_SQL)
+def quantile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for percentiles is percentile_approx (mergeable GK
+    sketch — single pass, map-side combinable; exact percentile() sorts
+    every group). Its published guarantee is rank error <= 1/accuracy;
+    this query SHIPS that guarantee as a contract: the approx p50 must lie
+    between the exact percentiles at rank 0.5 +/- 2/accuracy. The oracle
+    pins the exact p50 (bitwise — same linear interpolation as DuckDB's
+    quantile_cont) and a literal TRUE: any contract violation hash-fails."""
+    acc = 1000
+    eps = 2.0 / acc
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr(f"percentile_approx(l_extendedprice, 0.5, {acc})").alias("_ap"),
+        F.expr(f"percentile(l_extendedprice, {0.5 - eps})").alias("_lo"),
+        F.expr(f"percentile(l_extendedprice, {0.5 + eps})").alias("_hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        ((F.col("_ap") >= F.col("_lo")) & (F.col("_ap") <= F.col("_hi"))).alias(
+            "within_rank_band"
+        ),
+    )

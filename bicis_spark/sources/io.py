@@ -223,3 +223,81 @@ def write_sorted_parquet(
         *([n_partitions] if n_partitions else []), *sort_cols
     ).sortWithinPartitions(*sort_cols)
     out.write.mode(mode).parquet(path)
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_partitions: int = 32,
+    bits: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout for MULTI-column
+    scan pruning — the 2+-dimensional generalization of
+    ``write_sorted_parquet``.
+
+    Range-clustering on one column makes that column's file min/max stats
+    tight but leaves every other column's stats spanning the full domain:
+    a filter on the second column skips nothing. Interleaving the bits of
+    quantile-bucketed column ranks into one Morton key and range-clustering
+    on THAT gives every participating column locality, so parquet footer
+    stats prune files for predicates on ANY of them.
+
+    Scale shape (no global sort, no driver data):
+    1. one pass computes ~2^bits approx quantile boundaries per column
+       (mergeable sketch aggregate; boundaries — a few KB — are the only
+       driver-side data);
+    2. map-side: rank each value into its bucket via a broadcast
+       array + binary-search expression (``width_bucket`` over literals),
+       then interleave bucket bits into the Morton key;
+    3. ``repartitionByRange(_z)`` + ``sortWithinPartitions(_z)`` — the
+       same sampled range exchange as the 1-D writer.
+
+    Quantile bucketing (not min/max linear scaling) makes the curve
+    resistant to skew and outliers: each bucket holds ~equal row counts,
+    so the curve spends its resolution where the data is.
+    """
+    if len(zorder_cols) < 2:
+        raise ValueError("z-order needs >= 2 columns (use write_sorted_parquet)")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qs = df.select(
+        *[
+            F.expr(
+                f"approx_percentile({c}, array({', '.join(str(p) for p in probs)}), 10000)"
+            ).alias(c)
+            for c in zorder_cols
+        ]
+    ).first()
+    ranked = df
+    rank_cols = []
+    for c in zorder_cols:
+        bounds = sorted(set(v for v in (qs[c] or []) if v is not None))
+        arr = "array(" + ", ".join(repr(b) for b in bounds) + ")"
+        # bucket index = count of boundaries <= value (0..len(bounds));
+        # aggregate over a broadcast literal array stays whole-stage codegen
+        rc = f"_zb_{c}"
+        ranked = ranked.withColumn(
+            rc,
+            F.expr(
+                f"aggregate({arr}, 0, (acc, b) -> acc + CASE WHEN {c} >= b THEN 1 ELSE 0 END)"
+            ).cast("long"),
+        )
+        rank_cols.append(rc)
+    # Morton interleave: bit i of every column's bucket index, LSB-first
+    terms = []
+    n_dims = len(rank_cols)
+    for i in range(bits):
+        for d, rc in enumerate(rank_cols):
+            terms.append(
+                f"(((({rc}) >> {i}) & 1) << {i * n_dims + d})"
+            )
+    z = F.expr(" + ".join(terms)).alias("_z")
+    out = (
+        ranked.select(*df.columns, z)
+        .repartitionByRange(n_partitions, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode(mode).parquet(path)

@@ -157,3 +157,51 @@ def test_sorted_parquet_layout_disjoint_file_ranges(spark, sf_dir, tmp_path):
     # nothing lost
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     assert total == orders.count()
+
+
+def test_zorder_parquet_layout_prunes_both_dims(spark, sf_dir, tmp_path):
+    """Z-order layout: per-file bounding boxes must be tight on BOTH
+    clustering columns — each file covers a small fraction of each
+    column's domain, so footer stats prune on either predicate (the
+    property 1-D range clustering cannot give the second column)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bicis_spark.sources.io import read_table, write_zorder_parquet
+
+    path = str(tmp_path / "li_zorder")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    write_zorder_parquet(
+        li, path, ["l_partkey", "l_extendedprice"], n_partitions=16, bits=8
+    )
+
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) > 4
+    n_rows = li.count()
+    lo_pk, hi_pk, lo_px, hi_px = li.select(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+    ).first()
+    span_pk = hi_pk - lo_pk
+    span_px = hi_px - lo_px
+    covered_pk = covered_px = 0.0
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["l_partkey", "l_extendedprice"])
+        pk = t.column("l_partkey").to_pylist()
+        px = t.column("l_extendedprice").to_pylist()
+        covered_pk += (max(pk) - min(pk)) / span_pk
+        covered_px += (max(px) - min(px)) / span_px
+        total += len(pk)
+    assert total == n_rows
+    n = len(files)
+    # random placement would make every file span ~the full domain on both
+    # columns (mean fraction ~= 1.0), and 1-D range clustering gives ~1.0 on
+    # its SECOND dim. The ideal Morton bound for 16 files is ~1/sqrt(16) =
+    # 0.25 per dim; files straddling curve cuts widen that, so gate at 0.6 —
+    # still >1.6x pruning on both dims simultaneously.
+    assert covered_pk / n < 0.6, f"partkey coverage {covered_pk / n:.2f}"
+    assert covered_px / n < 0.6, f"extendedprice coverage {covered_px / n:.2f}"
