@@ -1449,3 +1449,150 @@ def incremental_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "user_id", "n", F.col("s").cast("double").alias("total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic multi-join OLAP battery (TPC-H Q3/Q5/Q10 shapes): join ordering,
+# dimension broadcast, and exact-decimal money math over the fact table
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ orders ⋈ lineitem,
+    revenue per open order, top 10. The selective dimension predicate
+    (1/5 of customers) reaches the customer scan (PushedFilters); revenue
+    sums run in exact DECIMAL and only the final 10-row result is ordered
+    (TakeOrderedAndProject — no global sort of the aggregate)."""
+    c = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("q5_local_supplier_volume", _Q5_SQL)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with the customer-nation == supplier-
+    nation correlation. nation⋈region prunes to one region BEFORE touching
+    facts; supplier and the nation dim are explicit broadcasts (both stay
+    small at any SF — suppliers scale ~1/10 of customers), so the only
+    shuffles are the two fact-side equi-joins."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        c.join(asia_nations, c.c_nationkey == F.col("n_nationkey"))
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue report over one quarter of returned
+    items. Both fact filters (o_orderdate range, l_returnflag) push to the
+    scans; nation broadcasts; top-20 via TakeOrderedAndProject."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

@@ -682,3 +682,55 @@ def streaming_enriched_segment_stats_q(spark: SparkSession, sf_dir: str) -> Data
         .alias("total_value"),
     )
     return run_to_completion(agg, "streaming_enriched_segment_stats_mem")
+
+
+@register(
+    "streaming_topk_event_types",
+    """
+    WITH wc AS (
+        SELECT CAST(to_timestamp(epoch(ts)::BIGINT - epoch(ts)::BIGINT % 21600) AS TIMESTAMP) AS win_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY win_start ORDER BY n DESC, event_type
+        ) AS rk
+        FROM wc
+    )
+    SELECT win_start, event_type, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rank_in_window
+    FROM r WHERE rk <= 3
+    """,
+)
+def streaming_topk_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: per 6-hour tumbling window, the 3 most frequent
+    event types. Ranking is not expressible inside a streaming query
+    (no window functions over a streaming aggregate), so this is the
+    production two-stage shape: the STREAM maintains the windowed counts
+    (watermark-bounded state, complete mode here for the finite source);
+    the rank runs as a batch post-step over the materialized aggregate —
+    at scale, over the sink table each trigger. The oracle replays both
+    stages in SQL, pinning window alignment (epoch-aligned 6h buckets,
+    Spark `window()` semantics) and the deterministic tie rule."""
+    from pyspark.sql import Window
+
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import read_events_stream, run_to_completion
+
+    src = _staged_events_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src, EVENTS)
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    agg = run_to_completion(counts, "streaming_topk_event_types_mem")
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        agg.withColumn("rank_in_window", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_window") <= 3)
+        .select("win_start", "event_type", F.col("n").cast("long").alias("n"), "rank_in_window")
+    )

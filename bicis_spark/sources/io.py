@@ -301,3 +301,38 @@ def write_zorder_parquet(
         .drop("_z")
     )
     out.write.mode(mode).parquet(path)
+
+
+def read_evolving_parquet(
+    spark: SparkSession,
+    paths: list[str],
+    schemas: list[StructType],
+    target: StructType,
+) -> DataFrame:
+    """Read generations of a dataset whose schema evolved (columns added /
+    dropped over time) into one frame with the ``target`` schema.
+
+    Each generation is scanned with ITS OWN explicit schema (the S4
+    discipline — never ``mergeSchema``, which reads every footer on the
+    driver and trusts whatever it finds), then aligned by NAME with
+    missing columns as typed nulls. unionByName(allowMissingColumns)
+    keeps each scan's column pruning and filter pushdown intact —
+    alignment is a zero-cost projection, not a shuffle.
+    """
+    if len(paths) != len(schemas):
+        raise ValueError("one schema per path")
+    target_names = [f.name for f in target.fields]
+    aligned = []
+    for p, s in zip(paths, schemas):
+        df = spark.read.schema(s).parquet(p)
+        have = set(df.columns)
+        cols = [
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+        aligned.append(df.select(*cols))
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out.select(*target_names)

@@ -205,3 +205,33 @@ def test_zorder_parquet_layout_prunes_both_dims(spark, sf_dir, tmp_path):
     # still >1.6x pruning on both dims simultaneously.
     assert covered_pk / n < 0.6, f"partkey coverage {covered_pk / n:.2f}"
     assert covered_px / n < 0.6, f"extendedprice coverage {covered_px / n:.2f}"
+
+
+def test_read_evolving_parquet_aligns_generations(spark, tmp_path):
+    """Schema evolution: generation 1 lacks a column added in generation 2;
+    the unified read aligns by name with typed nulls, preserving per-scan
+    pushdown (no mergeSchema footer sweep)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from bicis_spark.sources.io import read_evolving_parquet
+
+    g1_schema = StructType(
+        [StructField("id", LongType()), StructField("v", DoubleType())]
+    )
+    g2_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", DoubleType()),
+            StructField("tag", StringType()),
+        ]
+    )
+    p1, p2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], g1_schema).write.parquet(p1)
+    spark.createDataFrame([(3, 3.0, "x")], g2_schema).write.parquet(p2)
+
+    out = read_evolving_parquet(spark, [p1, p2], [g1_schema, g2_schema], g2_schema)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, 1.0, None), (2, 2.0, None), (3, 3.0, "x")]
+    assert out.schema == g2_schema
