@@ -53,6 +53,14 @@ HEADLINE = [
     "snapshot_diff_orders",    # full-outer version reconciliation
     "scd2_customer_status",    # SCD2 dimension build (shared-exchange windows)
     "char_entropy_quality",    # entropy via broadcast libm log table
+    # round-3b additions
+    "q3_shipping_priority",    # TPC-H Q3 shape (pushed filters + TakeOrdered)
+    "q5_local_supplier_volume",  # 6-table join, nation-correlation
+    "q10_returned_items",      # TPC-H Q10 shape
+    "topk_agg_orders_per_customer",  # salted hash-agg top-k (window-free)
+    "prorated_daily_revenue",  # sequence+explode exact proration
+    "asof_nearest_order",      # banded nearest as-of (join + max_by)
+    "group_sample_events",     # RNG-free per-group sampling
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -114,11 +122,16 @@ def main() -> None:
     ]
     r1_overlap = round(sum(timings[q] for q in r1_set if q in timings), 4)
     # round-2 comparability: everything except the round-3 additions
+    # (both the early-round-3 operator families and the round-3b battery)
     r3_set = {
         "funnel_view_click_purchase", "interval_overlap_error_purchase",
         "vocab_encode_documents", "pagerank_part_supplier",
         "snapshot_diff_orders", "scd2_customer_status",
         "char_entropy_quality",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q10_returned_items", "topk_agg_orders_per_customer",
+        "prorated_daily_revenue", "asof_nearest_order",
+        "group_sample_events",
     }
     r2_overlap = round(
         sum(t for q, t in timings.items() if q not in r3_set), 4

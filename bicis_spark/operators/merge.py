@@ -1,0 +1,85 @@
+"""MERGE INTO semantics as a batch operator (upsert + delete in one pass).
+
+Spark's DataFrame API has no MERGE (it belongs to table formats — Delta/
+Iceberg implement it over their transaction logs). The relational core is
+engine-expressible though, and that is what this operator provides:
+
+    MERGE INTO target t USING source s ON <key>
+      WHEN MATCHED AND <delete_cond> THEN DELETE
+      WHEN MATCHED [AND <update_cond>] THEN UPDATE SET ...
+      WHEN NOT MATCHED THEN INSERT ...
+
+as ONE full-outer join + row-wise CASE routing — a single shuffle on the
+merge key, no per-branch scans. At 100 TB this is the rewrite-side of a
+copy-on-write merge: the output frame is the new table version (pair it
+with ``write_sorted_parquet``/partition overwrite for the commit).
+
+Contract: ``source`` must be unique on the key (the standard MERGE
+precondition — duplicate source matches are rejected by MERGE engines);
+enforce upstream with a latest-wins window (see upsert_latest_events)
+when the source is a CDC stream.
+
+Branch order follows SQL MERGE: delete wins over update for matched rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    update_set: dict[str, Column],
+    delete_cond: Column | None = None,
+    insert_values: dict[str, Column] | None = None,
+    update_cond: Column | None = None,
+) -> DataFrame:
+    """Return the post-merge state of ``target``.
+
+    ``update_set``/``insert_values`` map target column name → expression
+    over the joined row (reference source columns as ``F.col("s.<name>")``
+    and target columns as ``F.col("t.<name>")``). Omitting
+    ``insert_values`` drops unmatched source rows (no INSERT branch);
+    omitting ``delete_cond`` keeps all matched rows.
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+
+    t_present = F.col(f"t.{key_cols[0]}").isNotNull()
+    s_present = F.col(f"s.{key_cols[0]}").isNotNull()
+    matched = t_present & s_present
+
+    drop_row = matched & delete_cond if delete_cond is not None else F.lit(False)
+    do_update = matched & (update_cond if update_cond is not None else F.lit(True))
+
+    out_cols = []
+    for f in target.schema.fields:
+        name = f.name
+        key_side = (
+            F.coalesce(F.col(f"t.{name}"), F.col(f"s.{name}"))
+            if name in key_cols and (insert_values is None or name not in insert_values)
+            else None
+        )
+        updated = update_set.get(name, F.col(f"t.{name}"))
+        inserted = (
+            insert_values.get(name, F.lit(None).cast(f.dataType))
+            if insert_values is not None
+            else F.lit(None).cast(f.dataType)
+        )
+        expr = (
+            F.when(do_update, updated)
+            .when(t_present, F.col(f"t.{name}"))
+            .otherwise(key_side if key_side is not None else inserted)
+        )
+        out_cols.append(expr.cast(f.dataType).alias(name))
+
+    keep = ~drop_row & (t_present | (s_present & F.lit(insert_values is not None)))
+    return joined.where(keep).select(*out_cols)

@@ -1356,3 +1356,210 @@ def quantile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_rank_band"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (decorrelation showcase)
+# ---------------------------------------------------------------------------
+
+_ABOVE_AVG_SQL = """
+SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT avg(c2.c_acctbal) FROM customer c2
+    WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+
+
+@register("above_avg_customers", _ABOVE_AVG_SQL)
+def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer vs their nation's average
+    balance), written AS the subquery through spark.sql so Catalyst's
+    decorrelation rewrites it to an aggregate + join — the plan a hand
+    optimizer would write, produced from the declarative form. avg() here
+    is each engine's native double mean; both compute sum/count over the
+    same per-nation values with the same pairwise-summation order at this
+    group size (verified by the hash gate), and the comparison output is
+    the raw input values, not the mean itself."""
+    from bicis_spark.sources.io import read_table as _rt
+
+    _rt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_ABOVE_AVG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + grouping_id (the generalized rollup/cube surface)
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+           AS grouping_id
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("grouping_sets_order_stats", _GROUPING_SETS_SQL)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping-id disambiguation (a NULL key value vs a
+    super-aggregate row are different things): the generalized form of the
+    rollup/cube surface (§2.10), one Expand + one hash agg — not one scan
+    per set."""
+    from bicis_spark.sources.io import read_table as _rt
+
+    _rt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (transform/filter/aggregate/zip_with)
+# ---------------------------------------------------------------------------
+
+_ARRAY_HOF_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber, l_quantity) AS qtys
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qtys) AS INTEGER) AS n_items,
+       CAST(list_sum(list_transform(qtys, q -> q * q)) AS BIGINT) AS sum_sq_qty,
+       CAST(len(list_filter(qtys, q -> q >= 25)) AS INTEGER) AS n_large,
+       CAST(list_sum(list_transform(qtys, q -> CASE WHEN q >= 25 THEN q ELSE 0 END)) AS BIGINT)
+           AS large_qty_total
+FROM per_order
+"""
+
+
+@register("array_hof_order_stats", _ARRAY_HOF_SQL)
+def array_hof_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over collected per-order quantity
+    vectors: transform (map), filter, aggregate (fold) — all JVM lambda
+    expressions inside whole-stage codegen, the idiom for array<T> columns
+    at scale (no explode round-trip, no Python). The collect_list is made
+    deterministic by array_sort on a (linenumber, quantity) struct before
+    the integer folds."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").cast("long").alias("q"),
+                    )
+                )
+            ),
+            lambda s: s["q"],
+        ).alias("qtys")
+    )
+    qtys = F.col("qtys")
+    return per_order.select(
+        "l_orderkey",
+        F.size(qtys).alias("n_items"),
+        F.aggregate(
+            F.transform(qtys, lambda q: q * q),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq_qty"),
+        F.size(F.filter(qtys, lambda q: q >= 25)).alias("n_large"),
+        F.aggregate(
+            qtys,
+            F.lit(0).cast("long"),
+            lambda acc, q: acc + F.when(q >= 25, q).otherwise(F.lit(0)),
+        ).alias("large_qty_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert + delete in one full-outer pass)
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+WITH fh AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+sh AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+tl AS (
+    SELECT user_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM fh
+),
+t AS (
+    SELECT user_id, ts AS last_ts, event_type AS last_type, CAST(n AS BIGINT) AS n_events
+    FROM tl WHERE rn = 1 AND user_id % 3 != 0
+),
+sl AS (
+    SELECT user_id, ts, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM sh
+),
+s AS (
+    SELECT user_id, ts AS last_ts, event_type AS last_type, CAST(n AS BIGINT) AS n_new
+    FROM sl WHERE rn = 1 AND user_id % 5 != 0
+)
+SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL THEN s.last_ts
+            WHEN t.user_id IS NOT NULL THEN t.last_ts
+            ELSE s.last_ts END AS last_ts,
+       CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL THEN s.last_type
+            WHEN t.user_id IS NOT NULL THEN t.last_type
+            ELSE s.last_type END AS last_type,
+       CAST(CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+                 THEN t.n_events + s.n_new
+            WHEN t.user_id IS NOT NULL THEN t.n_events
+            ELSE s.n_new END AS BIGINT) AS n_events
+FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL AND s.last_type = 'error')
+"""
+
+
+@register("merge_user_state", _MERGE_SQL)
+def merge_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (operators/merge.py): a per-user state table
+    built from the first half-month absorbs the second half as a CDC-style
+    source — matched rows whose incoming last event is an error are
+    DELETEd, other matches UPDATE (advance last_ts/type, accumulate
+    counts), unmatched source users INSERT. One full-outer join, one
+    shuffle; the %3/%5 key filters exist to exercise all three branches
+    (insert-only and keep-only populations) deterministically."""
+    from bicis_spark.operators.merge import merge_into
+
+    ev = read_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def _state(df: DataFrame, n_name: str) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max("ts").alias("last_ts"),
+            F.max_by(
+                "event_type", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("last_type"),
+            F.count(F.lit(1)).alias(n_name),
+        )
+
+    target = _state(ev.where(F.col("ts") < split), "n_events").where(
+        F.col("user_id") % 3 != 0
+    )
+    source = _state(ev.where(F.col("ts") >= split), "n_new").where(
+        F.col("user_id") % 5 != 0
+    )
+    return merge_into(
+        target,
+        source,
+        key_cols=["user_id"],
+        update_set={
+            "last_ts": F.col("s.last_ts"),
+            "last_type": F.col("s.last_type"),
+            "n_events": F.col("t.n_events") + F.col("s.n_new"),
+        },
+        delete_cond=F.col("s.last_type") == "error",
+        insert_values={
+            "user_id": F.col("s.user_id"),
+            "last_ts": F.col("s.last_ts"),
+            "last_type": F.col("s.last_type"),
+            "n_events": F.col("s.n_new"),
+        },
+    )

@@ -454,3 +454,84 @@ class TestProrateDaily:
         for r in joined:
             assert r.got == r.want, (r.l_orderkey, r.l_linenumber)
             assert r.n_rows == r.n_days_sum
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+
+class TestMergeInto:
+    def _frames(self, spark):
+        target = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k long, v string, n long",
+        )
+        source = spark.createDataFrame(
+            [(2, "B", 2), (3, "DEL", 3), (5, "E", 5)],
+            "k long, v string, n long",
+        )
+        return target, source
+
+    def test_all_branches(self, spark):
+        from bicis_spark.operators.merge import merge_into
+
+        target, source = self._frames(spark)
+        out = merge_into(
+            target,
+            source,
+            key_cols=["k"],
+            update_set={
+                "v": F.col("s.v"),
+                "n": F.col("t.n") + F.col("s.n"),
+            },
+            delete_cond=F.col("s.v") == "DEL",
+            insert_values={
+                "k": F.col("s.k"),
+                "v": F.col("s.v"),
+                "n": F.col("s.n"),
+            },
+        )
+        rows = sorted(map(tuple, out.collect()))
+        assert rows == [
+            (1, "a", 10),   # unmatched target: kept as-is
+            (2, "B", 22),   # matched: updated
+            (4, "d", 40),   # unmatched target: kept
+            (5, "E", 5),    # unmatched source: inserted
+        ]  # k=3 matched the DELETE branch
+
+    def test_no_insert_branch_drops_source_only(self, spark):
+        from bicis_spark.operators.merge import merge_into
+
+        target, source = self._frames(spark)
+        out = merge_into(
+            target, source, ["k"],
+            update_set={"v": F.col("s.v"), "n": F.col("s.n")},
+        )
+        rows = sorted(map(tuple, out.collect()))
+        assert rows == [
+            (1, "a", 10), (2, "B", 2), (3, "DEL", 3), (4, "d", 40),
+        ]
+
+    def test_update_cond_gates_updates(self, spark):
+        from bicis_spark.operators.merge import merge_into
+
+        target, source = self._frames(spark)
+        out = merge_into(
+            target, source, ["k"],
+            update_set={"v": F.col("s.v"), "n": F.col("s.n")},
+            update_cond=F.col("s.n") > 2,
+        )
+        got = {r.k: (r.v, r.n) for r in out.collect()}
+        assert got[2] == ("b", 20)  # update_cond false -> target kept
+        assert got[3] == ("DEL", 3)  # update_cond true -> updated
+
+    def test_output_schema_matches_target(self, spark):
+        from bicis_spark.operators.merge import merge_into
+
+        target, source = self._frames(spark)
+        out = merge_into(
+            target, source, ["k"],
+            update_set={"n": F.col("s.n")},
+        )
+        assert out.schema == target.schema
