@@ -1563,3 +1563,122 @@ def merge_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events": F.col("s.n_new"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total (ratio_to_report) window
+# ---------------------------------------------------------------------------
+
+_REV_SHARE_SQL = """
+WITH nr AS (
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+)
+SELECT n_name, rev_cents,
+       CAST(rev_cents AS DOUBLE) / CAST(sum(rev_cents) OVER () AS DOUBLE)
+           AS revenue_share
+FROM nr
+"""
+
+
+@register("revenue_share_by_nation", _REV_SHARE_SQL)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of global
+    revenue via an unpartitioned window SUM over the 25-row aggregate —
+    the window runs over the AGGREGATE, never the fact table, so the
+    single-partition window holds |nations| rows at any corpus size.
+    Exact integer cents feed one bigint/bigint double division (bitwise
+    on both engines)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    nr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    total = F.sum("rev_cents").over(Window.partitionBy())
+    return nr.select(
+        "n_name",
+        "rev_cents",
+        (F.col("rev_cents").cast("double") / total.cast("double")).alias(
+            "revenue_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) anomaly detection
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    WHERE e.value IS NOT NULL
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(d.med) AS median_value,
+       min(m.mad) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("mad_robust_anomalies", _MAD_SQL)
+def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |x − median| > 3·MAD per event type.
+    Median/MAD instead of mean/σ — a single 10^9-valued bot row shifts a
+    mean arbitrarily but moves the median by at most one rank. Two exact
+    percentile passes with a broadcast 1-row-per-group join between them;
+    interpolation arithmetic is bitwise-aligned with DuckDB quantile_cont
+    (proven by the quantile_interpolation query)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -734,3 +734,77 @@ def streaming_topk_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank_in_window") <= 3)
         .select("win_start", "event_type", F.col("n").cast("long").alias("n"), "rank_in_window")
     )
+
+
+@register(
+    "streaming_scd2_enrichment",
+    """
+    WITH dim_src AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE event_type IN ('view', 'click')
+    ),
+    ranked AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER w AS prev
+        FROM dim_src
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (SELECT * FROM ranked WHERE prev IS NULL OR event_type <> prev),
+    scd AS (
+        SELECT user_id, event_type AS mode, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM changes
+    ),
+    enriched AS (
+        SELECT coalesce(s.mode, 'none') AS mode
+        FROM events p
+        LEFT JOIN scd s
+          ON s.user_id = p.user_id
+         AND p.ts >= s.valid_from
+         AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT mode, CAST(count(*) AS BIGINT) AS n_purchases
+    FROM enriched GROUP BY mode
+    """,
+)
+def streaming_scd2_enrichment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness in a stream: purchase events enrich
+    against an SCD2 dimension (the user's browsing mode, built from
+    view/click history) via a stream-static LEFT join whose predicate
+    routes each event into the dimension interval VALID AT EVENT TIME —
+    never the current row (the classic training-serving leak). The static
+    side is the scd2_history operator output; the interval predicate
+    rides the equi-join on user, so the static build is a per-user
+    interval list probed in place. Purchases before a user's first
+    view/click keep mode='none' (LEFT join accounting)."""
+    from bicis_spark.operators.scd import scd2_history
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import read_events_stream, run_to_completion
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = scd2_history(
+        ev.where(F.col("event_type").isin("view", "click")),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("mode"),
+        "valid_from",
+        "valid_to",
+    )
+    src = _staged_events_dir(spark, sf_dir)
+    stream = read_events_stream(spark, src, EVENTS).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    ).select(F.coalesce(F.col("mode"), F.lit("none")).alias("mode"))
+    agg = joined.groupBy("mode").agg(F.count(F.lit(1)).alias("n_purchases"))
+    return run_to_completion(agg, "streaming_scd2_enrichment_mem")

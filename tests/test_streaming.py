@@ -155,3 +155,70 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # only the 00:00 window closed under the final watermark (05:00); the
     # late event's 01:00 window must not exist; 05:00/06:00 stay open
     assert got == {"2024-01-01 00:00:00": 1}, got
+
+
+def test_foreachbatch_merge_sink_is_replay_idempotent(spark, tmp_path):
+    """Exactly-once sink recipe: foreachBatch + key-merge into a parquet
+    state table. Structured Streaming guarantees at-least-once foreachBatch
+    delivery; end-to-end exactly-once therefore requires the sink merge to
+    be idempotent under batch REPLAY. merge_into on the event key
+    (insert-new, update-is-identity for replayed rows) provides that: the
+    final state equals the batch DISTINCT, and re-applying the last batch
+    changes nothing."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.merge import merge_into
+
+    src_dir = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    rows = [(i, f"u{i % 3}", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, user string, v double")
+    # several files => several microbatches with maxFilesPerTrigger=1
+    df.repartition(4).write.parquet(src_dir)
+
+    seen_batches = []
+
+    def upsert(batch_df, batch_id):
+        batch = batch_df.dropDuplicates(["event_id"])
+        if glob.glob(state_dir + "/*.parquet"):
+            state = batch_df.sparkSession.read.parquet(state_dir)
+            merged = merge_into(
+                state,
+                batch,
+                key_cols=["event_id"],
+                update_set={},  # replayed rows: identity update
+                insert_values={
+                    "event_id": F.col("s.event_id"),
+                    "user": F.col("s.user"),
+                    "v": F.col("s.v"),
+                },
+            )
+        else:
+            merged = batch
+        pdf = merged.toPandas()  # tiny state; avoids read/overwrite races
+        batch_df.sparkSession.createDataFrame(pdf, merged.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(state_dir)
+        seen_batches.append(batch.count())
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(state_dir)
+    assert len(seen_batches) > 1  # genuinely incremental
+    assert state.count() == 30
+    assert sorted(map(tuple, state.collect())) == sorted(rows)
+
+    # simulate the failure mode: the LAST batch is delivered again
+    replay = spark.read.parquet(src_dir).limit(10)
+    upsert(replay, batch_id=999)
+    state2 = spark.read.parquet(state_dir)
+    assert sorted(map(tuple, state2.collect())) == sorted(rows)
