@@ -73,7 +73,10 @@ def prorate_daily(
         F.col("_i").cast("long").alias("day_index"),
         F.col("n_days"),
         (
-            F.expr("_cents DIV n_days")  # integer division, never a double
+            # exact FLOOR division (DIV truncates toward zero, which breaks
+            # the remainder pairing for negative amounts): subtracting the
+            # positive pmod makes the dividend exactly divisible
+            F.expr("(_cents - pmod(_cents, n_days)) DIV n_days")
             + F.when(
                 F.col("_i") < F.pmod(F.col("_cents"), F.col("n_days")), F.lit(1)
             ).otherwise(F.lit(0))

@@ -598,7 +598,7 @@ _IVF_ORACLE = f"""
                                                c.centroid_id) AS rn
             FROM q v CROSS JOIN cents c
             WHERE v.vec_id % 100 = 0
-        ) t WHERE rn <= 6
+        ) t WHERE rn <= 10
     ),
     scored AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -619,13 +619,13 @@ _IVF_ORACLE = f"""
 def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN with a trained coarse quantizer: deterministic
     seed centroids refined by one exact k-means step (integer-mean update),
-    n_probe=6 (recall/cost knob: 2 probes measured recall@5 = 0.22 at
-    sf0.1; 6 probes ≈ 15% of the lists for substantially higher recall) —
+    n_probe=10 (recall/cost knob, measured at sf0.1: 2 probes → 0.22,
+    6 → 0.40, 10 → 0.53, 14 → 0.65 recall@5; 10 ≈ a quarter of the lists) —
     training, assignment, and probing all replayed exactly by the oracle."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return ann_topk_ivf(
-        emb, queries, k=5, n_centroids_mod=50, n_probe=6, train_iters=1
+        emb, queries, k=5, n_centroids_mod=50, n_probe=10, train_iters=1
     )
 
 
@@ -667,7 +667,7 @@ def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = queries.select(F.col("vec_id").alias("query_id"))
     exact = ann_topk_bruteforce(emb, queries, k=5)
     approx = ann_topk_ivf(
-        emb, queries, k=5, n_centroids_mod=50, n_probe=6, train_iters=1
+        emb, queries, k=5, n_centroids_mod=50, n_probe=10, train_iters=1
     )
     return ann_recall(base, exact, approx, 5)
 

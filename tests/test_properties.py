@@ -127,3 +127,128 @@ def test_packing_offsets_contiguous(spark, texts, seq):
         end = start + r["n_tokens"]
         assert r["end_seq"] == (end - 1) // seq
         cum[r["shard"]] = end
+
+
+# ---------------------------------------------------------------------------
+# Round-3b operator properties: top-k plan equivalence, proration
+# conservation, merge partition law
+# ---------------------------------------------------------------------------
+
+_topk_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # group
+        st.integers(-100, 100),       # order value (ties likely)
+        st.integers(0, 10_000),       # unique id source
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[2],
+)
+
+
+@given(rows=_topk_rows, k=st.integers(1, 4))
+@SETTINGS
+def test_topk_agg_equals_window_plan(spark, rows, k):
+    """The salted hash-agg top-k must equal the row_number window plan on
+    arbitrary grouped data, including order-value ties."""
+    from pyspark.sql import Window
+
+    from bicis_spark.operators.topk import topk_by_group_agg
+
+    df = spark.createDataFrame(rows, "g long, v long, id long")
+    got = {
+        (r.g, r.rank_in_group, r.v, r.id)
+        for r in topk_by_group_agg(
+            df, ["g"], "v", "id", k, ["id"], n_salts=4
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    want = {
+        (r.g, r.rn, r.v, r.id)
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .collect()
+    }
+    assert got == want
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),                 # id source (unique)
+        st.integers(0, 400),                    # start day offset
+        st.integers(0, 60),                     # interval length - 1
+        st.integers(-10_000_00, 10_000_00),     # amount in cents
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(ivs=_intervals)
+@SETTINGS
+def test_prorate_conserves_and_bounds_spread(spark, ivs):
+    """Largest-remainder proration: per-interval shares sum EXACTLY to the
+    rounded cents, cover every day once, and differ by at most one cent —
+    for any amounts (negative included) and interval lengths."""
+    from bicis_spark.operators.prorate import prorate_daily
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=s), base + dt.timedelta(days=s + n),
+         cents / 100.0)
+        for (i, s, n, cents) in ivs
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, start timestamp, end timestamp, amount double"
+    )
+    out = prorate_daily(df, "start", "end", "amount", ["id"]).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r)
+    assert set(by_id) == {i for (i, _, _, _) in ivs}
+    for (i, s, n, cents) in ivs:
+        shares = by_id[i]
+        assert len(shares) == n + 1
+        assert sum(x.daily_cents for x in shares) == round(cents / 100.0 * 100)
+        assert max(x.daily_cents for x in shares) - min(
+            x.daily_cents for x in shares
+        ) <= 1
+        days = sorted(x.day for x in shares)
+        assert days == [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(days=s + j)).date()
+            for j in range(n + 1)
+        ]
+
+
+_merge_keys = st.lists(st.integers(0, 15), min_size=0, max_size=10, unique=True)
+
+
+@given(t_keys=_merge_keys, s_keys=_merge_keys, del_mod=st.integers(2, 5))
+@SETTINGS
+def test_merge_into_partition_law(spark, t_keys, s_keys, del_mod):
+    """MERGE output == (unmatched target) ∪ (matched minus deleted, updated)
+    ∪ (unmatched source inserts) — the three-way partition law, for any key
+    overlap pattern and delete predicate."""
+    from bicis_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(k, k * 10) for k in t_keys], "k long, n long"
+    ) if t_keys else spark.createDataFrame([], "k long, n long")
+    source = spark.createDataFrame(
+        [(k, k * 100) for k in s_keys], "k long, n long"
+    ) if s_keys else spark.createDataFrame([], "k long, n long")
+    out = merge_into(
+        target, source, ["k"],
+        update_set={"n": F.col("t.n") + F.col("s.n")},
+        delete_cond=F.col("s.k") % del_mod == 0,
+        insert_values={"k": F.col("s.k"), "n": F.col("s.n")},
+    )
+    got = {(r.k, r.n) for r in out.collect()}
+    ts_, ss_ = set(t_keys), set(s_keys)
+    want = (
+        {(k, k * 10) for k in ts_ - ss_}
+        | {(k, k * 110) for k in ts_ & ss_ if k % del_mod != 0}
+        | {(k, k * 100) for k in ss_ - ts_}
+    )
+    assert got == want
