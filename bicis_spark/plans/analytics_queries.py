@@ -1682,3 +1682,125 @@ def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame (interval moving aggregate)
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS total_30d
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("orders_30d_range_frame", _RANGE_FRAME_SQL)
+def orders_30d_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day per-customer order stats via a RANGE frame over
+    epoch seconds — the time-based frame the ROWS variant
+    (order_window_frames) cannot express: each row's frame is defined by
+    VALUE distance, so gaps and bursts are handled correctly. Exact
+    DECIMAL money sums inside the frame. Epoch-seconds ordering keeps the
+    frame arithmetic in integers on both engines."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("total_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped percentile vectors (one pass, array of quantiles)
+# ---------------------------------------------------------------------------
+
+_PCT_VECTOR_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("price_percentile_vector", _PCT_VECTOR_SQL)
+def price_percentile_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile VECTOR per group in one aggregate pass —
+    percentile(col, array(...)) sorts each group once for all four
+    quantiles (four scalar calls would sort four times). Interpolation is
+    bitwise-aligned with DuckDB quantile_cont."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))")
+    return li.groupBy("l_returnflag").agg(
+        pct[0].alias("p25"),
+        pct[1].alias("p50"),
+        pct[2].alias("p75"),
+        pct[3].alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot with multiple aggregates per cell
+# ---------------------------------------------------------------------------
+
+_PIVOT_MULTI_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F_n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O_n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P_n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("pivot_status_multi_agg", _PIVOT_MULTI_SQL)
+def pivot_status_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with TWO aggregates per pivoted value (count + exact-decimal
+    sum) — pivot(values) with an explicit value list avoids the extra
+    distinct-scan Spark needs to discover pivot values, and multiple aggs
+    share the single hash aggregate. Column names pinned to <val>_<agg>
+    on both engines."""
+    o = read_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        *[
+            F.col(f"{s}_{a}").alias(f"{s}_{a}")
+            for s in ("F", "O", "P")
+            for a in ("n", "total")
+        ],
+    )

@@ -1264,3 +1264,94 @@ def dedup_minhash_lsh_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="xxhash64"
     )
+
+# The curation_pipeline oracle body, duplicated as a constant so composed
+# queries (training_mix_manifest) can embed it as a CTE. Keep in sync with
+# the @register("curation_pipeline") literal above.
+_CURATION_BODY_INDENTED = """    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+        SELECT doc_id, text,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS unique_ratio
+        FROM t
+    ),
+    kept AS (
+        SELECT doc_id, text, n_tokens, unique_ratio
+        FROM q WHERE n_tokens >= 30 AND unique_ratio >= 0.3
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+               min(unique_ratio) AS unique_ratio
+        FROM kept GROUP BY text
+    )
+    SELECT d.doc_id, d.n_tokens, d.unique_ratio,
+           CASE WHEN len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
+                     >= len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
+                 AND len(list_filter(toks, x -> x IN ('the','a','fast','slow','small','big')))
+                     >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
+                THEN 'en'
+                WHEN len(list_filter(toks, x -> x IN ('data','table','row','column','query')))
+                     >= len(list_filter(toks, x -> x IN ('spark','stream','batch','window','vector')))
+                THEN 'es'
+                ELSE 'zh' END AS predicted_lang
+    FROM deduped d JOIN t ON t.doc_id = d.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Training-mix manifest: the full curation chain capped by deterministic
+# per-language quotas, reduced to the corpus-mix table a data lead reads.
+# ---------------------------------------------------------------------------
+
+_TRAINING_MIX_SQL = """
+WITH curated AS (
+%s
+),
+quota AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY predicted_lang
+        ORDER BY md5(doc_id::VARCHAR), doc_id
+    ) AS rn
+    FROM curated
+),
+mix AS (SELECT * FROM quota WHERE rn <= 40)
+SELECT predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens) AS DOUBLE)
+           / CAST(sum(sum(n_tokens)) OVER () AS DOUBLE) AS token_share
+FROM mix GROUP BY predicted_lang
+""" % (_CURATION_BODY_INDENTED,)
+
+
+@register("training_mix_manifest", _TRAINING_MIX_SQL)
+def training_mix_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data question: after quality filtering,
+    dedup, and language tagging, WHAT MIX does the corpus have under
+    per-language quotas? Composes curation_pipeline with the
+    deterministic hash-order quota (no RNG — the sampled set is stable
+    under retries and re-runs) and reduces to the per-language manifest:
+    doc counts, token totals, token share. The percent-of-total window
+    runs over the |languages|-row aggregate, never the corpus."""
+    from pyspark.sql import Window
+
+    curated = curation_pipeline_q(spark, sf_dir)
+    w = Window.partitionBy("predicted_lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    mix = curated.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 40
+    )
+    agg = mix.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return agg.select(
+        "predicted_lang",
+        "n_docs",
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / total.cast("double")).alias(
+            "token_share"
+        ),
+    )

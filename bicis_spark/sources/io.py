@@ -336,3 +336,54 @@ def read_evolving_parquet(
     for df in aligned[1:]:
         out = out.unionByName(df)
     return out.select(*target_names)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-explicit ORC scan — same S4 discipline as parquet; ORC kept
+    for interchange with Hive-era warehouses (predicate pushdown and
+    column pruning work the same way)."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files, optionally re-clustering on
+    ``sort_cols``. Returns the output file count.
+
+    Streaming sinks and per-trigger writes accumulate thousands of tiny
+    files; at 100 TB the scan cost is then dominated by footer reads and
+    task scheduling, not bytes. File count is derived from the on-disk
+    byte size (driver-side listing — metadata only), then the rewrite is
+    one job: range-clustered when ``sort_cols`` is given (keeps/restores
+    the pruning layout), plain coalesce otherwise (no shuffle at all).
+    """
+    import glob
+    import os
+
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    return len(glob.glob(os.path.join(out_path, "*.parquet")))

@@ -235,3 +235,56 @@ def test_read_evolving_parquet_aligns_generations(spark, tmp_path):
     rows = sorted(map(tuple, out.collect()))
     assert rows == [(1, 1.0, None), (2, 2.0, None), (3, 3.0, "x")]
     assert out.schema == g2_schema
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """ORC sink -> schema-explicit ORC scan round-trips values including
+    timestamps (same S4 discipline as parquet)."""
+    from bicis_spark.sources.io import read_orc, read_table, write_orc
+
+    events = read_table(spark, sf_dir, "events").limit(200)
+    path = str(tmp_path / "events_orc")
+    write_orc(events, path)
+    back = read_orc(spark, path, events.schema)
+    assert back.schema == events.schema
+    a = sorted(map(tuple, events.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from bicis_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "many")
+    out = str(tmp_path / "few")
+    df = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(40).write.parquet(src)  # 40 tiny files
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 40
+    n = compact_parquet(spark, src, out, target_file_bytes=1 << 30)
+    assert n == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(20_000))
+
+    # re-clustered compaction restores the range-pruning layout
+    out2 = str(tmp_path / "few_sorted")
+    import pyarrow.parquet as pq
+
+    compact_parquet(
+        spark, src, out2, target_file_bytes=120_000, sort_cols=["id"]
+    )
+    files = sorted(glob.glob(out2 + "/*.parquet"))
+    assert len(files) > 1
+    ranges = sorted(
+        (
+            min(t := pq.read_table(f, columns=["id"]).column("id").to_pylist()),
+            max(t),
+        )
+        for f in files
+    )
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
