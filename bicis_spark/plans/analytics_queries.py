@@ -1804,3 +1804,125 @@ def pivot_status_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a in ("n", "total")
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Null semantics battery (null-safe join, null grouping, count vs count(col))
+# ---------------------------------------------------------------------------
+
+_NULL_BATTERY_SQL = """
+WITH e AS (
+    SELECT event_id,
+           nullif(user_id % 5, 0) AS grp,
+           CASE WHEN value < 10 THEN NULL ELSE value END AS v
+    FROM events
+),
+dim(g, label) AS (
+    VALUES (1, 'one'), (2, 'two'), (3, 'three'), (4, 'four'), (NULL, 'missing')
+)
+SELECT d.label,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(e.v) AS BIGINT) AS n_nonnull,
+       min(e.v) AS min_v,
+       max(e.v) AS max_v
+FROM e JOIN dim d ON e.grp IS NOT DISTINCT FROM d.g
+GROUP BY d.label
+"""
+
+
+@register("null_semantics_battery", _NULL_BATTERY_SQL)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null semantics pinned: the null-safe equality join (`<=>` /
+    IS NOT DISTINCT FROM) routes null-keyed rows to the null dimension row
+    instead of dropping them (a plain equi-join silently loses them — the
+    classic fact-table leak), count(*) vs count(col) disagree exactly by
+    the null count, and min/max ignore nulls. Null-safe joins still hash-
+    partition on the key, so the plan is a normal broadcast/SMJ, not BNLJ."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.nullif(F.col("user_id") % 5, F.lit(0)).alias("grp"),
+        F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three"), (4, "four"), (None, "missing")],
+        "g long, label string",
+    )
+    return (
+        e.join(F.broadcast(dim), e["grp"].eqNullSafe(dim["g"]))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_nonnull"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON parse (from_json with schema, vs string-path extraction)
+# ---------------------------------------------------------------------------
+
+_JSON_TYPED_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("json_typed_parse", _JSON_TYPED_SQL)
+def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema yields a
+    struct column whose fields prune like any other (vs get_json_object's
+    per-path string extraction in json_props_stats). One parse feeds both
+    the bucket key and the sum."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    parsed = ev.select(F.from_json("props", "k INT").alias("p"))
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_bucket"), F.col("p.k").alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users (overlapping event-time windows, batch)
+# ---------------------------------------------------------------------------
+
+_SLIDING_DISTINCT_SQL = """
+WITH starts AS (
+    SELECT user_id,
+           (epoch(ts)::BIGINT // 10800) * 10800 AS s0
+    FROM events
+),
+u AS (
+    SELECT user_id, s0 AS s FROM starts
+    UNION ALL
+    SELECT user_id, s0 - 10800 AS s FROM starts
+)
+SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS win_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM u GROUP BY s
+"""
+
+
+@register("sliding_window_distinct_users", _SLIDING_DISTINCT_SQL)
+def sliding_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 6h/3h sliding windows with a DISTINCT aggregate: each
+    event lands in exactly window/slide = 2 windows (Spark's window()
+    replicates at the Expand stage, map-side — the oracle makes the same
+    two-alignment replication explicit with a UNION ALL). Distinct
+    aggregation then deduplicates per window."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("win"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("win.start").alias("win_start"), "n_users")
+    )
