@@ -1926,3 +1926,102 @@ def sliding_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("user_id").alias("n_users"))
         .select(F.col("win.start").alias("win_start"), "n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split (random-like train/test assignment, zero RNG)
+# ---------------------------------------------------------------------------
+
+_HASH_SPLIT_SQL = """
+WITH assigned AS (
+    SELECT event_id,
+           CASE
+               WHEN ascii(substr(md5(event_id::VARCHAR || ':split'), 1, 1)) % 10 < 8
+                   THEN 'train'
+               WHEN ascii(substr(md5(event_id::VARCHAR || ':split'), 1, 1)) % 10 < 9
+                   THEN 'validation'
+               ELSE 'test'
+           END AS split
+    FROM events
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM assigned GROUP BY split
+"""
+
+
+@register("hash_split_assignment", _HASH_SPLIT_SQL)
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-LIKE 80/10/10 split with zero RNG: the split is a pure
+    function of the row key (first md5 hex char mod 10), so assignment is
+    identical under retries, repartitioning, and re-runs — the property
+    randomSplit() cannot give (it samples per-partition). Map-only; the
+    time-based splitter (operators/split.py) remains the right tool when
+    leakage-by-time matters."""
+    ev = read_table(spark, sf_dir, "events")
+    bucket = (
+        F.ascii(F.substring(F.md5(F.concat_ws(":", F.col("event_id"), F.lit("split"))), 1, 1)) % 10
+    )
+    assigned = ev.select(
+        "event_id",
+        F.when(bucket < 8, "train")
+        .when(bucket < 9, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Accumulating-snapshot fact (order lifecycle wide row)
+# ---------------------------------------------------------------------------
+
+_LIFECYCLE_SQL = """
+SELECT o.o_orderkey, o.o_orderstatus, o.o_orderdate,
+       CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+       min(l.l_shipdate) AS first_ship,
+       max(l.l_shipdate) AS last_ship,
+       CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(max(l.l_shipdate) AS DATE)) AS BIGINT)
+           AS days_to_complete,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS net_revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus, o.o_orderdate
+"""
+
+
+@register("order_lifecycle_snapshot", _LIFECYCLE_SQL)
+def order_lifecycle_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact build: one wide row per order carrying
+    its lifecycle milestones (first/last ship, completion lag, line count,
+    exact net revenue). The kimball-style pattern for process-tracking
+    tables; one shuffle join + one hash agg, both on the order key, so the
+    exchange is shared (ReusedExchange / single partitioning)."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus", "o_orderdate")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.datediff(
+                F.to_date(F.max("l_shipdate")), F.to_date("o_orderdate")
+            ).cast("long").alias("days_to_complete"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("net_revenue"),
+        )
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderdate", "n_lines",
+            "first_ship", "last_ship", "days_to_complete", "net_revenue",
+        )
+    )
