@@ -2025,3 +2025,45 @@ def order_lifecycle_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_ship", "last_ship", "days_to_complete", "net_revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-as-window-function: running median
+# ---------------------------------------------------------------------------
+
+_RUNNING_MEDIAN_SQL = """
+SELECT event_id, user_id, ts,
+       quantile_cont(value, 0.5) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS running_median
+FROM events
+WHERE event_type = 'purchase' AND value IS NOT NULL
+"""
+
+
+@register("running_median_value", _RUNNING_MEDIAN_SQL)
+def running_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY aggregate runs as a window function over a frame — here the
+    exact median over each user's purchase history so far (the robust
+    running baseline for drift monitoring; a running MEAN is one bot
+    purchase away from useless). Interpolation parity with DuckDB's
+    quantile_cont is already pinned by quantile_interpolation. Per-user
+    frames keep the recompute bounded by human purchase rates (the
+    user-partitioned-window skew argument in SCALE.md)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("percentile(value, 0.5)").over(w).alias("running_median"),
+    )

@@ -505,10 +505,18 @@ def _staged_events_dir(
     src_files = sorted(
         f for f in os.listdir(sf_dir) if f.startswith("events") and f.endswith(".parquet")
     )
-    fp = 0
+    # v2: reader-version salt — the staged copy is read_table OUTPUT, so the
+    # key must change when the decode path changes (the round-3 NANOS→MICROS
+    # drift would otherwise reuse a stage written through the old decoder)
+    fp = 2
     for f in src_files:
         st = os.stat(os.path.join(sf_dir, f))
         fp = (fp * 1_000_003 + int(st.st_mtime_ns) + st.st_size) % (1 << 61)
+    from bicis_spark.sources.io import _nanos_ts_cols
+    from bicis_spark.schemas import EVENTS
+
+    if _nanos_ts_cols(f"{sf_dir}/events.parquet", EVENTS):
+        fp = (fp * 31 + 1) % (1 << 61)
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp:x}" + ("_1f" if single_file else "")
     src = os.path.join(tempfile.gettempdir(), f"bicis_spark_stream_events_{tag}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
