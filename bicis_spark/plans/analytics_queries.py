@@ -1244,11 +1244,16 @@ FROM ex GROUP BY day
 def prorated_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prorate each lineitem's revenue across the [order date, ship date]
     interval with exact largest-remainder cent allocation
-    (operators/prorate.py), then total per calendar day. Map-only
-    sequence+explode feeding one hash aggregate; BIGINT cent sums make the
-    result order-independent, and the allocation conserves every cent
-    (property-tested)."""
-    from bicis_spark.operators.prorate import prorated_daily_totals
+    (operators/prorate.py), then total per calendar day. Declared plan is
+    the DIFFERENCE-ARRAY formulation: each interval emits ≤4 boundary
+    deltas (O(intervals) rows) instead of one row per covered day
+    (O(interval-days) — 36M at sf0.1, 36B at 100×); a prefix sum over the
+    calendar-day grid (bounded by the date span, not data volume)
+    reconstructs identical totals. The explode plan remains as
+    prorate_daily for per-share outputs; equivalence is test-asserted and
+    the oracle (an explicit lateral-unnest replay) gates the delta plan's
+    values bit-for-bit."""
+    from bicis_spark.operators.prorate import prorated_daily_totals_delta
 
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
@@ -1257,12 +1262,11 @@ def prorated_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate"
     )
     iv = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    daily = prorated_daily_totals(
+    daily = prorated_daily_totals_delta(
         iv,
         start_col="o_orderdate",
         end_col="l_shipdate",
         amount_col="l_extendedprice",
-        id_cols=["l_orderkey", "l_linenumber"],
     )
     return daily.select(
         F.col("day").cast("timestamp").alias("day"), "n_slices", "total_cents"

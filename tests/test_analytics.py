@@ -535,3 +535,51 @@ class TestMergeInto:
             update_set={"n": F.col("s.n")},
         )
         assert out.schema == target.schema
+
+
+class TestProrateDelta:
+    def test_delta_equals_explode_plan(self, spark, sf_dir):
+        """The O(intervals) difference-array totals must equal the
+        O(interval-days) explode plan's totals row-for-row, negative
+        amounts and single-day intervals included."""
+        from bicis_spark.operators.prorate import (
+            prorated_daily_totals,
+            prorated_daily_totals_delta,
+        )
+        from bicis_spark.sources.io import read_table
+
+        li = read_table(spark, sf_dir, "lineitem").limit(2000)
+        orders = read_table(spark, sf_dir, "orders")
+        iv = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        a = prorated_daily_totals(
+            iv, "o_orderdate", "l_shipdate", "l_extendedprice",
+            ["l_orderkey", "l_linenumber"],
+        )
+        b = prorated_daily_totals_delta(
+            iv, "o_orderdate", "l_shipdate", "l_extendedprice"
+        )
+        ra = sorted((str(r.day), r.n_slices, r.total_cents) for r in a.collect())
+        rb = sorted((str(r.day), r.n_slices, r.total_cents) for r in b.collect())
+        assert ra == rb
+
+    def test_delta_synthetic_negative_and_gaps(self, spark):
+        from bicis_spark.operators.prorate import (
+            prorated_daily_totals,
+            prorated_daily_totals_delta,
+        )
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3), 100.01),
+            (2, dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 10), -55.55),
+            (3, dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 5), -0.07),
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, start timestamp, end timestamp, amount double"
+        )
+        a = prorated_daily_totals(df, "start", "end", "amount", ["id"])
+        b = prorated_daily_totals_delta(df, "start", "end", "amount")
+        ra = sorted((str(r.day), r.n_slices, r.total_cents) for r in a.collect())
+        rb = sorted((str(r.day), r.n_slices, r.total_cents) for r in b.collect())
+        assert ra == rb
+        # the uncovered gap days (Jan 6-9) must NOT appear
+        assert not any(d.startswith("2024-01-0") and d[-1] in "6789" for d, _, _ in rb)
