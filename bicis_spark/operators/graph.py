@@ -78,3 +78,52 @@ def pagerank_fixed_point(
             )
         )
     return ranks.select(F.col("v").alias("node"), "rank_fp")
+
+
+def triangle_count(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Global triangle census of an undirected graph: 1 row
+    [n_vertices, n_edges, n_triangles].
+
+    The compact-forward algorithm: normalize every edge to (a < b),
+    deduplicate, then count wedges a→b→c (two ordered-edge joins) closed
+    by the edge (a, c). Ordering vertices (a < b < c) counts each
+    triangle exactly once and bounds the wedge fan-out by the FORWARD
+    degree — the standard trick that keeps the join tractable on
+    power-law graphs (a hub's wedges are generated from its higher-id
+    neighbors only). Two shuffle joins on vertex keys + three count
+    aggregates; no driver-side iteration (contrast pagerank_fixed_point's
+    bounded rounds).
+    """
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = (
+        edges.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    closed = wedges.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        "inner",
+    )
+    # one lazy plan: three 1-row aggregates cross-joined (broadcast, free)
+    n_vertices = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_triangles = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_vertices.join(F.broadcast(n_edges)).join(F.broadcast(n_triangles))

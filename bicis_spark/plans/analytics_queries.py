@@ -2071,3 +2071,51 @@ def running_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("percentile(value, 0.5)").over(w).alias("running_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (co-purchase graph census)
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_SQL = """
+WITH pairs AS (
+    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+verts AS (
+    SELECT count(DISTINCT v)::BIGINT AS n_vertices FROM (
+        SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs
+    )
+),
+ecount AS (SELECT count(*)::BIGINT AS n_edges FROM pairs),
+tri AS (
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e1.b = e2.a
+    JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_vertices, n_edges, n_triangles FROM verts, ecount, tri
+"""
+
+
+@register("part_copurchase_triangles", _TRIANGLES_SQL)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts are adjacent
+    when some order contains both): compact-forward counting — a < b < c
+    vertex ordering makes each triangle count once and bounds wedge
+    fan-out by forward degree (operators/graph.py:triangle_count). The
+    per-order pair build is O(basket²) per order, bounded by basket size,
+    never corpus size."""
+    from bicis_spark.operators.graph import triangle_count
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = li.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")),
+    ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    return triangle_count(pairs, "src", "dst")

@@ -583,3 +583,25 @@ class TestProrateDelta:
         assert ra == rb
         # the uncovered gap days (Jan 6-9) must NOT appear
         assert not any(d.startswith("2024-01-0") and d[-1] in "6789" for d, _, _ in rb)
+
+
+class TestTriangleCount:
+    def _count(self, spark, edges):
+        from bicis_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df, "src", "dst").first()
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = self._count(spark, k4)
+        assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    def test_square_has_none(self, spark):
+        r = self._count(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+        assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 4, 0)
+
+    def test_duplicate_reversed_and_self_edges_normalize(self, spark):
+        edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2)]
+        r = self._count(spark, edges)
+        assert (r.n_vertices, r.n_edges, r.n_triangles) == (3, 3, 1)
