@@ -2119,3 +2119,106 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")),
     ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
     return triangle_count(pairs, "src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch attribution (purchase -> preceding click window)
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_SQL = """
+WITH p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+joined AS (
+    SELECT p.event_id, c.ts AS c_ts, c.event_id AS c_id,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.ts DESC, c.event_id DESC) AS rn_last,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.ts ASC, c.event_id ASC) AS rn_first
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+),
+touch AS (
+    SELECT p.event_id,
+           max(CASE WHEN j.rn_last = 1 THEN j.c_id END) AS last_touch_click,
+           max(CASE WHEN j.rn_first = 1 THEN j.c_id END) AS first_touch_click
+    FROM p LEFT JOIN joined j ON j.event_id = p.event_id
+    GROUP BY p.event_id
+)
+SELECT CASE WHEN last_touch_click IS NULL THEN 'unattributed'
+            WHEN last_touch_click = first_touch_click THEN 'single_touch'
+            ELSE 'multi_touch' END AS attribution,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM touch GROUP BY 1
+"""
+
+
+@register("purchase_attribution", _ATTRIBUTION_SQL)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over a 7-day lookback: each purchase gets its
+    LAST preceding click (last-touch) and its FIRST click inside the
+    window (first-touch), both via the banded as-of machinery — the
+    lookback bound is what keeps the pre-aggregate join from carrying a
+    user's full click history. Purchases split into unattributed /
+    single_touch / multi_touch buckets."""
+    from bicis_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    last = asof_join(
+        purchases, clicks,
+        left_ts="ts", right_ts="c_ts",
+        by_left="user_id", by_right="c_user",
+        right_cols=["c_id"], tiebreak="c_id", left_id="event_id",
+        direction="backward", tolerance_s=7 * 86_400,
+    ).select("event_id", F.col("c_id").alias("last_touch_click"))
+    # first-touch inside the band: min_by over the same banded join shape
+    lts = F.col("_l.ts")
+    rts = F.col("_r.c_ts")
+    first = (
+        purchases.alias("_l")
+        .join(
+            clicks.alias("_r"),
+            (F.col("_l.user_id") == F.col("_r.c_user"))
+            & (rts <= lts)
+            & (F.unix_micros(lts) - F.unix_micros(rts) <= 7 * 86_400 * 1_000_000),
+            "inner",
+        )
+        .groupBy(F.col("_l.event_id").alias("event_id"))
+        .agg(
+            F.min_by(
+                F.col("_r.c_id"),
+                F.struct(F.unix_micros(rts), F.col("_r.c_id")),
+            ).alias("first_touch_click")
+        )
+    )
+    touch = (
+        purchases.select("event_id")
+        .join(last, "event_id", "left")
+        .join(first, "event_id", "left")
+    )
+    return (
+        touch.select(
+            F.when(F.col("last_touch_click").isNull(), "unattributed")
+            .when(
+                F.col("last_touch_click") == F.col("first_touch_click"),
+                "single_touch",
+            )
+            .otherwise("multi_touch")
+            .alias("attribution")
+        )
+        .groupBy("attribution")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
