@@ -2222,3 +2222,165 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("attribution")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized feature statistics (percentile clipping, exact quantized mean)
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_SQL = """
+WITH b AS (
+    SELECT event_type,
+           quantile_cont(value, 0.01) AS lo,
+           quantile_cont(value, 0.99) AS hi
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+c AS (
+    SELECT e.event_type,
+           least(greatest(e.value, b.lo), b.hi) AS cv
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE e.value IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(cv * 1000000) AS BIGINT)) AS BIGINT) AS clipped_sum_micros,
+       min(cv) AS min_clipped,
+       max(cv) AS max_clipped
+FROM c GROUP BY event_type
+"""
+
+
+@register("winsorized_value_stats", _WINSORIZE_SQL)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the standard outlier treatment for regression
+    features: clip each value into its group's [p1, p99] band (exact
+    percentiles, broadcast back as a 1-row-per-group join), then
+    aggregate. The sum is exact integer micros (an order-dependent double
+    sum would break the hash gate and retry-determinism alike); callers
+    derive the mean as sum/1e6/n."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("cv"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("cv") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("clipped_sum_micros"),
+        F.min("cv").alias("min_clipped"),
+        F.max("cv").alias("max_clipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session co-occurrence lift (association analytics, log-free PMI)
+# ---------------------------------------------------------------------------
+
+_LIFT_SQL = """
+WITH s AS (
+    SELECT user_id, ts, event_type,
+           sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+),
+st AS (SELECT DISTINCT user_id, session_no, event_type FROM s),
+n_sessions AS (SELECT count(DISTINCT (user_id, session_no))::BIGINT AS ns FROM s),
+singles AS (
+    SELECT event_type, count(*)::BIGINT AS n_a FROM st GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*)::BIGINT AS n_ab
+    FROM st a JOIN st b
+      ON a.user_id = b.user_id AND a.session_no = b.session_no
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab, sa.n_a, sb.n_a AS n_b,
+       CAST(p.n_ab * ns.ns AS DOUBLE) / CAST(sa.n_a * sb.n_a AS DOUBLE) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n_sessions ns
+"""
+
+
+@register("session_cooccurrence_lift", _LIFT_SQL)
+def session_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between event types at session granularity:
+    lift(a,b) = P(a,b)/(P(a)·P(b)) over 30-minute-gap sessions — PMI
+    without the log, so the arithmetic stays one exact integer product
+    per side and a single double division (bitwise both engines; the
+    log-based variant would need the broadcast-log-table trick). Sessions
+    come from the engine's sessionization; per-session types deduplicate
+    BEFORE the pair join, so the join input is |sessions|×|types| at
+    worst, never raw events."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("ts").over(w).alias("prev"),
+    ).select(
+        "user_id", "event_type",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev"))
+                   > 1_800_000_000),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    st = s.select("user_id", "session_no", "event_type").distinct()
+    ns = s.select("user_id", "session_no").distinct().agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    singles = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_a"))
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_no") == F.col("b.session_no"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_a").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(ns))
+        .select(
+            "type_a", "type_b", "n_ab", "n_a", "n_b",
+            (
+                (F.col("n_ab") * F.col("ns")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
