@@ -2384,3 +2384,94 @@ def session_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-level conversion funnel (sessionization ∘ funnel composition)
+# ---------------------------------------------------------------------------
+
+_SESSION_FUNNEL_SQL = """
+WITH s AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+),
+keyed AS (SELECT user_id * 1000000 + session_no AS sk, ts, event_type FROM s),
+s1 AS (SELECT sk, min(ts) AS t1 FROM keyed WHERE event_type = 'view' GROUP BY sk),
+s2 AS (
+    SELECT k.sk, min(k.ts) AS t2 FROM keyed k JOIN s1 ON k.sk = s1.sk
+    WHERE k.event_type = 'click' AND k.ts > s1.t1 GROUP BY k.sk
+),
+s3 AS (
+    SELECT k.sk, min(k.ts) AS t3 FROM keyed k JOIN s2 ON k.sk = s2.sk
+    WHERE k.event_type = 'purchase' AND k.ts > s2.t2 GROUP BY k.sk
+),
+c AS (
+    SELECT (SELECT count(*) FROM s1)::BIGINT AS n1,
+           (SELECT count(*) FROM s2)::BIGINT AS n2,
+           (SELECT count(*) FROM s3)::BIGINT AS n3
+)
+SELECT 1::BIGINT AS step, 'view' AS step_name, n1 AS n_users,
+       n1::DOUBLE / n1::DOUBLE AS conv_from_first FROM c
+UNION ALL
+SELECT 2::BIGINT, 'click', n2, n2::DOUBLE / n1::DOUBLE FROM c
+UNION ALL
+SELECT 3::BIGINT, 'purchase', n3, n3::DOUBLE / n1::DOUBLE FROM c
+"""
+
+
+@register("session_conversion_funnel", _SESSION_FUNNEL_SQL)
+def session_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel at SESSION granularity — view→click→purchase
+    must happen strictly in order within one 30-minute-gap session, the
+    intra-visit conversion question the per-user funnel
+    (funnel_view_click_purchase) cannot answer. Composition of the
+    engine's sessionization window with funnel_counts on a composite
+    (user, session) key; each step stays a min-ts aggregate chained on
+    the reused session key."""
+    from pyspark.sql import Window
+
+    from bicis_spark.operators.funnel import funnel_counts
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    keyed = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("ts").over(w).alias("prev"),
+        )
+        .select(
+            "ts", "event_type",
+            (
+                F.col("user_id") * 1_000_000
+                + F.sum(
+                    F.when(
+                        F.col("prev").isNull()
+                        | (
+                            F.unix_micros(F.col("ts"))
+                            - F.unix_micros(F.col("prev"))
+                            > 1_800_000_000
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            ).alias("sk"),
+        )
+    )
+    return funnel_counts(
+        keyed,
+        user_col="sk",
+        ts_col="ts",
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
