@@ -2475,3 +2475,122 @@ def session_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("purchase", F.col("event_type") == "purchase"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per user
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = """
+WITH seg AS (
+    SELECT user_id,
+           CAST(round(value * 1000) AS BIGINT) AS v_milli,
+           (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            - epoch_us(ts)) // 1000000 AS dt_s
+    FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dt_s) AS BIGINT) AS total_s,
+       CAST(sum(v_milli * dt_s) AS BIGINT) AS weighted_milli_s,
+       CAST(sum(v_milli * dt_s) AS DOUBLE) / CAST(sum(dt_s) * 1000 AS DOUBLE)
+           AS twap
+FROM seg WHERE dt_s IS NOT NULL AND dt_s > 0
+GROUP BY user_id
+"""
+
+
+@register("twap_user_value", _TWAP_SQL)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation holds until
+    the user's next event (lead() segment duration), so bursts of readings
+    don't dominate the average the way a row-mean lets them. All
+    accumulation in exact integers — milli-quantized values × whole-second
+    durations stay far inside int64 (1e5 × 2.6e6 × 1e4 rows ≈ 1e15) — with
+    one final double division."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+            / F.lit(1_000_000)
+        ).cast("long").alias("dt_s"),
+    ).where(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dt_s").cast("long").alias("total_s"),
+        F.sum(F.col("v_milli") * F.col("dt_s")).cast("long").alias(
+            "weighted_milli_s"
+        ),
+        (
+            F.sum(F.col("v_milli") * F.col("dt_s")).cast("double")
+            / (F.sum("dt_s") * 1000).cast("double")
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative-share analysis (revenue concentration by decile)
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = """
+WITH cr AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT cents,
+           ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+    FROM cr
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS decile_cents,
+       CAST(sum(cents) AS DOUBLE)
+           / CAST(sum(sum(cents)) OVER () AS DOUBLE) AS revenue_share
+FROM ranked GROUP BY decile
+"""
+
+
+@register("customer_revenue_pareto", _PARETO_SQL)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 question): customers ranked into
+    spend deciles, each decile's share of total revenue. The ntile runs
+    over the per-customer AGGREGATE (|customers| rows, not orders), the
+    share window over the 10-row decile aggregate; exact integer cents
+    everywhere, tie-broken by customer key so decile edges are
+    deterministic."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = cr.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cents").desc(), F.col("o_custkey")))
+        .cast("long")
+        .alias("decile"),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    total = F.sum("decile_cents").over(Window.partitionBy())
+    return agg.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        (F.col("decile_cents").cast("double") / total.cast("double")).alias(
+            "revenue_share"
+        ),
+    )
