@@ -2594,3 +2594,96 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak burst rate (max events in any forward 5-minute window per user)
+# ---------------------------------------------------------------------------
+
+_PEAK_RATE_SQL = """
+WITH c AS (
+    SELECT user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN CURRENT ROW AND 299999999 FOLLOWING)
+               AS w_count
+    FROM events
+)
+SELECT user_id,
+       CAST(max(w_count) AS BIGINT) AS peak_5min_events,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM c GROUP BY user_id
+"""
+
+
+@register("peak_event_rate", _PEAK_RATE_SQL)
+def peak_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: each user's maximum event count inside ANY
+    5-minute window (every event anchors a forward RANGE frame — the W1
+    window shape repurposed for rate limiting / abuse detection). The
+    per-user frame recompute is bounded by human event rates; a hot
+    key would take the same bucketed-window treatment as W1."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(0, 299_999_999)
+    )
+    c = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("w_count")
+    )
+    return c.groupBy("user_id").agg(
+        F.max("w_count").cast("long").alias("peak_5min_events"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clickstream path mining (top event-type trigrams)
+# ---------------------------------------------------------------------------
+
+_PATH_TRIGRAMS_SQL = """
+WITH seq AS (
+    SELECT event_type AS a,
+           lead(event_type, 1) OVER w AS b,
+           lead(event_type, 2) OVER w AS c
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+    SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1
+)
+SELECT path, CAST(n AS BIGINT) AS n,
+       CAST(rank() OVER (ORDER BY n DESC) AS BIGINT) AS rnk
+FROM t
+QUALIFY rank() OVER (ORDER BY n DESC) <= 10
+"""
+
+
+@register("path_trigrams_top10", _PATH_TRIGRAMS_SQL)
+def path_trigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 10 most common 3-step event-type
+    sequences across user histories. Two lead() taps on one per-user
+    window build the trigram (no self-joins, no explode), then one hash
+    agg over at most |types|³ keys. rank() (not row_number) keeps count
+    ties deterministic without inventing an order."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).where(F.col("b").isNotNull() & F.col("c").isNotNull())
+    t = seq.groupBy(
+        F.concat_ws(">", "a", "b", "c").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ranked = t.select(
+        "path", "n",
+        F.rank().over(Window.orderBy(F.col("n").desc())).cast("long").alias("rnk"),
+    )
+    return ranked.where(F.col("rnk") <= 10)
