@@ -2687,3 +2687,55 @@ def path_trigrams_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(Window.orderBy(F.col("n").desc())).cast("long").alias("rnk"),
     )
     return ranked.where(F.col("rnk") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# Inter-event latency distribution (gap percentiles per event type)
+# ---------------------------------------------------------------------------
+
+_GAP_PCT_SQL = """
+WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           )) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_us,
+       quantile_cont(gap_us, 0.5) AS p50_us,
+       quantile_cont(gap_us, 0.9) AS p90_us,
+       quantile_cont(gap_us, 0.99) AS p99_us,
+       CAST(max(gap_us) AS BIGINT) AS max_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("event_gap_percentiles", _GAP_PCT_SQL)
+def event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-distribution profile: per event type, the percentile vector
+    of inter-arrival gaps within each user's stream of that type — the
+    SLO-style view (p50/p90/p99) of behavioral cadence. Gaps are exact
+    integer microseconds from one lag() window; percentiles interpolate
+    over integers, so even the interpolated values are bitwise-stable."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    pct = F.expr("percentile(gap_us, array(0.5, 0.9, 0.99))")
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_us"),
+        pct[0].alias("p50_us"),
+        pct[1].alias("p90_us"),
+        pct[2].alias("p99_us"),
+        F.max("gap_us").cast("long").alias("max_us"),
+    )
