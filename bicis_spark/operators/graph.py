@@ -15,10 +15,9 @@ and the declared oracle unrolls the identical recurrence in SQL.
 At 100 TB scale: ranks and degrees are |V|-sized, edges |E|-sized; every
 stage is a key-partitioned join/agg with map-side partial aggregation on
 the inflow sum. Iteration count is fixed (power iteration converges
-geometrically; 5-20 rounds is the practical envelope). For long loops the
-plan lineage should be truncated every few rounds exactly as the
-connected-components loop does (localCheckpoint); at 5 rounds the plan
-stays shallow enough that the optimizer handles it whole.
+geometrically; 5-20 rounds is the practical envelope). Plan lineage is
+truncated every CHECKPOINT_EVERY rounds exactly as the connected-components
+loop does (localCheckpoint), so a 20-round run never builds a 40-join tree.
 """
 
 from __future__ import annotations
@@ -27,12 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Truncate plan lineage every this many power iterations. Each round adds
+#: two joins + an agg to the logical plan; past a handful of rounds analysis
+#: time grows superlinearly and the optimizer re-derives the whole chain.
+CHECKPOINT_EVERY = 4
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = 5,
     scale: int = 1_000_000,
     damping_num: int = 85,
     damping_den: int = 100,
+    checkpoint_every: int = CHECKPOINT_EVERY,
 ) -> DataFrame:
     """(node, rank_fp) after ``n_iter`` power iterations of
 
@@ -54,7 +60,13 @@ def pagerank_fixed_point(
         "v", F.lit(scale).cast("long").alias("rank_fp")
     )
     ew = edges.join(deg, on="src")
-    for _ in range(n_iter):
+    for i in range(n_iter):
+        # lineage truncation (same discipline as connected_components_min_label):
+        # materialize the |V|-sized rank frame every few rounds so the plan
+        # tree stays shallow for long loops. eager=True keeps determinism —
+        # ranks are exact integers, so re-materialization can't drift.
+        if i > 0 and checkpoint_every > 0 and i % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
         inflow = (
             ew.join(ranks.withColumnRenamed("v", "src"), on="src")
             .groupBy("dst")

@@ -45,20 +45,31 @@ def merge_into(
     ``insert_values`` drops unmatched source rows (no INSERT branch);
     omitting ``delete_cond`` keeps all matched rows.
     """
-    t = target.alias("t")
-    s = source.alias("s")
+    # Explicit presence markers, not key-null inference: a NULL in the first
+    # key column must not make a real row vanish from both sides.
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     cond = None
     for k in key_cols:
         c = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = c if cond is None else (cond & c)
     joined = t.join(s, cond, "full_outer")
 
-    t_present = F.col(f"t.{key_cols[0]}").isNotNull()
-    s_present = F.col(f"s.{key_cols[0]}").isNotNull()
+    t_present = F.coalesce(F.col("t._t_present"), F.lit(False))
+    s_present = F.coalesce(F.col("s._s_present"), F.lit(False))
     matched = t_present & s_present
 
-    drop_row = matched & delete_cond if delete_cond is not None else F.lit(False)
-    do_update = matched & (update_cond if update_cond is not None else F.lit(True))
+    # SQL MERGE fires a WHEN clause only when its condition is TRUE: a
+    # NULL-valued condition must not fire the branch (coalesce, else
+    # ``where(~NULL)`` silently drops the row).
+    drop_row = (
+        matched & F.coalesce(delete_cond, F.lit(False))
+        if delete_cond is not None
+        else F.lit(False)
+    )
+    do_update = matched & (
+        F.coalesce(update_cond, F.lit(False)) if update_cond is not None else F.lit(True)
+    )
 
     out_cols = []
     for f in target.schema.fields:

@@ -64,6 +64,19 @@ def topk_by_group_agg(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    if descending:
+        # Descending is implemented as unary negation; a non-numeric order
+        # column would be implicitly cast to double (NULL sort keys →
+        # silently arbitrary top-k) with ANSI off, so enforce the numeric
+        # contract up front.
+        from pyspark.sql.types import NumericType
+
+        dt = df.schema[order_col].dataType
+        if not isinstance(dt, NumericType):
+            raise TypeError(
+                f"topk_by_group_agg(descending=True) requires a numeric "
+                f"order column; {order_col!r} is {dt.simpleString()}"
+            )
     key = F.struct(
         _sort_key(order_col, descending).alias("_o"),
         F.col(tiebreak_col).alias("_t"),

@@ -25,7 +25,7 @@ from bicis_spark.operators.model import (
 )
 from bicis_spark.operators.profiles import station_profile
 from bicis_spark.operators.split import SplitPeriods, split_bounds, with_split_label
-from bicis_spark.operators.targets import next_window_count
+from bicis_spark.operators.targets import next_window_count_bucketed
 from bicis_spark.plans.runner import Pipeline
 from bicis_spark.sources.io import read_table
 
@@ -75,7 +75,12 @@ def build_pipeline(
     @p.stage("target", deps=["split"])
     def target(s: SparkSession, labeled: DataFrame) -> DataFrame:
         rents = labeled.where(F.col("mode") == "rent")
-        return next_window_count(rents, "station", "ts", "id", window_seconds, "target")
+        # skew-bounded declared plan (operators/targets.py): the unbucketed
+        # window keys on station alone, so one hot station = one straggler
+        # task at scale; the bucketed variant bounds tasks by (station, day)
+        return next_window_count_bucketed(
+            rents, "station", "ts", "id", window_seconds, "target"
+        )
 
     @p.stage("features", deps=["split", "profile"])
     def features(s: SparkSession, labeled: DataFrame, prof: DataFrame) -> DataFrame:

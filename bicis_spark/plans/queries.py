@@ -50,69 +50,67 @@ _LOADED = False
 
 # The driver hash-verifies only the FIRST 50 registered queries (observed:
 # CORRECTNESS_r01/r02 keys == queries() positions 1-50 in insertion order).
-# DRIVER_WINDOW pins exactly which 50 get that hard check this round:
-# the 40 LLM-pipeline/extension queries that have never had a driver row
-# (r2 verdict item #1), plus 10 rotating core queries — including
-# table_profile_orders, whose oracle was fixed this round and needs a green
-# row to prove it. The core suite has been driver-green twice (r1+r2) and
-# stays fully covered by tests/test_oracle_queries.py locally.
+# DRIVER_WINDOW pins exactly which 50 get that hard check this round.
+# Round-4 rotation (r3 verdict item #1): the 46 round-3 window members
+# came back green (+4 rows-only by design), so all 50 slots move to the
+# never-driver-checked round-3 analytics battery. 10 more never-checked
+# names remain (part_copurchase_triangles, purchase_attribution,
+# winsorized_value_stats, session_cooccurrence_lift,
+# session_conversion_funnel, twap_user_value, customer_revenue_pareto,
+# peak_event_rate, path_trigrams_top10, event_gap_percentiles) — they
+# are first in the round-5 queue. Everything previously green stays
+# covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- extension surface, never driver-checked before round 3 ------------
-    "glm_poisson_predictions",
-    "glm_poisson_mse",
-    "streaming_hourly_counts",
-    "streaming_session_counts",
-    "streaming_view_purchase_join",
-    "streaming_distinct_user_types",
-    "streaming_enriched_segment_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "token_counts",
-    "text_quality",
-    "language_id",
-    "doc_fingerprints",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "token_counts_bpe",
-    "ann_topk_ivf",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    "curation_pipeline",
-    "stratified_sample_by_lang",
-    "curation_quota_sample",
-    "top_shingles",
-    "dedup_clusters",
-    "vocab_stats",
-    "tfidf_top_terms",
-    "benchmark_decontamination",
-    "pii_scrub",
-    "doc_repetition",
-    "doc_chunks",
-    "sequence_packing",
-    "dedup_fuzzy_prefix",
-    "neardup_survivors",
-    "dedup_minhash_lsh_fast",
-    # -- new round-3 queries, never driver-checked ------------------------
-    "minhash_accuracy_contract",
-    "customers_without_events",
-    "salted_join_supplier_revenue",
-    "table_profile_orders_approx",
-    # -- new round-3 operators, never driver-checked ----------------------
-    "scd2_customer_status",
-    "char_entropy_quality",
-    "bpe_merge_table",
-    # -- rotating core slots (fresh oracle fix + flagship plans; the core
-    # suite is green in r1+r2 driver rows and stays fully covered by
-    # tests/test_oracle_queries.py locally) -------------------------------
-    "table_profile_orders",
-    "hour_profile",
-    "next_window_target",
+    "asof_forward_next_order",
+    "asof_nearest_order",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "streaming_topk_event_types",
+    "streaming_scd2_enrichment",
+    "training_mix_manifest",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "hourly_gap_fill_ffill",
+    "quality_expectations",
+    "cms_heavy_hitters",
+    "hll_distinct_contract",
+    "customer_event_reconciliation",
+    "quantity_deciles",
+    "totalprice_histogram",
+    "interval_overlap_error_purchase",
+    "vocab_encode_documents",
+    "streaming_dedup_watermark",
+    "snapshot_diff_orders",
+    "hourly_anomalies",
+    "training_epoch_shuffle",
+    "pagerank_part_supplier",
+    "bloom_pruned_part_revenue",
+    "key_skew_profile_events",
+    "hashed_features_customer",
+    "scaled_quantity_features",
+    "doc_cosine_topk",
+    "quantile_interpolation",
+    "bpe_encode_stats",
+    "topk_agg_orders_per_customer",
+    "prorated_daily_revenue",
+    "group_sample_events",
+    "quantile_approx_contract",
+    "above_avg_customers",
+    "grouping_sets_order_stats",
+    "array_hof_order_stats",
+    "merge_user_state",
+    "revenue_share_by_nation",
+    "mad_robust_anomalies",
+    "orders_30d_range_frame",
+    "price_percentile_vector",
+    "pivot_status_multi_agg",
+    "null_semantics_battery",
+    "json_typed_parse",
+    "sliding_window_distinct_users",
+    "hash_split_assignment",
+    "order_lifecycle_snapshot",
+    "running_median_value",
 )
 
 

@@ -42,36 +42,71 @@ def _nanos_ts_cols(path: str, schema: StructType) -> frozenset[str]:
     wanted = {f.name for f in schema.fields if isinstance(f.dataType, TimestampType)}
     if not wanted:
         return frozenset()
-    cache_key = (path, tuple(sorted(wanted)))
+    import glob
+    import logging
+    import os
+
+    # The driver regenerates testdata IN PLACE between rounds (same paths,
+    # possibly different encoding), so a path-only cache key would pin a
+    # long-lived process to a stale decode path — key on file identity
+    # (mtime_ns + size) of every member file instead.
+    try:
+        files = (
+            tuple(sorted(glob.glob(os.path.join(path, "*.parquet"))))
+            if os.path.isdir(path)
+            else (path,)
+        )
+        fingerprint = tuple(
+            (f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files
+        )
+    except OSError:
+        return frozenset()
+    cache_key = (fingerprint, tuple(sorted(wanted)))
     cached = _NANOS_PROBE_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    out: set[str] = set()
     try:
-        import glob
-        import os
-
         import pyarrow.parquet as pq
 
-        f = path
-        if os.path.isdir(path):
-            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if not parts:
-                return frozenset()
-            f = parts[0]
-        arrow = pq.ParquetFile(f).schema_arrow
-    except Exception:
-        return frozenset()  # fall back to logical-type read
-    out = set()
-    for fld in arrow:
-        t = fld.type
-        if fld.name in wanted and str(t).startswith("timestamp") and getattr(t, "unit", None) == "ns":
-            out.add(fld.name)
+        # Probe EVERY file: a directory with mixed-unit members has no
+        # single correct decode path, and must fail loudly rather than
+        # silently shift half the rows 1000×.
+        per_file: list[frozenset[str]] = []
+        for f in files:
+            arrow = pq.ParquetFile(f).schema_arrow
+            per_file.append(
+                frozenset(
+                    fld.name
+                    for fld in arrow
+                    if fld.name in wanted
+                    and str(fld.type).startswith("timestamp")
+                    and getattr(fld.type, "unit", None) == "ns"
+                )
+            )
+        if per_file and any(s != per_file[0] for s in per_file[1:]):
+            raise ValueError(
+                f"mixed parquet timestamp units across files under {path}: "
+                "split the read per file group"
+            )
+        out = set(per_file[0]) if per_file else set()
+    except ValueError:
+        raise
+    except Exception as exc:  # pyarrow missing / unreadable footer
+        logging.getLogger(__name__).warning(
+            "parquet timestamp-unit probe failed for %s (%s); "
+            "falling back to logical-type read — NANOS files would be "
+            "mis-decoded on this path",
+            path,
+            exc,
+        )
+        return frozenset()
     result = frozenset(out)
     _NANOS_PROBE_CACHE[cache_key] = result
     return result
 
 
-_NANOS_PROBE_CACHE: dict[tuple[str, tuple[str, ...]], frozenset[str]] = {}
+_NANOS_PROBE_CACHE: dict[tuple, frozenset[str]] = {}
 
 # runtime-settable SQL confs the engine depends on; applied defensively so
 # queries work on ANY caller-provided SparkSession (the driver builds its
@@ -96,8 +131,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer widths so downstream plans and oracle hashes are deterministic.
     """
     ensure_session_confs(spark)
-    schema = TABLES[name]
-    path = f"{sf_dir}/{name}.parquet"
+    return _read_with_schema(spark, f"{sf_dir}/{name}.parquet", TABLES[name])
+
+
+def _read_with_schema(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-explicit parquet read with the footer ts-unit probe applied."""
     ns_cols = _nanos_ts_cols(path, schema)
     if not ns_cols:
         return spark.read.schema(schema).parquet(path)
@@ -359,6 +397,7 @@ def compact_parquet(
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    schema: StructType | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
     ~``target_file_bytes`` files, optionally re-clustering on
@@ -378,7 +417,14 @@ def compact_parquet(
         os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
     )
     n_files = max(1, -(-total // target_file_bytes))  # ceil
-    df = spark.read.parquet(path)
+    # Schema-explicit read (S4 discipline): with an explicit schema the
+    # footer ts-unit probe picks the right decode path, so TIMESTAMP(NANOS)
+    # inputs compact correctly instead of failing the schema-inferring read.
+    if schema is not None:
+        ensure_session_confs(spark)
+        df = _read_with_schema(spark, path, schema)
+    else:
+        df = spark.read.parquet(path)
     if sort_cols:
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
             *sort_cols

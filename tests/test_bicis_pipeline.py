@@ -60,3 +60,88 @@ def test_model_save_load_roundtrip(spark, sf_dir, tmp_path):
     assert sorted((r["id"], r["prediction"]) for r in orig) == sorted(
         (r["id"], r["prediction"]) for r in re
     )
+
+
+def test_glm_poisson_golden_coefficients(spark):
+    """M1/M2 hard local gate (r3 verdict item #6): pinned coefficients and
+    predictions of fit_poisson on a fixed single-partition fixture. IRLS has
+    no DuckDB twin, so the driver row is rows-only — this golden is the
+    exactness check. Fixture: target = f1 + 2*f2 + 1 (exactly linear), so
+    the identity-link GLM must recover (1.0, 2.0, 1.0) to machine epsilon;
+    the log-link goldens pin the IRLS trajectory at maxIter 1 and 10."""
+    import pytest
+
+    from bicis_spark.operators.model import assemble_features, fit_poisson, predict
+
+    rows = [
+        (i, float(i % 8), float((3 * i) % 5), float((i % 8) + 2 * ((3 * i) % 5) + 1))
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, f1 double, f2 double, target double"
+    ).coalesce(1)
+    ds = assemble_features(df, feature_cols=["f1", "f2"], target_col="target", id_col="id")
+
+    m1 = fit_poisson(ds, link="log", max_iter=1)
+    assert list(m1.coefficients) == pytest.approx(
+        [0.12019845147010047, 0.24165183509324056], rel=1e-9
+    )
+    assert m1.intercept == pytest.approx(1.148383321152467, rel=1e-9)
+
+    m10 = fit_poisson(ds, link="log", max_iter=10)
+    assert list(m10.coefficients) == pytest.approx(
+        [0.12014543932097062, 0.24174271747918016], rel=1e-9
+    )
+    assert m10.intercept == pytest.approx(1.143013524800327, rel=1e-9)
+
+    ident = fit_poisson(ds, link="identity", max_iter=10)
+    assert list(ident.coefficients) == pytest.approx([1.0, 2.0], rel=1e-12)
+    assert ident.intercept == pytest.approx(1.0, rel=1e-12)
+    preds = {r["id"]: r["prediction"] for r in predict(ident, ds).collect()}
+    # exactly-linear data: identity-link predictions equal the targets
+    for i, f1, f2, tgt in rows:
+        assert preds[i] == pytest.approx(tgt, rel=1e-12)
+
+
+def test_pipeline_target_window_is_bucketed(spark, sf_dir):
+    """The full-pipeline target stage must use the skew-bounded bucketed
+    window (the declared plan): the window partition key has to include the
+    _bucket column, or one hot station becomes a single straggler task."""
+    from bicis_spark.operators.targets import next_window_count_bucketed
+    from bicis_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "event_id as id", "user_id as station", "ts"
+    )
+    plan = next_window_count_bucketed(
+        ev, "station", "ts", "id", 3600, "target"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bucket" in plan, plan
+    # and the pipeline's target stage routes through the bucketed variant
+    import inspect
+
+    from bicis_spark.plans import bicis_pipeline
+
+    src = inspect.getsource(bicis_pipeline)
+    assert "next_window_count_bucketed(" in src
+
+
+def test_pagerank_deep_iteration_checkpointing(spark):
+    """n_iter=10 pagerank with lineage truncation: must complete with a
+    shallow final plan (the localCheckpoint discipline) and keep the exact
+    fixed-point values of the unrolled recurrence."""
+    from bicis_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if (a + 1) % 6 == b or (a * 2) % 6 == b if a != b],
+        "src long, dst long",
+    ).distinct()
+    deep = pagerank_fixed_point(edges, n_iter=10, checkpoint_every=4)
+    flat = pagerank_fixed_point(edges, n_iter=10, checkpoint_every=0)
+    got = {r["node"]: r["rank_fp"] for r in deep.collect()}
+    want = {r["node"]: r["rank_fp"] for r in flat.collect()}
+    assert got == want
+    # truncated lineage: the optimized plan must not contain 10 unrolled
+    # join rounds (checkpoint resets to a LogicalRDD scan)
+    plan = deep._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan[:2000]

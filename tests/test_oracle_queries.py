@@ -15,8 +15,8 @@ ORACLES = registry.oracle_sql()
 
 def test_driver_window_manifest_pinned():
     """The driver hash-verifies only the FIRST 50 registered queries, in
-    insertion order (verified against CORRECTNESS_r01/r02 key lists). Pin
-    the round-3 window so a future registration can't silently evict a
+    insertion order (verified against CORRECTNESS_r01/r02/r03 key lists).
+    Pin the round-4 window so a future registration can't silently evict a
     query from driver verification (the r2 failure mode: 12 new core
     queries pushed all 40 extension queries out of the window)."""
     first50 = list(ALL)[:50]
@@ -24,15 +24,40 @@ def test_driver_window_manifest_pinned():
     assert first50 == list(registry.DRIVER_WINDOW), (
         "first-50 registration order drifted from plans/queries.py DRIVER_WINDOW"
     )
-    # every windowed name except the documented rows-only set carries an oracle
-    rows_only = {
-        "glm_poisson_predictions",  # IRLS float iteration: no DuckDB twin
-        "glm_poisson_mse",
-        "dedup_minhash_lsh_fast",  # xxhash64 signatures: no DuckDB twin
-        "table_profile_orders_approx",  # HLL approx counts: no exact twin
-    }
-    missing = [n for n in first50 if n not in ORACLES and n not in rows_only]
+    # every windowed name must carry an oracle: the round-4 window holds
+    # only SQL-expressible analytics queries (rows-only names can never go
+    # green, so they don't get a slot)
+    missing = [n for n in first50 if n not in ORACLES]
     assert not missing, f"driver-window queries without oracle SQL: {missing}"
+
+
+def test_driver_window_spends_slots_on_unverified_queries():
+    """Rotation honesty (r3 verdict item #8): while any registered query has
+    never had a driver CORRECTNESS row, every window slot must go to one of
+    them — re-verifying an already-green query wastes the round's only hard
+    check. Reads the committed CORRECTNESS_r*.json round records."""
+    import glob
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    records = sorted(glob.glob(str(repo / "CORRECTNESS_r*.json")))
+    # The newest record is the driver's check OF the current window — it
+    # always contains the window names, so only prior rounds count as
+    # "already verified" for rotation purposes.
+    ever_checked: set[str] = set()
+    for path in records[:-1]:
+        ever_checked |= set(json.load(open(path)))
+    if not ever_checked:  # fresh clone without round records: nothing to assert
+        pytest.skip("no CORRECTNESS_r*.json round records present")
+    unverified = set(ALL) - ever_checked
+    if not unverified:
+        pytest.skip("every registered query already has a driver row")
+    wasted = [n for n in registry.DRIVER_WINDOW if n in ever_checked]
+    assert not wasted, (
+        f"{len(unverified)} queries have never had a driver row, but the "
+        f"window re-verifies already-checked names: {wasted}"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(ALL))
