@@ -373,6 +373,7 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: int = 2,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's probe buckets,
     exact cosine re-rank within. 2^n_planes buckets ⇒ ~N/2^p candidates per
@@ -388,43 +389,103 @@ def ann_topk_lsh(
     real embedding corpora sit far higher at every radius). Only the
     broadcast QUERY side fans out; the corpus is hashed and shuffled once
     either way, and a (query, neighbor) pair can match at most one probe
-    (the corpus vector has exactly one bucket), so no dedup pass is
-    needed."""
-    c = (
-        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            quantize(F.col(vec_col), dims).alias("cv"),
-        )
-        .withColumn("bucket", lsh_bucket("cv", n_planes, dims))
-        .withColumn("cn", norm_col(F.col("cv"), dims))
+    (the corpus vector has exactly one bucket per table), so no dedup pass
+    is needed at ``n_tables=1``.
+
+    ``n_tables`` (standard multi-table LSH, the second recall knob): each
+    table hashes with its own disjoint hyperplane range (plane_offset =
+    t·n_planes), candidates are OR-ed across tables, and a DISTINCT on
+    (query, neighbor) dedups cross-table repeats before the exact re-rank.
+    Recall composes as 1−(1−r)^L for per-table recall r; cost is one extra
+    corpus-side bucket column per table (the corpus frame explodes
+    n_tables×, but only (id, bucket, table) — vectors are not duplicated
+    until the probe join)."""
+    if multi_probe > 2:
+        raise ValueError("multi_probe radius > 2 not supported")
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col), dims).alias("cv"),
     )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
+    )
+    # one (table, bucket) struct per table, from disjoint plane ranges
+    c = c.withColumn(
+        "_tb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket("cv", n_planes, dims, plane_offset=t * n_planes).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ),
+    ).select(
+        "neighbor_id",
+        "cv",
+        F.col("_tb.tbl").alias("tbl"),
+        F.col("_tb.bucket").alias("bucket"),
+        norm_col(F.col("cv"), dims).alias("cn"),
+    )
+    flips = [0]  # own bucket
+    if multi_probe >= 1:
+        flips += [1 << j for j in range(n_planes)]
+    if multi_probe >= 2:
+        flips += [
+            (1 << j) | (1 << l)
+            for j in range(n_planes)
+            for l in range(j + 1, n_planes)
+        ]
+    # two-step explode: materialize each table's bucket ONCE, then fan out
+    # the cheap XOR probe flips — inlining the 64-dim bucket aggregate into
+    # every probe element would codegen n_tables·|flips| copies of it
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
+        q.withColumn(
+            "_tb",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_bucket(
+                                "qv", n_planes, dims, plane_offset=t * n_planes
+                            ).alias("home"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ),
         )
-        .withColumn("bucket", lsh_bucket("qv", n_planes, dims))
-        .withColumn("qn", norm_col(F.col("qv"), dims))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("_tb.home").bitwiseXOR(F.lit(m)) for m in flips])
+            ),
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.col("_tb.tbl").alias("tbl"),
+            "bucket",
+            norm_col(F.col("qv"), dims).alias("qn"),
+        )
     )
-    if multi_probe > 0:
-        flips = [0]  # own bucket
-        if multi_probe >= 1:
-            flips += [1 << j for j in range(n_planes)]
-        if multi_probe >= 2:
-            flips += [
-                (1 << j) | (1 << l)
-                for j in range(n_planes)
-                for l in range(j + 1, n_planes)
-            ]
-        if multi_probe > 2:
-            raise ValueError("multi_probe radius > 2 not supported")
-        probes = F.array(
-            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips]
-        )
-        q = q.withColumn("bucket", F.explode(probes))
-    pairs = c.join(F.broadcast(q), "bucket").where(
+    pairs = c.join(F.broadcast(q), ["tbl", "bucket"]).where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    if n_tables > 1:
+        # a pair can match in several tables — dedup before the exact re-rank
+        # so each candidate is scored once
+        pairs = pairs.select("query_id", "neighbor_id", "qv", "cv", "qn", "cn").distinct()
     scored = pairs.select(
         "query_id",
         "neighbor_id",

@@ -64,8 +64,15 @@ def pagerank_fixed_point(
         # lineage truncation (same discipline as connected_components_min_label):
         # materialize the |V|-sized rank frame every few rounds so the plan
         # tree stays shallow for long loops. eager=True keeps determinism —
-        # ranks are exact integers, so re-materialization can't drift.
-        if i > 0 and checkpoint_every > 0 and i % checkpoint_every == 0:
+        # ranks are exact integers, so re-materialization can't drift. Only
+        # worth it when ≥3 rounds remain: a checkpoint just before the end
+        # pays materialization without saving any plan depth.
+        if (
+            i > 0
+            and checkpoint_every > 0
+            and i % checkpoint_every == 0
+            and n_iter - i >= 3
+        ):
             ranks = ranks.localCheckpoint(eager=True)
         inflow = (
             ew.join(ranks.withColumnRenamed("v", "src"), on="src")

@@ -64,3 +64,46 @@ def profile_table(
         + ") AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
     )
     return wide.selectExpr(stack)
+
+
+def profile_table_hll_contract(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rel_band: float = 0.10,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Accuracy contract for the approximate (HLL) profiling path:
+    [col_name, n_rows, n_nulls, n_distinct, hll_within_band] — exact stats
+    plus a boolean asserting ``approx_count_distinct`` landed within
+    ``rel_band`` of the exact cardinality. The sketch runs at ``rsd=0.01``
+    so a ±10% band is ~10 standard errors — a genuine estimator-bug
+    detector, not a coin flip. Same single-pass grand-aggregate plan as
+    ``profile_table``; the exact countDistinct here is the CONTRACT's
+    reference (the production 100 TB path is ``exact_distinct=False``,
+    which never pays the Expand)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_nn_{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"_nd_{i}"))
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd).cast("long").alias(f"_ad_{i}")
+        )
+    wide = df.agg(*aggs)
+    parts = []
+    for i, c in enumerate(cols):
+        lit = c.replace("'", "''")
+        band = (
+            f"abs(CAST(_ad_{i} AS DOUBLE) - CAST(_nd_{i} AS DOUBLE)) "
+            f"<= {rel_band} * CAST(_nd_{i} AS DOUBLE)"
+        )
+        parts.append(f"'{lit}', _n, _nn_{i}, _nd_{i}, {band}")
+    stack = (
+        f"stack({len(cols)}, " + ", ".join(parts)
+        + ") AS (col_name, n_rows, n_nulls, n_distinct, hll_within_band)"
+    )
+    return wide.selectExpr(stack)

@@ -1217,20 +1217,39 @@ def table_profile_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("table_profile_orders_approx")  # rows-only: HLL estimates have no
+@register(
+    "table_profile_orders_approx",
+    """
+    SELECT 'o_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           TRUE AS hll_within_band FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*)::BIGINT,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_custkey)::BIGINT, TRUE FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*)::BIGINT,
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderstatus)::BIGINT, TRUE FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*)::BIGINT,
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderpriority)::BIGINT, TRUE FROM orders
+    """,
+)
 def table_profile_orders_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB ANALYZE path: same one-pass profile but n_distinct via
-    approx_count_distinct (HLL sketch, no Expand of the scan — exact
-    countDistinct over k columns multiplies partial-aggregate input k×).
-    Rows-only by design: HLL estimates are engine-specific, so no DuckDB
-    hash twin exists; exactness is covered by table_profile_orders."""
-    from bicis_spark.operators.stats import profile_table
+    """The 100 TB ANALYZE path's accuracy CONTRACT (was rows-only; r3
+    verdict item #7): HLL estimates are engine-specific so they can't be
+    hash-compared directly — instead the query emits the exact profile
+    plus a boolean asserting approx_count_distinct(rsd=0.01) landed within
+    ±10% (~10σ) of the exact cardinality, and the oracle pins the exact
+    stats + TRUE. A wrong HLL path now flips the boolean and goes red."""
+    from bicis_spark.operators.stats import profile_table_hll_contract
 
     orders = read_table(spark, sf_dir, "orders")
-    return profile_table(
-        orders,
-        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
-        exact_distinct=False,
+    return profile_table_hll_contract(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
 
 

@@ -94,9 +94,10 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(docs_meta, "doc_id").select("doc_id", "n_copies", "n_chars")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+# Exact n-gram-Jaccard near-dup pairs (inverted index with doc-freq cap,
+# count-prune, exact verify) — shared by the dedup_ngram_jaccard gate and
+# the fast-minhash recall contract below.
+_NGRAM_PAIRS_SQL = f"""
     WITH {_SH_CTE.strip()},
     inv AS (SELECT doc, unnest(sh) AS s FROM sh),
     rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 50),
@@ -124,8 +125,10 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sh sb ON sb.doc = doc_b
     WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE >= 0.4
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4, max_doc_freq=50)
@@ -382,23 +385,47 @@ def ann_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hand-inlined coefficient drift possible). Replays multi-probe exactly:
 # each query probes its own bucket plus every bucket within Hamming
 # radius 2 (all 1-bit and 2-bit sign flips).
-_LSH_ORACLE = f"""
-    WITH {_QV_CTE.strip()},
-    b AS (SELECT vec_id, qv, ({_lsh_bucket_sql('q', 8)}) AS bucket FROM q),
-    qb AS (SELECT vec_id, qv, bucket FROM b WHERE vec_id % 100 = 0),
-    probes AS (
-        SELECT vec_id, qv, bucket FROM qb
+def _lsh_oracle(n_planes: int = 8, n_tables: int = 1) -> str:
+    """Oracle for multi-table multi-probe LSH ANN: per table, corpus
+    buckets from that table's disjoint hyperplane range + query probes at
+    Hamming radius ≤2; candidates OR-ed across tables with a DISTINCT
+    before the exact cosine re-rank (exactly ann_topk_lsh's plan)."""
+    per_table = []
+    for t in range(n_tables):
+        bucket = _lsh_bucket_sql("q", n_planes, plane_offset=t * n_planes)
+        per_table.append(
+            f"""
+    b{t} AS (SELECT vec_id, ({bucket}) AS bucket FROM q),
+    qb{t} AS (SELECT vec_id, bucket FROM b{t} WHERE vec_id % 100 = 0),
+    p{t} AS (
+        SELECT vec_id, bucket FROM qb{t}
         UNION ALL
-        SELECT vec_id, qv, xor(bucket, (1::BIGINT << j)) AS bucket
-        FROM qb, range(8) t(j)
+        SELECT vec_id, xor(bucket, (1::BIGINT << j)) AS bucket
+        FROM qb{t}, range({n_planes}) t(j)
         UNION ALL
-        SELECT vec_id, qv, xor(bucket, (1::BIGINT << j) | (1::BIGINT << l)) AS bucket
-        FROM qb, range(8) t(j), range(8) u(l) WHERE j < l
+        SELECT vec_id, xor(bucket, (1::BIGINT << j) | (1::BIGINT << l)) AS bucket
+        FROM qb{t}, range({n_planes}) t(j), range({n_planes}) u(l) WHERE j < l
+    )"""
+        )
+    unions = "\n        UNION ALL\n        ".join(
+        f"SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id "
+        f"FROM p{t} qs JOIN b{t} c ON c.bucket = qs.bucket AND c.vec_id != qs.vec_id"
+        for t in range(n_tables)
+    )
+    tables = ",".join(per_table)
+    return f"""
+    WITH {_QV_CTE.strip()},{tables},
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id FROM (
+        {unions}
+        ) u
     ),
     scored AS (
-        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {_COS.format(a='qs', b='c')} AS cosine
-        FROM probes qs JOIN b c ON c.bucket = qs.bucket AND c.vec_id != qs.vec_id
+        SELECT cand.query_id, cand.neighbor_id,
+               {_COS.format(a='qa', b='qc')} AS cosine
+        FROM cand
+        JOIN q qa ON qa.vec_id = cand.query_id
+        JOIN q qc ON qc.vec_id = cand.neighbor_id
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
         SELECT query_id, neighbor_id, cosine,
@@ -409,14 +436,22 @@ _LSH_ORACLE = f"""
     """
 
 
+#: Declared LSH operating point (r3 verdict item #4 — recall@5 ≥ 0.8):
+#: 5 tables × 8 planes, Hamming-radius-2 multi-probe. Measured at sf0.1:
+#: L1 → 0.50, L2 → 0.67, L4 → 0.80, L5 → 0.84, L6 → 0.86 recall@5;
+#: candidate fraction ≈ 1−(1−0.145)^L (14.5% per table at radius 2).
+_LSH_TABLES = 5
+_LSH_ORACLE = _lsh_oracle(8, _LSH_TABLES)
+
+
 @register("ann_topk_lsh", _LSH_ORACLE)
 def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH sign-bit buckets are pure integer arithmetic — the oracle
     replays the identical hyperplanes, so even this *approximate* operator
-    is hash-checked exactly."""
+    is hash-checked exactly (multi-table OR + DISTINCT included)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return ann_topk_lsh(emb, queries, k=5, n_planes=8, dims=64)
+    return ann_topk_lsh(emb, queries, k=5, n_planes=8, dims=64, n_tables=_LSH_TABLES)
 
 
 # ---------------------------------------------------------------------------
@@ -555,39 +590,52 @@ def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_ORACLE = f"""
-    WITH {_QV_CTE.strip()},
-    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % 50 = 1),
-    asg0 AS (
+def _ivf_oracle(n_probe: int, train_iters: int) -> str:
+    """Oracle for trained-IVF ANN: unrolls ``train_iters`` exact spherical
+    k-means steps (max-cosine assignment with centroid-id tie-break, then
+    floor-of-mean integer centroid update; empty clusters keep their
+    previous centroid) — replaying ``kmeans_refine_exact`` bit-for-bit —
+    then assigns the corpus and probes each query's ``n_probe`` nearest
+    centroids."""
+    steps = []
+    for t in range(train_iters):
+        steps.append(
+            f"""
+    asg{t} AS (
         SELECT vec_id, qv, centroid_id FROM (
             SELECT v.vec_id, v.qv, c.centroid_id,
                    row_number() OVER (PARTITION BY v.vec_id
                                       ORDER BY {_COS.format(a='v', b='c')} DESC,
                                                c.centroid_id) AS rn
-            FROM q v CROSS JOIN cents0 c
+            FROM q v CROSS JOIN cents{t} c
         ) t WHERE rn = 1
     ),
-    mean1 AS (
+    mean{t} AS (
         SELECT centroid_id, i,
                CAST(floor(CAST(sum(qv[i+1]) AS DOUBLE)
                           / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
-        FROM asg0, range(64) t(i)
+        FROM asg{t}, range(64) t(i)
         GROUP BY centroid_id, i
     ),
-    cents AS (
+    cents{t + 1} AS (
         SELECT c.centroid_id, coalesce(l.qv, c.qv) AS qv
-        FROM cents0 c LEFT JOIN (
+        FROM cents{t} c LEFT JOIN (
             SELECT centroid_id, list(m ORDER BY i) AS qv
-            FROM mean1 GROUP BY centroid_id
+            FROM mean{t} GROUP BY centroid_id
         ) l USING (centroid_id)
-    ),
+    )"""
+        )
+    trained = f"cents{train_iters}"
+    return f"""
+    WITH {_QV_CTE.strip()},
+    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % 50 = 1),{",".join(steps)},
     assign AS (
         SELECT vec_id, qv, centroid_id FROM (
             SELECT v.vec_id, v.qv, c.centroid_id,
                    row_number() OVER (PARTITION BY v.vec_id
                                       ORDER BY {_COS.format(a='v', b='c')} DESC,
                                                c.centroid_id) AS rn
-            FROM q v CROSS JOIN cents c
+            FROM q v CROSS JOIN {trained} c
         ) t WHERE rn = 1
     ),
     probes AS (
@@ -596,9 +644,9 @@ _IVF_ORACLE = f"""
                    row_number() OVER (PARTITION BY v.vec_id
                                       ORDER BY {_COS.format(a='v', b='c')} DESC,
                                                c.centroid_id) AS rn
-            FROM q v CROSS JOIN cents c
+            FROM q v CROSS JOIN {trained} c
             WHERE v.vec_id % 100 = 0
-        ) t WHERE rn <= 10
+        ) t WHERE rn <= {n_probe}
     ),
     scored AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -615,17 +663,33 @@ _IVF_ORACLE = f"""
     """
 
 
+#: Declared IVF operating point (r3 verdict item #4 — recall@5 ≥ 0.8):
+#: 3 Lloyd refinement steps, 20 of ~40 lists probed. Measured at sf0.1:
+#: (np10,ti1) → 0.53, (np10,ti3) → 0.59, (np14,ti3) → 0.72,
+#: (np16,ti3) → 0.77, (np18,ti3) → 0.82, (np20,ti3) → 0.87 recall@5.
+_IVF_PROBES = 20
+_IVF_TRAIN_ITERS = 3
+_IVF_ORACLE = _ivf_oracle(_IVF_PROBES, _IVF_TRAIN_ITERS)
+
+
 @register("ann_topk_ivf", _IVF_ORACLE)
 def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN with a trained coarse quantizer: deterministic
-    seed centroids refined by one exact k-means step (integer-mean update),
-    n_probe=10 (recall/cost knob, measured at sf0.1: 2 probes → 0.22,
-    6 → 0.40, 10 → 0.53, 14 → 0.65 recall@5; 10 ≈ a quarter of the lists) —
-    training, assignment, and probing all replayed exactly by the oracle."""
+    seed centroids refined by exact k-means steps (integer-mean update) —
+    training, assignment, and probing all replayed exactly by the oracle.
+    Operating point (probes × train iters) picked from the measured
+    recall curve above; half the lists are probed because the synthetic
+    embeddings are near-uniform on the sphere (real clustered corpora
+    reach the same recall at far fewer probes)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return ann_topk_ivf(
-        emb, queries, k=5, n_centroids_mod=50, n_probe=10, train_iters=1
+        emb,
+        queries,
+        k=5,
+        n_centroids_mod=50,
+        n_probe=_IVF_PROBES,
+        train_iters=_IVF_TRAIN_ITERS,
     )
 
 
@@ -655,7 +719,7 @@ def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % 100 == 0)
     base = queries.select(F.col("vec_id").alias("query_id"))
     exact = ann_topk_bruteforce(emb, queries, k=5)
-    approx = ann_topk_lsh(emb, queries, k=5, n_planes=8, dims=64)
+    approx = ann_topk_lsh(emb, queries, k=5, n_planes=8, dims=64, n_tables=_LSH_TABLES)
     return ann_recall(base, exact, approx, 5)
 
 
@@ -667,7 +731,12 @@ def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = queries.select(F.col("vec_id").alias("query_id"))
     exact = ann_topk_bruteforce(emb, queries, k=5)
     approx = ann_topk_ivf(
-        emb, queries, k=5, n_centroids_mod=50, n_probe=10, train_iters=1
+        emb,
+        queries,
+        k=5,
+        n_centroids_mod=50,
+        n_probe=_IVF_PROBES,
+        train_iters=_IVF_TRAIN_ITERS,
     )
     return ann_recall(base, exact, approx, 5)
 
@@ -1255,14 +1324,43 @@ def neardup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh_fast", None)
+@register(
+    "dedup_minhash_lsh_fast",
+    f"""
+    WITH ref AS ({_NGRAM_PAIRS_SQL})
+    SELECT count(*)::BIGINT AS n_reference_pairs, TRUE AS recall_ge_080
+    FROM ref
+    """,
+)
 def dedup_minhash_lsh_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash+LSH path (xxhash64 signatures — JVM-native, ~3x
-    faster than the oracle-replayable poly hash; same banding/verification).
-    Rows-only: xxhash64 has no DuckDB equivalent."""
+    faster than the oracle-replayable poly hash; same banding/verification)
+    under a recall CONTRACT (was rows-only; r3 verdict item #7): xxhash64
+    has no DuckDB twin, so which pairs the bands surface can't be
+    hash-compared — but the reference pair set (exact n-gram Jaccard ≥ 0.4,
+    the dedup_ngram_jaccard gate) can, and the fast path's recall against
+    it is a boolean the oracle pins TRUE. Emits one row
+    [n_reference_pairs, recall_ge_080]: the exact reference count plus
+    whether xxhash64-banded LSH recovered ≥80% of it (measured 100% at
+    sf0.01/sf0.1; banding theory at j≈0.7+, r=4, b=8 predicts >99%).
+    Precision needs no contract — emitted pairs are exact-Jaccard-verified
+    by construction."""
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
+    ref = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.4, max_doc_freq=50
+    ).select("doc_a", "doc_b")
+    fast = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="xxhash64"
+    ).select("doc_a", "doc_b")
+    hit = ref.join(fast, ["doc_a", "doc_b"], "left_semi")
+    return ref.agg(F.count(F.lit(1)).cast("long").alias("n_reference_pairs")).crossJoin(
+        hit.agg(F.count(F.lit(1)).alias("_n_hit"))
+    ).select(
+        "n_reference_pairs",
+        (
+            F.col("_n_hit").cast("double")
+            >= 0.8 * F.col("n_reference_pairs").cast("double")
+        ).alias("recall_ge_080"),
     )
 
 # The curation_pipeline oracle body, duplicated as a constant so composed
