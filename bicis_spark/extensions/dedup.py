@@ -715,3 +715,90 @@ def embedding_neardup_pairs_lsh(
         .select("vec_a", "vec_b", sim.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster, then near-dup within clusters)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_centroids_mod: int = 50,
+    train_iters: int = 1,
+    dims: int | None = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then find cosine
+    near-duplicates ONLY within each cluster — the clustering turns the
+    O(n²) all-pairs problem into k independent O((n/k)²) blocks.
+
+    Output: one row per vector — [vec_id, cluster_id, is_semantic_dup,
+    dup_of] where ``is_semantic_dup`` marks vectors with a lower-id
+    in-cluster neighbor at cosine ≥ threshold and ``dup_of`` is the
+    smallest such neighbor (the deterministic survivor; the paper keeps
+    the member farthest from the centroid — min-id is the same dedup with
+    a reproducible, oracle-expressible representative choice).
+
+    Determinism: centroids come from ``kmeans_refine_exact`` (deterministic
+    seeds ``id % mod == 1``, exact integer-mean updates), assignment and
+    pair cosines are exact-int arithmetic — a SQL oracle replays the whole
+    pipeline bit-for-bit.
+
+    Scale: training + assignment are the IVF shapes (broadcast centroids,
+    map-side-combined updates). The within-cluster self-join is the
+    SemDeDup trade: per-task work is bounded by the largest cluster
+    (n/k on average — k grows with the corpus so block size stays flat);
+    a skewed mega-cluster is split by AQE skew-join on the equi-key.
+    """
+    from bicis_spark.extensions.similarity import (
+        cosine_from_norms,
+        ivf_assign,
+        kmeans_refine_exact,
+        norm_col,
+    )
+
+    c = _partitioned(df, None).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
+    )
+    seeds = df.where(F.col(id_col) % n_centroids_mod == 1).select(
+        F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col), dims).alias("qv")
+    )
+    cents = kmeans_refine_exact(c, seeds, train_iters, "vid", "qv", dims).persist()
+    assigned = _reusable(
+        ivf_assign(c, cents, "vid", "qv", dims).withColumn(
+            "n", norm_col(F.col("qv"), dims)
+        ),
+        None,
+        "vid",
+    )
+    a = assigned.select(
+        F.col("vid").alias("va"),
+        F.col("centroid_id").alias("ca"),
+        F.col("qv").alias("qv_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("vb"),
+        F.col("centroid_id").alias("cb"),
+        F.col("qv").alias("qv_b"),
+        F.col("n").alias("n_b"),
+    )
+    sim = cosine_from_norms(
+        F.col("qv_a"), F.col("qv_b"), F.col("n_a"), F.col("n_b"), dims
+    )
+    dups = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+        .where(sim >= threshold)
+        .groupBy(F.col("vb").alias("vid"))
+        .agg(F.min("va").alias("dup_of"))
+    )
+    return assigned.join(dups, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("dup_of").isNotNull().alias("is_semantic_dup"),
+        "dup_of",
+    )

@@ -1453,3 +1453,81 @@ def training_mix_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (round 4): cluster-then-dedup — SemDeDup shape
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle(mod: int = 50, train_iters: int = 1, threshold: float = 0.45) -> str:
+    """Oracle for ``semantic_dedup``: replays the deterministic k-means
+    (seeds ``vec_id % mod == 1``, max-cosine assignment with centroid-id
+    tie-break, floor-of-mean integer update), then flags each vector with
+    a lower-id in-cluster neighbor at cosine ≥ threshold."""
+    steps = []
+    for t in range(train_iters):
+        steps.append(
+            f"""
+    asg{t} AS (
+        SELECT vec_id, qv, centroid_id FROM (
+            SELECT v.vec_id, v.qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
+                                               c.centroid_id) AS rn
+            FROM q v CROSS JOIN cents{t} c
+        ) t WHERE rn = 1
+    ),
+    mean{t} AS (
+        SELECT centroid_id, i,
+               CAST(floor(CAST(sum(qv[i+1]) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        FROM asg{t}, range(64) t(i)
+        GROUP BY centroid_id, i
+    ),
+    cents{t + 1} AS (
+        SELECT c.centroid_id, coalesce(l.qv, c.qv) AS qv
+        FROM cents{t} c LEFT JOIN (
+            SELECT centroid_id, list(m ORDER BY i) AS qv
+            FROM mean{t} GROUP BY centroid_id
+        ) l USING (centroid_id)
+    )"""
+        )
+    trained = f"cents{train_iters}"
+    return f"""
+    WITH {_QV_CTE.strip()},
+    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % {mod} = 1),{",".join(steps)},
+    assign AS (
+        SELECT vec_id, qv, centroid_id FROM (
+            SELECT v.vec_id, v.qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
+                                               c.centroid_id) AS rn
+            FROM q v CROSS JOIN {trained} c
+        ) t WHERE rn = 1
+    ),
+    dups AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM assign a JOIN assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {_COS.format(a='a', b='b')} >= {threshold}
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.centroid_id AS cluster_id,
+           (d.dup_of IS NOT NULL) AS is_semantic_dup,
+           d.dup_of
+    FROM assign s LEFT JOIN dups d USING (vec_id)
+    """
+
+
+@register("semantic_dedup_flags", _semdedup_oracle())
+def semantic_dedup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic deduplication: one trained-k-means pass
+    buckets the corpus, near-dups are found within buckets only, and every
+    step (training included) is replayed exactly by the oracle."""
+    from bicis_spark.extensions.dedup import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.45, n_centroids_mod=50, train_iters=1
+    )

@@ -124,6 +124,7 @@ def _load_all() -> None:
     import bicis_spark.plans.pipeline_queries  # noqa: F401
     import bicis_spark.plans.extension_queries  # noqa: F401
     import bicis_spark.plans.analytics_queries  # noqa: F401
+    import bicis_spark.plans.tpch_queries  # noqa: F401
 
     ordered: dict[str, QuerySpec] = {}
     for name in DRIVER_WINDOW:

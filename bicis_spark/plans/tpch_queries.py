@@ -1,0 +1,557 @@
+"""TPC-H-shape OLAP battery II (round 4): the join-planning shapes beyond
+the Q1/Q3/Q5/Q10 already declared in ``core_queries`` — semi/anti joins,
+self-joined dimensions, conditional aggregation, disjunctive multi-column
+predicates, scalar-subquery thresholds, and HAVING-gated IN subqueries.
+
+The canonical queries are adapted to the driver schema (no ``partsupp``,
+no ``l_commitdate``/``l_receiptdate``/``l_shipmode`` columns): each keeps
+the *plan shape* that makes the original a planner benchmark, with the
+predicate rewritten onto available columns.
+
+Determinism rules (plans/queries.py): money math in exact DECIMAL summed
+then cast to DOUBLE; counts as BIGINT; identical aliases both sides.
+``l_quantity`` is an integral-valued double (1..50), so double sums over
+it are exact and order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bicis_spark.plans.queries import register
+from bicis_spark.sources.io import read_table
+
+
+def _volume() -> F.Column:
+    """Exact-decimal revenue term: price · (1 − discount)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+_VOL_SQL = (
+    "CAST(l.l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l.l_discount AS DECIMAL(18,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS-correlated semi-join with a non-equi term in the
+# correlation (late shipments instead of commit<receipt)
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q4_order_priority", _Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority census of orders with at least one late
+    line (shipped >90 days after order). The EXISTS compiles to a LEFT
+    SEMI hash join on l_orderkey — the duplicate-free probe shape — with
+    the non-equi lateness term evaluated inside the join, and the
+    quarter filter pushed to the orders scan. Scale: the semi join
+    outputs at most one row per order regardless of line fan-out, and
+    the 5-group aggregate is map-side combined."""
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: self-joined nation dimension (supplier nation ⨯ customer nation)
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {_VOL_SQL} AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", _Q7_SQL)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    The nation dimension joins TWICE under different roles (supplier side,
+    customer side) — both broadcast, as does supplier; the nation-pair
+    disjunction applies after both broadcasts so only the two fact joins
+    shuffle. The supplier-side nation filter prunes suppliers before the
+    lineitem join probes them."""
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    joined = (
+        s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            _volume().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share (conditional share of a revenue aggregate)
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = f"""
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE)
+       / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {_VOL_SQL} AS volume,
+           n1.n_name AS nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND p.p_type = 'MEDIUM'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue for a part
+    class, by order year. The share is two exact-DECIMAL sums over the
+    SAME joined pass (a conditional numerator riding the full aggregate —
+    no second scan), divided as doubles only at the end. NULL-ELSE CASE
+    keeps the numerator type exactly the denominator's. part (filtered
+    1/6), supplier, and both nation roles broadcast; region prunes the
+    customer-nation side before any fact shuffle."""
+    p = read_table(spark, sf_dir, "part").where(F.col("p_type") == "MEDIUM")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = read_table(spark, sf_dir, "supplier")
+    euro_nations = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("n2_key")
+        )
+    )
+    supp_nation = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
+        )
+    )
+    vol = _volume().alias("volume")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(euro_nations, c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(supp_nation, s.s_nationkey == F.col("n1_key"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"), vol, "nation")
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: join + two-way conditional aggregation on a flag column
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag = 'R'
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@register("q12_priority_lines", _Q12_SQL)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: urgent-vs-other order counts per line status
+    (shipmode in the canonical query; the driver schema has no shipmode).
+    Both lineitem predicates push to the scan; the priority split is one
+    conditional aggregation over a single joined pass — never two scans."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share (single-pass conditional ratio)
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = f"""
+SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_VOL_SQL} END) AS DOUBLE)
+       * 100.0
+       / CAST(sum({_VOL_SQL}) AS DOUBLE) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", _Q14_SQL)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue from promo
+    parts. One broadcast join + one grand aggregate carrying both the
+    conditional and total DECIMAL sums; the ratio is computed once on the
+    two exact sums (numerator ×100 before the divide, same operand order
+    as the oracle)."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part")
+    vol = _volume()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double")
+                * F.lit(100.0)
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: argmax via scalar subquery over a derived revenue view
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = f"""
+WITH revenue AS (
+    SELECT l.l_suppkey AS supplier_no,
+           sum({_VOL_SQL}) AS total_revenue
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The revenue view aggregates once; the scalar max is a 1-row aggregate
+    broadcast back as a cross-join filter (the repo's standard
+    bounds-attach pattern) — the view is NOT recomputed for the subquery.
+    Equality compares exact DECIMAL totals, so ties are bit-exact."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_volume()).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: distinct-count census over a bridge join with NOT-predicates
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_supplier_census", _Q16_SQL)
+def q16_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each surviving
+    (brand, type, size) bucket — lineitem standing in for partsupp as the
+    part↔supplier bridge. The NOT/IN predicates all push to the part
+    scan; countDistinct expands to the standard two-phase plan (distinct
+    (group, suppkey) pre-aggregate, then count) so the shuffle carries
+    deduped pairs bounded by buckets × suppliers, not bridge rows."""
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: HAVING-gated IN subquery over the same fact table
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 250
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_orders", _Q18_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (line quantity sum over a
+    threshold). The IN subquery becomes a LEFT SEMI join against the
+    HAVING-filtered aggregate — the filtered key set is tiny (the >250
+    tail), so at scale it broadcasts and prunes orders before the
+    customer join. l_quantity is integral-valued, so its double sum is
+    exact; top-100 is TakeOrderedAndProject on (totalprice, key)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 250)
+        .select("l_orderkey")
+    )
+    o_big = o.join(
+        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        c.join(o_big, c.c_custkey == o_big.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive multi-column predicates
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = f"""
+SELECT CAST(sum({_VOL_SQL}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_disjunctive_revenue", _Q19_SQL)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR-ed (brand, size, quantity)
+    bands — the classic disjunctive-predicate planning test. The single-
+    table residues each side CAN satisfy push down (brand ∈ {{12,23,34}},
+    size ≤ 35, quantity between 1 and 30 — the OR-of-conjuncts' per-column
+    envelopes), pruning both scans before the join evaluates the full
+    disjunction."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = read_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 35)
+    )
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.sum(_volume()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: scalar-subquery threshold + NOT EXISTS anti join
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+WITH thresh AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, thresh
+WHERE c.c_acctbal > thresh.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+"""
+
+
+@register("q22_dormant_customers", _Q22_SQL)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who never ordered, by
+    nation. The above-average threshold is a 1-row exact-DECIMAL aggregate
+    attached via broadcast cross-join (sum/count, never a float avg — the
+    division happens once on exact operands); NOT EXISTS is a LEFT ANTI
+    join probing the orders key set. At scale the anti join's build side
+    reduces to distinct o_custkey before the shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thresh = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(bal).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
