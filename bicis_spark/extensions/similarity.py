@@ -501,3 +501,249 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN scoring
+# ---------------------------------------------------------------------------
+
+
+def _sub_l2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 between two sub-vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_subvectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    qv_col: str = "qv",
+    n_subspaces: int = 8,
+    sub_dims: int = 8,
+) -> DataFrame:
+    """Explode quantized vectors into (id, sub, sv) sub-vector rows."""
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.slice(F.col(qv_col), m * sub_dims + 1, sub_dims).alias("sv"),
+            )
+            for m in range(n_subspaces)
+        ]
+    )
+    return df.select(id_col, F.explode(parts).alias("_p")).select(
+        id_col, F.col("_p.sub").alias("sub"), F.col("_p.sv").alias("sv")
+    )
+
+
+def pq_train_codebooks(
+    subvecs: DataFrame,
+    seeds: DataFrame,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic per-subspace k-means codebooks: [sub, cid, sv].
+
+    Each iteration assigns every sub-vector to its min-L2 centroid within
+    the SAME subspace (centroid-id tie-break) and recomputes centroids as
+    floor-of-mean integer updates (empty codes keep their previous
+    centroid) — ``kmeans_refine_exact`` generalized with the subspace as
+    an extra key, so all M codebooks train in the same two shuffles per
+    iteration. Everything stays exact int64: a SQL oracle replays
+    training bit-for-bit.
+    """
+    cb = seeds
+    for _ in range(train_iters):
+        pairs = subvecs.join(
+            F.broadcast(cb.select("sub", "cid", F.col("sv").alias("_cv"))), "sub"
+        )
+        assigned = (
+            pairs.withColumn("_d", _sub_l2(F.col("sv"), F.col("_cv")))
+            .groupBy(id_col, "sub")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("sv").alias("_sv"), F.col("cid")),
+                    F.struct(F.col("_d"), F.col("cid")),
+                ).alias("_best")
+            )
+            .select(
+                "sub",
+                F.col("_best.cid").alias("cid"),
+                F.col("_best._sv").alias("sv"),
+            )
+        )
+        means = (
+            assigned.select("sub", "cid", F.posexplode("sv"))
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                F.floor(
+                    F.sum("col").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("m")
+            )
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("_new_sv")
+            )
+        )
+        cb = cb.join(means, ["sub", "cid"], "left").select(
+            "sub", "cid", F.coalesce(F.col("_new_sv"), F.col("sv")).alias("sv")
+        )
+    return cb
+
+
+def pq_encode(
+    subvecs: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign each (vector, subspace) to its min-L2 code: [id, sub, code].
+    At 100 TB this IS the compressed corpus representation — M small ints
+    per vector instead of the float array (64×4 bytes → M bytes at
+    K ≤ 256); downstream scans read only the code columns."""
+    pairs = subvecs.join(
+        F.broadcast(codebooks.select("sub", "cid", F.col("sv").alias("_cv"))), "sub"
+    )
+    return (
+        pairs.withColumn("_d", _sub_l2(F.col("sv"), F.col("_cv")))
+        .groupBy(id_col, "sub")
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_best")
+        )
+        .select(id_col, "sub", F.col("_best.cid").alias("code"))
+    )
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 8,
+    sub_dims: int = 8,
+    seed_mod: int = 8,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> DataFrame:
+    """ANN top-k via product quantization with asymmetric distance
+    computation (ADC — Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): the corpus is encoded once as M per-
+    subspace codes; each query precomputes a (sub, code) → partial-dot
+    lookup table against the codebooks, and the compressed-domain score
+    is the sum of M table hits — no full-width vector math per pair.
+
+    approx_cos(q, x) = Σₘ ⟨qₘ, c[m, codeₘ(x)]⟩ / (‖q‖ · ‖x̂‖) where x̂ is
+    the code reconstruction — all numerators exact int64.
+
+    ``rerank=R`` adds the standard second stage: the compressed scan
+    keeps each query's top-R candidates, which are re-scored with EXACT
+    cosine against the raw vectors (the only per-pair full-width math is
+    over Q·R pairs, not Q·N); output column becomes ``cosine``. Measured
+    at sf0.1 (M=16, d=4, mod=4, 1 iter): recall@5 0.75 compressed-only →
+    1.00 with R=20 (see ``ann_pq_recall``; M=8, d=8 codebooks measure
+    0.32-0.46 compressed-only — the finer 16×4 split is the knob that
+    matters on near-random vectors).
+
+    Scale: the LUT is Q·M·K tiny rows (broadcast); the scored join
+    probes it per corpus code row map-side, and partial aggregation
+    collapses to one row per (query, neighbor) before any exchange. The
+    win is bandwidth: candidate scans read M bytes of codes per vector,
+    not the raw embedding. Compose with the IVF router for sublinear
+    candidate counts (this operator scores ALL pairs, compressed).
+    """
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col(id_col).alias("nid"), quantize(F.col(vec_col)).alias("qv"))
+    subvecs = pq_subvectors(c, "nid", "qv", n_subspaces, sub_dims)
+    seeds = pq_subvectors(
+        c.where(F.col("nid") % seed_mod == 1), "nid", "qv", n_subspaces, sub_dims
+    ).select("sub", F.col("nid").alias("cid"), "sv")
+    cb = pq_train_codebooks(subvecs, seeds, train_iters, "nid").persist()
+
+    codes = pq_encode(subvecs, cb, "nid")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    qsubs = pq_subvectors(q, "query_id", "qv", n_subspaces, sub_dims)
+    lut = qsubs.join(
+        F.broadcast(cb.select("sub", "cid", F.col("sv").alias("_cv"))), "sub"
+    ).select(
+        "query_id",
+        "sub",
+        F.col("cid").alias("code"),
+        int_dot(F.col("sv"), F.col("_cv")).alias("_pdot"),
+        int_norm2(F.col("_cv")).alias("_pn2"),
+    )
+    qn = q.select("query_id", norm_col(F.col("qv")).alias("_qn"))
+    acc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("nid") != F.col("query_id"))
+        .groupBy("query_id", "nid")
+        .agg(
+            F.sum("_pdot").cast("long").alias("_adot"),
+            F.sum("_pn2").cast("long").alias("_rn2"),
+        )
+    )
+    scored = acc.join(F.broadcast(qn), "query_id").select(
+        "query_id",
+        F.col("nid").alias("neighbor_id"),
+        (
+            F.col("_adot").cast("double")
+            / (F.col("_qn") * F.sqrt(F.col("_rn2").cast("double")))
+        ).alias("approx_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "approx_cosine",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+    shortlist = (
+        scored.withColumn("_arn", F.row_number().over(w))
+        .where(F.col("_arn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv_full = c.select(
+        F.col("nid").alias("neighbor_id"),
+        F.col("qv").alias("_nv"),
+        norm_col(F.col("qv")).alias("_nn"),
+    )
+    exact = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(qv_full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_norms(
+                F.col("qv"), F.col("_nv"), norm_col(F.col("qv")), F.col("_nn")
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -380,3 +380,67 @@ def char_entropy(
             ).alias("collision_prob"),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document mean unigram surprisal (bits/token) under a unigram LM
+    fit on the corpus itself — the perplexity-proxy quality filter (CCNet
+    / Wenzek et al. 2020 score documents with a KenLM; a corpus-unigram
+    model is the degenerate n=1 case that needs no external model):
+    ``surprisal(t) = log2(N) − log2(c_t)``, averaged over the document.
+    Gibberish (all-rare tokens) scores high; boilerplate (all-frequent
+    tokens) scores low.
+
+    Determinism: the same libm-table trick as ``char_entropy`` — Spark
+    never calls a JVM log. A driver-built broadcast table maps each
+    DISTINCT token frequency to ``floor(log2(c)·scale)`` (Python libm ==
+    DuckDB libm, the verified char_entropy precedent), so per-doc sums are
+    exact int64 and the only float op is the final division.
+
+    Scale: the token explode aggregates immediately (map-side combined) to
+    the vocab; distinct FREQUENCIES (≤ vocab size, in practice the
+    Zipf-compressed tail, hundreds) come to the driver to build the log
+    table — bounded model state, same class as the BPE merge table. The
+    corpus branch joins the broadcast vocab and aggregates per doc; the
+    corpus itself never shuffles wide.
+    """
+    import math
+
+    t = F.col(text_col)
+    base = df.where(t.isNotNull() & (F.length(t) > 0))
+    toks = base.select(id_col, F.explode(tokens(t)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vocab = vocab.persist()
+    n_total = vocab.agg(F.sum("c")).first()[0] or 1
+    distinct_counts = [r[0] for r in vocab.select("c").distinct().collect()]
+    spark = df.sparkSession
+    qlog_n = math.floor(math.log2(n_total) * scale)
+    qlog = spark.createDataFrame(
+        [(k, math.floor(math.log2(k) * scale)) for k in distinct_counts],
+        "k long, qlog long",
+    )
+    vq = vocab.join(F.broadcast(qlog), vocab["c"] == qlog["k"]).select(
+        "token", (F.lit(qlog_n) - F.col("qlog")).cast("long").alias("sq")
+    )
+    per = (
+        toks.join(F.broadcast(vq), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("sq").cast("long").alias("surprisal_q"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "surprisal_q",
+        (
+            F.col("surprisal_q").cast("double")
+            / (F.col("n_tokens") * F.lit(scale)).cast("double")
+        ).alias("avg_surprisal_bits"),
+    )

@@ -1531,3 +1531,246 @@ def semantic_dedup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "vec_id", "embedding", threshold=0.45, n_centroids_mod=50, train_iters=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal quality score (round 4)
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_SQL = """
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+vocab AS (SELECT token, count(*)::BIGINT AS c FROM t GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+vq AS (
+    SELECT token,
+           CAST(floor(log2((SELECT n FROM tot)) * 1000000.0) AS BIGINT)
+           - CAST(floor(log2(c) * 1000000.0) AS BIGINT) AS sq
+    FROM vocab
+),
+per AS (
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           CAST(sum(vq.sq) AS BIGINT) AS surprisal_q
+    FROM t JOIN vq USING (token) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, surprisal_q,
+       surprisal_q / (n_tokens * 1000000) AS avg_surprisal_bits
+FROM per
+"""
+
+
+@register("unigram_surprisal_quality", _SURPRISAL_SQL)
+def unigram_surprisal_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean bits/token under the corpus's
+    own unigram model (the CCNet-style LM filter with the LM degenerate to
+    n=1 so it is self-contained and oracle-replayable). All log terms come
+    from a driver-built libm table over the distinct token frequencies —
+    exact int64 sums, one final division."""
+    from bicis_spark.extensions.text import unigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (round 4): compressed-domain ADC scoring
+# ---------------------------------------------------------------------------
+
+_SUB_L2 = (
+    "list_sum(list_transform(range({d}), i -> "
+    "({a}.sv[i+1] - {b}.sv[i+1]) * ({a}.sv[i+1] - {b}.sv[i+1])))"
+)
+_SUB_DOT = (
+    "CAST(list_sum(list_transform(range({d}), i -> "
+    "{a}.sv[i+1] * {b}.sv[i+1])) AS BIGINT)"
+)
+_SUB_N2 = (
+    "CAST(list_sum(list_transform(range({d}), i -> "
+    "{x}.sv[i+1] * {x}.sv[i+1])) AS BIGINT)"
+)
+
+
+def _pq_oracle(
+    n_subspaces: int = 8,
+    sub_dims: int = 8,
+    seed_mod: int = 8,
+    train_iters: int = 1,
+    k: int = 5,
+    rerank: int | None = None,
+) -> str:
+    """Oracle for ``ann_topk_pq``: replays per-subspace k-means training
+    (min-L2 assignment with code-id tie-break, floor-of-mean update),
+    encoding, the per-query (sub, code) lookup table, and the summed ADC
+    score — every numerator exact int64. With ``rerank``, also replays
+    the exact-cosine re-scoring of each query's top-R shortlist."""
+    d = sub_dims
+    l2 = _SUB_L2.format(d=d, a="s", b="c")
+    steps = []
+    for t in range(train_iters):
+        steps.append(
+            f"""
+    pasg{t} AS (
+        SELECT vec_id, sub, sv, cid FROM (
+            SELECT s.vec_id, s.sub, s.sv, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                      ORDER BY {l2} ASC, c.cid) AS rn
+            FROM subs s JOIN cb{t} c ON s.sub = c.sub
+        ) t WHERE rn = 1
+    ),
+    pmean{t} AS (
+        SELECT sub, cid, i,
+               CAST(floor(CAST(sum(sv[i+1]) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        FROM pasg{t}, range({d}) r(i)
+        GROUP BY sub, cid, i
+    ),
+    cb{t + 1} AS (
+        SELECT c.sub, c.cid, coalesce(l.sv, c.sv) AS sv
+        FROM cb{t} c LEFT JOIN (
+            SELECT sub, cid, list(m ORDER BY i) AS sv
+            FROM pmean{t} GROUP BY sub, cid
+        ) l ON c.sub = l.sub AND c.cid = l.cid
+    )"""
+        )
+    cb = f"cb{train_iters}"
+    if rerank is None:
+        shortlist_ctes, final_score, final_rel = "", "approx_cosine", "scored"
+    else:
+        final_score, final_rel = "cosine", "ex"
+        shortlist_ctes = f""",
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cosine DESC, neighbor_id) AS arn
+            FROM scored
+        ) t WHERE arn <= {rerank}
+    ),
+    ex AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_COS.format(a='qa', b='qb')} AS cosine
+        FROM short s
+        JOIN q qa ON qa.vec_id = s.query_id
+        JOIN q qb ON qb.vec_id = s.neighbor_id
+    )"""
+    return f"""
+    WITH {_QV_CTE.strip()},
+    subs AS (
+        SELECT vec_id, m AS sub, qv[m*{d}+1 : m*{d}+{d}] AS sv
+        FROM q, range({n_subspaces}) r(m)
+    ),
+    cb0 AS (SELECT sub, vec_id AS cid, sv FROM subs WHERE vec_id % {seed_mod} = 1),{",".join(steps)},
+    codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+            SELECT s.vec_id, s.sub, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                      ORDER BY {l2} ASC, c.cid) AS rn
+            FROM subs s JOIN {cb} c ON s.sub = c.sub
+        ) t WHERE rn = 1
+    ),
+    lut AS (
+        SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+               {_SUB_DOT.format(d=d, a="s", b="c")} AS pdot,
+               {_SUB_N2.format(d=d, x="c")} AS pn2
+        FROM subs s JOIN {cb} c ON s.sub = c.sub
+        WHERE s.vec_id % 100 = 0
+    ),
+    qn AS (
+        SELECT vec_id AS query_id,
+               sqrt(list_sum(list_transform(range(64), i -> qv[i+1]*qv[i+1]))::DOUBLE) AS qnorm
+        FROM q WHERE vec_id % 100 = 0
+    ),
+    acc AS (
+        SELECT l.query_id, co.vec_id AS neighbor_id,
+               CAST(sum(l.pdot) AS BIGINT) AS adot,
+               CAST(sum(l.pn2) AS BIGINT) AS rn2
+        FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+        WHERE co.vec_id != l.query_id
+        GROUP BY l.query_id, co.vec_id
+    ),
+    scored AS (
+        SELECT acc.query_id, acc.neighbor_id,
+               CAST(adot AS DOUBLE) / (qn.qnorm * sqrt(CAST(rn2 AS DOUBLE)))
+                   AS approx_cosine
+        FROM acc JOIN qn ON qn.query_id = acc.query_id
+    ){shortlist_ctes}
+    SELECT query_id, neighbor_id, {final_score}, rank FROM (
+        SELECT query_id, neighbor_id, {final_score},
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {final_score} DESC, neighbor_id) AS rank
+        FROM {final_rel}
+    ) t WHERE rank <= {k}
+    """
+
+
+#: Declared PQ operating point: 16 subspaces × 4 dims (finer splits beat
+#: more codes on near-random vectors: 8×8 measures 0.32-0.46 recall@5
+#: compressed-only vs 0.75 for 16×4), mod-4 seed codebooks, exact re-rank
+#: of each query's top-20 shortlist. Measured recall@5 at sf0.1: 1.00
+#: (compressed-only 0.75); the rerank stage touches Q·20 raw vectors.
+_PQ_SUBS, _PQ_DIMS, _PQ_MOD, _PQ_ITERS, _PQ_RERANK = 16, 4, 4, 1, 20
+_PQ_ORACLE = _pq_oracle(_PQ_SUBS, _PQ_DIMS, _PQ_MOD, _PQ_ITERS, rerank=_PQ_RERANK)
+
+
+@register("ann_topk_pq", _PQ_ORACLE)
+def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN (Jégou et al. 2011): the corpus compressed to 16 small
+    codes per vector, queries scored via broadcast lookup tables, then an
+    exact re-rank of the top-20 shortlist — the memory-bandwidth scale
+    path that pairs with the IVF router. Training, encoding, compressed
+    scoring, and the re-rank all replayed exactly by the oracle."""
+    from bicis_spark.extensions.similarity import ann_topk_pq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_pq(
+        emb,
+        queries,
+        k=5,
+        n_subspaces=_PQ_SUBS,
+        sub_dims=_PQ_DIMS,
+        seed_mod=_PQ_MOD,
+        train_iters=_PQ_ITERS,
+        rerank=_PQ_RERANK,
+    )
+
+
+def _pq_recall_oracle(k: int = 5) -> str:
+    """Recall contract comparing PQ's approx top-k against exact brute
+    force — the compression loss measured, not assumed."""
+    return f"""
+    WITH bf AS ({_BF_ORACLE}),
+    ax AS ({_PQ_ORACLE}),
+    base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0)
+    SELECT base.query_id,
+           CAST(count(ax.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(ax.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+    FROM base
+    LEFT JOIN bf ON bf.query_id = base.query_id
+    LEFT JOIN ax ON ax.query_id = bf.query_id AND ax.neighbor_id = bf.neighbor_id
+    GROUP BY base.query_id
+    """
+
+
+@register("ann_pq_recall", _pq_recall_oracle())
+def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the PQ-ADC path against brute force."""
+    from bicis_spark.extensions.similarity import ann_topk_bruteforce, ann_topk_pq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_pq(
+        emb,
+        queries,
+        k=5,
+        n_subspaces=_PQ_SUBS,
+        sub_dims=_PQ_DIMS,
+        seed_mod=_PQ_MOD,
+        train_iters=_PQ_ITERS,
+        rerank=_PQ_RERANK,
+    )
+    return ann_recall(base, exact, approx, 5)
