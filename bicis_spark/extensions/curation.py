@@ -231,3 +231,77 @@ def pack_sequences(
         .cast("long")
         .alias("end_seq"),
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """C4-style duplicated-span removal (Raffel et al. 2020 drop repeated
+    three-sentence spans; RefinedWeb dedups lines): split each document
+    into non-overlapping ``span_tokens``-token spans, keep only the FIRST
+    corpus-wide occurrence of each span (first = smallest (doc_id,
+    position)), and rebuild the document from its surviving spans.
+
+    Output: [doc_id, n_spans, n_kept, deduped_text].
+
+    Determinism: the keeper choice is a pure min over (doc_id, pos) —
+    no RNG, stable under retries and repartitioning.
+
+    Scale: spans are generated executor-side (sequence + slice of the
+    token array — no explode of one row per token). The first-occurrence
+    owner is a hash AGGREGATE keyed by the span's 128-bit fingerprint
+    (map-side combined — a boilerplate span repeated 10⁹ times collapses
+    per-task before the exchange; the window-ranking formulation would
+    sort that span's entire group in one task), joined back to mark
+    keepers; AQE skew-split covers the join side. The shuffle carries
+    16-byte fingerprints, never span text; rebuilt text aggregates
+    per-document (bounded by document size).
+    """
+    from bicis_spark.extensions.dedup import fingerprint_cols
+
+    t = F.col(text_col)
+    base = df.where(t.isNotNull() & (F.length(t) > 0))
+    toks = tokens(t)
+    n_spans_expr = F.ceil(F.size(toks).cast("double") / F.lit(float(span_tokens))).cast(
+        "int"
+    )
+    span_structs = F.transform(
+        F.sequence(F.lit(0), n_spans_expr - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.concat_ws(
+                " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+            ).alias("span"),
+        ),
+    )
+    spans = base.select(id_col, F.explode(span_structs).alias("_s")).select(
+        id_col, F.col("_s.pos").alias("pos"), F.col("_s.span").alias("span")
+    )
+    fps = fingerprint_cols(["span"])
+    keyed = spans.select(id_col, "pos", "span", *fps)
+    firsts = keyed.groupBy("_fp1", "_fp2").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first")
+    )
+    marked = keyed.join(firsts, ["_fp1", "_fp2"]).withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_first").getField(id_col))
+        & (F.col("pos") == F.col("_first.pos")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct(F.col("pos"), F.col("span")))
+                    )
+                ),
+                lambda x: x["span"],
+            ),
+        ).alias("deduped_text"),
+    )

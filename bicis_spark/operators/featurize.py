@@ -124,3 +124,54 @@ def scale_features(
             minmax.alias("minmax"),
         )
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_cols: list[str],
+) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature: each row
+    gets the mean target of its category EXCLUDING itself —
+    ``(Σ_cat − own) / (n_cat − 1)`` — the standard leakage guard for
+    mean encodings (a row never sees its own label). Singleton
+    categories encode NULL (no other rows to average).
+
+    Determinism: the category sum runs in exact DECIMAL; the division is
+    one double op on exact operands per row.
+
+    Scale: one hash aggregate keyed by category (map-side combined to
+    |categories| rows) broadcast-joined back onto the input — the fact
+    table is scanned once and never shuffled.
+    """
+    t = F.col(target_col).cast("decimal(18,2)")
+    stats = df.groupBy(cat_col).agg(
+        F.sum(t).alias("_sum"), F.count(F.lit(1)).alias("_cnt")
+    )
+    out_cols = [*id_cols, cat_col]
+    return (
+        df.join(F.broadcast(stats), cat_col)
+        .select(
+            *out_cols,
+            F.when(
+                F.col("_cnt") > 1,
+                (F.col("_sum") - t).cast("double")
+                / (F.col("_cnt") - F.lit(1)).cast("double"),
+            ).alias("loo_target_mean"),
+        )
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy audit: group sizes over the quasi-identifier combination,
+    flagging equivalence classes smaller than ``k`` (the re-identification
+    risk classes under k-anonymity, Sweeney 2002). One hash aggregate —
+    map-side combined, shuffle bounded by distinct quasi-identifier
+    combinations."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        (F.count(F.lit(1)) >= k).alias("is_k_anonymous"),
+    )

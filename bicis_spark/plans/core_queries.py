@@ -684,14 +684,35 @@ def distinct_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_stats", None)
+@register(
+    "approx_distinct_stats",
+    """
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+           true AS hll_within_10pct, true AS p50_within_band
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL/KLL sketches are engine-specific -> rows-only check (the exact
-    versions above are the oracle-gated counterparts)."""
+    """Sketch estimates pinned as a contract (r3 verdict item #7 pattern):
+    the HLL/GK outputs are engine-specific, so the hash gate checks the
+    exact distinct plus booleans asserting (a) approx_count_distinct
+    within 10% of exact and (b) percentile_approx(0.5, acc=1000) — rank
+    error ≤ 0.001 — inside the exact [p0.45, p0.55] value band (50×
+    slack). Both sketches are order-insensitive, so the booleans are
+    deterministic for a given dataset."""
     events = read_table(spark, sf_dir, "events")
+    exact_d = F.countDistinct("user_id").cast("double")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("approx_p50"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id").cast("double") - exact_d)
+            <= 0.1 * exact_d
+        ).alias("hll_within_10pct"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000))
+        .between(
+            F.percentile("value", F.lit(0.45)), F.percentile("value", F.lit(0.55))
+        )
+        .alias("p50_within_band"),
     )
 
 

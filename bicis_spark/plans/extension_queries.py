@@ -1774,3 +1774,97 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=_PQ_RERANK,
     )
     return ann_recall(base, exact, approx, 5)
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicated-span removal (round 4)
+# ---------------------------------------------------------------------------
+
+_SPAN_DEDUP_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+spans AS (
+    SELECT doc_id, pos,
+           array_to_string(toks[pos*10+1 : pos*10+10], ' ') AS span
+    FROM (
+        SELECT doc_id, toks,
+               unnest(range(CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos
+        FROM t
+    ) u
+),
+ranked AS (
+    SELECT doc_id, pos, span,
+           row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+    FROM spans
+)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos), '')
+           AS deduped_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register("span_dedup_rebuild", _SPAN_DEDUP_SQL)
+def span_dedup_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal with document rebuild (the C4/RefinedWeb
+    intra-corpus span dedup): every 10-token span appears at most once in
+    the output corpus, first occurrence wins. Spark keys the ownership
+    aggregate on 128-bit span fingerprints (never span text); the oracle
+    proves the fingerprint path reproduces raw-span semantics."""
+    from bicis_spark.extensions.curation import span_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return span_dedup(docs, span_tokens=10)
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering / governance (round 4)
+# ---------------------------------------------------------------------------
+
+_LOO_SQL = """
+WITH stats AS (
+    SELECT o_orderpriority,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+           count(*) AS c
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CASE WHEN st.c > 1 THEN
+           CAST(st.s - CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+           / CAST(st.c - 1 AS DOUBLE)
+       END AS loo_target_mean
+FROM orders o JOIN stats st USING (o_orderpriority)
+"""
+
+
+@register("target_encode_priority", _LOO_SQL)
+def target_encode_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean-target encoding of order priority against order
+    value — the leakage-safe categorical encoding for downstream models."""
+    from bicis_spark.operators.featurize import target_encode_loo
+
+    orders = read_table(spark, sf_dir, "orders")
+    return target_encode_loo(
+        orders, "o_orderpriority", "o_totalprice", ["o_orderkey"]
+    )
+
+
+_KANON_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       count(*)::BIGINT AS group_size,
+       count(*) >= 5 AS is_k_anonymous
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register("k_anonymity_customer", _KANON_SQL)
+def k_anonymity_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-identifier
+    pair: equivalence classes below k=5 are re-identification risks."""
+    from bicis_spark.operators.featurize import k_anonymity_audit
+
+    cust = read_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=5)

@@ -1,0 +1,145 @@
+"""Round-4 operator invariants: span dedup conservation, PQ re-rank
+recovery, LOO target encoding algebra, SemDeDup survivor structure.
+
+The oracle harness (test_oracle_queries) pins exact values on the driver
+tables; these tests pin the semantic PROPERTIES on adversarial inline
+fixtures the synthetic corpus doesn't exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_span_dedup_conservation_and_first_wins(spark):
+    from bicis_spark.extensions.curation import span_dedup
+
+    # doc 1 and doc 2 share an identical 3-token span; doc 2 also repeats
+    # its own span internally. 3-token spans => doc1 = [a b c][d e f],
+    # doc2 = [a b c][a b c][x y z]
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c a b c x y z"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, span_tokens=3).collect()
+    }
+    assert set(out) == {1, 2}  # null text dropped
+    # doc 1 owns [a b c] (smallest doc_id) and keeps everything
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["deduped_text"] == "a b c d e f"
+    # doc 2 loses both copies of [a b c] (cross-doc AND self-repeat)
+    assert out[2]["n_spans"] == 3 and out[2]["n_kept"] == 1
+    assert out[2]["deduped_text"] == "x y z"
+
+
+def test_span_dedup_partial_tail_span(spark):
+    from bicis_spark.extensions.curation import span_dedup
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    row = span_dedup(df, span_tokens=3).collect()[0]
+    # 4 tokens at width 3 => spans [a b c], [d]
+    assert row["n_spans"] == 2 and row["n_kept"] == 2
+    assert row["deduped_text"] == "a b c d"
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    from bicis_spark.operators.featurize import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 7.0)],
+        "id long, cat string, y double",
+    )
+    out = {
+        r["id"]: r["loo_target_mean"]
+        for r in target_encode_loo(df, "cat", "y", ["id"]).collect()
+    }
+    assert out[1] == 25.0  # (20+30)/2
+    assert out[2] == 20.0  # (10+30)/2
+    assert out[3] == 15.0  # (10+20)/2
+    assert out[4] is None  # singleton category -> no leakage-free mean
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from bicis_spark.operators.featurize import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [(1, "x")] * 5 + [(2, "y")] * 2,
+        "nat long, seg string",
+    )
+    out = {
+        (r["nat"], r["seg"]): (r["group_size"], r["is_k_anonymous"])
+        for r in k_anonymity_audit(df, ["nat", "seg"], k=5).collect()
+    }
+    assert out[(1, "x")] == (5, True)
+    assert out[(2, "y")] == (2, False)
+
+
+def test_semantic_dedup_survivor_structure(spark):
+    from bicis_spark.extensions.dedup import semantic_dedup
+
+    # two tight pairs + two isolates in 4-dim space (dims=None -> generic)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.001, 0.0]),   # near-dup of 3
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.99, n_centroids_mod=2, train_iters=1, dims=None
+        ).collect()
+    }
+    # every vector appears exactly once
+    assert set(out) == {1, 2, 3, 4, 5}
+    # a dup's representative is a LOWER id in the SAME cluster
+    for vid, r in out.items():
+        if r["is_semantic_dup"]:
+            assert r["dup_of"] < vid
+            assert out[r["dup_of"]]["cluster_id"] == r["cluster_id"]
+        else:
+            assert r["dup_of"] is None
+    # the two planted pairs dedup iff co-clustered (they must be: the
+    # pair vectors are nearly identical, so identical max-cosine centroid)
+    assert out[2]["is_semantic_dup"] and out[2]["dup_of"] == 1
+    assert out[4]["is_semantic_dup"] and out[4]["dup_of"] == 3
+    assert not out[5]["is_semantic_dup"]
+
+
+def test_pq_rerank_recovers_exact_topk(spark):
+    from bicis_spark.extensions.similarity import ann_topk_bruteforce, ann_topk_pq
+
+    # 40 deterministic 8-dim vectors; with rerank covering the whole
+    # corpus the PQ path must return EXACTLY the brute-force top-k
+    rows = [
+        (i, [float(((i * 7 + d * 13) % 19) - 9) for d in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_topk_bruteforce(df, queries, k=3, dims=None).collect()
+    }
+    pq = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_topk_pq(
+            df,
+            queries,
+            k=3,
+            n_subspaces=2,
+            sub_dims=4,
+            seed_mod=4,
+            train_iters=1,
+            rerank=39,
+        ).collect()
+    }
+    assert pq == exact
