@@ -61,6 +61,13 @@ HEADLINE = [
     "prorated_daily_revenue",  # sequence+explode exact proration
     "asof_nearest_order",      # banded nearest as-of (join + max_by)
     "group_sample_events",     # RNG-free per-group sampling
+    # round-4 additions
+    "ann_topk_pq",             # PQ-ADC compressed scoring + exact re-rank
+    "semantic_dedup_flags",    # SemDeDup cluster-then-dedup
+    "span_dedup_rebuild",      # C4 duplicated-span removal + rebuild
+    "unigram_surprisal_quality",  # corpus-LM perplexity-proxy filter
+    "q18_large_orders",        # HAVING-gated semi-join (TPC-H battery II)
+    "q7_volume_shipping",      # nation-dim double-role join
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -98,7 +105,7 @@ def main() -> None:
     from pyspark.sql import functions as F  # noqa: E402
 
     recall: dict[str, float] = {}
-    for rname in ("ann_lsh_recall", "ann_ivf_recall"):
+    for rname in ("ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall"):
         if rname in all_queries:
             row = (
                 all_queries[rname](spark, sf_dir)
@@ -133,8 +140,16 @@ def main() -> None:
         "prorated_daily_revenue", "asof_nearest_order",
         "group_sample_events",
     }
+    r4_set = {
+        "ann_topk_pq", "semantic_dedup_flags", "span_dedup_rebuild",
+        "unigram_surprisal_quality", "q18_large_orders", "q7_volume_shipping",
+    }
     r2_overlap = round(
-        sum(t for q, t in timings.items() if q not in r3_set), 4
+        sum(t for q, t in timings.items() if q not in r3_set and q not in r4_set),
+        4,
+    )
+    r3_overlap = round(
+        sum(t for q, t in timings.items() if q not in r4_set), 4
     )
     print(
         json.dumps(
@@ -145,6 +160,7 @@ def main() -> None:
                 "queries": timings,
                 "r1_overlap_total": r1_overlap,
                 "r2_overlap_total": r2_overlap,
+                "r3_overlap_total": r3_overlap,
                 "ann_mean_recall": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -630,6 +630,7 @@ def ann_topk_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int | None = None,
+    max_codes: int | None = None,
 ) -> DataFrame:
     """ANN top-k via product quantization with asymmetric distance
     computation (ADC — Jégou et al. 2011, "Product Quantization for
@@ -645,8 +646,9 @@ def ann_topk_pq(
     keeps each query's top-R candidates, which are re-scored with EXACT
     cosine against the raw vectors (the only per-pair full-width math is
     over Q·R pairs, not Q·N); output column becomes ``cosine``. Measured
-    at sf0.1 (M=16, d=4, mod=4, 1 iter): recall@5 0.75 compressed-only →
-    1.00 with R=20 (see ``ann_pq_recall``; M=8, d=8 codebooks measure
+    at sf0.1 (M=16, d=4, mod=4, 1 iter): compressed-only recall@5 0.75;
+    with re-rank at constant codebook sizes K=256/R=40 → 0.98 and
+    K=128/R=60 → 0.99 (see ``ann_pq_recall``; M=8, d=8 codebooks measure
     0.32-0.46 compressed-only — the finer 16×4 split is the knob that
     matters on near-random vectors).
 
@@ -661,8 +663,16 @@ def ann_topk_pq(
         corpus.sparkSession.sparkContext.defaultParallelism
     ).select(F.col(id_col).alias("nid"), quantize(F.col(vec_col)).alias("qv"))
     subvecs = pq_subvectors(c, "nid", "qv", n_subspaces, sub_dims)
+    # codebook size must be a CONSTANT, not a corpus fraction: real PQ uses
+    # K=256 codes per subspace at any corpus size (one byte per code), and
+    # training/encoding cost is N·K per subspace — a mod-only seed rule
+    # would make K scale with N and the encode join quadratic. max_codes
+    # caps the deterministic seed set to its first K ids.
+    seed_filter = F.col("nid") % seed_mod == 1
+    if max_codes is not None:
+        seed_filter = seed_filter & (F.col("nid") < seed_mod * max_codes)
     seeds = pq_subvectors(
-        c.where(F.col("nid") % seed_mod == 1), "nid", "qv", n_subspaces, sub_dims
+        c.where(seed_filter), "nid", "qv", n_subspaces, sub_dims
     ).select("sub", F.col("nid").alias("cid"), "sv")
     cb = pq_train_codebooks(subvecs, seeds, train_iters, "nid").persist()
 

@@ -13,7 +13,7 @@ every DuckDB aggregate (the UNION-branch HUGEINT lesson from rounds 1-2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bicis_spark.extensions.text import doc_cosine_topk, encode_documents
@@ -2738,4 +2738,74 @@ def event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct[1].alias("p90_us"),
         pct[2].alias("p99_us"),
         F.max("gap_us").cast("long").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (round 4)
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH base AS (
+    SELECT o_custkey AS c_custkey,
+           date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01 00:00:00')
+               AS recency_days,
+           count(*)::BIGINT AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT c_custkey, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days ASC, c_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, c_custkey) AS m_score
+    FROM base
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       count(*)::BIGINT AS n_customers,
+       CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("rfm_segments", _RFM_SQL)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: per-
+    customer order stats quartiled into 4×4×4 segments with customer and
+    revenue totals per cell — the classic CRM cohorting report.
+
+    Ties inside each ntile are broken by customer key, so the quartile
+    assignment is a deterministic total order (plain ntile over a metric
+    with duplicates is arbitrary under retries). Scale: the per-customer
+    aggregate is one hash agg; the three ntiles each need a total order
+    over the |customers|-row AGGREGATE (not the fact table) — at extreme
+    cardinality the scale path swaps ntile for approx_percentile cutoffs
+    + a broadcast bucket join, the documented quantity_deciles pattern."""
+    orders = read_table(spark, sf_dir, "orders")
+    ref = F.lit("2001-09-01").cast("timestamp")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(ref, F.max("o_orderdate")).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("c_custkey"))
+    scored = base.select(
+        "c_custkey",
+        "monetary",
+        F.ntile(4).over(w_r).cast("long").alias("r_score"),
+        F.ntile(4).over(w_f).cast("long").alias("f_score"),
+        F.ntile(4).over(w_m).cast("long").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("segment_revenue"),
     )

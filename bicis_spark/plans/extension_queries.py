@@ -1599,6 +1599,7 @@ def _pq_oracle(
     train_iters: int = 1,
     k: int = 5,
     rerank: int | None = None,
+    max_codes: int | None = None,
 ) -> str:
     """Oracle for ``ann_topk_pq``: replays per-subspace k-means training
     (min-L2 assignment with code-id tie-break, floor-of-mean update),
@@ -1635,6 +1636,9 @@ def _pq_oracle(
     )"""
         )
     cb = f"cb{train_iters}"
+    seed_cap = (
+        "" if max_codes is None else f" AND vec_id < {seed_mod * max_codes}"
+    )
     if rerank is None:
         shortlist_ctes, final_score, final_rel = "", "approx_cosine", "scored"
     else:
@@ -1661,7 +1665,8 @@ def _pq_oracle(
         SELECT vec_id, m AS sub, qv[m*{d}+1 : m*{d}+{d}] AS sv
         FROM q, range({n_subspaces}) r(m)
     ),
-    cb0 AS (SELECT sub, vec_id AS cid, sv FROM subs WHERE vec_id % {seed_mod} = 1),{",".join(steps)},
+    cb0 AS (SELECT sub, vec_id AS cid, sv FROM subs
+            WHERE vec_id % {seed_mod} = 1{seed_cap}),{",".join(steps)},
     codes AS (
         SELECT vec_id, sub, cid AS code FROM (
             SELECT s.vec_id, s.sub, c.cid,
@@ -1707,11 +1712,16 @@ def _pq_oracle(
 
 #: Declared PQ operating point: 16 subspaces × 4 dims (finer splits beat
 #: more codes on near-random vectors: 8×8 measures 0.32-0.46 recall@5
-#: compressed-only vs 0.75 for 16×4), mod-4 seed codebooks, exact re-rank
-#: of each query's top-20 shortlist. Measured recall@5 at sf0.1: 1.00
-#: (compressed-only 0.75); the rerank stage touches Q·20 raw vectors.
-_PQ_SUBS, _PQ_DIMS, _PQ_MOD, _PQ_ITERS, _PQ_RERANK = 16, 4, 4, 1, 20
-_PQ_ORACLE = _pq_oracle(_PQ_SUBS, _PQ_DIMS, _PQ_MOD, _PQ_ITERS, rerank=_PQ_RERANK)
+#: compressed-only vs 0.75 for 16×4), CONSTANT K=256 codes per subspace
+#: (the one-byte-code PQ convention — an uncapped mod rule would scale K
+#: with the corpus and make the encode join quadratic), exact re-rank of
+#: each query's top-40 shortlist. Measured recall@5 at sf0.1: 0.98
+#: (K=128/R=60 → 0.99; uncapped K=N/4, R=20 → 1.00).
+_PQ_SUBS, _PQ_DIMS, _PQ_MOD, _PQ_ITERS = 16, 4, 4, 1
+_PQ_RERANK, _PQ_K = 40, 256
+_PQ_ORACLE = _pq_oracle(
+    _PQ_SUBS, _PQ_DIMS, _PQ_MOD, _PQ_ITERS, rerank=_PQ_RERANK, max_codes=_PQ_K
+)
 
 
 @register("ann_topk_pq", _PQ_ORACLE)
@@ -1734,6 +1744,7 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_mod=_PQ_MOD,
         train_iters=_PQ_ITERS,
         rerank=_PQ_RERANK,
+        max_codes=_PQ_K,
     )
 
 
@@ -1772,6 +1783,7 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_mod=_PQ_MOD,
         train_iters=_PQ_ITERS,
         rerank=_PQ_RERANK,
+        max_codes=_PQ_K,
     )
     return ann_recall(base, exact, approx, 5)
 

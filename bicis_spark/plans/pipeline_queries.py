@@ -816,3 +816,42 @@ def streaming_scd2_enrichment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.coalesce(F.col("mode"), F.lit("none")).alias("mode"))
     agg = joined.groupBy("mode").agg(F.count(F.lit(1)).alias("n_purchases"))
     return run_to_completion(agg, "streaming_scd2_enrichment_mem")
+
+
+@register(
+    "streaming_view_purchase_left_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM (SELECT * FROM events
+          WHERE event_type = 'view' AND ts <= TIMESTAMP '2024-01-20 00:00:00') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_view_purchase_left_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven null emission:
+    unmatched views emit (view, NULL) only when the watermark PROVES no
+    purchase can follow — the outer join exercises real state-eviction
+    semantics, not just match forwarding. The view-side cutoff (applied
+    after the watermark node, so the watermark advances on the full
+    stream) makes every retained view's outcome final by end-of-stream;
+    the oracle is the batch left join under the same cutoff."""
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.windows import (
+        read_events_stream,
+        run_append_to_completion,
+        view_purchase_left_join_stream,
+    )
+
+    src = _staged_events_dir(spark, sf_dir, single_file=True)
+    stream = read_events_stream(spark, src, EVENTS)
+    views = stream.where(F.col("event_type") == "view")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    return run_append_to_completion(
+        view_purchase_left_join_stream(
+            views, purchases, view_cutoff="2024-01-20 00:00:00"
+        ),
+        "streaming_view_purchase_left_join_mem",
+    )

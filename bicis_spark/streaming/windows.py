@@ -194,3 +194,53 @@ def session_counts_stream(
             "n",
         )
     )
+
+
+def view_purchase_left_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    view_cutoff: str | None = None,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution join: every view emits — with
+    its purchase when one follows within ``horizon``, with NULLs when the
+    watermark proves none can. Unlike the inner join (matches emitted
+    immediately), the null side is emitted ONLY once the watermark passes
+    ``view_ts + horizon`` — the outer join is what forces real state
+    eviction semantics.
+
+    ``view_cutoff`` is the finite-source equality contract: views are
+    filtered to ``ts <= cutoff`` AFTER the watermark node (so the
+    watermark still advances on the full stream, past cutoff + horizon)
+    and every retained view's outcome — match or proven-no-match — is
+    final by end of stream, making the result equal the batch left join
+    with the same cutoff. Without it, views near the stream's end stay
+    withheld (the watermark never passes them) and the streaming result
+    is a strict prefix of the batch one.
+
+    Scale: state is bounded exactly as the inner join (range condition ⇒
+    views evictable past view_ts + horizon, purchases past the
+    watermark); the null-emission adds no state, only eviction-time
+    output."""
+    v = views.withWatermark(ts_col, watermark)
+    if view_cutoff is not None:
+        v = v.where(F.col(ts_col) <= F.lit(view_cutoff).cast("timestamp"))
+    v = v.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col(ts_col).alias("view_ts"),
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
