@@ -590,7 +590,7 @@ def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(n_probe: int, train_iters: int) -> str:
+def _ivf_oracle(n_probe: int, train_iters: int, k: int = 5) -> str:
     """Oracle for trained-IVF ANN: unrolls ``train_iters`` exact spherical
     k-means steps (max-cosine assignment with centroid-id tie-break, then
     floor-of-mean integer centroid update; empty clusters keep their
@@ -659,7 +659,7 @@ def _ivf_oracle(n_probe: int, train_iters: int) -> str:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, neighbor_id) AS rank
         FROM scored
-    ) t WHERE rank <= 5
+    ) t WHERE rank <= {k}
     """
 
 
@@ -1880,3 +1880,110 @@ def k_anonymity_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = read_table(spark, sf_dir, "customer")
     return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining + temperature mix (round 4)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_SQL = f"""
+WITH topk AS ({_ivf_oracle(_IVF_PROBES, _IVF_TRAIN_ITERS, k=10)})
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
+            AS BIGINT) AS neg_rank
+FROM topk
+WHERE rank >= 2 AND cosine < 0.45
+"""
+
+
+@register("hard_negative_candidates", _HARDNEG_SQL)
+def hard_negative_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/Contriever
+    recipe): per anchor, take close-but-not-duplicate neighbors — ANN
+    top-10 minus the nearest hit (rank 1, the would-be positive) minus
+    near-duplicates (cosine ≥ 0.45, the embedding-dedup threshold: a dup
+    is a false negative, not a hard one). Rides the trained-IVF scale
+    path, so mining cost is the ANN probe cost — no extra corpus pass."""
+    from bicis_spark.extensions.similarity import ann_topk_ivf
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    topk = ann_topk_ivf(
+        emb,
+        queries,
+        k=10,
+        n_centroids_mod=50,
+        n_probe=_IVF_PROBES,
+        train_iters=_IVF_TRAIN_ITERS,
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        topk.where((F.col("rank") >= 2) & (F.col("cosine") < 0.45))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.row_number().over(w).cast("long").alias("neg_rank"),
+        )
+    )
+
+
+_TEMP_MIX_SQL = """
+WITH per_lang AS (
+    SELECT lang,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    GROUP BY lang
+),
+q AS (
+    SELECT lang, n_tokens,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS qs
+    FROM per_lang
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               CAST(sum(qs) AS BIGINT) AS tq FROM q)
+SELECT lang, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(tot.t AS DOUBLE) AS raw_share,
+       CAST(qs AS DOUBLE) / CAST(tot.tq AS DOUBLE) AS temp_weight
+FROM q, tot
+"""
+
+
+@register("temperature_mix_weights", _TEMP_MIX_SQL)
+def temperature_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language sampling (the multilingual-LM α=0.5
+    recipe — upweight low-resource languages by sampling ∝ share^α):
+    per-language token masses → √-scaled weights. α=0.5 is exactly sqrt
+    (IEEE-exact both engines) and the √ values quantize to integers
+    before the normalizing sum, so no float accumulation order exists
+    anywhere. Scale: one vocab-free aggregate over the corpus (map-side
+    combined), |languages| rows after."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_lang = (
+        docs.where(t.isNotNull() & (F.length(t) > 0))
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split(t, " "))).cast("long").alias("n_tokens"))
+    )
+    q = per_lang.withColumn(
+        "qs",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)).cast(
+            "long"
+        ),
+    )
+    tot = q.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.sum("qs").cast("long").alias("tq"),
+    )
+    return q.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("t").cast("double")).alias(
+            "raw_share"
+        ),
+        (F.col("qs").cast("double") / F.col("tq").cast("double")).alias(
+            "temp_weight"
+        ),
+    )

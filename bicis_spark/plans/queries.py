@@ -53,13 +53,19 @@ _LOADED = False
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
 # Round-4 rotation (r3 verdict item #1): the 46 round-3 window members
 # came back green (+4 rows-only by design), so all 50 slots move to the
-# never-driver-checked round-3 analytics battery. 10 more never-checked
-# names remain (part_copurchase_triangles, purchase_attribution,
+# never-driver-checked round-3 analytics battery. Round-5 queue (never
+# driver-checked, in priority order): the 10 round-3 leftovers
+# (part_copurchase_triangles, purchase_attribution,
 # winsorized_value_stats, session_cooccurrence_lift,
 # session_conversion_funnel, twap_user_value, customer_revenue_pareto,
-# peak_event_rate, path_trigrams_top10, event_gap_percentiles) — they
-# are first in the round-5 queue. Everything previously green stays
-# covered by tests/test_oracle_queries.py locally.
+# peak_event_rate, path_trigrams_top10, event_gap_percentiles), then the
+# round-4 additions (TPC-H battery II ×10, semantic_dedup_flags,
+# unigram_surprisal_quality, ann_topk_pq, ann_pq_recall,
+# span_dedup_rebuild, target_encode_priority, k_anonymity_customer,
+# approx_distinct_stats [now contract-bearing],
+# streaming_view_purchase_left_join, rfm_segments,
+# hard_negative_candidates, temperature_mix_weights). Everything
+# previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "asof_forward_next_order",
     "asof_nearest_order",
