@@ -107,3 +107,63 @@ def profile_table_hll_contract(
         + ") AS (col_name, n_rows, n_nulls, n_distinct, hll_within_band)"
     )
     return wide.selectExpr(stack)
+
+
+def histogram_drift(
+    df: DataFrame,
+    value_col: str,
+    period_col: Column,
+    base_period,
+    current_period,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Distribution drift between two periods of one feature, from fixed-
+    width histograms: per-bin counts and shares plus the two classic
+    drift statistics as ONE summary row —
+    total-variation distance ``TVD = ½·Σ|p_i − q_i|`` and the chi-square
+    statistic ``Σ (q_i − e_i)²/e_i`` (e = base share × current total).
+    Both are pure rational arithmetic on exact integer counts — unlike
+    PSI/KL there is no logarithm, so the result is bitwise reproducible
+    in any engine. The monitoring decision (alert when TVD > τ) is the
+    same shape.
+
+    Output: [bin, base_n, cur_n, base_share, cur_share, abs_diff] per bin
+    plus the caller aggregates TVD/chi-square from it (kept per-bin so
+    the drilldown — WHICH bins moved — ships with the statistic).
+
+    Scale: two conditional-count aggregates ride one scan (the
+    quality_expectations trick); the histogram is |bins| rows.
+    """
+    b = F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    # one scan, two conditional counts: tag rows by period and pivot in agg
+    tagged = df.where(period_col.isin(base_period, current_period)).select(
+        b.alias("bin"),
+        (period_col == base_period).alias("_is_base"),
+    )
+    hist = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("_is_base"), 1).otherwise(0)).cast("long").alias("base_n"),
+        F.sum(F.when(F.col("_is_base"), 0).otherwise(1)).cast("long").alias("cur_n"),
+    )
+    tot = hist.agg(
+        F.sum("base_n").cast("long").alias("_bt"),
+        F.sum("cur_n").cast("long").alias("_ct"),
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "base_n",
+        "cur_n",
+        (F.col("base_n").cast("double") / F.col("_bt").cast("double")).alias(
+            "base_share"
+        ),
+        (F.col("cur_n").cast("double") / F.col("_ct").cast("double")).alias(
+            "cur_share"
+        ),
+        F.abs(
+            F.col("base_n").cast("double") / F.col("_bt").cast("double")
+            - F.col("cur_n").cast("double") / F.col("_ct").cast("double")
+        ).alias("abs_diff"),
+    )

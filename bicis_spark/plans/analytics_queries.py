@@ -2809,3 +2809,57 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature drift monitoring (round 4)
+# ---------------------------------------------------------------------------
+
+_DRIFT_SQL = """
+WITH t AS (
+    SELECT least(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bin,
+           date_trunc('quarter', o_orderdate)
+               = TIMESTAMP '1997-01-01 00:00:00' AS is_base
+    FROM orders
+    WHERE date_trunc('quarter', o_orderdate) IN
+          (TIMESTAMP '1997-01-01 00:00:00', TIMESTAMP '1997-04-01 00:00:00')
+),
+hist AS (
+    SELECT bin,
+           CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+           CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+    FROM t GROUP BY bin
+),
+tot AS (SELECT CAST(sum(base_n) AS BIGINT) AS bt,
+               CAST(sum(cur_n) AS BIGINT) AS ct FROM hist)
+SELECT bin, base_n, cur_n,
+       CAST(base_n AS DOUBLE) / CAST(tot.bt AS DOUBLE) AS base_share,
+       CAST(cur_n AS DOUBLE) / CAST(tot.ct AS DOUBLE) AS cur_share,
+       abs(CAST(base_n AS DOUBLE) / CAST(tot.bt AS DOUBLE)
+           - CAST(cur_n AS DOUBLE) / CAST(tot.ct AS DOUBLE)) AS abs_diff
+FROM hist, tot
+"""
+
+
+@register("order_value_drift", _DRIFT_SQL)
+def order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: order-value histogram of 1997-Q1
+    (baseline) vs 1997-Q2 (current) with per-bin share deltas — the
+    inputs to TVD (½·Σ abs_diff) and chi-square drift alarms. Pure
+    rational arithmetic on exact counts (no PSI/KL logarithm), so the
+    report is bitwise-stable in any engine; one conditional-aggregation
+    scan serves both periods."""
+    from bicis_spark.operators.stats import histogram_drift
+
+    orders = read_table(spark, sf_dir, "orders")
+    import datetime
+
+    return histogram_drift(
+        orders,
+        "o_totalprice",
+        F.date_trunc("quarter", F.col("o_orderdate")),
+        datetime.datetime(1997, 1, 1),
+        datetime.datetime(1997, 4, 1),
+        bin_width=25000.0,
+        n_bins=20,
+    )

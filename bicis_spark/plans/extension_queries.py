@@ -1346,9 +1346,12 @@ def dedup_minhash_lsh_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Precision needs no contract — emitted pairs are exact-Jaccard-verified
     by construction."""
     docs = read_table(spark, sf_dir, "documents")
+    # ref feeds BOTH the count aggregate and the semi-join probe: without
+    # a persist the inverted-index plan runs twice (measured ~2x of this
+    # query's bench cost)
     ref = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.4, max_doc_freq=50
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").persist()
     fast = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="xxhash64"
     ).select("doc_a", "doc_b")

@@ -555,3 +555,233 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: multi-predicate filtered grand aggregate
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem l
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_discount BETWEEN 0.05 AND 0.07
+  AND l.l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the canonical scan-dominated query — every predicate
+    (date range, discount band, quantity cap) pushes into the parquet
+    scan, zero joins, one map-side-combined grand aggregate. At 100 TB
+    this is pure scan bandwidth; the plan must show PushedFilters on all
+    three columns and a single partial/final agg pair."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: correlated per-group average subquery
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+WITH part_avg AS (
+    SELECT l_partkey,
+           CAST(sum(l_quantity) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND p.p_type = 'SMALL'
+  AND l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+@register("q17_small_quantity_revenue", _Q17_SQL)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one part
+    class. The correlated AVG subquery decorrelates into a per-part
+    aggregate joined back to the fact — Spark expresses that directly
+    (aggregate once, join once, never re-scan per row). The average is
+    sum/count on exact operands (l_quantity sums are exact integral
+    doubles), so the 0.2·avg comparison is bitwise both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("_ak")).agg(
+        (
+            F.sum("l_quantity").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("_ak"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: EXISTS + NOT EXISTS against the same fact (sole-blame filter)
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+WITH late AS (
+    SELECT l_orderkey, l_suppkey,
+           (l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM (
+    SELECT DISTINCT a.l_orderkey, a.l_suppkey
+    FROM late a
+    WHERE a.is_late
+      AND EXISTS (SELECT 1 FROM late b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late c
+                      WHERE c.l_orderkey = a.l_orderkey
+                        AND c.l_suppkey <> a.l_suppkey
+                        AND c.is_late)
+) blamed
+JOIN supplier s ON s.s_suppkey = blamed.l_suppkey
+GROUP BY s.s_name
+"""
+
+
+@register("q21_waiting_supplier", _Q21_SQL)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers SOLELY to blame for late multi-supplier
+    orders (their line late >60 days, at least one other supplier on the
+    order, no other supplier late). The EXISTS / NOT-EXISTS pair over the
+    same fact rewrites to ONE per-order aggregate — distinct supplier
+    count and distinct late-supplier count — joined back: three passes in
+    the canonical form, one aggregation here, same answer. Spark-first:
+    never probe per row what an aggregate answers per group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = read_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    per_supp = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("_n_late"),
+    )
+    blamed = (
+        per_supp.where(F.col("supp_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: argmin-per-group join-back (min-cost supplier)
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH costs AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           min(l.l_extendedprice / l.l_quantity) AS unit_cost
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = 3
+    GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (
+    SELECT l_partkey, l_suppkey, unit_cost,
+           row_number() OVER (PARTITION BY l_partkey
+                              ORDER BY unit_cost ASC, l_suppkey) AS rn
+    FROM costs
+)
+SELECT p.p_partkey, p.p_brand, b.l_suppkey AS best_suppkey,
+       b.unit_cost
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey
+WHERE b.rn = 1 AND p.p_size = 15
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp emulated by observed lineitem unit costs):
+    for each size-15 part, the region-3 supplier with the lowest unit
+    cost. The correlated MIN subquery becomes argmin-per-group: one
+    (part, supplier) aggregate, then min_by within part — expressed as a
+    max_by-style hash aggregate, NOT a window sort, so the per-part
+    argmin gets map-side partial combine. Unit cost is ONE IEEE double
+    division of raw stored doubles (identical in any engine); DECIMAL
+    division was tried and rejected — the two engines truncate the
+    repeating quotient at different scales, so min() could disagree in
+    the last ulp."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
+    p = read_table(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    costs = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("unit_cost"))
+    )
+    best = costs.groupBy("l_partkey").agg(
+        F.min_by(
+            F.struct(F.col("l_suppkey"), F.col("unit_cost")),
+            F.struct(F.col("unit_cost"), F.col("l_suppkey")),
+        ).alias("_best")
+    )
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("_best.l_suppkey").alias("best_suppkey"),
+            F.col("_best.unit_cost").alias("unit_cost"),
+        )
+    )

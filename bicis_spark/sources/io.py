@@ -433,3 +433,25 @@ def compact_parquet(
         out = df.coalesce(n_files)
     out.write.mode("overwrite").parquet(out_path)
     return len(glob.glob(os.path.join(out_path, "*.parquet")))
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Incremental-reprocess write: overwrite ONLY the partitions present
+    in ``df`` (spark.sql.sources.partitionOverwriteMode=dynamic), leaving
+    every other partition untouched — the idempotent daily-backfill
+    pattern (re-running day N replaces day N's files and nothing else;
+    static overwrite mode would truncate the whole table first).
+
+    The conf is set per-write and restored, so the session default (and
+    any concurrent static-overwrite caller's expectation) is unchanged.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

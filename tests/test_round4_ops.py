@@ -143,3 +143,34 @@ def test_pq_rerank_recovers_exact_topk(spark):
         ).collect()
     }
     assert pq == exact
+
+
+def test_overwrite_partitions_dynamic_touches_only_written_days(spark, tmp_path):
+    from bicis_spark.sources.io import overwrite_partitions_dynamic
+
+    path = str(tmp_path / "part_table")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0), ("2024-01-03", 3, 30.0)],
+        "day string, id long, v double",
+    )
+    overwrite_partitions_dynamic(base, path, ["day"])
+    # re-process ONLY day 2 with corrected values
+    fix = spark.createDataFrame(
+        [("2024-01-02", 2, 99.0)], "day string, id long, v double"
+    )
+    overwrite_partitions_dynamic(fix, path, ["day"])
+    # partition-column type inference reads day back as DATE — stringify
+    got = {
+        (str(r["day"]), r["id"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    # day 2 replaced, days 1 and 3 untouched (static mode would drop them)
+    assert got == {
+        ("2024-01-01", 1): 10.0,
+        ("2024-01-02", 2): 99.0,
+        ("2024-01-03", 3): 30.0,
+    }
+    # conf restored after the write
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+    )
