@@ -444,3 +444,81 @@ def unigram_surprisal(
             / (F.col("n_tokens") * F.lit(scale)).cast("double")
         ).alias("avg_surprisal_bits"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document mean bigram surprisal (bits/bigram) under the corpus's
+    own bigram LM — one step closer to the CCNet KenLM filter than
+    ``unigram_surprisal``: ``surprisal(w₁w₂) = log2 c(w₁·) − log2 c(w₁w₂)``
+    with ``c(w₁·)`` the count of bigrams starting with w₁ (so the
+    conditional is properly normalized — no end-of-doc mass leak).
+    Documents with fewer than two tokens drop (no bigrams to score).
+
+    Determinism: the libm-table trick again — a driver-built table maps
+    every DISTINCT count value (pair and first-token counts unioned) to
+    ``floor(log2(c)·scale)``; sums are exact int64, one final division.
+
+    Scale: bigram counts are map-side-combined aggregates; the occurrence
+    → count joins key on the bigram/first-token strings (shuffle joins —
+    the bigram vocabulary is NOT broadcastable at corpus scale; a
+    production filter prunes to top-K bigrams with backoff, which this
+    operator's count tables directly support). The driver holds only the
+    distinct-count-value table (Zipf-compressed, ≤ vocab sizes).
+    """
+    import math
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    base = df.where(t.isNotNull() & (F.length(t) > 0) & (F.size(toks) >= 2)).select(
+        id_col, toks.alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
+    pairs = F.zip_with(
+        F.slice(F.col("_toks"), 1, n - 1),
+        F.slice(F.col("_toks"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bigram")),
+    )
+    bg = base.select(id_col, F.explode(pairs).alias("_p")).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.bigram").alias("bigram")
+    )
+    cpair = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cp"))
+    cfirst = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    counts = (
+        cpair.select(F.col("cp").alias("c"))
+        .union(cfirst.select(F.col("cf").alias("c")))
+        .distinct()
+        .collect()
+    )
+    spark = df.sparkSession
+    qlog = spark.createDataFrame(
+        [(int(r[0]), math.floor(math.log2(int(r[0])) * scale)) for r in counts],
+        "k long, qlog long",
+    )
+    cpair_q = cpair.join(F.broadcast(qlog), cpair["cp"] == qlog["k"]).select(
+        "bigram", F.col("qlog").alias("_qp")
+    )
+    cfirst_q = cfirst.join(F.broadcast(qlog), cfirst["cf"] == qlog["k"]).select(
+        "w1", F.col("qlog").alias("_qf")
+    )
+    scored = (
+        bg.join(cpair_q, "bigram")
+        .join(cfirst_q, "w1")
+        .select(id_col, (F.col("_qf") - F.col("_qp")).cast("long").alias("_sq"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_sq").cast("long").alias("surprisal_q"),
+    ).select(
+        id_col,
+        "n_bigrams",
+        "surprisal_q",
+        (
+            F.col("surprisal_q").cast("double")
+            / (F.col("n_bigrams") * F.lit(scale)).cast("double")
+        ).alias("avg_surprisal_bits"),
+    )

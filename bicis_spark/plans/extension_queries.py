@@ -1990,3 +1990,45 @@ def temperature_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "temp_weight"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal (round 4)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SURPRISAL_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents
+    WHERE text IS NOT NULL AND length(text) > 0
+      AND len(string_split(text, ' ')) >= 2
+),
+bg AS (
+    SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS bigram
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t) u
+),
+cpair AS (SELECT bigram, count(*)::BIGINT AS cp FROM bg GROUP BY bigram),
+cfirst AS (SELECT w1, count(*)::BIGINT AS cf FROM bg GROUP BY w1),
+scored AS (
+    SELECT bg.doc_id,
+           CAST(floor(log2(cf) * 1000000.0) AS BIGINT)
+           - CAST(floor(log2(cp) * 1000000.0) AS BIGINT) AS sq
+    FROM bg JOIN cpair USING (bigram) JOIN cfirst USING (w1)
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       CAST(sum(sq) AS BIGINT) AS surprisal_q,
+       CAST(sum(sq) AS BIGINT) / (count(*) * 1000000) AS avg_surprisal_bits
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("bigram_surprisal_quality", _BIGRAM_SURPRISAL_SQL)
+def bigram_surprisal_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-proxy quality score: mean bits/bigram under
+    the corpus's own conditional bigram model (first-token-normalized, no
+    end-of-doc mass leak); libm table over distinct count values keeps
+    the sums exact int64."""
+    from bicis_spark.extensions.text import bigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs)

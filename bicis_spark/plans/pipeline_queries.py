@@ -855,3 +855,64 @@ def streaming_view_purchase_left_join_q(spark: SparkSession, sf_dir: str) -> Dat
         ),
         "streaming_view_purchase_left_join_mem",
     )
+
+
+@register(
+    "ols_calibration_deciles",
+    f"""
+    WITH {_OLS_SUMS_SQL.strip()},
+    pred AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS label,
+               c2.intercept + c2.slope
+                   * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)
+                   AS prediction
+        FROM lineitem, c2
+    ),
+    d AS (
+        SELECT *, ntile(10) OVER (ORDER BY prediction, l_orderkey, l_linenumber)
+                      AS decile
+        FROM pred
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(label AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_label,
+           min(prediction) AS pred_lo,
+           max(prediction) AS pred_hi
+    FROM d GROUP BY decile
+    """,
+)
+def ols_calibration_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model calibration report (the MLOps eval companion to M2/M3):
+    rows bucketed into prediction deciles, each with its observed mean
+    label and the decile's prediction bounds — a well-calibrated model
+    shows mean_label tracking [pred_lo, pred_hi] monotonically.
+
+    Determinism: per-decile label means come from exact-DECIMAL sums;
+    prediction aggregates use min/max ONLY (order-independent — a float
+    mean of predictions would depend on summation order). The ntile is
+    total-ordered by (prediction, row key), so bucket assignment is
+    stable under retries. Scale: predictions are a broadcast-coefficient
+    map pass; the decile sort runs over the fact table once — at extreme
+    scale swap for approx_percentile prediction cutoffs + a broadcast
+    bucket join (the documented deciles pattern)."""
+    from pyspark.sql import Window
+
+    from bicis_spark.operators.model import ols_predict_exact
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    pred = ols_predict_exact(
+        lineitem, "l_quantity", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+    w = Window.orderBy("prediction", "l_orderkey", "l_linenumber")
+    d = pred.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("label").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_label"),
+        F.min("prediction").alias("pred_lo"),
+        F.max("prediction").alias("pred_hi"),
+    )
