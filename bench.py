@@ -68,6 +68,8 @@ HEADLINE = [
     "unigram_surprisal_quality",  # corpus-LM perplexity-proxy filter
     "q18_large_orders",        # HAVING-gated semi-join (TPC-H battery II)
     "q7_volume_shipping",      # nation-dim double-role join
+    "q9_product_type_profit",  # join fan + two-measure profit agg
+    "q13_customer_distribution",  # outer-join count-of-counts
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -143,6 +145,7 @@ def main() -> None:
     r4_set = {
         "ann_topk_pq", "semantic_dedup_flags", "span_dedup_rebuild",
         "unigram_surprisal_quality", "q18_large_orders", "q7_volume_shipping",
+        "q9_product_type_profit", "q13_customer_distribution",
     }
     r2_overlap = round(
         sum(t for q, t in timings.items() if q not in r3_set and q not in r4_set),

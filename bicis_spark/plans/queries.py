@@ -64,7 +64,9 @@ _LOADED = False
 # span_dedup_rebuild, target_encode_priority, k_anonymity_customer,
 # approx_distinct_stats [now contract-bearing],
 # streaming_view_purchase_left_join, rfm_segments,
-# hard_negative_candidates, temperature_mix_weights). Everything
+# hard_negative_candidates, temperature_mix_weights,
+# q9_product_type_profit, q11_important_stock,
+# q13_customer_distribution, q20_promotion_suppliers). Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "asof_forward_next_order",

@@ -785,3 +785,223 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_best.unit_cost").alias("unit_cost"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: multi-dimension join fan (part-name filter, supplier nation,
+# order year) feeding a two-measure profit aggregate
+# ---------------------------------------------------------------------------
+
+_Q9_SQL = """
+SELECT n.n_name,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       - CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%bolt'
+GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+"""
+
+
+@register("q9_product_type_profit", _Q9_SQL)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation x order year; supply cost
+    emulated as the part's retail price since the driver schema has no
+    partsupp). The planner exercise is the join fan: one fact scan joined
+    to THREE broadcastable dims (part filtered by name suffix, supplier,
+    nation) plus the orders fact for the year key. part/supplier/nation are
+    broadcast; lineitem<->orders is the one real shuffle and AQE/SMJ's home
+    turf. Revenue and cost ride the same hash aggregate as two exact
+    DECIMAL sums; the profit subtraction is a single double op at the end
+    (never accumulated in floats). Ref shape: TPC-H spec Q9; reference
+    repo has no partsupp either (parity with SURVEY §2 A2 two-measure agg).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%bolt"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    cost = F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(_volume()).cast("double") - F.sum(cost).cast("double")
+            ).alias("sum_profit")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: grouped value vs a scalar fraction-of-total threshold computed
+# from the SAME aggregate (sum-of-sums, no second fact scan)
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = """
+WITH perpart AS (
+    SELECT l.l_partkey,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS val_dec
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey = 7
+    GROUP BY l.l_partkey
+),
+total AS (SELECT sum(val_dec) AS tot_dec FROM perpart)
+SELECT p.l_partkey, CAST(p.val_dec AS DOUBLE) AS part_value
+FROM perpart p, total t
+WHERE CAST(p.val_dec AS DOUBLE) > CAST(t.tot_dec AS DOUBLE) * 0.001
+"""
+
+
+@register("q11_important_stock", _Q11_SQL)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value for one nation's suppliers,
+    kept only where it exceeds a fraction of the grand total. The HAVING
+    threshold is a sum over the ALREADY-AGGREGATED per-part rows
+    (sum-of-sums stays exact DECIMAL), so the fact table is scanned once;
+    the 1-row total attaches via broadcast cross-join exactly like
+    q22/split_bounds. The fraction comparison happens in one double
+    multiply+compare on exact operands — no float accumulation. At 100 TB
+    the perpart intermediate is |parts|-sized, the threshold is 1 row, and
+    nothing about the plan changes."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 7)
+    perpart = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_volume()).alias("val_dec"))
+    )
+    total = perpart.agg(F.sum("val_dec").alias("tot_dec"))
+    return (
+        perpart.crossJoin(F.broadcast(total))
+        .where(
+            F.col("val_dec").cast("double")
+            > F.col("tot_dec").cast("double") * F.lit(0.001)
+        )
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: outer join with an ON-clause right-side predicate feeding a
+# count-of-counts distribution (zero-order customers included)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON o.o_custkey = c.c_custkey
+     AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) pc
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", _Q13_SQL)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed exactly N (non-urgent) orders,
+    INCLUDING the N=0 customers the inner-join shape would drop. The
+    ON-clause predicate touches only the orders side, so it pushes into the
+    right input of the left-outer join (the same plan Catalyst derives from
+    the canonical ON form); count(o_orderkey) counts matches, not rows, so
+    unmatched customers land in the N=0 bucket. Two-level count-then-count
+    distribution = SURVEY §2 A2's shape with an outer join feeding it. At
+    scale: first agg shuffles by custkey (same key as the join — AQE reuses
+    the partitioning), second agg's key space is tiny (max orders/customer).
+    """
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: semi-join chain gated by a conditional aggregate over the
+# correlated pair (one fact pass for both the window and lifetime sums)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+WITH pair AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           sum(l.l_quantity) AS qty_total,
+           sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+                     AND l.l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+                    THEN l.l_quantity ELSE 0 END) AS qty_1999
+    FROM lineitem l
+    GROUP BY l.l_partkey, l.l_suppkey
+),
+hot AS (
+    SELECT pr.l_suppkey
+    FROM pair pr
+    WHERE pr.qty_1999 * 2 > pr.qty_total
+      AND pr.l_partkey IN (
+            SELECT p.p_partkey FROM part p WHERE p.p_name LIKE 'red%')
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_nationkey = 5
+  AND s.s_suppkey IN (SELECT l_suppkey FROM hot)
+"""
+
+
+@register("q20_promotion_suppliers", _Q20_SQL)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty emulated by lifetime shipped quantity):
+    nation-5 suppliers who shipped more than half of a red part's lifetime
+    volume inside 1999 — the nested-IN / correlated-aggregate planner
+    benchmark. Both the windowed and lifetime sums ride ONE conditional
+    aggregate over a single lineitem scan (no self-join of the fact table,
+    which is how naive plans go quadratic); the part-name gate is a
+    broadcast LEFT SEMI join on the |parts|-sized pair aggregate; suppliers
+    probe the surviving pair keys with a second semi join. l_quantity is
+    integral, so the half-threshold is the exact integer test 2*qty_window
+    > qty_total — no 0.5 float. At 100 TB: one fact shuffle keyed
+    (partkey, suppkey) with map-side combine, everything downstream is
+    dimension-sized."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = read_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 5)
+    in_1999 = (
+        F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty_total"),
+        F.sum(F.when(in_1999, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+            "qty_1999"
+        ),
+    )
+    hot = (
+        pair.where(F.col("qty_1999") * 2 > F.col("qty_total"))
+        .join(F.broadcast(p), pair.l_partkey == p.p_partkey, "left_semi")
+        .select("l_suppkey")
+    )
+    return s.join(hot, s.s_suppkey == hot.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
