@@ -802,3 +802,35 @@ def semantic_dedup(
         F.col("dup_of").isNotNull().alias("is_semantic_dup"),
         "dup_of",
     )
+
+
+def fingerprint_index(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """The persisted dedup index for incremental ingestion: the DISTINCT
+    128-bit fingerprints of everything already in the corpus. 16 bytes per
+    unique document — at 100 TB this is the table you keep (bucketed on
+    ``_fp1`` so the nightly anti-join is shuffle-free on the index side),
+    never the text."""
+    return df.select(*fingerprint_cols(key_cols)).distinct()
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW ingestion batch against the accumulated corpus without
+    rescanning the corpus: collapse the batch to min-id-per-fingerprint
+    (within-batch exact dedup, map-side combined), then LEFT ANTI probe the
+    fingerprint index. Appending the survivors' fingerprints to the index
+    keeps the invariant for the next batch. The anti-join shuffles 16-byte
+    keys on both sides; batch ≪ corpus means the batch side usually
+    broadcasts under AQE."""
+    batch = (
+        new_df.select(F.col(id_col), *fingerprint_cols(key_cols))
+        .groupBy("_fp1", "_fp2")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return batch.join(index_df, ["_fp1", "_fp2"], "left_anti").select(
+        id_col, "n_copies"
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bicis_spark.extensions.dedup import MINHASH_P, poly_hash
+from bicis_spark.extensions.dedup import MINHASH_P, poly_hash, poly_hash2
 
 
 def hash_sample_col(text: Column, buckets: int = 1000) -> Column:
@@ -61,4 +61,73 @@ def quota_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= quota)
         .drop("_rk")
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target_filter: Column,
+    bucket_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oversample_num: int = 2,
+    oversample_den: int = 1,
+    hash_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR-style deterministic importance resampling (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS 2023):
+    keep raw-corpus documents with probability proportional to the
+    target-over-proposal likelihood ratio of their feature bucket, so the
+    kept set's bucket distribution approaches the target exemplar set's.
+
+    Fully RNG-free: the per-document uniform is the second polynomial
+    content hash (``poly_hash2``) mod ``hash_buckets``, and the acceptance
+    test is pure integer cross-multiplication —
+
+        keep  iff  h · c_b · T · den  <  H · k_num · t_b · C
+
+    where ``t_b``/``c_b`` are the bucket's target/corpus counts, ``T``/``C``
+    the grand totals, and ``k = k_num/den`` the oversampling factor capping
+    the weight at k·w (buckets with weight ≥ 1/k keep everything). No
+    float ever enters the decision, so any engine replays it bitwise.
+
+    Scale shape: one corpus scan for the bucket histogram (map-side
+    combined, |buckets| rows), one filtered scan for the target histogram,
+    both broadcast back with the two 1-row totals; the kept-set pass is a
+    map-only filter over the corpus — the 100 TB corpus is never shuffled.
+    Int64 bound: h·c_b·T·den < 2^63 holds to ~10^14 total documents with
+    the default H=10^4; past that, lift the products to DECIMAL(38,0).
+
+    Returns kept rows: ``id_col``, bucket columns, and the reporting-only
+    ``weight`` = (t_b·C)/(c_b·T) (one exact-int division, IEEE-identical
+    everywhere)."""
+    buckets = [F.col(c) for c in bucket_cols]
+    corpus_b = df.groupBy(*buckets).agg(F.count(F.lit(1)).alias("_c_b"))
+    target_b = (
+        df.where(target_filter)
+        .groupBy(*buckets)
+        .agg(F.count(F.lit(1)).alias("_t_b"))
+    )
+    stats = corpus_b.join(target_b, bucket_cols, "left").withColumn(
+        "_t_b", F.coalesce(F.col("_t_b"), F.lit(0).cast("long"))
+    )
+    totals = stats.agg(
+        F.sum("_c_b").alias("_c_tot"), F.sum("_t_b").alias("_t_tot")
+    )
+    h = poly_hash2(F.col(text_col)) % F.lit(hash_buckets)
+    keep = (
+        h * F.col("_c_b") * F.col("_t_tot") * F.lit(oversample_den)
+        < F.lit(hash_buckets)
+        * F.lit(oversample_num)
+        * F.col("_t_b")
+        * F.col("_c_tot")
+    )
+    weight = (F.col("_t_b") * F.col("_c_tot")).cast("double") / (
+        F.col("_c_b") * F.col("_t_tot")
+    ).cast("double")
+    return (
+        df.join(F.broadcast(stats), bucket_cols)
+        .crossJoin(F.broadcast(totals))
+        .where(keep)
+        .select(F.col(id_col), *buckets, weight.alias("weight"))
     )

@@ -2032,3 +2032,99 @@ def bigram_surprisal_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bigram_surprisal(docs)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling + incremental dedup (round 4)
+# ---------------------------------------------------------------------------
+
+_POLY2_TEXT_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(regexp_extract_all(text, '(.)', 1), c -> unicode(c)::BIGINT)), "
+    "(acc, x) -> (acc * 37 + x) % 2147483647)"
+)
+
+_DSIR_SQL = f"""
+WITH b AS (
+    SELECT doc_id, text, source, lang, n_chars // 100 AS size_class
+    FROM documents
+),
+corpus AS (
+    SELECT lang, size_class, count(*)::BIGINT AS c_b FROM b GROUP BY 1, 2
+),
+tgt AS (
+    SELECT lang, size_class, count(*)::BIGINT AS t_b FROM b
+    WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1, 2
+),
+tot AS (
+    SELECT (SELECT count(*) FROM b)::BIGINT AS c_tot,
+           (SELECT count(*) FROM b
+            WHERE source IN ('src0', 'src1', 'src2', 'src3'))::BIGINT AS t_tot
+),
+j AS (
+    SELECT b.doc_id, b.lang, b.size_class, corpus.c_b,
+           COALESCE(tgt.t_b, 0)::BIGINT AS t_b, tot.c_tot, tot.t_tot,
+           ({_POLY2_TEXT_SQL}) % 10000 AS h
+    FROM b
+    JOIN corpus USING (lang, size_class)
+    LEFT JOIN tgt USING (lang, size_class)
+    CROSS JOIN tot
+)
+SELECT doc_id, lang, size_class,
+       CAST(t_b * c_tot AS DOUBLE) / CAST(c_b * t_tot AS DOUBLE) AS weight
+FROM j
+WHERE h * c_b * t_tot * 1 < 10000 * 2 * t_b * c_tot
+"""
+
+
+@register("dsir_importance_resample", _DSIR_SQL)
+def dsir_importance_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: resample the raw corpus toward the
+    (lang, length-class) distribution of a 4-source target exemplar set,
+    oversampling factor 2. RNG-free (second polynomial content hash is the
+    uniform; acceptance is integer cross-multiplication), so DuckDB replays
+    the entire selection bitwise. The corpus-side pass is a map-only
+    filter against broadcast bucket histograms — the scale path for
+    distribution-matching a 100 TB crawl to a curated target."""
+    from bicis_spark.extensions.sampling import importance_resample
+
+    docs = read_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("size_class", F.expr("n_chars DIV 100"))
+    return importance_resample(
+        docs,
+        F.col("source").isin("src0", "src1", "src2", "src3"),
+        ["lang", "size_class"],
+    )
+
+
+_INCR_DEDUP_SQL = """
+WITH new_b AS (
+    SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies, text
+    FROM documents WHERE doc_id % 10 >= 7 GROUP BY text
+)
+SELECT n.doc_id, n.n_copies
+FROM new_b n
+WHERE NOT EXISTS (
+    SELECT 1 FROM documents d
+    WHERE d.doc_id % 10 < 7 AND d.text IS NOT DISTINCT FROM n.text
+)
+"""
+
+
+@register("dedup_incremental_batch", _INCR_DEDUP_SQL)
+def dedup_incremental_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: docs with doc_id%10<7 play the already-
+    indexed corpus (collapsed to its DISTINCT 128-bit fingerprint index),
+    the rest arrive as the new batch; survivors are new-batch docs unseen
+    in the index, deduped within the batch (min-id winner). The oracle
+    replays both steps on raw text (NULL-safe equality = the fingerprint's
+    null-collapsing semantics), proving the 16-byte index path reproduces
+    exact-text semantics — the shape that avoids rescanning 100 TB of
+    corpus on every nightly ingest."""
+    from bicis_spark.extensions.dedup import fingerprint_index, incremental_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 < 7)
+    new = docs.where(F.col("doc_id") % 10 >= 7)
+    idx = fingerprint_index(old, ["text"])
+    return incremental_dedup(new, idx, ["text"])

@@ -66,7 +66,8 @@ _LOADED = False
 # streaming_view_purchase_left_join, rfm_segments,
 # hard_negative_candidates, temperature_mix_weights,
 # q9_product_type_profit, q11_important_stock,
-# q13_customer_distribution, q20_promotion_suppliers). Everything
+# q13_customer_distribution, q20_promotion_suppliers,
+# dsir_importance_resample, dedup_incremental_batch). Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "asof_forward_next_order",

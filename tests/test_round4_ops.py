@@ -174,3 +174,59 @@ def test_overwrite_partitions_dynamic_touches_only_written_days(spark, tmp_path)
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
     )
+
+
+def test_importance_resample_shifts_toward_target(spark):
+    """DSIR acceptance: a bucket absent from the target keeps nothing, a
+    bucket whose weight clears the oversample cap keeps everything, and
+    reported weights are the exact (t_b*C)/(c_b*T) ratios."""
+    from bicis_spark.extensions.sampling import importance_resample
+
+    # bucket 'hot': 2/4 of target but 2/8 of corpus -> weight 2.0 (cap: keep all)
+    # bucket 'cold': 2/4 of target, 2/8 of corpus -> same; bucket 'none':
+    # 4/8 of corpus, zero target mass -> weight 0 (drop all)
+    rows = []
+    i = 0
+    for bucket, n, in_target in [("hot", 2, True), ("cold", 2, True), ("none", 4, False)]:
+        for _ in range(n):
+            rows.append((i, f"doc {i} text", bucket, in_target))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, bucket string, is_tgt boolean"
+    )
+    out = importance_resample(
+        df, F.col("is_tgt"), ["bucket"], oversample_num=1, oversample_den=1
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    # weight = (2*8)/(2*4) = 2.0 >= 1/k => every hot/cold doc passes any hash
+    assert kept == {0, 1, 2, 3}
+    assert all(abs(r["weight"] - 2.0) < 1e-12 for r in out)
+
+
+def test_incremental_dedup_index_invariant(spark):
+    """Survivors = new-batch docs unseen in the index, deduped min-id
+    within batch; appending survivors' fingerprints reproduces the full-
+    corpus exact_dedup winner set."""
+    from bicis_spark.extensions.dedup import (
+        exact_dedup,
+        fingerprint_index,
+        incremental_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    idx = fingerprint_index(old, ["text"])
+    out = {r["doc_id"]: r["n_copies"] for r in incremental_dedup(new, idx, ["text"]).collect()}
+    # beta is indexed (dropped); gamma deduped within batch to id 11 (2 copies)
+    assert out == {11: 2, 13: 1}
+    # invariant: old winners + survivors == exact dedup of the union corpus
+    union_winners = {
+        r["doc_id"] for r in exact_dedup(old.union(new), ["text"]).collect()
+    }
+    old_winners = {r["doc_id"] for r in exact_dedup(old, ["text"]).collect()}
+    assert old_winners | set(out) == union_winners
