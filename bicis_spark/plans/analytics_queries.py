@@ -2863,3 +2863,383 @@ def order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=25000.0,
         n_bins=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (round 4): two-sample z-test from exact sums
+# ---------------------------------------------------------------------------
+
+_AB_ZTEST_SQL = """
+WITH spend AS (
+    SELECT o_custkey,
+           CASE WHEN ascii(substr(md5(o_custkey::VARCHAR || ':ab'), 1, 1)) % 2 = 0
+                THEN 'A' ELSE 'B' END AS arm,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+    FROM orders
+    GROUP BY 1, 2
+),
+arms AS (
+    SELECT arm,
+           count(*)::BIGINT AS n,
+           CAST(floor(sum(x)) AS BIGINT) AS s_int,
+           CAST(floor(sum(x * x)) AS BIGINT) AS q_int
+    FROM spend GROUP BY arm
+),
+w AS (
+    SELECT
+        max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        max(CASE WHEN arm = 'A' THEN CAST(s_int AS DOUBLE) END) AS s_a,
+        max(CASE WHEN arm = 'B' THEN CAST(s_int AS DOUBLE) END) AS s_b,
+        max(CASE WHEN arm = 'A' THEN CAST(q_int AS DOUBLE) END) AS q_a,
+        max(CASE WHEN arm = 'B' THEN CAST(q_int AS DOUBLE) END) AS q_b
+    FROM arms
+)
+SELECT n_a, n_b,
+       s_a / n_a AS mean_a,
+       s_b / n_b AS mean_b,
+       (s_a / n_a - s_b / n_b)
+       / sqrt((q_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+              + (q_b - s_b * s_b / n_b) / (n_b - 1) / n_b) AS z_stat
+FROM w
+"""
+
+
+@register("ab_spend_ztest", _AB_ZTEST_SQL)
+def ab_spend_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test on per-customer spend under a deterministic
+    50/50 hash assignment (md5 of the customer key — the same RNG-free
+    splitter as hash_split_assignment, so arms are stable under retries
+    and re-runs). All sufficient statistics (n, Σx, Σx²) are EXACT decimal
+    sums collected in one hash aggregate per arm, FLOORED to int64 before
+    any float math (decimal-to-double casts of values wider than ~16
+    significant digits round differently across engines — Spark and
+    DuckDB disagree by 1 ulp on a 20-digit sum-of-squares — while
+    int64-to-double conversion is IEEE-defined everywhere; quantization
+    error < 1e-15 relative). The z formula is then a fixed tree of IEEE
+    double ops on those exact operands, identical in any engine — no float accumulation anywhere. Scale shape: customer
+    collapse shuffles by custkey, arm collapse is 2 rows; at 100 TB the
+    experiment readout is still two aggregates and a 1-row report."""
+    orders = read_table(spark, sf_dir, "orders")
+    arm = F.when(
+        F.ascii(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_custkey"), F.lit("ab"))), 1, 1
+            )
+        )
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    spend = orders.groupBy(
+        F.col("o_custkey"), arm.alias("arm")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    arms = spend.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(F.sum("x")).cast("long").alias("s_int"),
+        F.floor(F.sum(F.col("x") * F.col("x"))).cast("long").alias("q_int"),
+    )
+    pick = lambda a, col, cast: F.max(  # noqa: E731
+        F.when(F.col("arm") == a, F.col(col).cast(cast))
+    )
+    w = arms.agg(
+        pick("A", "n", "long").alias("n_a"),
+        pick("B", "n", "long").alias("n_b"),
+        pick("A", "s_int", "double").alias("s_a"),
+        pick("B", "s_int", "double").alias("s_b"),
+        pick("A", "q_int", "double").alias("q_a"),
+        pick("B", "q_int", "double").alias("q_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_term = lambda q, s, n: (  # noqa: E731
+        (F.col(q) - F.col(s) * F.col(s) / F.col(n)) / (F.col(n) - 1) / F.col(n)
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (
+            (mean_a - mean_b)
+            / F.sqrt(var_term("q_a", "s_a", "n_a") + var_term("q_b", "s_b", "n_b"))
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation (round 4): largest-remainder apportionment
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 100_000
+
+_TOKEN_BUDGET_SQL = f"""
+WITH src AS (
+    SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens)::BIGINT AS c FROM src),
+quota AS (
+    SELECT s.source, s.n_tokens,
+           ({_TOKEN_BUDGET}::BIGINT * s.n_tokens) // t.c AS base,
+           ({_TOKEN_BUDGET}::BIGINT * s.n_tokens) % t.c AS rem
+    FROM src s CROSS JOIN tot t
+),
+ranked AS (
+    SELECT source, n_tokens, base, rem,
+           row_number() OVER (ORDER BY rem DESC, source) AS rk,
+           {_TOKEN_BUDGET} - sum(base) OVER () AS leftover
+    FROM quota
+)
+SELECT source, n_tokens,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc_tokens
+FROM ranked
+"""
+
+
+@register("token_budget_allocation", _TOKEN_BUDGET_SQL)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global training
+    token budget across sources, proportional to each source's token
+    mass: floor quotas first, then the leftover units go to the largest
+    integer remainders (source-name tiebreak — fully deterministic, and
+    Σalloc == budget exactly, which proportional-float rounding cannot
+    guarantee). Everything is int64 arithmetic: budget·tokens fits to
+    ~10^13 source tokens; the rank window runs over |sources| rows, never
+    the corpus. This is the budgeting step that turns temperature-mix
+    WEIGHTS into integer per-source token draws."""
+    docs = read_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    tot = src.agg(F.sum("n_tokens").cast("long").alias("c"))
+    scaled = F.lit(_TOKEN_BUDGET).cast("long") * F.col("n_tokens")
+    quota = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        scaled.alias("_scaled"),
+        (scaled % F.col("c")).alias("rem"),
+        F.expr(f"({_TOKEN_BUDGET}L * n_tokens) DIV c").alias("base"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    w_all = Window.partitionBy()
+    ranked = quota.select(
+        "source",
+        "n_tokens",
+        "base",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(_TOKEN_BUDGET) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram via broadcast cutoffs (round 4): the 100 TB binning
+# path that quantity_deciles' ntile total order cannot take
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_SQL = """
+WITH cuts AS (
+    SELECT quantile_cont(l_quantity,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+    FROM lineitem
+)
+SELECT len(list_filter(c.cs, x -> x <= l.l_quantity))::BIGINT AS bucket,
+       count(*)::BIGINT AS n,
+       min(l.l_quantity) AS min_qty,
+       max(l.l_quantity) AS max_qty,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l CROSS JOIN cuts c
+GROUP BY 1
+"""
+
+
+@register("equidepth_quantity_buckets", _EQUIDEPTH_SQL)
+def equidepth_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning WITHOUT a global total order: decile
+    cutoffs come from one exact-percentile aggregate (1 row), broadcast
+    back, and each row's bucket is "how many cutoffs ≤ value" — a pure
+    array expression, so the fact pass is map-only + one ≤10-key hash agg.
+    This is the declared 100 TB feature-binning plan (SCALE.md: swap the
+    exact percentile for approx_percentile at scale; quantile_interpolation
+    pins that sketch's exact semantics, quantity_deciles pins the
+    exact-rank ntile reference this approximates — on tied integral
+    values the bucket POPULATIONS differ from ntile's forced-equal fills,
+    which is the honest equi-depth answer). Cutoffs on integral
+    l_quantity interpolate to bitwise-identical doubles in both engines
+    (same pos = p·(n−1) definition)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    probes = ", ".join(f"0.{i}D" for i in range(1, 10))
+    cuts = li.agg(F.expr(f"percentile(l_quantity, array({probes}))").alias("cs"))
+    return (
+        li.crossJoin(F.broadcast(cuts))
+        .select(
+            F.size(F.filter(F.col("cs"), lambda x: x <= F.col("l_quantity")))
+            .cast("long")
+            .alias("bucket"),
+            "l_quantity",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time-correct dimension join (round 4): the feature-store
+# leakage-safe lookup against the SCD2 history
+# ---------------------------------------------------------------------------
+
+_PIT_SQL = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           lag(o_orderstatus) OVER w AS prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+    SELECT * FROM ranked WHERE prev IS NULL OR o_orderstatus <> prev
+),
+dim AS (
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to
+    FROM changes
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+ship AS (
+    SELECT o.o_custkey AS custkey, l.l_shipdate, l.l_returnflag
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT d.status AS status_at_ship, s.l_returnflag,
+       count(*)::BIGINT AS n_lines
+FROM ship s
+JOIN dim d
+  ON d.custkey = s.custkey
+ AND d.valid_from <= s.l_shipdate
+ AND (d.valid_to IS NULL OR s.l_shipdate < d.valid_to)
+GROUP BY 1, 2
+"""
+
+
+@register("pit_status_at_ship", _PIT_SQL)
+def pit_status_at_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup: each shipment line is
+    enriched with the customer's order status AS OF ship time, read from
+    the SCD2 interval history — the feature-store join that prevents
+    training-label leakage (a naive join to the CURRENT dim row would leak
+    future state into past examples). The half-open [valid_from, valid_to)
+    intervals partition each customer's timeline, so exactly one version
+    matches and the join is an equi-join on the customer key with the
+    interval test as a residual predicate — AQE skew handling applies to
+    the key, and fan-out is bounded by versions-per-customer (small by
+    construction). Ref parity: the reference only ever keeps current
+    state (bicis/etl/basic_features.py), making this lookup impossible
+    there."""
+    from bicis_spark.operators.scd import scd2_history
+
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = scd2_history(
+        orders,
+        key_col="o_custkey",
+        attr_col="o_orderstatus",
+        ts_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        "valid_to",
+    )
+    ship = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"), "l_shipdate", "l_returnflag"
+    )
+    joined = ship.join(
+        dim,
+        (ship.custkey == dim.custkey)
+        & (dim.valid_from <= ship.l_shipdate)
+        & (dim.valid_to.isNull() | (ship.l_shipdate < dim.valid_to)),
+    )
+    return joined.groupBy(
+        F.col("status").alias("status_at_ship"), "l_returnflag"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+
+
+# ---------------------------------------------------------------------------
+# Sequential training examples (round 4): next-event prediction dataset
+# ---------------------------------------------------------------------------
+
+_NEXT_EVENT_EXAMPLES_SQL = """
+WITH seq AS (
+    SELECT event_id, user_id,
+           lag(event_type, 3) OVER w AS ctx1,
+           lag(event_type, 2) OVER w AS ctx2,
+           lag(event_type, 1) OVER w AS ctx3,
+           event_type AS label
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ctx1, ctx2, ctx3, label,
+       CASE WHEN ascii(substr(md5(event_id::VARCHAR || ':nx'), 1, 1)) % 10 < 8
+            THEN 'train'
+            WHEN ascii(substr(md5(event_id::VARCHAR || ':nx'), 1, 1)) % 10 < 9
+            THEN 'validation' ELSE 'test' END AS split
+FROM seq
+WHERE ctx1 IS NOT NULL
+"""
+
+
+@register("next_event_training_examples", _NEXT_EVENT_EXAMPLES_SQL)
+def next_event_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised example generation for sequence models: each event
+    becomes (3-event context, next-event label) via three lag() taps on
+    ONE per-user window — no self-joins, no explode — plus a reproducible
+    80/10/10 split keyed on the example id (the hash_split_assignment
+    splitter, so an example never migrates between splits across reruns).
+    Context strictly precedes the label in event time (orderkey tiebreak
+    pinned), which is the leakage discipline pit_status_at_ship applies to
+    dimensions, here applied to sequence windows. One shuffle keyed by
+    user_id; per-user state is bounded by human event rates (SCALE.md)."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bucket = (
+        F.ascii(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("event_id"), F.lit("nx"))), 1, 1
+            )
+        )
+        % 10
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.lag("event_type", 3).over(w).alias("ctx1"),
+            F.lag("event_type", 2).over(w).alias("ctx2"),
+            F.lag("event_type", 1).over(w).alias("ctx3"),
+            F.col("event_type").alias("label"),
+            F.when(bucket < 8, "train")
+            .when(bucket < 9, "validation")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .where(F.col("ctx1").isNotNull())
+    )

@@ -67,7 +67,10 @@ _LOADED = False
 # hard_negative_candidates, temperature_mix_weights,
 # q9_product_type_profit, q11_important_stock,
 # q13_customer_distribution, q20_promotion_suppliers,
-# dsir_importance_resample, dedup_incremental_batch). Everything
+# dsir_importance_resample, dedup_incremental_batch,
+# ab_spend_ztest, token_budget_allocation,
+# equidepth_quantity_buckets, pit_status_at_ship,
+# next_event_training_examples). Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "asof_forward_next_order",

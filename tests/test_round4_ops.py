@@ -230,3 +230,19 @@ def test_incremental_dedup_index_invariant(spark):
     }
     old_winners = {r["doc_id"] for r in exact_dedup(old, ["text"]).collect()}
     assert old_winners | set(out) == union_winners
+
+
+def test_token_budget_allocation_sums_to_budget(spark, sf_dir):
+    """Largest-remainder apportionment: allocations are integers, within 1
+    of the real-valued quota, and sum EXACTLY to the budget."""
+    from bicis_spark.plans.analytics_queries import (
+        _TOKEN_BUDGET,
+        token_budget_allocation,
+    )
+
+    rows = token_budget_allocation(spark, sf_dir).collect()
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) == _TOKEN_BUDGET
+    for r in rows:
+        exact = _TOKEN_BUDGET * r["n_tokens"] / total_tokens
+        assert exact - 1 < r["alloc_tokens"] < exact + 1
