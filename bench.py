@@ -70,6 +70,9 @@ HEADLINE = [
     "q7_volume_shipping",      # nation-dim double-role join
     "q9_product_type_profit",  # join fan + two-measure profit agg
     "q13_customer_distribution",  # outer-join count-of-counts
+    "dsir_importance_resample",  # map-only DSIR selection vs broadcast histograms
+    "dedup_incremental_batch",  # anti-join vs 16-byte fingerprint index
+    "pit_status_at_ship",      # point-in-time SCD2 dimension lookup
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -146,6 +149,8 @@ def main() -> None:
         "ann_topk_pq", "semantic_dedup_flags", "span_dedup_rebuild",
         "unigram_surprisal_quality", "q18_large_orders", "q7_volume_shipping",
         "q9_product_type_profit", "q13_customer_distribution",
+        "dsir_importance_resample", "dedup_incremental_batch",
+        "pit_status_at_ship",
     }
     r2_overlap = round(
         sum(t for q, t in timings.items() if q not in r3_set and q not in r4_set),
