@@ -3243,3 +3243,110 @@ def next_event_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("ctx1").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set algebra (round 4): audience-overlap estimate via HLL
+# inclusion-exclusion, accuracy-contracted against the exact intersection
+# ---------------------------------------------------------------------------
+
+_HLL_OVERLAP_SQL = """
+WITH flags AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+    FROM events GROUP BY user_id
+)
+SELECT CAST(sum(has_view * has_purchase) AS BIGINT) AS exact_overlap,
+       true AS approx_within_15pct
+FROM flags
+"""
+
+
+@register("hll_overlap_contract", _HLL_OVERLAP_SQL)
+def hll_overlap_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap (|viewers ∩ purchasers|) by HLL inclusion-
+    exclusion — est(A) + est(B) − est(A∪B) — from ONE conditional
+    aggregation scan (NULLs are ignored by aggregates, so when(cond, col)
+    scopes each sketch without extra passes). This is the set-algebra
+    trick that answers intersection cardinalities at 100 TB where the
+    exact two-level flag aggregate (still cheap here, and used as the
+    contract's reference) would be the only alternative; HLL registers
+    are fixed-size and order-insensitive, so the estimate — and therefore
+    the contract boolean — is deterministic for a given dataset."""
+    ev = read_table(spark, sf_dir, "events")
+    in_view = F.when(F.col("event_type") == "view", F.col("user_id"))
+    in_purch = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    in_any = F.when(
+        F.col("event_type").isin("view", "purchase"), F.col("user_id")
+    )
+    est = ev.agg(
+        F.approx_count_distinct(in_view, rsd=0.02).alias("_a"),
+        F.approx_count_distinct(in_purch, rsd=0.02).alias("_b"),
+        F.approx_count_distinct(in_any, rsd=0.02).alias("_ab"),
+    ).select((F.col("_a") + F.col("_b") - F.col("_ab")).alias("est_overlap"))
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "p"
+        ),
+    )
+    exact = flags.agg(
+        F.sum(F.col("v") * F.col("p")).cast("long").alias("exact_overlap")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_overlap",
+        (
+            F.abs(F.col("est_overlap").cast("double") - F.col("exact_overlap"))
+            <= 0.15 * F.col("exact_overlap")
+        ).alias("approx_within_15pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (round 4): per-user exponentially weighted value
+# ---------------------------------------------------------------------------
+
+_EWMA_SQL = """
+WITH ordered AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id) AS xs
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(xs)::BIGINT AS n_events,
+       list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma_value
+FROM ordered
+"""
+
+
+@register("ewma_user_value", _EWMA_SQL)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (α = 0.25 — an exact binary double,
+    as is 0.75): s₁ = x₁, sₙ = α·xₙ + (1−α)·sₙ₋₁. The recursion has no
+    fixed-frame window form, so each user's series is collected into ONE
+    array (bounded: per-user event counts are flat at scale — SCALE.md
+    user-window entry) sorted by (ts, event_id) and folded with a single
+    array expression; both engines execute the identical IEEE op sequence
+    over the identical order, so the smoothed value is bitwise stable.
+    One shuffle keyed by user_id; no window, no UDF."""
+    ev = read_table(spark, sf_dir, "events")
+    xs = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+            )
+        ),
+        lambda s: s["value"],
+    )
+    grouped = ev.groupBy("user_id").agg(xs.alias("xs"))
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        fold.alias("ewma_value"),
+    )

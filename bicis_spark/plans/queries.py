@@ -70,7 +70,8 @@ _LOADED = False
 # dsir_importance_resample, dedup_incremental_batch,
 # ab_spend_ztest, token_budget_allocation,
 # equidepth_quantity_buckets, pit_status_at_ship,
-# next_event_training_examples). Everything
+# next_event_training_examples, hll_overlap_contract,
+# ewma_user_value). Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "asof_forward_next_order",
