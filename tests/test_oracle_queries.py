@@ -42,12 +42,20 @@ def test_driver_window_spends_slots_on_unverified_queries():
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     records = sorted(glob.glob(str(repo / "CORRECTNESS_r*.json")))
+    if not records:
+        pytest.skip("no CORRECTNESS_r*.json round records present")
     # The newest record is the driver's check OF the current window — it
-    # always contains the window names, so only prior rounds count as
-    # "already verified" for rotation purposes.
+    # always contains the window names, so it only counts as "already
+    # verified" once the window has ROTATED AWAY from it (i.e. its key
+    # set no longer matches DRIVER_WINDOW): before rotation it would
+    # trivially flag every slot, after rotation excluding it would let a
+    # new window silently re-verify last round's names.
+    newest_keys = set(json.load(open(records[-1])))
     ever_checked: set[str] = set()
     for path in records[:-1]:
         ever_checked |= set(json.load(open(path)))
+    if newest_keys != set(registry.DRIVER_WINDOW):
+        ever_checked |= newest_keys
     if not ever_checked:  # fresh clone without round records: nothing to assert
         pytest.skip("no CORRECTNESS_r*.json round records present")
     unverified = set(ALL) - ever_checked

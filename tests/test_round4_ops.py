@@ -246,3 +246,55 @@ def test_token_budget_allocation_sums_to_budget(spark, sf_dir):
     for r in rows:
         exact = _TOKEN_BUDGET * r["n_tokens"] / total_tokens
         assert exact - 1 < r["alloc_tokens"] < exact + 1
+
+
+def test_ewma_matches_reference_recursion(spark, sf_dir):
+    """The array-fold EWMA equals the textbook recursion computed in a
+    Python loop over the same (ts, event_id)-sorted series."""
+    from bicis_spark.plans.analytics_queries import ewma_user_value
+    from bicis_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: r for r in ewma_user_value(spark, sf_dir).collect()
+    }
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    for uid, rows in series.items():
+        xs = [v for _, _, v in sorted(rows)]
+        s = xs[0]
+        for x in xs[1:]:
+            s = 0.25 * x + 0.75 * s
+        assert got[uid]["n_events"] == len(xs)
+        assert got[uid]["ewma_value"] == s, uid  # bitwise: same op sequence
+
+
+def test_importance_resample_oversample_monotone(spark):
+    """Raising the oversample factor only ADDS documents (hash-threshold
+    monotonicity — the property that makes rate changes reproducible)."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.extensions.sampling import importance_resample
+
+    rows = [
+        (i, f"document number {i} with text {i * 7 % 13}", "b" + str(i % 3), i % 4 == 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, bucket string, is_tgt boolean"
+    )
+    kept = {}
+    for num, den in [(1, 4), (1, 2), (1, 1), (2, 1)]:
+        out = importance_resample(
+            df, F.col("is_tgt"), ["bucket"], oversample_num=num, oversample_den=den
+        )
+        kept[(num, den)] = {r["doc_id"] for r in out.collect()}
+    assert kept[(1, 4)] <= kept[(1, 2)] <= kept[(1, 1)] <= kept[(2, 1)]
