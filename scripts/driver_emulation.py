@@ -1,6 +1,10 @@
 """Emulate the spark-graft driver's verify: t1 smoke (entry at sf0.001) and
 t2 correctness (every queries() entry vs oracle_sql() through DuckDB at
 sf0.01, row count + order-insensitive exact values). Exit 1 on any mismatch.
+
+Usage: driver_emulation.py [sf_dir] [--only name1,name2,...]
+--only restricts t2 to the named queries (the scoped recipe for iterating
+on new registrations without replaying the whole registry).
 """
 
 from __future__ import annotations
@@ -21,7 +25,13 @@ TABLES = (
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     spark = get_spark(app_name="driver_emulation")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -38,7 +48,12 @@ def main() -> int:
     from tests.oracle_utils import assert_oracle_match  # noqa: E402
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only is not None:
+        missing = only - set(qs)
+        assert not missing, f"--only names not registered: {sorted(missing)}"
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             if name in oracles:
