@@ -111,8 +111,20 @@ def importance_resample(
     stats = corpus_b.join(target_b, bucket_cols, "left").withColumn(
         "_t_b", F.coalesce(F.col("_t_b"), F.lit(0).cast("long"))
     )
-    totals = stats.agg(
-        F.sum("_c_b").alias("_c_tot"), F.sum("_t_b").alias("_t_tot")
+    # Totals come from the PRE-join histograms, not from `stats`: groupBy
+    # keeps NULL-bucket rows as their own group, but the equality join
+    # above drops them, so summing after the join would undercount T for
+    # any corpus with NULL bucket values (flipping every accept decision
+    # vs the oracle's plain COUNT(*) totals). NULL-bucket documents are
+    # still excluded from the OUTPUT (they match no histogram row) —
+    # only the denominators must see them.
+    totals = (
+        corpus_b.agg(F.sum("_c_b").alias("_c_tot"))
+        .crossJoin(
+            target_b.agg(
+                F.coalesce(F.sum("_t_b"), F.lit(0).cast("long")).alias("_t_tot")
+            )
+        )
     )
     h = poly_hash2(F.col(text_col)) % F.lit(hash_buckets)
     keep = (

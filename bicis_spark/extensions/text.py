@@ -486,8 +486,16 @@ def bigram_surprisal(
     bg = base.select(id_col, F.explode(pairs).alias("_p")).select(
         id_col, F.col("_p.w1").alias("w1"), F.col("_p.bigram").alias("bigram")
     )
-    cpair = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cp"))
-    cfirst = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    # bg feeds three consumers (pair counts, first-token counts, the final
+    # per-occurrence scoring join) and each count table is itself read
+    # twice (distinct-value collect + the qlog join) — without persists the
+    # tokenize+explode lineage executes five times. Persist the exploded
+    # occurrences and both aggregates (same multi-consumer discipline as
+    # unigram_surprisal's vocab); at corpus scale the production variant
+    # prunes bg to top-K bigrams first (see docstring) and persists THAT.
+    bg = bg.persist()
+    cpair = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cp")).persist()
+    cfirst = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cf")).persist()
     counts = (
         cpair.select(F.col("cp").alias("c"))
         .union(cfirst.select(F.col("cf").alias("c")))

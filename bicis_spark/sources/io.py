@@ -50,21 +50,26 @@ def _nanos_ts_cols(path: str, schema: StructType) -> frozenset[str]:
     # possibly different encoding), so a path-only cache key would pin a
     # long-lived process to a stale decode path — key on file identity
     # (mtime_ns + size) of every member file instead.
+    def _stat_id(f: str) -> tuple[str, int, int]:
+        st = os.stat(f)
+        return (f, st.st_mtime_ns, st.st_size)
+
     try:
         files = (
             tuple(sorted(glob.glob(os.path.join(path, "*.parquet"))))
             if os.path.isdir(path)
             else (path,)
         )
-        fingerprint = tuple(
-            (f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files
-        )
+        fingerprint = tuple(_stat_id(f) for f in files)
     except OSError:
         return frozenset()
-    cache_key = (fingerprint, tuple(sorted(wanted)))
+    # Keyed BY PATH with the fingerprint in the value: an in-place testdata
+    # regeneration (new mtimes) replaces the entry instead of accreting a
+    # new one per round in a long-lived process.
+    cache_key = (path, tuple(sorted(wanted)))
     cached = _NANOS_PROBE_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == fingerprint:
+        return cached[1]
     out: set[str] = set()
     try:
         import pyarrow.parquet as pq
@@ -85,12 +90,12 @@ def _nanos_ts_cols(path: str, schema: StructType) -> frozenset[str]:
                 )
             )
         if per_file and any(s != per_file[0] for s in per_file[1:]):
-            raise ValueError(
+            raise MixedTimestampUnitsError(
                 f"mixed parquet timestamp units across files under {path}: "
                 "split the read per file group"
             )
         out = set(per_file[0]) if per_file else set()
-    except ValueError:
+    except MixedTimestampUnitsError:
         raise
     except Exception as exc:  # pyarrow missing / unreadable footer
         logging.getLogger(__name__).warning(
@@ -102,11 +107,19 @@ def _nanos_ts_cols(path: str, schema: StructType) -> frozenset[str]:
         )
         return frozenset()
     result = frozenset(out)
-    _NANOS_PROBE_CACHE[cache_key] = result
+    _NANOS_PROBE_CACHE[cache_key] = (fingerprint, result)
     return result
 
 
-_NANOS_PROBE_CACHE: dict[tuple, frozenset[str]] = {}
+class MixedTimestampUnitsError(ValueError):
+    """A directory mixes TIMESTAMP(NANOS) and non-NANOS encodings for the
+    same column — no single decode path is correct, so the read must fail
+    loudly. Distinct type so the probe's fallback (which swallows probe
+    FAILURES like unreadable footers — pyarrow's ArrowInvalid is itself a
+    ValueError subclass) can re-raise exactly this and nothing else."""
+
+
+_NANOS_PROBE_CACHE: dict[tuple, tuple[tuple, frozenset[str]]] = {}
 
 # runtime-settable SQL confs the engine depends on; applied defensively so
 # queries work on ANY caller-provided SparkSession (the driver builds its
@@ -444,14 +457,15 @@ def overwrite_partitions_dynamic(
     pattern (re-running day N replaces day N's files and nothing else;
     static overwrite mode would truncate the whole table first).
 
-    The conf is set per-write and restored, so the session default (and
-    any concurrent static-overwrite caller's expectation) is unchanged.
+    The mode rides the DataFrameWriter as a per-write option (overrides
+    the session conf for THIS write only, Spark 3.0+), so the session
+    default is never mutated — a concurrent static-overwrite write on the
+    same session can't race into dynamic mode mid-flight, which a
+    set/restore of the session conf could not guarantee.
     """
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

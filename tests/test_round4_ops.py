@@ -298,3 +298,64 @@ def test_importance_resample_oversample_monotone(spark):
         )
         kept[(num, den)] = {r["doc_id"] for r in out.collect()}
     assert kept[(1, 4)] <= kept[(1, 2)] <= kept[(1, 1)] <= kept[(2, 1)]
+
+
+def test_importance_resample_null_buckets_count_in_totals(spark):
+    """Target/corpus rows with NULL bucket values are excluded from the
+    OUTPUT (no histogram row matches) but must still count in the C and T
+    denominators — the oracle totals are plain COUNT(*). With 2 of 4
+    target docs in a NULL bucket, bucket 'a' holds half the target mass,
+    not all of it."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.extensions.sampling import importance_resample
+
+    rows = [
+        (0, "t zero", "a", True),
+        (1, "t one", "a", True),
+        (2, "t two", None, True),
+        (3, "t three", None, True),
+        (4, "c four", "a", False),
+        (5, "c five", "a", False),
+        (6, "c six", "b", False),
+        (7, "c seven", "b", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, bucket string, is_tgt boolean"
+    )
+    out = importance_resample(
+        df, F.col("is_tgt"), ["bucket"], oversample_num=1, oversample_den=1
+    ).collect()
+    # weight('a') = (t_b*C)/(c_b*T) = (2*8)/(4*4) = 1.0 — NOT 2.0 (which a
+    # join-based T=2 undercount would produce); bucket 'b' has no target
+    # mass and returns nothing; NULL-bucket docs never appear.
+    assert {r["doc_id"] for r in out} <= {0, 1, 4, 5}
+    assert all(r["weight"] == 1.0 for r in out)
+
+
+def test_nanos_probe_cache_evicts_stale_fingerprints(tmp_path, spark):
+    """In-place regeneration of a probed file replaces its cache entry
+    (path-keyed) instead of accreting one entry per round."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bicis_spark.sources import io as io_mod
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    path = str(tmp_path / "t.parquet")
+    schema = StructType([StructField("ts", TimestampType())])
+    tbl = pa.table({"ts": pa.array([0], type=pa.timestamp("us"))})
+    before = len(io_mod._NANOS_PROBE_CACHE)
+    pq.write_table(tbl, path)
+    assert io_mod._nanos_ts_cols(path, schema) == frozenset()
+    # regenerate in place with NANOS encoding: same path, new fingerprint
+    import os
+    import time
+
+    time.sleep(0.01)
+    pq.write_table(
+        pa.table({"ts": pa.array([0], type=pa.timestamp("ns"))}), path
+    )
+    os.utime(path, ns=(time.time_ns(), time.time_ns()))
+    assert io_mod._nanos_ts_cols(path, schema) == frozenset({"ts"})
+    assert len(io_mod._NANOS_PROBE_CACHE) == before + 1  # replaced, not added
