@@ -52,26 +52,26 @@ _LOADED = False
 # CORRECTNESS_r01/r02 keys == queries() positions 1-50 in insertion order).
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
 # Round-4 rotation (r3 verdict item #1): the 46 round-3 window members
-# came back green (+4 rows-only by design), so all 50 slots move to the
-# never-driver-checked round-3 analytics battery. Round-5 queue (never
-# driver-checked, in priority order): the 10 round-3 leftovers
-# (part_copurchase_triangles, purchase_attribution,
-# winsorized_value_stats, session_cooccurrence_lift,
-# session_conversion_funnel, twap_user_value, customer_revenue_pareto,
-# peak_event_rate, path_trigrams_top10, event_gap_percentiles), then the
-# round-4 additions (TPC-H battery II ×10, semantic_dedup_flags,
-# unigram_surprisal_quality, ann_topk_pq, ann_pq_recall,
-# span_dedup_rebuild, target_encode_priority, k_anonymity_customer,
-# approx_distinct_stats [now contract-bearing],
-# streaming_view_purchase_left_join, rfm_segments,
-# hard_negative_candidates, temperature_mix_weights,
-# q9_product_type_profit, q11_important_stock,
-# q13_customer_distribution, q20_promotion_suppliers,
-# dsir_importance_resample, dedup_incremental_batch,
-# ab_spend_ztest, token_budget_allocation,
-# equidepth_quantity_buckets, pit_status_at_ship,
-# next_event_training_examples, hll_overlap_contract,
-# ewma_user_value). Everything
+# came back green (+4 rows-only by design), so all 50 slots moved to the
+# never-driver-checked round-3 analytics battery. ROUND-5 QUEUE — the
+# exact set of queries with no driver row after round 4 (51 names,
+# recomputed from CORRECTNESS_r01-r03 ∪ this round's window; 50 fit the
+# window, queue the leftover first in round 6):
+#   ab_spend_ztest, ann_pq_recall, ann_topk_pq, bigram_surprisal_quality,
+#   customer_revenue_pareto, dedup_incremental_batch,
+#   dsir_importance_resample, equidepth_quantity_buckets,
+#   event_gap_percentiles, ewma_user_value, hard_negative_candidates,
+#   hll_overlap_contract, k_anonymity_customer,
+#   next_event_training_examples, ols_calibration_deciles,
+#   order_value_drift, part_copurchase_triangles, path_trigrams_top10,
+#   peak_event_rate, pit_status_at_ship, purchase_attribution,
+#   q2/q4/q6/q7/q8/q9/q11/q12/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22
+#   (18 TPC-H battery names), rfm_segments, semantic_dedup_flags,
+#   session_conversion_funnel, session_cooccurrence_lift,
+#   span_dedup_rebuild, streaming_view_purchase_left_join,
+#   target_encode_priority, temperature_mix_weights,
+#   token_budget_allocation, twap_user_value, unigram_surprisal_quality,
+#   winsorized_value_stats. Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "asof_forward_next_order",
