@@ -435,7 +435,7 @@ def unigram_surprisal(
             F.sum("sq").cast("long").alias("surprisal_q"),
         )
     )
-    return per.select(
+    result = per.select(
         id_col,
         "n_tokens",
         "surprisal_q",
@@ -444,6 +444,15 @@ def unigram_surprisal(
             / (F.col("n_tokens") * F.lit(scale)).cast("double")
         ).alias("avg_surprisal_bits"),
     )
+    # Eagerly materialize (docs-sized, lineage-free, cleaned by the
+    # ContextCleaner when the result is released) so the vocab cache can
+    # be dropped NOW: a persist left behind would pin executor storage for
+    # the session AND — because the CacheManager matches re-reads of the
+    # same path to the cached plan — could serve stale rows to a later
+    # query after an in-place testdata regeneration.
+    result = result.localCheckpoint(eager=True)
+    vocab.unpersist()
+    return result
 
 
 def bigram_surprisal(
@@ -518,7 +527,7 @@ def bigram_surprisal(
         .join(cfirst_q, "w1")
         .select(id_col, (F.col("_qf") - F.col("_qp")).cast("long").alias("_sq"))
     )
-    return scored.groupBy(id_col).agg(
+    result = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("_sq").cast("long").alias("surprisal_q"),
     ).select(
@@ -530,3 +539,12 @@ def bigram_surprisal(
             / (F.col("n_bigrams") * F.lit(scale)).cast("double")
         ).alias("avg_surprisal_bits"),
     )
+    # Same discipline as unigram_surprisal: materialize the docs-sized
+    # result eagerly, then release all three caches — leaving them
+    # persisted would pin the exploded per-occurrence table in executor
+    # storage for the session and risk serving stale cached rows after an
+    # in-place regeneration of the source files.
+    result = result.localCheckpoint(eager=True)
+    for cached in (bg, cpair, cfirst):
+        cached.unpersist()
+    return result

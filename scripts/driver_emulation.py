@@ -27,11 +27,20 @@ TABLES = (
 def main() -> int:
     argv = list(sys.argv[1:])
     only: set[str] | None = None
-    if "--only" in argv:
-        i = argv.index("--only")
-        only = set(argv[i + 1].split(","))
-        del argv[i : i + 2]
+    for i, a in enumerate(argv):
+        if a == "--only":
+            if i + 1 >= len(argv):
+                raise SystemExit("usage: driver_emulation.py [sf_dir] --only name1,name2")
+            only = set(argv[i + 1].split(","))
+            del argv[i : i + 2]
+            break
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+            del argv[i]
+            break
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if sf_dir.startswith("-"):
+        raise SystemExit(f"unrecognized argument: {sf_dir}")
     spark = get_spark(app_name="driver_emulation")
     spark.sparkContext.setLogLevel("ERROR")
 
