@@ -359,3 +359,44 @@ def test_nanos_probe_cache_evicts_stale_fingerprints(tmp_path, spark):
     os.utime(path, ns=(time.time_ns(), time.time_ns()))
     assert io_mod._nanos_ts_cols(path, schema) == frozenset({"ts"})
     assert len(io_mod._NANOS_PROBE_CACHE) == before + 1  # replaced, not added
+
+
+def _physical_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_new_query_plan_shapes(spark, sf_dir):
+    """Scale-shape assertions for the late-round-4 queries: no cartesian
+    products anywhere; nested-loop joins appear ONLY as the documented
+    1-row broadcast attaches (never on a keyed join path)."""
+    from bicis_spark.plans import queries as registry
+
+    # Values are LOGICAL attach counts; the formatted explain prints each
+    # operator twice (tree line + detail section), so the string count is
+    # 2x. Every allowed BNLJ is a broadcast of a 1-row aggregate (the
+    # documented bounded total-attach), never a keyed join path.
+    expected_bnlj = {
+        "pit_status_at_ship": 0,  # equi-keyed SCD2 join, interval residual
+        "dedup_incremental_batch": 0,  # hash anti-join on fingerprints
+        "q9_product_type_profit": 0,
+        "q20_promotion_suppliers": 0,
+        "next_event_training_examples": 0,
+        "ewma_user_value": 0,
+        "dsir_importance_resample": 2,  # 1-row totals x2 (build + attach)
+        "q11_important_stock": 1,
+        "token_budget_allocation": 1,
+        "equidepth_quantity_buckets": 1,
+        "hll_overlap_contract": 1,
+        "ab_spend_ztest": 0,  # scalar pick via conditional agg, no attach
+    }
+    qs = registry.queries()
+    for name, bnlj in expected_bnlj.items():
+        plan = _physical_plan(qs[name](spark, sf_dir))
+        assert plan.count("CartesianProduct") == 0, name
+        assert plan.count("BroadcastNestedLoopJoin") == 2 * bnlj, (
+            name,
+            plan.count("BroadcastNestedLoopJoin"),
+        )
