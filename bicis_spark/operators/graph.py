@@ -56,10 +56,17 @@ def pagerank_fixed_point(
         .union(edges.select(F.col("dst").alias("v")))
         .distinct()
     )
+    # verts and ew (edges ⋈ outdegree) are loop-INVARIANT but appear in
+    # every iteration's plan: without a persist the caller's edge
+    # derivation (often a distinct over fact-table scans) re-executes
+    # n_iter times inside the one final job. Cache both — the standard
+    # iterative-graph discipline (GraphX caches its edge RDD for the same
+    # reason) — and release them after the final ranks materialize.
+    verts = verts.persist()
     ranks = verts.select(
         "v", F.lit(scale).cast("long").alias("rank_fp")
     )
-    ew = edges.join(deg, on="src")
+    ew = edges.join(deg, on="src").persist()
     for i in range(n_iter):
         # lineage truncation (same discipline as connected_components_min_label):
         # materialize the |V|-sized rank frame every few rounds so the plan
@@ -96,7 +103,12 @@ def pagerank_fixed_point(
                 .alias("rank_fp"),
             )
         )
-    return ranks.select(F.col("v").alias("node"), "rank_fp")
+    out = ranks.select(F.col("v").alias("node"), "rank_fp").localCheckpoint(
+        eager=True
+    )
+    ew.unpersist()
+    verts.unpersist()
+    return out
 
 
 def triangle_count(
