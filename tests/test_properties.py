@@ -252,3 +252,82 @@ def test_merge_into_partition_law(spark, t_keys, s_keys, del_mod):
         | {(k, k * 100) for k in ss_ - ts_}
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time SCD2 lookup vs a per-row reference (round 4)
+# ---------------------------------------------------------------------------
+
+_pit_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),           # key
+        st.sampled_from("OFP"),      # status
+        st.integers(0, 20),          # day ordinal
+    ),
+    min_size=1,
+    max_size=12,
+)
+_pit_probes = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 21)), min_size=1, max_size=10
+)
+
+
+@given(events=_pit_events, probes=_pit_probes)
+@SETTINGS
+def test_pit_lookup_matches_reference(spark, events, probes):
+    """The SCD2 interval join returns exactly the status a per-row scan of
+    the ordered change history would: the version whose [valid_from,
+    valid_to) half-open interval contains the probe time, or nothing for
+    probes before the key's first event."""
+    import datetime as dt
+
+    from bicis_spark.operators.scd import scd2_history
+
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        (k, s, base + dt.timedelta(days=d), i)
+        for i, (k, s, d) in enumerate(events)
+    ]
+    src = spark.createDataFrame(
+        rows, "o_custkey long, o_orderstatus string, o_orderdate timestamp, o_orderkey long"
+    )
+    dim = scd2_history(
+        src,
+        key_col="o_custkey",
+        attr_col="o_orderstatus",
+        ts_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )
+    probes = sorted(set(probes))  # duplicate probes would collapse in `got`
+    probe_rows = [
+        (k, base + dt.timedelta(days=d, hours=1)) for k, d in probes
+    ]
+    pr = spark.createDataFrame(probe_rows, "k long, t timestamp")
+    got = {
+        (r["k"], r["t"]): r["o_orderstatus"]
+        for r in pr.join(
+            dim,
+            (pr.k == dim.o_custkey)
+            & (dim.valid_from <= pr.t)
+            & (dim.valid_to.isNull() | (pr.t < dim.valid_to)),
+        ).collect()
+    }
+    # reference: walk each key's (date, orderkey)-ordered run-compressed
+    # history; the probe's status is the last change at or before t
+    hist: dict[int, list] = {}
+    for k, s, d, i in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        runs = hist.setdefault(k, [])
+        if not runs or runs[-1][1] != s:
+            runs.append((d, s))
+    for (k, t) in [(k, base + dt.timedelta(days=d, hours=1)) for k, d in probes]:
+        expect = None
+        for d, s in hist.get(k, []):
+            if d <= t:
+                expect = s
+        assert got.get((k, t)) == expect, (k, t, hist.get(k))
+    # exactly one version matches any probed time (intervals partition)
+    assert len(got) == sum(
+        1
+        for k, d in probes
+        if hist.get(k) and hist[k][0][0] <= base + dt.timedelta(days=d, hours=1)
+    )
