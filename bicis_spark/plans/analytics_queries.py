@@ -3018,7 +3018,6 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = src.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        scaled.alias("_scaled"),
         (scaled % F.col("c")).alias("rem"),
         F.expr(f"({_TOKEN_BUDGET}L * n_tokens) DIV c").alias("base"),
     )
@@ -3350,3 +3349,89 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").cast("long").alias("n_events"),
         fold.alias("ewma_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (round 4): does any user straddle train/val/test?
+# ---------------------------------------------------------------------------
+
+_SPLIT_LEAK_SQL = """
+WITH by_event AS (
+    SELECT user_id,
+           CASE WHEN ascii(substr(md5(event_id::VARCHAR || ':split'), 1, 1)) % 10 < 8
+                THEN 'train'
+                WHEN ascii(substr(md5(event_id::VARCHAR || ':split'), 1, 1)) % 10 < 9
+                THEN 'validation' ELSE 'test' END AS split
+    FROM events
+),
+by_user AS (
+    SELECT user_id,
+           CASE WHEN ascii(substr(md5(user_id::VARCHAR || ':split'), 1, 1)) % 10 < 8
+                THEN 'train'
+                WHEN ascii(substr(md5(user_id::VARCHAR || ':split'), 1, 1)) % 10 < 9
+                THEN 'validation' ELSE 'test' END AS split
+    FROM events
+),
+agg AS (
+    SELECT 'event_keyed' AS scheme, user_id,
+           count(DISTINCT split)::BIGINT AS n_splits
+    FROM by_event GROUP BY user_id
+    UNION ALL
+    SELECT 'user_keyed' AS scheme, user_id,
+           count(DISTINCT split)::BIGINT AS n_splits
+    FROM by_user GROUP BY user_id
+)
+SELECT scheme,
+       count(*)::BIGINT AS n_users,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaking_users
+FROM agg GROUP BY scheme
+"""
+
+
+@register("split_leakage_audit", _SPLIT_LEAK_SQL)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-leakage audit of train/val/test assignment: for each split
+    scheme, how many users have events in MORE than one split. An
+    event-keyed hash split scatters every active user across splits (the
+    classic evaluation leak — the model sees the test user's behavior in
+    training); a user-keyed hash split provably yields zero leaking users
+    (assignment is a function of the group key). One scan per scheme,
+    each a two-level count-distinct aggregate keyed by user — the audit
+    any split manifest should ship with. The md5-based splitter is the
+    same RNG-free rule as hash_split_assignment."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def bucket(col):
+        return (
+            F.ascii(
+                F.substring(
+                    F.md5(F.concat_ws(":", col, F.lit("split"))), 1, 1
+                )
+            )
+            % 10
+        )
+
+    def split_of(col):
+        b = bucket(col)
+        return (
+            F.when(b < 8, "train").when(b < 9, "validation").otherwise("test")
+        )
+
+    out = []
+    for scheme, key in (("event_keyed", "event_id"), ("user_keyed", "user_id")):
+        per_user = (
+            ev.select("user_id", split_of(F.col(key)).alias("split"))
+            .groupBy("user_id")
+            .agg(F.countDistinct("split").cast("long").alias("n_splits"))
+        )
+        out.append(
+            per_user.agg(
+                F.lit(scheme).alias("scheme"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_leaking_users"),
+            )
+        )
+    return out[0].unionAll(out[1])

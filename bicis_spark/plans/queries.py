@@ -71,7 +71,8 @@ _LOADED = False
 #   span_dedup_rebuild, streaming_view_purchase_left_join,
 #   target_encode_priority, temperature_mix_weights,
 #   token_budget_allocation, twap_user_value, unigram_surprisal_quality,
-#   winsorized_value_stats. Everything
+#   winsorized_value_stats, split_leakage_audit (52nd, added after the
+#   queue snapshot). Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     "asof_forward_next_order",
