@@ -44,18 +44,24 @@ def _update_running_counts(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    total, last_us = state.get if state.exists else (0, 0)
+    # last_us sentinel: None until a non-null event time is seen. A key
+    # whose rows (so far) all carry ts=NULL must emit last_ts=NULL — an
+    # integer 0 initializer would surface as the 1970 epoch, fabricating
+    # an event time that never existed.
+    total, last_us = state.get if state.exists else (0, None)
     for pdf in pdfs:
         total += len(pdf)
         if len(pdf):
-            batch_max = pdf["ts"].max()
-            last_us = max(last_us, int(batch_max.value // 1000))
+            batch_max = pdf["ts"].max()  # NaT if every ts in the batch is null
+            if not pd.isna(batch_max):
+                batch_us = int(batch_max.value // 1000)
+                last_us = batch_us if last_us is None else max(last_us, batch_us)
     state.update((total, last_us))
     yield pd.DataFrame(
         {
             "station": [key[0]],
             "total_events": [total],
-            "last_ts": [pd.Timestamp(last_us * 1000)],
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us is not None else pd.NaT],
         }
     )
 

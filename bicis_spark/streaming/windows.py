@@ -65,13 +65,15 @@ def station_sliding_counts_stream(
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+def _drain_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str
+) -> DataFrame:
     """Drive a (finite file-source) streaming query to completion through
-    the memory sink and return the result as a batch DataFrame. Complete
-    output mode: every window is emitted regardless of watermark progress,
-    which makes the finite-source result equal to the batch aggregation."""
+    the memory sink in the given output mode and return the result as a
+    batch DataFrame (via ``sparkSession.table`` — query names need not be
+    bare SQL identifiers)."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)
@@ -81,7 +83,14 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    return stream_df.sparkSession.table(query_name)
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Complete-mode drain: every window is emitted regardless of
+    watermark progress, which makes the finite-source result equal to the
+    batch aggregation."""
+    return _drain_to_memory(stream_df, query_name, "complete")
 
 
 def view_purchase_join_stream(
@@ -99,7 +108,30 @@ def view_purchase_join_stream(
     (Spark derives this from the range condition — without it the join
     would hold all history). Inner-join matches are emitted immediately
     (append mode), not withheld on the watermark."""
-    v = views.withWatermark(ts_col, watermark).select(
+    return _attribution_join(
+        views, purchases, ts_col, horizon, watermark, how="inner"
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+def _attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    ts_col: str,
+    horizon: str,
+    watermark: str,
+    how: str,
+    view_cutoff: str | None = None,
+) -> DataFrame:
+    """Shared view→purchase attribution join (single definition of the
+    projections and the 3-clause range condition, so the inner and
+    left-outer variants can never silently disagree). ``view_cutoff``
+    filters views AFTER the watermark node — the watermark still advances
+    on the full stream, which is what finalizes the retained views'
+    outcomes for the left-outer finite-source equality contract."""
+    v = views.withWatermark(ts_col, watermark)
+    if view_cutoff is not None:
+        v = v.where(F.col(ts_col) <= F.lit(view_cutoff).cast("timestamp"))
+    v = v.select(
         F.col("user_id"),
         F.col("event_id").alias("view_id"),
         F.col(ts_col).alias("view_ts"),
@@ -114,8 +146,8 @@ def view_purchase_join_stream(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
-    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+        how,
+    )
 
 
 def distinct_keys_stream(events: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -144,7 +176,12 @@ def dedup_within_watermark_stream(
     The contract this engine declares: include the key's time bucket in
     ``key_cols`` and choose ``delay`` > the bucket span; then all
     duplicates of a key are closer together than the state horizon and
-    each bucket-key emits exactly once — batch DISTINCT equality."""
+    each bucket-key emits exactly once — batch DISTINCT equality. Caveat:
+    the API only guarantees dedup for duplicates arriving within the
+    delay of each other; arrival skew past the horizon is handled by the
+    current implementation but is not contractual, so callers feeding
+    multi-batch sources should also bound arrival order (the declared
+    query stages its source as a single file for exactly this reason)."""
     return (
         events.withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(key_cols)
@@ -153,20 +190,9 @@ def dedup_within_watermark_stream(
 
 
 def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
-    """Like run_to_completion but append mode — required for stream-stream
-    joins and streaming dedup (complete mode is aggregation-only)."""
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    """Append-mode drain — required for stream-stream joins and streaming
+    dedup (complete mode is aggregation-only)."""
+    return _drain_to_memory(stream_df, query_name, "append")
 
 
 def session_counts_stream(
@@ -224,23 +250,7 @@ def view_purchase_left_join_stream(
     views evictable past view_ts + horizon, purchases past the
     watermark); the null-emission adds no state, only eviction-time
     output."""
-    v = views.withWatermark(ts_col, watermark)
-    if view_cutoff is not None:
-        v = v.where(F.col(ts_col) <= F.lit(view_cutoff).cast("timestamp"))
-    v = v.select(
-        F.col("user_id"),
-        F.col("event_id").alias("view_id"),
-        F.col(ts_col).alias("view_ts"),
-    )
-    p = purchases.withWatermark(ts_col, watermark).select(
-        F.col("user_id").alias("p_user_id"),
-        F.col("event_id").alias("purchase_id"),
-        F.col(ts_col).alias("purchase_ts"),
-    )
-    return v.join(
-        p,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
-        "left_outer",
+    return _attribution_join(
+        views, purchases, ts_col, horizon, watermark,
+        how="left_outer", view_cutoff=view_cutoff,
     ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
