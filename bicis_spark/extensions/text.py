@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bicis_spark.caching import materialize_and_release
+
 FP_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*31 + char within int64
 
 # tiny marker vocabularies for the n-gram/stopword language heuristic —
@@ -444,15 +446,13 @@ def unigram_surprisal(
             / (F.col("n_tokens") * F.lit(scale)).cast("double")
         ).alias("avg_surprisal_bits"),
     )
-    # Eagerly materialize (docs-sized, lineage-free, cleaned by the
-    # ContextCleaner when the result is released) so the vocab cache can
-    # be dropped NOW: a persist left behind would pin executor storage for
-    # the session AND — because the CacheManager matches re-reads of the
-    # same path to the cached plan — could serve stale rows to a later
-    # query after an in-place testdata regeneration.
-    result = result.localCheckpoint(eager=True)
-    vocab.unpersist()
-    return result
+    # Eagerly materialize (docs-sized) so the vocab cache can be dropped
+    # NOW: a persist left behind would pin executor storage for the
+    # session AND — because the CacheManager matches re-reads of the same
+    # path to the cached plan — could serve stale rows to a later query
+    # after an in-place testdata regeneration. Exception-safe release +
+    # trade-offs: bicis_spark/caching.py.
+    return materialize_and_release(result, (vocab,))
 
 
 def bigram_surprisal(
@@ -544,7 +544,4 @@ def bigram_surprisal(
     # persisted would pin the exploded per-occurrence table in executor
     # storage for the session and risk serving stale cached rows after an
     # in-place regeneration of the source files.
-    result = result.localCheckpoint(eager=True)
-    for cached in (bg, cpair, cfirst):
-        cached.unpersist()
-    return result
+    return materialize_and_release(result, (bg, cpair, cfirst))

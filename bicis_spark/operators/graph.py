@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bicis_spark.caching import materialize_and_release
+
 
 #: Truncate plan lineage every this many power iterations. Each round adds
 #: two joins + an agg to the logical plan; past a handful of rounds analysis
@@ -61,54 +63,64 @@ def pagerank_fixed_point(
     # derivation (often a distinct over fact-table scans) re-executes
     # n_iter times inside the one final job. Cache both — the standard
     # iterative-graph discipline (GraphX caches its edge RDD for the same
-    # reason) — and release them after the final ranks materialize.
+    # reason) — and release them via materialize_and_release, which makes
+    # this builder EAGER (trade-offs documented in bicis_spark/caching.py:
+    # plan-only tooling sees a checkpoint stub for this query; at real
+    # cluster scale swap localCheckpoint for a reliable checkpoint dir,
+    # same caveat as the connected-components loop).
     verts = verts.persist()
     ranks = verts.select(
         "v", F.lit(scale).cast("long").alias("rank_fp")
     )
     ew = edges.join(deg, on="src").persist()
-    for i in range(n_iter):
-        # lineage truncation (same discipline as connected_components_min_label):
-        # materialize the |V|-sized rank frame every few rounds so the plan
-        # tree stays shallow for long loops. eager=True keeps determinism —
-        # ranks are exact integers, so re-materialization can't drift. Only
-        # worth it when ≥3 rounds remain: a checkpoint just before the end
-        # pays materialization without saving any plan depth.
-        if (
-            i > 0
-            and checkpoint_every > 0
-            and i % checkpoint_every == 0
-            and n_iter - i >= 3
-        ):
-            ranks = ranks.localCheckpoint(eager=True)
-        inflow = (
-            ew.join(ranks.withColumnRenamed("v", "src"), on="src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("rank_fp div outdeg")).alias("_inflow"))
-        )
-        ranks = (
-            verts.join(
-                inflow.withColumnRenamed("dst", "v"), on="v", how="left"
+    try:
+        for i in range(n_iter):
+            # lineage truncation (same discipline as
+            # connected_components_min_label): materialize the |V|-sized
+            # rank frame every few rounds so the plan tree stays shallow
+            # for long loops. eager=True keeps determinism — ranks are
+            # exact integers, so re-materialization can't drift. Only
+            # worth it when ≥3 rounds remain: a checkpoint just before
+            # the end pays materialization without saving any plan depth.
+            if (
+                i > 0
+                and checkpoint_every > 0
+                and i % checkpoint_every == 0
+                and n_iter - i >= 3
+            ):
+                ranks = ranks.localCheckpoint(eager=True)
+            inflow = (
+                ew.join(ranks.withColumnRenamed("v", "src"), on="src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("rank_fp div outdeg")).alias("_inflow"))
             )
-            .select(
-                "v",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_num} * coalesce(_inflow, 0L)) "
-                        f"div {damping_den}"
-                    )
+            ranks = (
+                verts.join(
+                    inflow.withColumnRenamed("dst", "v"), on="v", how="left"
                 )
-                .cast("long")
-                .alias("rank_fp"),
+                .select(
+                    "v",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_num} * coalesce(_inflow, 0L)) "
+                            f"div {damping_den}"
+                        )
+                    )
+                    .cast("long")
+                    .alias("rank_fp"),
+                )
             )
+        return materialize_and_release(
+            ranks.select(F.col("v").alias("node"), "rank_fp"), (ew, verts)
         )
-    out = ranks.select(F.col("v").alias("node"), "rank_fp").localCheckpoint(
-        eager=True
-    )
-    ew.unpersist()
-    verts.unpersist()
-    return out
+    except BaseException:
+        # a failure mid-loop (e.g. a failed eager checkpoint) must not
+        # leak the |E|-sized cache for the session; unpersist is
+        # idempotent, so the success path's release cannot double-free
+        ew.unpersist()
+        verts.unpersist()
+        raise
 
 
 def triangle_count(

@@ -2,7 +2,13 @@
 matter at 100 TB — filter/projection pushdown into the parquet scan,
 broadcast joins where a side is small, whole-stage codegen coverage, and
 absence of cartesian products. Prints a per-query summary; use
---dump <name> for the full formatted plan."""
+--dump <name> for the full formatted plan.
+
+Caveat: builders using the materialize_and_release discipline
+(bicis_spark/caching.py — pagerank_part_supplier and the two surprisal
+queries) execute eagerly and return a checkpointed frame, so their
+audited "plan" is a Scan-ExistingRDD stub; audit those by reading their
+loop bodies, not this output."""
 
 from __future__ import annotations
 
