@@ -1,11 +1,13 @@
 """Cache-lifetime discipline for builders that persist loop-invariant or
 multi-consumer intermediates.
 
-The idiom: persist the intermediates, build the (small, output-sized)
-result plan, then ``materialize_and_release`` — eagerly localCheckpoint
-the result so it no longer references the caches, and unpersist every
-cache in a ``finally`` so a failed materialization job cannot leak
-|E|-sized frames into the block manager for the rest of the session.
+The idiom: enter ``persisted(...)`` around the WHOLE risk window — from
+the persist through every job that runs while the caches are marked
+(driver-side collects, loop iterations, the final eager materialization)
+— and return an eagerly ``localCheckpoint``-ed result from inside the
+block. The context manager unpersists on every exit path, so a failed
+collect or mid-loop job can never leak an |E|-sized cache into the block
+manager for the rest of the session.
 
 Trade-offs callers accept (document at the call site):
 
@@ -16,27 +18,29 @@ Trade-offs callers accept (document at the call site):
   truncated lineage: on a real cluster, swap for a reliable checkpoint
   dir (``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``) —
   the same caveat extensions/dedup.py documents for its CC loop.
-- Blocks are reclaimed by the ContextCleaner when the returned frame is
-  garbage-collected, not by ``unpersist()``.
+- Checkpoint blocks are reclaimed by the ContextCleaner when the
+  returned frame is garbage-collected, not by ``unpersist()``.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 
-def materialize_and_release(
-    result: DataFrame, caches: Iterable[DataFrame]
-) -> DataFrame:
-    """Eagerly materialize ``result`` via localCheckpoint, then unpersist
-    every frame in ``caches`` — released in a ``finally`` so the caches
-    are freed even when the materialization job fails. ``unpersist`` is
-    idempotent, so callers may also release the same caches in their own
-    exception paths."""
+@contextmanager
+def persisted(*frames: DataFrame) -> Iterator[tuple[DataFrame, ...]]:
+    """Persist every frame for the duration of the block and unpersist
+    them all on exit — success, return, or exception alike. The result a
+    caller returns from inside the block must not reference the caches
+    lazily (localCheckpoint it eagerly first), or it would recompute from
+    scratch after release. ``unpersist`` is idempotent, so nesting and
+    early manual release are safe."""
+    cached = tuple(f.persist() for f in frames)
     try:
-        return result.localCheckpoint(eager=True)
+        yield cached
     finally:
-        for c in caches:
+        for c in cached:
             c.unpersist()

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bicis_spark.caching import materialize_and_release
+from bicis_spark.caching import persisted
 
 FP_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*31 + char within int64
 
@@ -416,43 +416,44 @@ def unigram_surprisal(
     t = F.col(text_col)
     base = df.where(t.isNotNull() & (F.length(t) > 0))
     toks = base.select(id_col, F.explode(tokens(t)).alias("token"))
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    vocab = vocab.persist()
-    n_total = vocab.agg(F.sum("c")).first()[0] or 1
-    distinct_counts = [r[0] for r in vocab.select("c").distinct().collect()]
-    spark = df.sparkSession
-    qlog_n = math.floor(math.log2(n_total) * scale)
-    qlog = spark.createDataFrame(
-        [(k, math.floor(math.log2(k) * scale)) for k in distinct_counts],
-        "k long, qlog long",
-    )
-    vq = vocab.join(F.broadcast(qlog), vocab["c"] == qlog["k"]).select(
-        "token", (F.lit(qlog_n) - F.col("qlog")).cast("long").alias("sq")
-    )
-    per = (
-        toks.join(F.broadcast(vq), "token")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("sq").cast("long").alias("surprisal_q"),
+    # persisted() spans the WHOLE risk window — the two driver-side
+    # actions below run real jobs against the cache, and a failure there
+    # must release it too (trade-offs of the eager final checkpoint:
+    # bicis_spark/caching.py). The checkpoint also prevents the
+    # CacheManager serving stale cached rows to a later query after an
+    # in-place regeneration of the source files.
+    with persisted(
+        toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ) as (vocab,):
+        n_total = vocab.agg(F.sum("c")).first()[0] or 1
+        distinct_counts = [r[0] for r in vocab.select("c").distinct().collect()]
+        spark = df.sparkSession
+        qlog_n = math.floor(math.log2(n_total) * scale)
+        qlog = spark.createDataFrame(
+            [(k, math.floor(math.log2(k) * scale)) for k in distinct_counts],
+            "k long, qlog long",
         )
-    )
-    result = per.select(
-        id_col,
-        "n_tokens",
-        "surprisal_q",
-        (
-            F.col("surprisal_q").cast("double")
-            / (F.col("n_tokens") * F.lit(scale)).cast("double")
-        ).alias("avg_surprisal_bits"),
-    )
-    # Eagerly materialize (docs-sized) so the vocab cache can be dropped
-    # NOW: a persist left behind would pin executor storage for the
-    # session AND — because the CacheManager matches re-reads of the same
-    # path to the cached plan — could serve stale rows to a later query
-    # after an in-place testdata regeneration. Exception-safe release +
-    # trade-offs: bicis_spark/caching.py.
-    return materialize_and_release(result, (vocab,))
+        vq = vocab.join(F.broadcast(qlog), vocab["c"] == qlog["k"]).select(
+            "token", (F.lit(qlog_n) - F.col("qlog")).cast("long").alias("sq")
+        )
+        per = (
+            toks.join(F.broadcast(vq), "token")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum("sq").cast("long").alias("surprisal_q"),
+            )
+        )
+        result = per.select(
+            id_col,
+            "n_tokens",
+            "surprisal_q",
+            (
+                F.col("surprisal_q").cast("double")
+                / (F.col("n_tokens") * F.lit(scale)).cast("double")
+            ).alias("avg_surprisal_bits"),
+        )
+        return result.localCheckpoint(eager=True)
 
 
 def bigram_surprisal(
@@ -502,46 +503,51 @@ def bigram_surprisal(
     # occurrences and both aggregates (same multi-consumer discipline as
     # unigram_surprisal's vocab); at corpus scale the production variant
     # prunes bg to top-K bigrams first (see docstring) and persists THAT.
-    bg = bg.persist()
-    cpair = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cp")).persist()
-    cfirst = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cf")).persist()
-    counts = (
-        cpair.select(F.col("cp").alias("c"))
-        .union(cfirst.select(F.col("cf").alias("c")))
-        .distinct()
-        .collect()
-    )
-    spark = df.sparkSession
-    qlog = spark.createDataFrame(
-        [(int(r[0]), math.floor(math.log2(int(r[0])) * scale)) for r in counts],
-        "k long, qlog long",
-    )
-    cpair_q = cpair.join(F.broadcast(qlog), cpair["cp"] == qlog["k"]).select(
-        "bigram", F.col("qlog").alias("_qp")
-    )
-    cfirst_q = cfirst.join(F.broadcast(qlog), cfirst["cf"] == qlog["k"]).select(
-        "w1", F.col("qlog").alias("_qf")
-    )
-    scored = (
-        bg.join(cpair_q, "bigram")
-        .join(cfirst_q, "w1")
-        .select(id_col, (F.col("_qf") - F.col("_qp")).cast("long").alias("_sq"))
-    )
-    result = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.sum("_sq").cast("long").alias("surprisal_q"),
-    ).select(
-        id_col,
-        "n_bigrams",
-        "surprisal_q",
-        (
-            F.col("surprisal_q").cast("double")
-            / (F.col("n_bigrams") * F.lit(scale)).cast("double")
-        ).alias("avg_surprisal_bits"),
-    )
-    # Same discipline as unigram_surprisal: materialize the docs-sized
-    # result eagerly, then release all three caches — leaving them
-    # persisted would pin the exploded per-occurrence table in executor
-    # storage for the session and risk serving stale cached rows after an
-    # in-place regeneration of the source files.
-    return materialize_and_release(result, (bg, cpair, cfirst))
+    with persisted(bg) as (bg,):
+        with persisted(
+            bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("cp")),
+            bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cf")),
+        ) as (cpair, cfirst):
+            counts = (
+                cpair.select(F.col("cp").alias("c"))
+                .union(cfirst.select(F.col("cf").alias("c")))
+                .distinct()
+                .collect()
+            )
+            spark = df.sparkSession
+            qlog = spark.createDataFrame(
+                [
+                    (int(r[0]), math.floor(math.log2(int(r[0])) * scale))
+                    for r in counts
+                ],
+                "k long, qlog long",
+            )
+            cpair_q = cpair.join(
+                F.broadcast(qlog), cpair["cp"] == qlog["k"]
+            ).select("bigram", F.col("qlog").alias("_qp"))
+            cfirst_q = cfirst.join(
+                F.broadcast(qlog), cfirst["cf"] == qlog["k"]
+            ).select("w1", F.col("qlog").alias("_qf"))
+            scored = (
+                bg.join(cpair_q, "bigram")
+                .join(cfirst_q, "w1")
+                .select(
+                    id_col,
+                    (F.col("_qf") - F.col("_qp")).cast("long").alias("_sq"),
+                )
+            )
+            result = scored.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                F.sum("_sq").cast("long").alias("surprisal_q"),
+            ).select(
+                id_col,
+                "n_bigrams",
+                "surprisal_q",
+                (
+                    F.col("surprisal_q").cast("double")
+                    / (F.col("n_bigrams") * F.lit(scale)).cast("double")
+                ).alias("avg_surprisal_bits"),
+            )
+            # eager checkpoint inside the block: the returned frame must
+            # not reference the caches lazily (bicis_spark/caching.py)
+            return result.localCheckpoint(eager=True)

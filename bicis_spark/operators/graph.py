@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bicis_spark.caching import materialize_and_release
+from bicis_spark.caching import persisted
 
 
 #: Truncate plan lineage every this many power iterations. Each round adds
@@ -63,17 +63,16 @@ def pagerank_fixed_point(
     # derivation (often a distinct over fact-table scans) re-executes
     # n_iter times inside the one final job. Cache both — the standard
     # iterative-graph discipline (GraphX caches its edge RDD for the same
-    # reason) — and release them via materialize_and_release, which makes
-    # this builder EAGER (trade-offs documented in bicis_spark/caching.py:
-    # plan-only tooling sees a checkpoint stub for this query; at real
-    # cluster scale swap localCheckpoint for a reliable checkpoint dir,
-    # same caveat as the connected-components loop).
-    verts = verts.persist()
-    ranks = verts.select(
-        "v", F.lit(scale).cast("long").alias("rank_fp")
-    )
-    ew = edges.join(deg, on="src").persist()
-    try:
+    # reason). persisted() spans the whole loop, so a failure in any
+    # mid-loop or final job releases the caches; the eager checkpoint on
+    # return makes this builder EAGER (trade-offs documented in
+    # bicis_spark/caching.py: plan-only tooling sees a checkpoint stub
+    # for this query; at real cluster scale swap localCheckpoint for a
+    # reliable checkpoint dir, same caveat as the CC loop).
+    with persisted(verts, edges.join(deg, on="src")) as (verts, ew):
+        ranks = verts.select(
+            "v", F.lit(scale).cast("long").alias("rank_fp")
+        )
         for i in range(n_iter):
             # lineage truncation (same discipline as
             # connected_components_min_label): materialize the |V|-sized
@@ -111,16 +110,11 @@ def pagerank_fixed_point(
                     .alias("rank_fp"),
                 )
             )
-        return materialize_and_release(
-            ranks.select(F.col("v").alias("node"), "rank_fp"), (ew, verts)
+        # eager checkpoint inside the block: the returned frame must not
+        # reference the caches lazily (bicis_spark/caching.py)
+        return ranks.select(F.col("v").alias("node"), "rank_fp").localCheckpoint(
+            eager=True
         )
-    except BaseException:
-        # a failure mid-loop (e.g. a failed eager checkpoint) must not
-        # leak the |E|-sized cache for the session; unpersist is
-        # idempotent, so the success path's release cannot double-free
-        ew.unpersist()
-        verts.unpersist()
-        raise
 
 
 def triangle_count(

@@ -4,7 +4,7 @@ broadcast joins where a side is small, whole-stage codegen coverage, and
 absence of cartesian products. Prints a per-query summary; use
 --dump <name> for the full formatted plan.
 
-Caveat: builders using the materialize_and_release discipline
+Caveat: builders using the persisted()+eager-checkpoint discipline
 (bicis_spark/caching.py — pagerank_part_supplier and the two surprisal
 queries) execute eagerly and return a checkpointed frame, so their
 audited "plan" is a Scan-ExistingRDD stub; audit those by reading their
