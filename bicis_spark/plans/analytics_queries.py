@@ -36,6 +36,34 @@ from bicis_spark.plans.queries import register
 from bicis_spark.sources.io import read_table
 
 # ---------------------------------------------------------------------------
+# Deterministic hash-split rule, shared by hash_split_assignment,
+# next_event_training_examples and split_leakage_audit (one Python copy +
+# one SQL generator, so the three call sites cannot drift apart).
+# ---------------------------------------------------------------------------
+
+
+def _hash_split(col, salt: str):
+    """80/10/10 split as a pure function of (key, salt): first md5 hex
+    char of concat_ws(':', key, salt) mod 10 → <8 train, <9 validation,
+    else test. concat_ws skips NULL arguments on BOTH engines (Spark and
+    DuckDB hash the bare salt), so a NULL key lands deterministically in
+    one split instead of diverging between engines the way `key || salt`
+    would (NULL-propagating concat falls through CASE to 'test' in SQL
+    while Spark's concat_ws keeps hashing)."""
+    b = F.ascii(F.substring(F.md5(F.concat_ws(":", col, F.lit(salt))), 1, 1)) % 10
+    return F.when(b < 8, "train").when(b < 9, "validation").otherwise("test")
+
+
+def _hash_split_sql(key: str, salt: str) -> str:
+    """The identical rule as a DuckDB CASE expression (oracle side)."""
+    h = f"ascii(substr(md5(concat_ws(':', {key}, '{salt}')), 1, 1)) % 10"
+    return (
+        f"CASE WHEN {h} < 8 THEN 'train' "
+        f"WHEN {h} < 9 THEN 'validation' ELSE 'test' END"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ordered funnel
 # ---------------------------------------------------------------------------
 
@@ -1936,16 +1964,10 @@ def sliding_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 # Deterministic hash split (random-like train/test assignment, zero RNG)
 # ---------------------------------------------------------------------------
 
-_HASH_SPLIT_SQL = """
+_HASH_SPLIT_SQL = f"""
 WITH assigned AS (
     SELECT event_id,
-           CASE
-               WHEN ascii(substr(md5(event_id::VARCHAR || ':split'), 1, 1)) % 10 < 8
-                   THEN 'train'
-               WHEN ascii(substr(md5(event_id::VARCHAR || ':split'), 1, 1)) % 10 < 9
-                   THEN 'validation'
-               ELSE 'test'
-           END AS split
+           {_hash_split_sql("event_id", "split")} AS split
     FROM events
 )
 SELECT split, CAST(count(*) AS BIGINT) AS n,
@@ -1964,15 +1986,9 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-based splitter (operators/split.py) remains the right tool when
     leakage-by-time matters."""
     ev = read_table(spark, sf_dir, "events")
-    bucket = (
-        F.ascii(F.substring(F.md5(F.concat_ws(":", F.col("event_id"), F.lit("split"))), 1, 1)) % 10
-    )
     assigned = ev.select(
         "event_id",
-        F.when(bucket < 8, "train")
-        .when(bucket < 9, "validation")
-        .otherwise("test")
-        .alias("split"),
+        _hash_split(F.col("event_id"), "split").alias("split"),
     )
     return assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"),
@@ -3184,7 +3200,7 @@ def pit_status_at_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sequential training examples (round 4): next-event prediction dataset
 # ---------------------------------------------------------------------------
 
-_NEXT_EVENT_EXAMPLES_SQL = """
+_NEXT_EVENT_EXAMPLES_SQL = f"""
 WITH seq AS (
     SELECT event_id, user_id,
            lag(event_type, 3) OVER w AS ctx1,
@@ -3195,10 +3211,7 @@ WITH seq AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id, ctx1, ctx2, ctx3, label,
-       CASE WHEN ascii(substr(md5(event_id::VARCHAR || ':nx'), 1, 1)) % 10 < 8
-            THEN 'train'
-            WHEN ascii(substr(md5(event_id::VARCHAR || ':nx'), 1, 1)) % 10 < 9
-            THEN 'validation' ELSE 'test' END AS split
+       {_hash_split_sql("event_id", "nx")} AS split
 FROM seq
 WHERE ctx1 IS NOT NULL
 """
@@ -3219,14 +3232,6 @@ def next_event_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    bucket = (
-        F.ascii(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("event_id"), F.lit("nx"))), 1, 1
-            )
-        )
-        % 10
-    )
     return (
         ev.select(
             "event_id",
@@ -3235,10 +3240,7 @@ def next_event_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("event_type", 2).over(w).alias("ctx2"),
             F.lag("event_type", 1).over(w).alias("ctx3"),
             F.col("event_type").alias("label"),
-            F.when(bucket < 8, "train")
-            .when(bucket < 9, "validation")
-            .otherwise("test")
-            .alias("split"),
+            _hash_split(F.col("event_id"), "nx").alias("split"),
         )
         .where(F.col("ctx1").isNotNull())
     )
@@ -3355,37 +3357,25 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Split-leakage audit (round 4): does any user straddle train/val/test?
 # ---------------------------------------------------------------------------
 
-_SPLIT_LEAK_SQL = """
-WITH by_event AS (
+_SPLIT_LEAK_SQL = f"""
+WITH per_user AS (
     SELECT user_id,
-           CASE WHEN ascii(substr(md5(event_id::VARCHAR || ':split'), 1, 1)) % 10 < 8
-                THEN 'train'
-                WHEN ascii(substr(md5(event_id::VARCHAR || ':split'), 1, 1)) % 10 < 9
-                THEN 'validation' ELSE 'test' END AS split
-    FROM events
+           count(DISTINCT {_hash_split_sql("event_id", "split")})::BIGINT
+               AS ns_event,
+           count(DISTINCT {_hash_split_sql("user_id", "split")})::BIGINT
+               AS ns_user
+    FROM events GROUP BY user_id
 ),
-by_user AS (
-    SELECT user_id,
-           CASE WHEN ascii(substr(md5(user_id::VARCHAR || ':split'), 1, 1)) % 10 < 8
-                THEN 'train'
-                WHEN ascii(substr(md5(user_id::VARCHAR || ':split'), 1, 1)) % 10 < 9
-                THEN 'validation' ELSE 'test' END AS split
-    FROM events
-),
-agg AS (
-    SELECT 'event_keyed' AS scheme, user_id,
-           count(DISTINCT split)::BIGINT AS n_splits
-    FROM by_event GROUP BY user_id
+melted AS (
+    SELECT 'event_keyed' AS scheme, ns_event AS n_splits FROM per_user
     UNION ALL
-    SELECT 'user_keyed' AS scheme, user_id,
-           count(DISTINCT split)::BIGINT AS n_splits
-    FROM by_user GROUP BY user_id
+    SELECT 'user_keyed' AS scheme, ns_user AS n_splits FROM per_user
 )
 SELECT scheme,
        count(*)::BIGINT AS n_users,
        CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_leaking_users
-FROM agg GROUP BY scheme
+FROM melted GROUP BY scheme
 """
 
 
@@ -3396,42 +3386,37 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-keyed hash split scatters every active user across splits (the
     classic evaluation leak — the model sees the test user's behavior in
     training); a user-keyed hash split provably yields zero leaking users
-    (assignment is a function of the group key). One scan per scheme,
-    each a two-level count-distinct aggregate keyed by user — the audit
-    any split manifest should ship with. The md5-based splitter is the
-    same RNG-free rule as hash_split_assignment."""
+    (assignment is a function of the group key). ONE scan computes both
+    schemes' split columns, one user-keyed shuffle aggregates them, and a
+    melt over the per-user rows feeds the tiny 2-row report aggregate —
+    the audit any split manifest should ship with. The md5-based splitter
+    is the shared _hash_split rule (same salt as hash_split_assignment,
+    so this audits exactly the splits that query emits)."""
     ev = read_table(spark, sf_dir, "events")
 
-    def bucket(col):
-        return (
-            F.ascii(
-                F.substring(
-                    F.md5(F.concat_ws(":", col, F.lit("split"))), 1, 1
-                )
+    per_user = (
+        ev.select(
+            "user_id",
+            _hash_split(F.col("event_id"), "split").alias("se"),
+            _hash_split(F.col("user_id"), "split").alias("su"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("se").cast("long").alias("ns_event"),
+            F.countDistinct("su").cast("long").alias("ns_user"),
+        )
+    )
+    melted = per_user.select(
+        F.explode(
+            F.create_map(
+                F.lit("event_keyed"), F.col("ns_event"),
+                F.lit("user_keyed"), F.col("ns_user"),
             )
-            % 10
-        )
-
-    def split_of(col):
-        b = bucket(col)
-        return (
-            F.when(b < 8, "train").when(b < 9, "validation").otherwise("test")
-        )
-
-    out = []
-    for scheme, key in (("event_keyed", "event_id"), ("user_keyed", "user_id")):
-        per_user = (
-            ev.select("user_id", split_of(F.col(key)).alias("split"))
-            .groupBy("user_id")
-            .agg(F.countDistinct("split").cast("long").alias("n_splits"))
-        )
-        out.append(
-            per_user.agg(
-                F.lit(scheme).alias("scheme"),
-                F.count(F.lit(1)).cast("long").alias("n_users"),
-                F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
-                .cast("long")
-                .alias("n_leaking_users"),
-            )
-        )
-    return out[0].unionAll(out[1])
+        ).alias("scheme", "n_splits")
+    )
+    return melted.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaking_users"),
+    )

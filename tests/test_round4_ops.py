@@ -400,3 +400,34 @@ def test_new_query_plan_shapes(spark, sf_dir):
             name,
             plan.count("BroadcastNestedLoopJoin"),
         )
+
+
+def test_hash_split_null_key_matches_oracle(spark):
+    """NULL keys must get the SAME split on both engines: concat_ws skips
+    NULLs on Spark and DuckDB alike, so a NULL key hashes the bare salt.
+    Pins the cross-engine agreement that `key || salt` (NULL-propagating)
+    would break — the latent divergence found in the round-4 review."""
+    import duckdb
+
+    from bicis_spark.plans.analytics_queries import _hash_split, _hash_split_sql
+
+    df = (
+        spark.createDataFrame([(None,), (7,)], "k long")
+        .select("k", _hash_split(F.col("k"), "split").alias("split"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+    spark_splits = [r["split"] for r in df.collect()]
+
+    sql = _hash_split_sql("k", "split")
+    oracle_splits = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {sql} FROM (SELECT NULL::BIGINT AS k UNION ALL SELECT 7) "
+            "ORDER BY k NULLS FIRST"
+        ).fetchall()
+    ]
+    assert spark_splits == oracle_splits
+    # and the NULL-key row is deterministically assigned (md5('split')
+    # first hex char = 'e' -> bucket 1 -> train), not quarantined to a
+    # divergent branch
+    assert spark_splits[0] == "train"
