@@ -69,6 +69,24 @@ def evaluate_mse(predictions: DataFrame) -> DataFrame:
     )
 
 
+def _decimal_sum_double(sum_expr):
+    """Engine-portable DECIMAL→DOUBLE for wide aggregate sums.
+
+    A direct decimal→double cast of a >16-significant-digit value is
+    implementation-defined in the last ulp (measured: Spark and DuckDB
+    disagree by 1 ulp on the 20-digit Σy² at sf0.1), which breaks the
+    bitwise oracle gate. Decompose instead: floor to int64 (int64→double
+    is IEEE-correctly-rounded everywhere) plus the sub-1 fractional
+    remainder (≤4 decimal digits — its cast is exact-input correctly
+    rounded on both engines), recombined with ONE IEEE add. Full
+    precision is preserved (error ≤ 1 ulp of the true sum, same as a
+    correctly-rounded cast), unlike flooring alone which quantizes by up
+    to 1.0. Valid while |sum| < 2^63 in whole units; pre-scale inputs
+    beyond that."""
+    i = F.floor(sum_expr).cast("long")
+    return i.cast("double") + (sum_expr - i).cast("double")
+
+
 def fit_ols_exact(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Closed-form single-feature OLS — the gaussian identity-link GLM the
     reference's model surface reduces to for one feature
@@ -77,19 +95,22 @@ def fit_ols_exact(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
     1-row frame [n_rows, slope, intercept, mse]. All sufficient statistics
     (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in exact DECIMAL (order-
-    independent); slope/intercept/mse are then fixed float expression trees
-    over those exact sums, so the oracle replays them bit-for-bit —
-    actual regression math under the hash gate, not a rows-only check.
+    independent) and reach double via _decimal_sum_double — the portable
+    int64+fraction decomposition that sidesteps the engine-divergent
+    wide-decimal→double cast without losing precision. slope/intercept/
+    mse are then fixed float expression trees over those operands, so the
+    oracle replays them bit-for-bit — actual regression math under the
+    hash gate, not a rows-only check.
     """
     x = F.col(x_col).cast("decimal(18,2)")
     y = F.col(y_col).cast("decimal(18,2)")
     s = df.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
+        _decimal_sum_double(F.sum(x)).alias("sx"),
+        _decimal_sum_double(F.sum(y)).alias("sy"),
+        _decimal_sum_double(F.sum(x * y)).alias("sxy"),
+        _decimal_sum_double(F.sum(x * x)).alias("sxx"),
+        _decimal_sum_double(F.sum(y * y)).alias("syy"),
     )
     c = s.withColumn(
         "slope",
@@ -143,20 +164,25 @@ def grid_eval_ols(df: DataFrame, x_cols: list[str], y_col: str) -> DataFrame:
 
     All per-feature sufficient statistics accumulate side-by-side in one
     grand aggregate — k models cost one table scan, not k. Coefficients/
-    MSE are fixed float expression trees over exact DECIMAL sums (same
-    bitwise-replay story as fit_ols_exact)."""
+    MSE are fixed float expression trees over exact DECIMAL sums brought
+    to double via _decimal_sum_double (same bitwise-replay story and
+    wide-decimal-cast rationale as fit_ols_exact)."""
     y = F.col(y_col).cast("decimal(18,2)")
+
+    def stat(expr):
+        return _decimal_sum_double(F.sum(expr))
+
     aggs = [
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(y * y).cast("double").alias("syy"),
+        stat(y).alias("sy"),
+        stat(y * y).alias("syy"),
     ]
     for i, xc in enumerate(x_cols):
         x = F.col(xc).cast("decimal(18,2)")
         aggs += [
-            F.sum(x).cast("double").alias(f"sx{i}"),
-            F.sum(x * y).cast("double").alias(f"sxy{i}"),
-            F.sum(x * x).cast("double").alias(f"sxx{i}"),
+            stat(x).alias(f"sx{i}"),
+            stat(x * y).alias(f"sxy{i}"),
+            stat(x * x).alias(f"sxx{i}"),
         ]
     wide = df.agg(*aggs)
     for i, xc in enumerate(x_cols):

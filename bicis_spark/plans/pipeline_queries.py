@@ -310,18 +310,35 @@ def fails_report_error_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_OLS_SUMS_SQL = """
-s AS (
-    SELECT CAST(count(*) AS DOUBLE) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+def _dec2dbl(col: str) -> str:
+    """DECIMAL→DOUBLE as int64-floor + sub-1 fraction, one IEEE add —
+    mirrors operators/model.py:_decimal_sum_double (a direct cast of a
+    >16-digit decimal differs by 1 ulp between Spark and DuckDB)."""
+    f = f"CAST(floor({col}) AS BIGINT)"
+    return f"(CAST({f} AS DOUBLE) + CAST({col} - {f} AS DOUBLE))"
+
+
+_OLS_SUMS_SQL = f"""
+s0 AS (
+    SELECT count(*) AS n0,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS dsx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsy,
+           sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxy,
+           sum(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS dsxx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsyy
     FROM lineitem
+),
+s AS (
+    SELECT CAST(n0 AS DOUBLE) AS n,
+           {_dec2dbl("dsx")} AS sx,
+           {_dec2dbl("dsy")} AS sy,
+           {_dec2dbl("dsxy")} AS sxy,
+           {_dec2dbl("dsxx")} AS sxx,
+           {_dec2dbl("dsyy")} AS syy
+    FROM s0
 ),
 c AS (
     SELECT n, sx, sy, sxy, sxx, syy,
@@ -376,28 +393,45 @@ def ols_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ols_grid_eval",
-    """
-    WITH s AS (
-        SELECT count(*)::DOUBLE AS n,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx0,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy0,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx0,
-               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx1,
-               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
-                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy1,
-               CAST(sum(CAST(l_discount AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxx1,
-               CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
-               CAST(sum(CAST(l_tax AS DECIMAL(18,2))
-                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy2,
-               CAST(sum(CAST(l_tax AS DECIMAL(18,2))
-                        * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sxx2
+    f"""
+    WITH s0 AS (
+        SELECT count(*) AS n0,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsy,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsyy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS dsx0,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxy0,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS dsxx0,
+               sum(CAST(l_discount AS DECIMAL(18,2))) AS dsx1,
+               sum(CAST(l_discount AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxy1,
+               sum(CAST(l_discount AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2))) AS dsxx1,
+               sum(CAST(l_tax AS DECIMAL(18,2))) AS dsx2,
+               sum(CAST(l_tax AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxy2,
+               sum(CAST(l_tax AS DECIMAL(18,2))
+                   * CAST(l_tax AS DECIMAL(18,2))) AS dsxx2
         FROM lineitem
+    ),
+    s AS (
+        -- decimal sums -> double via the int64+fraction decomposition
+        -- (_dec2dbl; direct wide-decimal casts diverge across engines)
+        SELECT CAST(n0 AS DOUBLE) AS n,
+               {_dec2dbl("dsy")} AS sy,
+               {_dec2dbl("dsyy")} AS syy,
+               {_dec2dbl("dsx0")} AS sx0,
+               {_dec2dbl("dsxy0")} AS sxy0,
+               {_dec2dbl("dsxx0")} AS sxx0,
+               {_dec2dbl("dsx1")} AS sx1,
+               {_dec2dbl("dsxy1")} AS sxy1,
+               {_dec2dbl("dsxx1")} AS sxx1,
+               {_dec2dbl("dsx2")} AS sx2,
+               {_dec2dbl("dsxy2")} AS sxy2,
+               {_dec2dbl("dsxx2")} AS sxx2
+        FROM s0
     ),
     c AS (
         SELECT *,
