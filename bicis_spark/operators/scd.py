@@ -32,13 +32,21 @@ def scd2_history(
     A new version opens at the first row whose attribute differs from the
     previous row's (per key, ordered by (ts, tiebreak)); it closes at the
     next version's valid_from (NULL valid_to = still current).
+
+    Change detection is NULL-safe: the comparison is eqNullSafe, and the
+    first row is detected by row_number rather than ``lag IS NULL`` — a
+    plain ``attr != prev`` evaluates to NULL (not TRUE) on a transition
+    TO a NULL attribute, silently dropping the NULL-valued version and
+    then opening a spurious duplicate at the next non-null row.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     changes = (
         df.select(key_col, attr_col, ts_col, tiebreak_col)
         .withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
         .where(
-            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+            (F.col("_rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("_prev"))
         )
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)

@@ -1010,12 +1010,16 @@ def quantile_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_SQL = """
 WITH ranked AS (
     SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-           lag(o_orderstatus) OVER w AS prev
+           lag(o_orderstatus) OVER w AS prev,
+           row_number() OVER w AS rn
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ),
 changes AS (
-    SELECT * FROM ranked WHERE prev IS NULL OR o_orderstatus <> prev
+    -- NULL-safe change detection, matching operators/scd.py: rn=1 marks
+    -- the first row (lag IS NULL can't — a NULL attr also lags NULL) and
+    -- IS DISTINCT FROM keeps transitions to/from NULL statuses
+    SELECT * FROM ranked WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev
 )
 SELECT o_custkey,
        o_orderstatus,

@@ -260,9 +260,10 @@ def test_merge_into_partition_law(spark, t_keys, s_keys, del_mod):
 
 _pit_events = st.lists(
     st.tuples(
-        st.integers(1, 3),           # key
-        st.sampled_from("OFP"),      # status
-        st.integers(0, 20),          # day ordinal
+        st.integers(1, 3),                       # key
+        st.sampled_from(["O", "F", "P", None]),  # status (None: a NULL
+        # attribute version must survive change detection — null-safe SCD2)
+        st.integers(0, 20),                      # day ordinal
     ),
     min_size=1,
     max_size=12,
