@@ -39,13 +39,26 @@ def merge_count_sum(
     state: DataFrame, delta_state: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
     """Merge two count/sum states (full outer on keys, null-safe adds).
-    ``merge(state(h), state(d)) == state(h ∪ d)`` — property-tested."""
+    ``merge(state(h), state(d)) == state(h ∪ d)`` — property-tested.
+
+    The join keys compare with eqNullSafe: groupBy keeps NULL-key groups,
+    so a plain equi-join would leave a NULL-keyed group present in both
+    states as two un-merged rows, breaking the merge invariant. Spark
+    plans EqualNullSafe keys as a regular hash/sort-merge equi-join, so
+    this costs nothing at scale."""
     has_sum = "s" in state.columns
+    cond = None
+    for k in keys:
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = c if cond is None else cond & c
     out = (
         state.alias("a")
-        .join(delta_state.alias("b"), on=list(keys), how="full_outer")
+        .join(delta_state.alias("b"), on=cond, how="full_outer")
         .select(
-            *[F.col(k) for k in keys],
+            *[
+                F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+                for k in keys
+            ],
             (
                 F.coalesce(F.col("a.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0))
             )

@@ -117,11 +117,13 @@ def test_incremental_merge_equals_full_recompute(spark):
     the delta-folding contract, including keys only in one side."""
     from bicis_spark.operators.incremental import count_sum_state, merge_count_sum
 
+    # NULL keys on both sides: groupBy keeps a NULL-key group, so the
+    # merge join must match it null-safely into ONE row, not emit two
     hist = spark.createDataFrame(
-        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+        [(1, 10.0), (1, 20.0), (2, 5.0), (None, 2.0)], "k long, v double"
     )
     delta = spark.createDataFrame(
-        [(2, 7.5), (3, 1.25)], "k long, v double"
+        [(2, 7.5), (3, 1.25), (None, 3.0)], "k long, v double"
     )
     merged = merge_count_sum(
         count_sum_state(hist, ["k"], "v"),
