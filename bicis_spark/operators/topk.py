@@ -36,13 +36,20 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 32
 
 
-def _sort_key(order_col: str, descending: bool) -> Column:
+def _sort_key(order_col: str, descending: bool) -> tuple[Column, Column]:
+    """(null_flag, order) pair for the sort struct. array_sort puts a
+    NULL struct field FIRST (measured), but window parity demands ASC →
+    NULLS FIRST, DESC → NULLS LAST — without the explicit flag a single
+    NULL order value would take rank 1 under descending and silently
+    displace a real top-k row (row_number ... DESC ranks it last)."""
     c = F.col(order_col)
     if not descending:
-        return c
+        flag = F.when(c.isNull(), F.lit(0)).otherwise(F.lit(1))
+        return flag, c
     # array_sort only sorts ascending; negate numerics to flip. Works for
     # integral/floating order columns (the operator's contract).
-    return -c
+    flag = F.when(c.isNull(), F.lit(1)).otherwise(F.lit(0))
+    return flag, -c
 
 
 def topk_by_group_agg(
@@ -77,8 +84,10 @@ def topk_by_group_agg(
                 f"topk_by_group_agg(descending=True) requires a numeric "
                 f"order column; {order_col!r} is {dt.simpleString()}"
             )
+    null_flag, order_key = _sort_key(order_col, descending)
     key = F.struct(
-        _sort_key(order_col, descending).alias("_o"),
+        null_flag.alias("_nf"),
+        order_key.alias("_o"),
         F.col(tiebreak_col).alias("_t"),
     )
     packed = F.struct(

@@ -381,6 +381,29 @@ class TestTopkByGroupAgg:
         got = {r.g: r.v for r in out.collect()}
         assert got == {1: 5.0, 2: 7.0, 3: 1.0}
 
+    def test_null_order_values_match_window_parity(self, spark):
+        """Window parity for NULL order values: row_number DESC ranks
+        NULLS LAST (so a NULL never displaces a real top-k row), ASC
+        ranks them FIRST. Without the explicit null flag in the sort
+        struct, array_sort put the NULL-keyed struct first and it stole
+        rank 1 under descending."""
+        from bicis_spark.operators.topk import topk_by_group_agg
+
+        rows = [(1, 10.0, 1), (1, None, 2), (1, 9.0, 3)]
+        df = spark.createDataFrame(rows, "g long, v double, id long")
+
+        desc = topk_by_group_agg(df, ["g"], "v", "id", 2, ["id"])
+        assert [(r.rank_in_group, r.v, r.id) for r in
+                desc.orderBy("rank_in_group").collect()] == [
+            (1, 10.0, 1), (2, 9.0, 3),
+        ]
+        asc = topk_by_group_agg(df, ["g"], "v", "id", 2, ["id"],
+                                descending=False)
+        assert [(r.rank_in_group, r.v, r.id) for r in
+                asc.orderBy("rank_in_group").collect()] == [
+            (1, None, 2), (2, 9.0, 3),
+        ]
+
 
 # ---------------------------------------------------------------------------
 # Exact interval proration (operators/prorate.py)
