@@ -55,7 +55,7 @@ def bpe_train(
         df.where(t.isNotNull() & (F.length(t) > 0))
         .select(
             id_col,
-            F.regexp_replace(t, "(.)", sep + "$1" + sep).alias("s"),
+            F.regexp_replace(t, "(?s)(.)", sep + "$1" + sep).alias("s"),
         )
         .persist()
     )
@@ -120,7 +120,7 @@ def bpe_encode(
     shuffle-free pass with the merge table folded into the plan as
     literals (it's model state, K rows)."""
     t = F.col(text_col)
-    s = F.regexp_replace(t, "(.)", sep + "$1" + sep)
+    s = F.regexp_replace(t, "(?s)(.)", sep + "$1" + sep)
     for l, r in merges:
         s = F.replace(s, F.lit(sep + l + sep + sep + r + sep), F.lit(sep + l + r + sep))
     return df.where(t.isNotNull() & (F.length(t) > 0)).select(

@@ -1101,7 +1101,7 @@ def _bpe_oracle(k: int) -> str:
     from bicis_spark.extensions.bpe import SEP as s
 
     ctes = [
-        f"r0 AS MATERIALIZED (SELECT doc_id, regexp_replace(text, '(.)', "
+        f"r0 AS MATERIALIZED (SELECT doc_id, regexp_replace(text, '(?s)(.)', "
         f"'{s}\\1{s}', 'g') AS s FROM documents "
         "WHERE text IS NOT NULL AND length(text) > 0)"
     ]
@@ -1149,7 +1149,7 @@ def _bpe_encode_oracle(k: int) -> str:
     from bicis_spark.extensions.bpe import SEP as s
 
     ctes = [
-        f"r0 AS MATERIALIZED (SELECT doc_id, regexp_replace(text, '(.)', "
+        f"r0 AS MATERIALIZED (SELECT doc_id, regexp_replace(text, '(?s)(.)', "
         f"'{s}\\1{s}', 'g') AS s FROM documents "
         "WHERE text IS NOT NULL AND length(text) > 0)"
     ]

@@ -273,6 +273,29 @@ def test_bpe_train_merges_and_greedy_overlap(spark):
     assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]
 
 
+def test_bpe_handles_newline_symbols(spark):
+    """Newlines must be wrapped like every other symbol ((?s) DOTALL —
+    a bare `.` skips them): otherwise pair counting sees (a, \\n) pairs
+    that the literal-replace merge can never rewrite, burning every
+    remaining round on the same no-op merge."""
+    from bicis_spark.extensions.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "a\na\na")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=2).collect()]
+    # round 1: ties (a,\n) 2x vs (\n,a) 2x -> binary order picks ("\n","a");
+    # round 2 must APPLY round 1's merge, not re-learn it
+    assert got[0] == (1, "\n", "a", 2)
+    assert got[1][1:3] != ("\n", "a")
+
+    enc = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs, [("\n", "a")]).collect()
+    }
+    assert enc[1] == ["a", "\na", "\na"]
+
+
 def test_bpe_encode_applies_merges_in_order(spark):
     from bicis_spark.extensions.bpe import bpe_encode
 
