@@ -84,9 +84,19 @@ def cohort_retention(
       and both that distinct and the join shuffle on the same user key;
     - the output is |cohorts| × |offsets| rows — tiny.
 
-    Offsets are exact integer week counts between ``date_trunc`` bucket
-    starts, so both engines compute identical values.
+    ``period_offset`` counts whole buckets between the two ``date_trunc``
+    starts, derived FROM the bucket: day/week offsets are exact datediff
+    divisions, month/quarter/year use months_between (integral for
+    truncated inputs) — a fixed 7-day divisor would produce irregular,
+    gapping offsets for calendar buckets of varying length.
     """
+    day_divisors = {"day": 1, "week": 7}
+    month_divisors = {"month": 1, "quarter": 3, "year": 12}
+    if bucket not in day_divisors and bucket not in month_divisors:
+        raise ValueError(
+            f"unsupported cohort bucket {bucket!r}; expected one of "
+            f"{sorted(day_divisors | month_divisors)}"
+        )
     first = (
         events.where(cohort_pred)
         .groupBy(user_col)
@@ -98,10 +108,18 @@ def cohort_retention(
     joined = activity.join(first, on=user_col, how="inner").where(
         F.col("act_bucket") >= F.col("cohort_bucket")
     )
-    offset = (F.datediff("act_bucket", "cohort_bucket") / 7).cast("long")
+    if bucket in day_divisors:
+        offset = (
+            F.datediff("act_bucket", "cohort_bucket") / day_divisors[bucket]
+        ).cast("long")
+    else:
+        offset = (
+            F.months_between("act_bucket", "cohort_bucket")
+            / month_divisors[bucket]
+        ).cast("long")
     per_cell = (
-        joined.select("cohort_bucket", offset.alias("week_offset"), user_col)
-        .groupBy("cohort_bucket", "week_offset")
+        joined.select("cohort_bucket", offset.alias("period_offset"), user_col)
+        .groupBy("cohort_bucket", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
     sizes = first.groupBy("cohort_bucket").agg(
@@ -109,7 +127,7 @@ def cohort_retention(
     )
     return per_cell.join(sizes, on="cohort_bucket").select(
         "cohort_bucket",
-        "week_offset",
+        "period_offset",
         F.col("n_active").cast("long").alias("n_active"),
         F.col("n_cohort").cast("long").alias("n_cohort"),
         (F.col("n_active").cast("double") / F.col("n_cohort"))

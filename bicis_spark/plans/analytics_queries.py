@@ -132,20 +132,20 @@ act AS (
 j AS (
     SELECT f.cohort_bucket,
            (date_diff('day', f.cohort_bucket, a.act_bucket) / 7)::BIGINT
-               AS week_offset,
+               AS period_offset,
            a.user_id
     FROM act a JOIN first f ON a.user_id = f.user_id
     WHERE a.act_bucket >= f.cohort_bucket
 ),
 per_cell AS (
-    SELECT cohort_bucket, week_offset, count(*)::BIGINT AS n_active
-    FROM j GROUP BY cohort_bucket, week_offset
+    SELECT cohort_bucket, period_offset, count(*)::BIGINT AS n_active
+    FROM j GROUP BY cohort_bucket, period_offset
 ),
 sz AS (
     SELECT cohort_bucket, count(*)::BIGINT AS n_cohort
     FROM first GROUP BY cohort_bucket
 )
-SELECT p.cohort_bucket, p.week_offset, p.n_active, s.n_cohort,
+SELECT p.cohort_bucket, p.period_offset, p.n_active, s.n_cohort,
        p.n_active::DOUBLE / s.n_cohort::DOUBLE AS retention
 FROM per_cell p JOIN sz s ON p.cohort_bucket = s.cohort_bucket
 """

@@ -95,22 +95,47 @@ def test_funnel_counts_monotonic(spark, sf_dir):
 
 def test_cohort_offset_zero_is_full_retention(spark, sf_dir):
     """The qualifying event itself is activity in the cohort week, so every
-    cohort's week_offset=0 cell retains 100%."""
+    cohort's period_offset=0 cell retains 100%."""
     from bicis_spark.sources.io import read_table
 
     ev = read_table(spark, sf_dir, "events")
     out = cohort_retention(
         ev, "user_id", "ts", F.col("event_type") == "signup", "week"
     )
-    zero = out.where(F.col("week_offset") == 0).collect()
+    zero = out.where(F.col("period_offset") == 0).collect()
     assert zero, "no offset-0 cells"
     for r in zero:
         assert r["n_active"] == r["n_cohort"]
         assert r["retention"] == 1.0
     # offsets never negative, retention never above 1
     assert out.where(
-        (F.col("week_offset") < 0) | (F.col("retention") > 1.0)
+        (F.col("period_offset") < 0) | (F.col("retention") > 1.0)
     ).count() == 0
+
+
+def test_cohort_monthly_offsets_are_calendar_exact(spark):
+    """Calendar buckets have varying lengths, so offsets must come from
+    months_between, not a fixed day divisor: Jan->Feb and Feb->Mar are
+    both exactly 1 month apart even though they span 31 and 29 days."""
+    import pytest
+
+    rows = [
+        (1, dt.datetime(2024, 1, 15), "signup"),
+        (1, dt.datetime(2024, 2, 10), "view"),
+        (1, dt.datetime(2024, 3, 31), "view"),
+        (1, dt.datetime(2024, 12, 1), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = cohort_retention(
+        ev, "user_id", "ts", F.col("event_type") == "signup", "month"
+    )
+    offsets = sorted(r["period_offset"] for r in out.collect())
+    assert offsets == [0, 1, 2, 11]
+
+    with pytest.raises(ValueError, match="unsupported cohort bucket"):
+        cohort_retention(
+            ev, "user_id", "ts", F.col("event_type") == "signup", "hour"
+        )
 
 
 def test_gap_fill_forward(spark):
