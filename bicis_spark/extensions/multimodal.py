@@ -77,17 +77,25 @@ def decode_media(binary_df: DataFrame, strict: bool = False) -> DataFrame:
                     "this container; plug the real decoder in here"
                 )
             payloads = pdf["content"]
+            # NULL payloads (e.g. encode of a NULL text) surface as NULL
+            # features rather than crashing the Arrow batch — undecodable
+            # rows must stay visible downstream, not abort the job. The
+            # nullable Int64 dtype carries the NULLs through Arrow.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
                     "first_byte": payloads.map(
-                        lambda b: int(b[0]) if len(b) else -1
-                    ).astype("int64"),
+                        lambda b: None
+                        if b is None
+                        else (int(b[0]) if len(b) else -1)
+                    ).astype("Int64"),
                     "byte_sum_16": payloads.map(
-                        lambda b: int(sum(b[:16]))
-                    ).astype("int64"),
+                        lambda b: None if b is None else int(sum(b[:16]))
+                    ).astype("Int64"),
                 }
             )
 
@@ -102,6 +110,8 @@ def frame_sample(binary_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue  # no payload -> no frames (not a crash)
                 for off in range(0, len(content), every_n_bytes):
                     rows.append(
                         {

@@ -117,6 +117,24 @@ def test_multimodal_decode_and_frames(spark, docs_df):
     assert doc0 == [(i // 10, text0[i]) for i in range(0, len(text0), 10)]
 
 
+def test_multimodal_null_payload_survives(spark):
+    """A NULL payload (encode of NULL text) must yield NULL features in
+    decode and zero frames in sampling — not a TypeError that aborts the
+    whole Arrow batch."""
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, None)], "doc_id long, text string"
+    )
+    binary = to_binary_table(docs)
+    feats = {r["doc_id"]: r for r in decode_media(binary).collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[2]["n_bytes"] is None
+    assert feats[2]["first_byte"] is None
+    assert feats[2]["byte_sum_16"] is None
+
+    frames = frame_sample(binary, every_n_bytes=2).collect()
+    assert {r["doc_id"] for r in frames} == {1}
+
+
 def test_multimodal_strict_decode_raises(spark, docs_df):
     binary = to_binary_table(docs_df)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
