@@ -122,18 +122,24 @@ def key_skew_profile(
     Plan: one map-combined count per key, a 1-row global rollup of
     (total, n_keys) derived from the SAME aggregate subtree (exchange
     reused, the fact table is scanned once), broadcast back, then a
-    top-n over the per-key counts. All ratios are exact-int/exact-int
-    double divisions.
+    top-n over the per-key counts. The top-n is orderBy().limit() —
+    TakeOrderedAndProject, a per-partition heap merge — NOT a global
+    row_number window, which would funnel every distinct key through a
+    single task's sort (the exact bottleneck this operator exists to
+    diagnose on high-cardinality keys). Ranks are then assigned by a
+    window over only the ``top_n`` surviving rows. All ratios are
+    exact-int/exact-int double divisions.
     """
     per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     totals = per_key.agg(
         F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
     )
-    w = Window.orderBy(F.desc("n"), *[F.asc(k) for k in key_cols])
+    order = [F.desc("n"), *[F.asc(k) for k in key_cols]]
+    top = per_key.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
     return (
-        per_key.crossJoin(F.broadcast(totals))
+        top.crossJoin(F.broadcast(totals))
         .withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= top_n)
         .select(
             *key_cols,
             F.col("n").cast("long").alias("n"),
