@@ -58,16 +58,29 @@ def norm_col(a: Column, dims: int | None = None) -> Column:
     return F.sqrt(int_norm2(a, dims).cast("double"))
 
 
+def _nonzero(divisor: Column) -> Column:
+    """NULL out a zero divisor (nullif twin): cosine is undefined for a
+    zero-norm vector — after quantization an all-near-zero embedding IS
+    all zeros — and under ANSI mode a plain /0 aborts the whole job
+    (with ANSI off it yields NaN, which Spark ranks ABOVE every real
+    cosine). A NULL cosine instead drops out of >= thresholds and sorts
+    last in the DESC rank windows on both engines."""
+    return F.when(divisor != F.lit(0.0), divisor)
+
+
 def cosine_sim(a: Column, b: Column, dims: int | None = None) -> Column:
     """Exact-integer cosine: dot/(√‖a‖·√‖b‖) with all inputs exact int64 —
-    the double math sees identical operands in any engine."""
-    return int_dot(a, b, dims).cast("double") / (norm_col(a, dims) * norm_col(b, dims))
+    the double math sees identical operands in any engine. NULL for
+    zero-norm inputs (see _nonzero)."""
+    return int_dot(a, b, dims).cast("double") / _nonzero(
+        norm_col(a, dims) * norm_col(b, dims)
+    )
 
 
 def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column, dims: int | None = None) -> Column:
     """Cosine with both norms precomputed (identical value to cosine_sim:
     same exact dot, same sqrt results, same multiply/divide order)."""
-    return int_dot(a, b, dims).cast("double") / (na * nb)
+    return int_dot(a, b, dims).cast("double") / _nonzero(na * nb)
 
 
 def ann_topk_bruteforce(
@@ -706,7 +719,7 @@ def ann_topk_pq(
         F.col("nid").alias("neighbor_id"),
         (
             F.col("_adot").cast("double")
-            / (F.col("_qn") * F.sqrt(F.col("_rn2").cast("double")))
+            / _nonzero(F.col("_qn") * F.sqrt(F.col("_rn2").cast("double")))
         ).alias("approx_cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -68,7 +68,8 @@ _DOT = (
     "list_sum(list_transform(range(64), i -> {a}.qv[i+1] * {b}.qv[i+1]))::DOUBLE"
 )
 _NORM = "sqrt(list_sum(list_transform(range(64), i -> {x}.qv[i+1] * {x}.qv[i+1]))::DOUBLE)"
-_COS = f"{_DOT} / ({_NORM.format(x='{a}')} * {_NORM.format(x='{b}')})"
+# nullif: zero-norm vectors get a NULL cosine (mirrors similarity._nonzero)
+_COS = f"{_DOT} / nullif({_NORM.format(x='{a}')} * {_NORM.format(x='{b}')}, 0)"
 
 
 # ---------------------------------------------------------------------------
@@ -1700,7 +1701,7 @@ def _pq_oracle(
     ),
     scored AS (
         SELECT acc.query_id, acc.neighbor_id,
-               CAST(adot AS DOUBLE) / (qn.qnorm * sqrt(CAST(rn2 AS DOUBLE)))
+               CAST(adot AS DOUBLE) / nullif(qn.qnorm * sqrt(CAST(rn2 AS DOUBLE)), 0)
                    AS approx_cosine
         FROM acc JOIN qn ON qn.query_id = acc.query_id
     ){shortlist_ctes}

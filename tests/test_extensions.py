@@ -141,6 +141,26 @@ def test_multimodal_strict_decode_raises(spark, docs_df):
         decode_media(binary, strict=True).collect()
 
 
+def test_zero_norm_vector_never_ranks(spark):
+    """A zero-norm embedding (all components quantize to 0) has undefined
+    cosine: it must neither crash the job (ANSI /0) nor take rank 1 (NaN
+    ranks above every real cosine with ANSI off). It gets a NULL cosine
+    and sorts behind every real neighbor."""
+    from bicis_spark.extensions.similarity import ann_topk_bruteforce
+
+    rows = [
+        (1, [1.0] * 64),
+        (2, [0.9] * 64),
+        (3, [1e-9] * 64),  # quantizes to all zeros -> zero norm
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann_topk_bruteforce(vecs, vecs.where("vec_id = 1"), k=2)
+    got = [(r["rank"], r["neighbor_id"], r["cosine"]) for r in
+           out.orderBy("rank").collect()]
+    assert got[0][1] == 2 and got[0][2] is not None
+    assert got[1] == (2, 3, None)  # zero-norm trails with NULL cosine
+
+
 def test_ann_ivf_scores_match_bruteforce(spark, sf_dir):
     from bicis_spark.sources.io import read_table
     from bicis_spark.extensions.similarity import ann_topk_ivf
