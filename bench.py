@@ -103,6 +103,13 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Release builder persists between queries: some builders cache
+        # multi-consumer subtrees (dedup shingles, IVF centroids) with no
+        # release path of their own, and 48 queries of accumulation in one
+        # session contaminates later timings (the round-3 overlap
+        # regression suspect). Within a query, run 2 still reuses run 1's
+        # caches — that steady-state reuse is the thing being measured.
+        spark.catalog.clearCache()
 
     # Accuracy contracts for the approximate ANN scale paths: mean recall@5
     # vs exact brute force at this SF, recorded per round alongside the

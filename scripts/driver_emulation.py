@@ -76,6 +76,10 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             ok = False
             print(f"t2 {name}: ERROR — {type(exc).__name__}: {exc}")
+        finally:
+            # some builders persist subtrees with no release path; don't
+            # let 190 queries of caches accumulate in one session
+            spark.catalog.clearCache()
 
     spark.stop()
     return 0 if ok else 1
