@@ -36,15 +36,23 @@ def parse_duration_seconds(col: Column) -> Column:
     Integer string ⇒ minutes (``parse_raw_data.py:56-57``); otherwise extract
     all integer tokens from e.g. ``"0H 32MIN 15SEG"``, require ≥3, take the
     first 3 as H/M/S (``parse_raw_data.py:58-64``); null on failure.
+
+    The minutes branch is gated on an anchored digit-only regex, matching
+    the reference's ``isdigit()``: a bare try_cast would accept signed or
+    whitespace-padded strings ('-15' → −900 s) the reference rejects. All
+    casts and arithmetic are try_* so an oversized token yields NULL per
+    the null-on-failure contract instead of an ANSI overflow error.
     """
-    as_int = col.try_cast("long")
+    as_int = F.when(col.rlike("^[0-9]+$"), col.try_cast("long"))
     tokens = F.regexp_extract_all(col, F.lit(r"(\d+)"), 1)
-    hms = (
-        F.element_at(tokens, 1).cast("long") * 3600
-        + F.element_at(tokens, 2).cast("long") * 60
-        + F.element_at(tokens, 3).cast("long")
+    hms = F.try_add(
+        F.try_add(
+            F.try_multiply(F.element_at(tokens, 1).try_cast("long"), F.lit(3600)),
+            F.try_multiply(F.element_at(tokens, 2).try_cast("long"), F.lit(60)),
+        ),
+        F.element_at(tokens, 3).try_cast("long"),
     )
-    return F.when(as_int.isNotNull(), as_int * 60).otherwise(
+    return F.when(as_int.isNotNull(), F.try_multiply(as_int, F.lit(60))).otherwise(
         F.when(F.size(tokens) >= 3, hms)
     )
 

@@ -271,7 +271,9 @@ def multi_format_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, raw,
            CASE
-               WHEN try_cast(raw AS BIGINT) IS NOT NULL THEN try_cast(raw AS BIGINT) * 60
+               WHEN regexp_matches(raw, '^[0-9]+$')
+                    AND try_cast(raw AS BIGINT) IS NOT NULL
+                    THEN try_cast(raw AS BIGINT) * 60
                WHEN len(regexp_extract_all(raw, '(\\d+)', 1)) >= 3 THEN
                     CAST(regexp_extract_all(raw, '(\\d+)', 1)[1] AS BIGINT) * 3600
                   + CAST(regexp_extract_all(raw, '(\\d+)', 1)[2] AS BIGINT) * 60

@@ -59,6 +59,26 @@ def test_duration_integer_means_minutes(spark, minutes):
     assert out["secs"] == minutes * 60
 
 
+def test_duration_rejects_signed_padded_and_oversized(spark):
+    """Reference-parity edge cases: isdigit() rejects signed/padded
+    strings ('-15' must be NULL, not −900 s), and an oversized token
+    yields NULL per the null-on-failure contract instead of an ANSI
+    overflow crash."""
+    rows = [("-15",), ("+5",), (" 5 ",), ("9" * 25,),
+            (f"{'9' * 25}H 0MIN 0SEG",), ("12",)]
+    df = spark.createDataFrame(rows, "d string")
+    got = {
+        r["d"]: r["secs"]
+        for r in df.select(
+            "d", parse_duration_seconds(F.col("d")).alias("secs")
+        ).collect()
+    }
+    assert got == {
+        "-15": None, "+5": None, " 5 ": None,
+        "9" * 25: None, f"{'9' * 25}H 0MIN 0SEG": None, "12": 720,
+    }
+
+
 @given(
     casing=st.lists(st.booleans(), min_size=5, max_size=5),
     pad=st.sampled_from(["", " ", "  "]),
