@@ -55,13 +55,29 @@ def _nanos_ts_cols(path: str, schema: StructType) -> frozenset[str]:
         return (f, st.st_mtime_ns, st.st_size)
 
     try:
+        # recursive: hive-partitioned layouts (day=*/part-*.parquet) keep
+        # their files in subdirectories — a top-level-only glob would
+        # probe zero files and silently take the logical-type path
         files = (
-            tuple(sorted(glob.glob(os.path.join(path, "*.parquet"))))
+            tuple(
+                sorted(
+                    glob.glob(
+                        os.path.join(path, "**", "*.parquet"), recursive=True
+                    )
+                )
+            )
             if os.path.isdir(path)
             else (path,)
         )
         fingerprint = tuple(_stat_id(f) for f in files)
     except OSError:
+        return frozenset()
+    if not files:
+        logging.getLogger(__name__).warning(
+            "no parquet files found to probe under %s; NANOS members "
+            "would be mis-decoded on the logical-type fallback path",
+            path,
+        )
         return frozenset()
     # Keyed BY PATH with the fingerprint in the value: an in-place testdata
     # regeneration (new mtimes) replaces the entry instead of accreting a
@@ -296,44 +312,75 @@ def write_zorder_parquet(
     stats prune files for predicates on ANY of them.
 
     Scale shape (no global sort, no driver data):
-    1. one pass computes ~2^bits approx quantile boundaries per column
+    1. each z-column maps to a DOUBLE sort key (numerics cast, date/
+       timestamp via epoch — bucket layout only needs order, not exact
+       values, so the lossy cast is fine here and keeps the boundary
+       literals engine-parsable for every supported type);
+    2. one pass computes ~2^bits approx quantile boundaries per key
        (mergeable sketch aggregate; boundaries — a few KB — are the only
        driver-side data);
-    2. map-side: rank each value into its bucket via a broadcast
-       array + binary-search expression (``width_bucket`` over literals),
-       then interleave bucket bits into the Morton key;
-    3. ``repartitionByRange(_z)`` + ``sortWithinPartitions(_z)`` — the
+    3. map-side: rank each value into its bucket with ``Bucketizer``
+       (JVM binary search over the broadcast splits — O(bits) per row,
+       not an O(2^bits) per-row fold over a literal array), then
+       interleave bucket bits into the Morton key;
+    4. ``repartitionByRange(_z)`` + ``sortWithinPartitions(_z)`` — the
        same sampled range exchange as the 1-D writer.
 
     Quantile bucketing (not min/max linear scaling) makes the curve
     resistant to skew and outliers: each bucket holds ~equal row counts,
     so the curve spends its resolution where the data is.
     """
+    from pyspark.ml.feature import Bucketizer
+    from pyspark.sql.types import DateType, NumericType
+
     if len(zorder_cols) < 2:
         raise ValueError("z-order needs >= 2 columns (use write_sorted_parquet)")
+
+    def sort_key(c: str) -> F.Column:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (DateType, TimestampType)):
+            return F.col(c).cast("timestamp").cast("double")
+        if isinstance(dt, NumericType):
+            return F.col(c).cast("double")
+        raise TypeError(
+            f"z-order column {c!r} has unorderable-for-bucketing type "
+            f"{dt.simpleString()}; supported: numeric, date, timestamp"
+        )
+
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    qs = df.select(
+    keyed = df.select(
+        *df.columns, *[sort_key(c).alias(f"_zk_{c}") for c in zorder_cols]
+    )
+    qs = keyed.select(
         *[
             F.expr(
-                f"approx_percentile({c}, array({', '.join(str(p) for p in probs)}), 10000)"
+                f"approx_percentile(_zk_{c}, array({', '.join(str(p) for p in probs)}), 10000)"
             ).alias(c)
             for c in zorder_cols
         ]
     ).first()
-    ranked = df
-    rank_cols = []
+    splits_array, in_cols, buck_cols = [], [], []
     for c in zorder_cols:
-        bounds = sorted(set(v for v in (qs[c] or []) if v is not None))
-        arr = "array(" + ", ".join(repr(b) for b in bounds) + ")"
-        # bucket index = count of boundaries <= value (0..len(bounds));
-        # aggregate over a broadcast literal array stays whole-stage codegen
+        bounds = sorted(
+            {float(v) for v in (qs[c] or []) if v is not None}
+        ) or [0.0]
+        splits_array.append([float("-inf"), *bounds, float("inf")])
+        in_cols.append(f"_zk_{c}")
+        buck_cols.append(f"_zbx_{c}")
+    bucketizer = Bucketizer(
+        splitsArray=splits_array,
+        inputCols=in_cols,
+        outputCols=buck_cols,
+        handleInvalid="keep",  # NULL/NaN -> the extra trailing bucket
+    )
+    ranked = bucketizer.transform(keyed)
+    rank_cols = []
+    for c, bc in zip(zorder_cols, buck_cols):
         rc = f"_zb_{c}"
+        # clamp the handleInvalid overflow bucket into the bits range
         ranked = ranked.withColumn(
-            rc,
-            F.expr(
-                f"aggregate({arr}, 0, (acc, b) -> acc + CASE WHEN {c} >= b THEN 1 ELSE 0 END)"
-            ).cast("long"),
+            rc, F.least(F.col(bc).cast("long"), F.lit(n_buckets - 1))
         )
         rank_cols.append(rc)
     # Morton interleave: bit i of every column's bucket index, LSB-first
@@ -377,8 +424,12 @@ def read_evolving_parquet(
     for p, s in zip(paths, schemas):
         df = spark.read.schema(s).parquet(p)
         have = set(df.columns)
+        # present columns also cast to the TARGET type: a generation that
+        # stored e.g. IntegerType where target says LongType must not
+        # leak its narrower width through the union (integer widths are
+        # load-bearing for the deterministic oracle hashes — schemas.py)
         cols = [
-            F.col(f.name) if f.name in have
+            F.col(f.name).cast(f.dataType) if f.name in have
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in target.fields
         ]
@@ -427,7 +478,8 @@ def compact_parquet(
     import os
 
     total = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     # Schema-explicit read (S4 discipline): with an explicit schema the
@@ -445,7 +497,9 @@ def compact_parquet(
     else:
         out = df.coalesce(n_files)
     out.write.mode("overwrite").parquet(out_path)
-    return len(glob.glob(os.path.join(out_path, "*.parquet")))
+    return len(
+        glob.glob(os.path.join(out_path, "**", "*.parquet"), recursive=True)
+    )
 
 
 def overwrite_partitions_dynamic(

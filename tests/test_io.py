@@ -288,3 +288,71 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     )
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo
+
+
+def test_zorder_supports_date_and_decimal_columns(spark, tmp_path):
+    """Boundary literals must be engine-parsable for every supported
+    type: date/timestamp/decimal z-columns previously spliced Python
+    repr() (datetime.date(...), Decimal('...')) into SQL and crashed."""
+    import datetime as dt
+    import glob
+    from decimal import Decimal
+
+    from bicis_spark.sources.io import write_zorder_parquet
+
+    rows = [
+        (i, dt.date(2024, 1, 1) + dt.timedelta(days=i % 200),
+         Decimal(i % 97) + Decimal("0.25"))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, d date, amt decimal(10,2)")
+    path = str(tmp_path / "z_dates")
+    write_zorder_parquet(df, path, ["d", "amt"], n_partitions=4, bits=4)
+    assert len(glob.glob(path + "/*.parquet")) >= 2
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    assert set(back.columns) == {"id", "d", "amt"}
+
+
+def test_evolving_read_widens_narrow_generations(spark, tmp_path):
+    """A generation that stored a NARROWER type than the target (int32 vs
+    int64) must come back widened — integer widths are load-bearing for
+    the deterministic oracle hashes."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    from bicis_spark.sources.io import read_evolving_parquet
+
+    g1 = StructType([StructField("id", IntegerType())])
+    target = StructType([StructField("id", LongType())])
+    p1 = str(tmp_path / "narrow")
+    spark.createDataFrame([(7,)], g1).write.parquet(p1)
+    out = read_evolving_parquet(spark, [p1], [g1], target)
+    assert out.schema == target
+    assert [r["id"] for r in out.collect()] == [7]
+
+
+def test_compact_parquet_sees_partitioned_layouts(spark, tmp_path):
+    """Hive-partitioned inputs keep files in subdirectories; the size
+    estimate and final count must walk recursively or the whole dataset
+    collapses through coalesce(1) on a zero-byte estimate."""
+    from bicis_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "parted")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 3).alias("day")
+    )
+    df.repartition(10).write.partitionBy("day").parquet(src)
+    import glob
+
+    assert not glob.glob(src + "/*.parquet")  # nothing at top level
+    files_in = glob.glob(src + "/**/*.parquet", recursive=True)
+    assert len(files_in) > 3
+    total_bytes = sum(__import__("os").path.getsize(f) for f in files_in)
+    # target slightly under the input size => n_files >= 2 proves the
+    # size estimate saw the partition subdirectories
+    n = compact_parquet(spark, src, out, target_file_bytes=total_bytes // 2)
+    assert n >= 2
+    assert spark.read.parquet(out).count() == 10_000

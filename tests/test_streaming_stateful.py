@@ -93,3 +93,51 @@ def test_running_counts_null_ts_emits_null_last_ts(spark, tmp_path):
     }
     assert got[10] == (2, None)
     assert got[20] == (2, t1)
+
+
+def test_idle_timeout_evicts_and_rearms():
+    """Eviction wiring for the opt-in ProcessingTimeTimeout: a timed-out
+    key removes its state and emits nothing; an active key re-arms its
+    timer after every update. (Unit-level with a fake GroupState — a live
+    timeout test would hang processAllAvailable: pending timers keep the
+    engine scheduling no-data batches, which is exactly why the timeout
+    is opt-in.)"""
+    import pandas as pd
+
+    from bicis_spark.streaming.stateful import _make_update_running_counts
+
+    class FakeState:
+        def __init__(self, timed_out, existing=None):
+            self.hasTimedOut = timed_out
+            self.exists = existing is not None
+            self.get = existing
+            self.removed = False
+            self.updated = None
+            self.timeout_ms = None
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = _make_update_running_counts(5000)
+
+    evict = FakeState(timed_out=True, existing=(7, 123))
+    assert list(fn((1,), iter(()), evict)) == []
+    assert evict.removed and evict.updated is None
+
+    live = FakeState(timed_out=False, existing=(7, None))
+    pdf = pd.DataFrame({"ts": pd.to_datetime(["2024-03-01 12:00:00"])})
+    out = list(fn((1,), iter([pdf]), live))
+    assert len(out) == 1 and out[0]["total_events"][0] == 8
+    assert live.updated[0] == 8
+    assert live.timeout_ms == 5000
+
+    no_timeout = _make_update_running_counts(None)
+    live2 = FakeState(timed_out=False, existing=None)
+    list(no_timeout((1,), iter([pdf]), live2))
+    assert live2.timeout_ms is None
