@@ -730,6 +730,7 @@ def semantic_dedup(
     n_centroids_mod: int = 50,
     train_iters: int = 1,
     dims: int | None = 64,
+    max_clusters: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embeddings, then find cosine
@@ -753,6 +754,16 @@ def semantic_dedup(
     SemDeDup trade: per-task work is bounded by the largest cluster
     (n/k on average — k grows with the corpus so block size stays flat);
     a skewed mega-cluster is split by AQE skew-join on the equi-key.
+
+    ``max_clusters`` caps the seed set to its first L qualifying ids (the
+    ``ann_topk_ivf``/``ann_topk_pq`` constant-size discipline): with the
+    mod-only rule, k = N/mod keeps blocks flat but the centroid broadcast
+    grows with N and training cost N·k grows quadratically. A capped k
+    trades bigger blocks (n/L per cluster) for bounded training — at
+    100 TB the production shape is a two-level router (√k super-clusters
+    trained on a sample, then per-super-cluster sub-k-means), which this
+    operator composes with by passing each super-cluster's members back
+    through ``semantic_dedup``.
     """
     from bicis_spark.extensions.similarity import (
         cosine_from_norms,
@@ -764,7 +775,12 @@ def semantic_dedup(
     c = _partitioned(df, None).select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
     )
-    seeds = df.where(F.col(id_col) % n_centroids_mod == 1).select(
+    seed_filter = F.col(id_col) % n_centroids_mod == 1
+    if max_clusters is not None:
+        seed_filter = seed_filter & (
+            F.col(id_col) < n_centroids_mod * max_clusters
+        )
+    seeds = df.where(seed_filter).select(
         F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col), dims).alias("qv")
     )
     cents = kmeans_refine_exact(c, seeds, train_iters, "vid", "qv", dims).persist()

@@ -307,6 +307,7 @@ def ann_topk_ivf(
     vec_col: str = "embedding",
     train_iters: int = 1,
     dims: int | None = DEFAULT_DIMS,
+    max_lists: int | None = None,
 ) -> DataFrame:
     """IVF ANN: partition the corpus into inverted lists by nearest
     centroid; each query scans only its ``n_probe`` closest lists.
@@ -317,13 +318,23 @@ def ann_topk_ivf(
     replayable). Scale: corpus assignment is one broadcast pass; the search
     join is (probe-list × queries), ~n_probe/n_centroids of the corpus per
     query.
+
+    ``max_lists`` caps the seed set to its first L qualifying ids (same
+    constant-size discipline as ``ann_topk_pq``'s ``max_codes``): a
+    mod-only rule makes the list count N/mod — the centroid broadcast and
+    the per-query centroid scoring then grow linearly with the corpus,
+    and training cost quadratically. Real IVF keeps n_lists a constant
+    (or √N, retrained offline); declared queries pin the cap.
     """
     c = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
     ).select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col), dims).alias("qv")
     )
-    seeds = corpus.where(F.col(id_col) % n_centroids_mod == 1).select(
+    seed_filter = F.col(id_col) % n_centroids_mod == 1
+    if max_lists is not None:
+        seed_filter = seed_filter & (F.col(id_col) < n_centroids_mod * max_lists)
+    seeds = corpus.where(seed_filter).select(
         F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col), dims).alias("qv")
     )
     # persist: the trained centroids feed two broadcast consumers (corpus

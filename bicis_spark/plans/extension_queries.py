@@ -591,13 +591,16 @@ def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(n_probe: int, train_iters: int, k: int = 5) -> str:
+def _ivf_oracle(
+    n_probe: int, train_iters: int, k: int = 5, max_lists: int | None = None
+) -> str:
     """Oracle for trained-IVF ANN: unrolls ``train_iters`` exact spherical
     k-means steps (max-cosine assignment with centroid-id tie-break, then
     floor-of-mean integer centroid update; empty clusters keep their
     previous centroid) — replaying ``kmeans_refine_exact`` bit-for-bit —
     then assigns the corpus and probes each query's ``n_probe`` nearest
-    centroids."""
+    centroids. ``max_lists`` replays the operator's constant-list-count
+    seed cap (``vec_id < 50·L``)."""
     steps = []
     for t in range(train_iters):
         steps.append(
@@ -627,9 +630,10 @@ def _ivf_oracle(n_probe: int, train_iters: int, k: int = 5) -> str:
     )"""
         )
     trained = f"cents{train_iters}"
+    cap = "" if max_lists is None else f" AND vec_id < {50 * max_lists}"
     return f"""
     WITH {_QV_CTE.strip()},
-    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % 50 = 1),{",".join(steps)},
+    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % 50 = 1{cap}),{",".join(steps)},
     assign AS (
         SELECT vec_id, qv, centroid_id FROM (
             SELECT v.vec_id, v.qv, c.centroid_id,
@@ -670,7 +674,12 @@ def _ivf_oracle(n_probe: int, train_iters: int, k: int = 5) -> str:
 #: (np16,ti3) → 0.77, (np18,ti3) → 0.82, (np20,ti3) → 0.87 recall@5.
 _IVF_PROBES = 20
 _IVF_TRAIN_ITERS = 3
-_IVF_ORACLE = _ivf_oracle(_IVF_PROBES, _IVF_TRAIN_ITERS)
+#: Constant list-count cap (scale discipline, like PQ's K=256): 40 lists
+#: is the full seed set at both sf0.01 (10 qualifying ids) and sf0.1 (40),
+#: so results are bit-identical to the uncapped rule at test scale while
+#: the contract stops the list count growing past 40 with the corpus.
+_IVF_MAX_LISTS = 40
+_IVF_ORACLE = _ivf_oracle(_IVF_PROBES, _IVF_TRAIN_ITERS, max_lists=_IVF_MAX_LISTS)
 
 
 @register("ann_topk_ivf", _IVF_ORACLE)
@@ -691,6 +700,7 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids_mod=50,
         n_probe=_IVF_PROBES,
         train_iters=_IVF_TRAIN_ITERS,
+        max_lists=_IVF_MAX_LISTS,
     )
 
 
@@ -738,6 +748,7 @@ def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids_mod=50,
         n_probe=_IVF_PROBES,
         train_iters=_IVF_TRAIN_ITERS,
+        max_lists=_IVF_MAX_LISTS,
     )
     return ann_recall(base, exact, approx, 5)
 
@@ -1464,11 +1475,17 @@ def training_mix_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _semdedup_oracle(mod: int = 50, train_iters: int = 1, threshold: float = 0.45) -> str:
+def _semdedup_oracle(
+    mod: int = 50,
+    train_iters: int = 1,
+    threshold: float = 0.45,
+    max_clusters: int | None = None,
+) -> str:
     """Oracle for ``semantic_dedup``: replays the deterministic k-means
     (seeds ``vec_id % mod == 1``, max-cosine assignment with centroid-id
     tie-break, floor-of-mean integer update), then flags each vector with
-    a lower-id in-cluster neighbor at cosine ≥ threshold."""
+    a lower-id in-cluster neighbor at cosine ≥ threshold. ``max_clusters``
+    replays the operator's constant-cluster-count seed cap."""
     steps = []
     for t in range(train_iters):
         steps.append(
@@ -1498,9 +1515,10 @@ def _semdedup_oracle(mod: int = 50, train_iters: int = 1, threshold: float = 0.4
     )"""
         )
     trained = f"cents{train_iters}"
+    cap = "" if max_clusters is None else f" AND vec_id < {mod * max_clusters}"
     return f"""
     WITH {_QV_CTE.strip()},
-    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % {mod} = 1),{",".join(steps)},
+    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % {mod} = 1{cap}),{",".join(steps)},
     assign AS (
         SELECT vec_id, qv, centroid_id FROM (
             SELECT v.vec_id, v.qv, c.centroid_id,
@@ -1524,16 +1542,24 @@ def _semdedup_oracle(mod: int = 50, train_iters: int = 1, threshold: float = 0.4
     """
 
 
-@register("semantic_dedup_flags", _semdedup_oracle())
+@register("semantic_dedup_flags", _semdedup_oracle(max_clusters=_IVF_MAX_LISTS))
 def semantic_dedup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic deduplication: one trained-k-means pass
     buckets the corpus, near-dups are found within buckets only, and every
-    step (training included) is replayed exactly by the oracle."""
+    step (training included) is replayed exactly by the oracle. Cluster
+    count capped at the IVF constant (no-op at test scale, bounds training
+    cost at any scale — see semantic_dedup's max_clusters doc)."""
     from bicis_spark.extensions.dedup import semantic_dedup
 
     emb = read_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, "vec_id", "embedding", threshold=0.45, n_centroids_mod=50, train_iters=1
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.45,
+        n_centroids_mod=50,
+        train_iters=1,
+        max_clusters=_IVF_MAX_LISTS,
     )
 
 
@@ -1891,7 +1917,7 @@ def k_anonymity_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _HARDNEG_SQL = f"""
-WITH topk AS ({_ivf_oracle(_IVF_PROBES, _IVF_TRAIN_ITERS, k=10)})
+WITH topk AS ({_ivf_oracle(_IVF_PROBES, _IVF_TRAIN_ITERS, k=10, max_lists=_IVF_MAX_LISTS)})
 SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
             AS BIGINT) AS neg_rank
@@ -1920,6 +1946,7 @@ def hard_negative_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids_mod=50,
         n_probe=_IVF_PROBES,
         train_iters=_IVF_TRAIN_ITERS,
+        max_lists=_IVF_MAX_LISTS,
     )
     w = Window.partitionBy("query_id").orderBy("rank")
     return (

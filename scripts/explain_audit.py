@@ -1,7 +1,8 @@
 """Physical-plan audit: for each declared query, check the properties that
 matter at 100 TB — filter/projection pushdown into the parquet scan,
-broadcast joins where a side is small, whole-stage codegen coverage, and
-absence of cartesian products. Prints a per-query summary; use
+broadcast joins where a side is small, and absence of cartesian products
+or raw-row nested-loop joins (a BNLJ is fine when its build side is a
+bounded aggregate; see _raw_bnlj). Prints a per-query summary; use
 --dump <name> for the full formatted plan.
 
 Caveat: builders using the persisted()+eager-checkpoint discipline
@@ -21,6 +22,55 @@ from bicis_spark.plans import queries as registry
 from bicis_spark.session import get_spark
 
 
+_BOUNDED_BUILD = re.compile(
+    r"HashAggregate|ObjectHashAggregate|SortAggregate|TakeOrderedAndProject"
+    r"|OneRowRelation"
+)
+
+
+def _raw_bnlj(plan: str) -> int:
+    """Count BroadcastNestedLoopJoins whose broadcast build side contains
+    NO aggregate / top-k at all — i.e. it broadcasts raw rows of some
+    input, which grows with the data and is the real scale bug. A BNLJ
+    whose build side is an aggregate (1-row scalar attach like split
+    bounds / OLS stats, a constant-K centroid table, a vocab map, a top-k)
+    is the intended bounded-side plan: boundedness comes from the
+    aggregate's key cardinality, which the engine chooses to be constant
+    at the call site (documented per operator in SCALE.md)."""
+    tree = plan.split("\n\n", 1)[0].splitlines()
+
+    def depth(s: str) -> int | None:
+        m = re.search(r"[+:]-", s)
+        return m.start() if m else None
+
+    raw = 0
+    for i, line in enumerate(tree):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        d = depth(line)
+        d = -3 if d is None else d  # root node: children at depth 0
+        benign = False
+        in_build = False
+        for nxt in tree[i + 1 :]:
+            nd = depth(nxt)
+            if nd is None or nd <= d:
+                break  # left the BNLJ's subtree
+            if not in_build:
+                # the build side is the BNLJ's DIRECT child exchange —
+                # not an exchange buried in the probe branch feeding a BHJ
+                if nd == d + 3 and "BroadcastExchange" in nxt:
+                    in_build = True
+                continue
+            if nd <= d + 3:
+                break  # left the exchange's subtree
+            if _BOUNDED_BUILD.search(nxt):
+                benign = True
+                break
+        if not benign:
+            raw += 1
+    return raw
+
+
 def audit(plan: str) -> dict[str, object]:
     return {
         "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
@@ -32,9 +82,9 @@ def audit(plan: str) -> dict[str, object]:
         "shj": plan.count("ShuffledHashJoin"),
         "cartesian": plan.count("CartesianProduct"),
         "bnl": plan.count("BroadcastNestedLoopJoin"),
+        "bnl_raw": _raw_bnlj(plan),
         "exchanges": plan.count("Exchange "),
         "reused_exchange": plan.count("ReusedExchange"),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
     }
 
 
@@ -64,15 +114,15 @@ def main() -> None:
         flags = []
         if a["cartesian"]:
             flags.append("CARTESIAN!")
-        if a["bnl"]:
-            flags.append("BNLJ!")
+        if a["bnl_raw"]:
+            flags.append("BNLJ-RAW!")
         if a["read_all_cols"]:
             flags.append("wide-read")
         print(
             f"{name}: scans={a['scans']} pushed={a['pushed_filters']} "
             f"bhj={a['broadcast_joins']} smj={a['smj']} shj={a['shj']} "
             f"exch={a['exchanges']} reused={a['reused_exchange']} "
-            f"codegen={a['codegen_spans']} {' '.join(flags)}"
+            f"bnl={a['bnl']}/{a['bnl_raw']}raw {' '.join(flags)}"
         )
 
 

@@ -114,6 +114,64 @@ def test_semantic_dedup_survivor_structure(spark):
     assert not out[5]["is_semantic_dup"]
 
 
+def test_ivf_and_semdedup_seed_caps_bound_list_count(spark):
+    """Scale contract for the constant-list-count caps (the PQ max_codes
+    discipline applied to IVF/SemDeDup): with ids far past mod·L, the
+    capped run must use exactly the first L qualifying seeds — distinct
+    cluster labels never exceed L — while the uncapped mod-only rule keeps
+    minting one list per mod ids. Also pins cap-is-no-op: below the
+    boundary, capped and uncapped outputs are identical."""
+    from bicis_spark.extensions.dedup import semantic_dedup
+    from bicis_spark.extensions.similarity import ann_topk_ivf
+
+    rows = [
+        (i, [float(((i * 11 + d * 5) % 17) - 8) for d in range(8)])
+        for i in range(1, 401)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = semantic_dedup(
+        df, n_centroids_mod=10, train_iters=1, dims=None, max_clusters=3
+    )
+    labels = {r["cluster_id"] for r in capped.select("cluster_id").distinct().collect()}
+    assert len(labels) <= 3
+    # the seeds are the FIRST qualifying ids (11, 21 < 10*3), not arbitrary
+    assert labels <= {1, 11, 21}
+    uncapped_labels = (
+        semantic_dedup(df, n_centroids_mod=10, train_iters=1, dims=None)
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    assert uncapped_labels > 3  # mod-only rule scales with N: the bug the cap closes
+
+    queries = df.where(F.col("vec_id") % 100 == 0)
+    below = df.where(F.col("vec_id") < 30)  # all ids under the cap boundary
+    q_below = below.where(F.col("vec_id") % 7 == 0)
+    a = ann_topk_ivf(
+        below, q_below, k=3, n_centroids_mod=10, n_probe=2, train_iters=1, dims=None
+    ).collect()
+    b = ann_topk_ivf(
+        below,
+        q_below,
+        k=3,
+        n_centroids_mod=10,
+        n_probe=2,
+        train_iters=1,
+        dims=None,
+        max_lists=3,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # and capped IVF still returns k results per query on the full corpus
+    full = ann_topk_ivf(
+        df, queries, k=3, n_centroids_mod=10, n_probe=2, train_iters=1,
+        dims=None, max_lists=3,
+    )
+    per_q = {r["query_id"]: r["n"] for r in
+             full.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert per_q and all(n == 3 for n in per_q.values())
+
+
 def test_pq_rerank_recovers_exact_topk(spark):
     from bicis_spark.extensions.similarity import ann_topk_bruteforce, ann_topk_pq
 
