@@ -9,7 +9,16 @@ Caveat: builders using the persisted()+eager-checkpoint discipline
 (bicis_spark/caching.py — pagerank_part_supplier and the two surprisal
 queries) execute eagerly and return a checkpointed frame, so their
 audited "plan" is a Scan-ExistingRDD stub; audit those by reading their
-loop bodies, not this output."""
+loop bodies, not this output.
+
+Known-benign BNLJ-RAW residue (boundedness is a call-site constant the
+plan text cannot show): the ANN/embedding family — brute-force baselines
+broadcast the bounded 1%-subset query side (dedup_embedding_cosine,
+ann_topk_bruteforce, ann_*_recall's exact arm), and k-means first-round
+assignment joins broadcast the seed rows, capped at max_lists /
+max_clusters / max_codes constants (ann_topk_ivf, semantic_dedup_flags,
+hard_negative_candidates). Anything OUTSIDE that family flagging
+BNLJ-RAW is a real finding."""
 
 from __future__ import annotations
 
