@@ -222,3 +222,63 @@ def test_foreachbatch_merge_sink_is_replay_idempotent(spark, tmp_path):
     upsert(replay, batch_id=999)
     state2 = spark.read.parquet(state_dir)
     assert sorted(map(tuple, state2.collect())) == sorted(rows)
+
+
+def test_rocksdb_state_store_parity_and_engagement(spark, sf_dir, tmp_path):
+    """The 100 TB state-store path: the same stateful aggregation drained
+    under the RocksDB provider must (a) actually run its state operator on
+    RocksDB (custom metrics in the query progress prove engagement — a
+    silently ignored conf would pass a results-only test), (b) produce
+    exactly the batch answer, and (c) leave the shared session's confs
+    untouched afterwards."""
+    import json
+
+    from bicis_spark.streaming.statestore import (
+        _CHANGELOG_CONF,
+        _PROVIDER_CONF,
+        rocksdb_state,
+    )
+    from bicis_spark.streaming.windows import hourly_counts_stream
+
+    src = _events_stream_dir(spark, sf_dir, tmp_path)
+    prior_provider = spark.conf.get(_PROVIDER_CONF, None)
+
+    with rocksdb_state(spark):
+        stream_src = read_events_stream(spark, src, EVENTS)
+        q = (
+            hourly_counts_stream(stream_src)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_hourly_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = [json.loads(p.json) for p in q.recentProgress]
+        finally:
+            q.stop()
+
+    state_ops = [op for p in progress for op in p.get("stateOperators", [])]
+    assert state_ops, "stateful query reported no state operators"
+    assert any(
+        "rocksdb" in k.lower()
+        for op in state_ops
+        for k in op.get("customMetrics", {})
+    ), "state operator shows no RocksDB metrics - provider conf ignored"
+
+    got = {
+        (r["hour_start"], r["n"])
+        for r in spark.table("rocksdb_hourly_t").collect()
+    }
+    want = {
+        (r["hour_start"], r["n"])
+        for r in spark.read.schema(EVENTS)
+        .parquet(src)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert spark.conf.get(_PROVIDER_CONF, None) == prior_provider
+    assert spark.conf.get(_CHANGELOG_CONF, None) is None
