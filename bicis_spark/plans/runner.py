@@ -33,12 +33,19 @@ except ImportError:  # pragma: no cover - pyyaml is available in this env
 
 @dataclass
 class Stage:
-    """One pipeline node: a function (spark, inputs...) -> DataFrame."""
+    """One pipeline node: a function (spark, inputs...) -> DataFrame.
+
+    ``metrics`` maps metric name -> aggregate Column; the aggregates are
+    attached with ``DataFrame.observe`` so they are computed BY the
+    materialization job itself. Row count is always included: the
+    reference's fails-report pattern (and any naive port) pays a second
+    full scan per ``count()`` — at 100 TB that doubles every stage."""
 
     name: str
     fn: Callable[..., DataFrame]
     deps: list[str] = field(default_factory=list)
     partition_by: list[str] | None = None
+    metrics: dict[str, object] | None = None
 
 
 class Pipeline:
@@ -53,15 +60,20 @@ class Pipeline:
         self.spark = spark
         self.root = root
         self.stages: dict[str, Stage] = {}
+        #: per-stage observed metrics from the LAST ``run`` call:
+        #: {stage: {"rows": n, ...}} for executed stages,
+        #: {stage: {"skipped": True}} for memoized ones.
+        self.last_run_metrics: dict[str, dict] = {}
 
     def stage(
         self,
         name: str,
         deps: list[str] | None = None,
         partition_by: list[str] | None = None,
+        metrics: dict[str, object] | None = None,
     ):
         def deco(fn: Callable[..., DataFrame]):
-            self.stages[name] = Stage(name, fn, deps or [], partition_by)
+            self.stages[name] = Stage(name, fn, deps or [], partition_by, metrics)
             return fn
 
         return deco
@@ -73,18 +85,31 @@ class Pipeline:
         return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
 
     def run(self, targets: list[str] | None = None, force: bool = False) -> dict[str, DataFrame]:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         order = self._topo_order(targets)
         results: dict[str, DataFrame] = {}
+        self.last_run_metrics = {}
         for name in order:
             stage = self.stages[name]
             path = self._path(name)
             if force or not self._done(name):
                 inputs = [results[d] for d in stage.deps]
                 df = stage.fn(self.spark, *inputs)
+                # observed metrics ride the write job — no second scan
+                obs = Observation(f"stage:{name}")
+                aggs = {"rows": F.count(F.lit(1)).alias("rows")}
+                for mname, col in (stage.metrics or {}).items():
+                    aggs[mname] = col.alias(mname)
+                df = df.observe(obs, *aggs.values())
                 writer = df.write.mode("overwrite")
                 if stage.partition_by:
                     writer = writer.partitionBy(*stage.partition_by)
                 writer.parquet(path)
+                self.last_run_metrics[name] = dict(obs.get)
+            else:
+                self.last_run_metrics[name] = {"skipped": True}
             results[name] = self.spark.read.parquet(path)
         return results
 

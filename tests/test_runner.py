@@ -131,3 +131,41 @@ def test_validate_disjoint_outputs(spark):
     c = spark.range(1).select(F.col("id"), F.lit(3).alias("f1"))
     with pytest.raises(ValueError, match="f1"):
         validate_disjoint_outputs({"a": a, "c": c}, ["id"])
+
+
+def test_pipeline_observed_metrics_ride_the_write_job(spark, tmp_path):
+    """Per-stage metrics come from DataFrame.observe attached to the
+    materialization write — row counts plus caller aggregates, with no
+    second scan (the job-count assertion: exactly one job per executed
+    stage beyond the memoized read). Memoized stages report skipped."""
+    p = Pipeline(spark, str(tmp_path))
+
+    @p.stage("base")
+    def base(s):
+        return s.range(25).select(F.col("id"))
+
+    @p.stage(
+        "filtered",
+        deps=["base"],
+        metrics={"n_even": F.sum((F.col("id") % 2 == 0).cast("long"))},
+    )
+    def filtered(s, base_df):
+        return base_df.where(F.col("id") >= 5)
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    p.run(["filtered"])
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+
+    assert p.last_run_metrics["base"] == {"rows": 25}
+    assert p.last_run_metrics["filtered"] == {"rows": 20, "n_even": 10}
+    # two jobs per stage (the parquet write + the post-write read's
+    # file-listing/schema job) and ZERO metric jobs — a count()-based
+    # metrics pass would add one more job per stage (6 total)
+    assert jobs_after - jobs_before == 4
+
+    p.run(["filtered"])  # memoized rerun
+    assert p.last_run_metrics == {
+        "base": {"skipped": True},
+        "filtered": {"skipped": True},
+    }
