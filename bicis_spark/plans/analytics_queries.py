@@ -3424,3 +3424,46 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_leaking_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured column (Spark 4 native JSON path)
+# ---------------------------------------------------------------------------
+
+_VARIANT_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
+       max(json_extract_string(props, '$.k')) AS k_str_max,
+       sum(CASE WHEN json_extract(props, '$.absent') IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_absent_hits
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("variant_props_stats", _VARIANT_SQL)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type: the JSON
+    column is parsed ONCE into the binary-encoded variant, and every typed
+    extraction (long and string reads of the same path, plus a missing-path
+    probe) is an O(path) lookup into that encoding — where the per-path
+    string functions (json_props_stats) re-parse the full JSON text per
+    path. At 100 TB the parse happens once per row in the scan project
+    instead of once per extraction; parquet can store the variant column
+    so downstream queries skip the text parse entirely. try_variant_get on
+    an absent path pins NULL (not error) semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.variant_get("v", "$.k", "long")).cast("long").alias("k_sum"),
+        F.max(F.variant_get("v", "$.k", "string")).alias("k_str_max"),
+        F.sum(
+            F.when(
+                F.try_variant_get("v", "$.absent", "long").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_absent_hits"),
+    )
