@@ -66,10 +66,21 @@ def merge_count_sum(
             .alias("n"),
             *(
                 [
-                    (
+                    # SQL SUM of an all-NULL group is NULL, not 0 — a state
+                    # row can therefore carry s IS NULL while present (n>0).
+                    # Blind coalesce-to-0 would merge two such rows into 0,
+                    # breaking merge(state(h), state(d)) == state(h ∪ d);
+                    # NULL+NULL must stay NULL, exactly like SUM over the
+                    # union would return.
+                    F.when(
+                        F.col("a.s").isNull() & F.col("b.s").isNull(),
+                        F.lit(None).cast("decimal(18,2)"),
+                    )
+                    .otherwise(
                         F.coalesce(F.col("a.s"), F.lit(0).cast("decimal(18,2)"))
                         + F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(18,2)"))
-                    ).alias("s")
+                    )
+                    .alias("s")
                 ]
                 if has_sum
                 else []

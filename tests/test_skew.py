@@ -118,12 +118,17 @@ def test_incremental_merge_equals_full_recompute(spark):
     from bicis_spark.operators.incremental import count_sum_state, merge_count_sum
 
     # NULL keys on both sides: groupBy keeps a NULL-key group, so the
-    # merge join must match it null-safely into ONE row, not emit two
+    # merge join must match it null-safely into ONE row, not emit two.
+    # Key 4 carries only NULL values in BOTH states: SUM over the union
+    # is NULL, so the merged sum must stay NULL too (coalesce-to-0 would
+    # fabricate a 0). Key 5 mixes a NULL-sum state with a real one.
     hist = spark.createDataFrame(
-        [(1, 10.0), (1, 20.0), (2, 5.0), (None, 2.0)], "k long, v double"
+        [(1, 10.0), (1, 20.0), (2, 5.0), (None, 2.0), (4, None), (5, None)],
+        "k long, v double",
     )
     delta = spark.createDataFrame(
-        [(2, 7.5), (3, 1.25), (None, 3.0)], "k long, v double"
+        [(2, 7.5), (3, 1.25), (None, 3.0), (4, None), (5, 6.0)],
+        "k long, v double",
     )
     merged = merge_count_sum(
         count_sum_state(hist, ["k"], "v"),
@@ -132,6 +137,9 @@ def test_incremental_merge_equals_full_recompute(spark):
     )
     full = count_sum_state(hist.union(delta), ["k"], "v")
     as_map = lambda df: {
-        r["k"]: (r["n"], float(r["s"])) for r in df.collect()
+        r["k"]: (r["n"], None if r["s"] is None else float(r["s"]))
+        for r in df.collect()
     }
     assert as_map(merged) == as_map(full)
+    assert as_map(merged)[4] == (2, None)
+    assert as_map(merged)[5] == (2, 6.0)
