@@ -1934,8 +1934,12 @@ def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SLIDING_DISTINCT_SQL = """
 WITH starts AS (
+    -- epoch() returns DOUBLE seconds and ::BIGINT ROUNDS half-up, so an
+    -- event in a bucket's last second with fraction >= .5 would shift
+    -- into the next window; epoch_us // 1000000 truncates like Spark's
+    -- window() does (first observed at sf0.1 — sf0.01 has no such event)
     SELECT user_id,
-           (epoch(ts)::BIGINT // 10800) * 10800 AS s0
+           (epoch_us(ts) // 1000000 // 10800) * 10800 AS s0
     FROM events
 ),
 u AS (

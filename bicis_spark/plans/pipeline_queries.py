@@ -730,7 +730,10 @@ def streaming_enriched_segment_stats_q(spark: SparkSession, sf_dir: str) -> Data
     "streaming_topk_event_types",
     """
     WITH wc AS (
-        SELECT CAST(to_timestamp(epoch(ts)::BIGINT - epoch(ts)::BIGINT % 21600) AS TIMESTAMP) AS win_start,
+        -- epoch_us//1000000 truncates fractional seconds the way Spark's
+        -- window() does; epoch()::BIGINT would ROUND and shift last-second
+        -- events with fraction >= .5 into the next 6h bucket
+        SELECT CAST(to_timestamp((epoch_us(ts) // 1000000) - (epoch_us(ts) // 1000000) % 21600) AS TIMESTAMP) AS win_start,
                event_type, count(*) AS n
         FROM events GROUP BY 1, 2
     ),
