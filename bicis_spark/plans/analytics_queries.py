@@ -3471,3 +3471,41 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_absent_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native unpivot (wide -> tall reshaping, the pivot inverse)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+@register("unpivot_status_counts", _UNPIVOT_SQL)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot ∘ unpivot roundtrip law: a wide per-priority status-count
+    matrix (pivot with an explicit value list — no discovery scan)
+    unpivoted back to tall (priority, status, n) must equal the plain
+    two-key GROUP BY, with pivot's NULL fill for absent combinations
+    dropped on the way back. Pins `DataFrame.unpivot` — the map-side
+    Expand reshaping — against an oracle that never reshapes at all."""
+    statuses = ["F", "O", "P"]
+    orders = read_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=statuses,
+            variableColumnName="o_orderstatus",
+            valueColumnName="n",
+        )
+        .where(F.col("n").isNotNull())
+        .select("o_orderpriority", "o_orderstatus", F.col("n").cast("long").alias("n"))
+    )
