@@ -352,3 +352,45 @@ def test_pit_lookup_matches_reference(spark, events, probes):
         for k, d in probes
         if hist.get(k) and hist[k][0][0] <= base + dt.timedelta(days=d, hours=1)
     )
+
+
+_snap_vals = st.lists(
+    st.tuples(st.integers(0, 12), st.one_of(st.none(), st.integers(0, 3))),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(old_rows=_snap_vals, new_rows=_snap_vals)
+@SETTINGS
+def test_snapshot_diff_matches_reference(spark, old_rows, new_rows):
+    """snapshot_diff == the dict-based reference partition for ANY overlap
+    pattern, including NULL payloads on either side (null-safe compare:
+    NULL -> NULL is unchanged, NULL -> value is changed)."""
+    from bicis_spark.operators.snapshot import snapshot_diff
+
+    old = (
+        spark.createDataFrame(old_rows, "k long, v long")
+        if old_rows
+        else spark.createDataFrame([], "k long, v long")
+    )
+    new = (
+        spark.createDataFrame(new_rows, "k long, v long")
+        if new_rows
+        else spark.createDataFrame([], "k long, v long")
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    o, n = dict(old_rows), dict(new_rows)
+    want = {}
+    for k in o.keys() | n.keys():
+        if k not in o:
+            want[k] = "added"
+        elif k not in n:
+            want[k] = "removed"
+        elif o[k] != n[k]:
+            want[k] = "changed"
+    assert got == want
