@@ -394,3 +394,77 @@ def test_snapshot_diff_matches_reference(spark, old_rows, new_rows):
         elif o[k] != n[k]:
             want[k] = "changed"
     assert got == want
+
+
+_series = st.lists(
+    st.tuples(
+        st.integers(0, 1),            # key
+        st.integers(0, 48),           # hour offset
+        st.one_of(st.none(), st.integers(1, 9)),  # observed value (nullable)
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(obs=_series)
+@SETTINGS
+def test_gap_fill_forward_matches_reference(spark, obs):
+    """Dense grid spans each key's [min, max] hour with no gaps; zero-fill
+    and last-observation-carried-forward match a pure-Python replay —
+    including NULL observed values (ffill must carry PAST them)."""
+    import datetime as dtm
+
+    from bicis_spark.operators.timeseries import gap_fill_forward
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dtm.timedelta(hours=h), 1, v) for k, h, v in obs
+    ]
+    df = spark.createDataFrame(rows, "k long, hour timestamp, n long, v long")
+    got = {
+        (r["k"], r["hour"]): (r["n"], r["v"])
+        for r in gap_fill_forward(df, "k", "hour", ["n"], ["v"]).collect()
+    }
+    # reference replay
+    want = {}
+    by_key: dict[int, dict] = {}
+    for k, h, v in obs:
+        by_key.setdefault(k, {})[h] = v
+    for k, seen in by_key.items():
+        last = None
+        for h in range(min(seen), max(seen) + 1):
+            ts = base + dtm.timedelta(hours=h)
+            if h in seen:
+                if seen[h] is not None:
+                    last = seen[h]
+                want[(k, ts)] = (1, last)
+            else:
+                want[(k, ts)] = (0, last)
+    assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True),
+    epoch=st.integers(0, 3),
+    n_shards=st.integers(1, 4),
+)
+@SETTINGS
+def test_epoch_shuffle_is_a_sharded_permutation(spark, ids, epoch, n_shards):
+    """Every row appears once; positions within a shard are exactly
+    1..count(shard); the whole assignment is reproducible (two runs agree
+    bit-for-bit) — the zero-RNG contract."""
+    from bicis_spark.operators.shuffle_order import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    out1 = epoch_shuffle(df, "id", epoch, n_shards).collect()
+    out2 = epoch_shuffle(df.repartition(3), "id", epoch, n_shards).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert {r["id"] for r in out1} == set(ids)
+    by_shard: dict[int, list] = {}
+    for r in out1:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
