@@ -468,3 +468,58 @@ def test_epoch_shuffle_is_a_sharded_permutation(spark, ids, epoch, n_shards):
         by_shard.setdefault(r["shard"], []).append(r["position"])
     for positions in by_shard.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+_iv_side = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),  # id source (unique)
+        st.integers(0, 500),     # start second
+        st.integers(0, 120),     # duration seconds
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(lhs=_iv_side, rhs=_iv_side, width=st.sampled_from([1, 7, 60, 300]))
+@SETTINGS
+def test_interval_overlap_join_matches_quadratic_reference(
+    spark, lhs, rhs, width
+):
+    """The bucketed equi-join + owner-bucket dedup must return EXACTLY the
+    closed-interval overlap pairs of the naive quadratic reference — each
+    pair once — for any bucket width (wider or narrower than the
+    intervals; the dedup rule is what makes multi-bucket co-occurrence
+    safe)."""
+    import datetime as dtm
+
+    from bicis_spark.operators.intervals import interval_overlap_join
+
+    base = dtm.datetime(2024, 1, 1)
+    mk = lambda s: base + dtm.timedelta(seconds=s)
+    lrows = [(i, mk(s), mk(s + d)) for i, s, d in lhs]
+    rrows = [(i, mk(s), mk(s + d)) for i, s, d in rhs]
+    l = (
+        spark.createDataFrame(lrows, "l_id long, l_s timestamp, l_e timestamp")
+        if lrows
+        else spark.createDataFrame([], "l_id long, l_s timestamp, l_e timestamp")
+    )
+    r = (
+        spark.createDataFrame(rrows, "r_id long, r_s timestamp, r_e timestamp")
+        if rrows
+        else spark.createDataFrame([], "r_id long, r_s timestamp, r_e timestamp")
+    )
+    got = sorted(
+        (row["l_id"], row["r_id"])
+        for row in interval_overlap_join(
+            l, r, "l_s", "l_e", "r_s", "r_e", width_s=width
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, ls, ld in lhs
+        for ri, rs, rd in rhs
+        if ls <= rs + rd and rs <= ls + ld
+    )
+    assert got == want
