@@ -523,3 +523,50 @@ def test_interval_overlap_join_matches_quadratic_reference(
         if ls <= rs + rd and rs <= ls + ld
     )
     assert got == want
+
+
+@given(
+    lhs=_iv_side,
+    rhs=_iv_side,
+    lookback=st.sampled_from([1, 30, 120]),
+    bucket=st.sampled_from([None, 7, 60]),
+)
+@SETTINGS
+def test_range_join_lookback_matches_quadratic_reference(
+    spark, lhs, rhs, lookback, bucket
+):
+    """Bucketized lookback join == naive quadratic reference for any
+    lookback/bucket combination: all (left, right) same-key pairs with
+    right_ts in [left_ts - lookback, left_ts], closed on both ends."""
+    import datetime as dtm
+
+    from bicis_spark.operators.rangejoin import range_join_lookback
+
+    base = dtm.datetime(2024, 1, 1)
+    mk = lambda s: base + dtm.timedelta(seconds=s)
+    # reuse the interval strategy: id -> (key = id % 2, ts = start second)
+    lrows = [(i, i % 2, mk(s)) for i, s, _ in lhs]
+    rrows = [(i + 100_000, (i % 2), mk(s)) for i, s, _ in rhs]
+    l = (
+        spark.createDataFrame(lrows, "l_id long, l_k long, l_ts timestamp")
+        if lrows
+        else spark.createDataFrame([], "l_id long, l_k long, l_ts timestamp")
+    )
+    r = (
+        spark.createDataFrame(rrows, "r_id long, r_k long, r_ts timestamp")
+        if rrows
+        else spark.createDataFrame([], "r_id long, r_k long, r_ts timestamp")
+    )
+    got = sorted(
+        (row["l_id"], row["r_id"])
+        for row in range_join_lookback(
+            l, r, "l_ts", "r_ts", "l_k", "r_k", lookback, bucket
+        ).collect()
+    )
+    want = sorted(
+        (li, ri + 100_000)
+        for li, ls, _ in lhs
+        for ri, rs, _ in rhs
+        if li % 2 == ri % 2 and ls - lookback <= rs <= ls
+    )
+    assert got == want
