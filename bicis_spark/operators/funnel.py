@@ -171,7 +171,12 @@ def funnel_counts(
             "step",
             "step_name",
             "n_users",
-            (F.col("n_users").cast("double") / F.col("_base"))
-            .alias("conv_from_first"),
+            # nullif guards the empty funnel: with zero step-1 completions
+            # a bare division is an ANSI divide-by-zero JOB ABORT, not a
+            # bad value — conversion off an empty base is NULL (undefined)
+            (
+                F.col("n_users").cast("double")
+                / F.nullif(F.col("_base"), F.lit(0))
+            ).alias("conv_from_first"),
         )
     )

@@ -570,3 +570,60 @@ def test_range_join_lookback_matches_quadratic_reference(
         if li % 2 == ri % 2 and ls - lookback <= rs <= ls
     )
     assert got == want
+
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),                 # user
+        st.integers(0, 50),                # ts second
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events=_funnel_events)
+@SETTINGS
+def test_funnel_counts_match_reference(spark, events):
+    """Ordered-funnel counts == a pure-Python strictly-after replay, for
+    arbitrary event interleavings (repeat steps, out-of-order users,
+    missing steps). Counts must be monotonically non-increasing."""
+    import datetime as dtm
+
+    from bicis_spark.operators.funnel import funnel_counts
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dtm.timedelta(seconds=s), t) for u, s, t in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_counts(df, "user_id", "ts", steps).collect()
+    }
+    # reference: per user, first view; first click strictly after it;
+    # first purchase strictly after that
+    want = {"view": 0, "click": 0, "purchase": 0}
+    by_user: dict[int, list] = {}
+    for u, s, t in events:
+        by_user.setdefault(u, []).append((s, t))
+    for evs in by_user.values():
+        evs.sort()
+        t_view = min((s for s, t in evs if t == "view"), default=None)
+        if t_view is None:
+            continue
+        want["view"] += 1
+        t_click = min((s for s, t in evs if t == "click" and s > t_view), default=None)
+        if t_click is None:
+            continue
+        want["click"] += 1
+        if any(t == "purchase" and s > t_click for s, t in evs):
+            want["purchase"] += 1
+    assert got == want
+    assert got["view"] >= got["click"] >= got["purchase"]
