@@ -627,3 +627,74 @@ def test_funnel_counts_match_reference(spark, events):
             want["purchase"] += 1
     assert got == want
     assert got["view"] >= got["click"] >= got["purchase"]
+
+
+_cohort_events = st.lists(
+    st.tuples(
+        st.integers(0, 5),      # user
+        st.integers(0, 90),     # day offset
+        st.booleans(),          # qualifies for cohort entry
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events=_cohort_events, bucket=st.sampled_from(["day", "week", "month"]))
+@SETTINGS
+def test_cohort_retention_matches_reference(spark, events, bucket):
+    """Cohort matrix == a pure-Python replay for day/week/month buckets:
+    cohort = bucket of first QUALIFYING event; a user is retained in every
+    bucket >= their cohort bucket where they have ANY event; offsets count
+    whole buckets between bucket starts."""
+    import datetime as dtm
+
+    from bicis_spark.operators.funnel import cohort_retention
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dtm.timedelta(days=d), q) for u, d, q in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, q boolean")
+    got = {
+        (r["cohort_bucket"], r["period_offset"]): (r["n_active"], r["n_cohort"])
+        for r in cohort_retention(
+            df, "user_id", "ts", F.col("q"), bucket=bucket
+        ).collect()
+    }
+
+    def trunc(d: dtm.datetime) -> dtm.datetime:
+        if bucket == "day":
+            return d.replace(hour=0)
+        if bucket == "week":
+            return (d - dtm.timedelta(days=d.weekday())).replace(hour=0)
+        return d.replace(day=1, hour=0)
+
+    def offset(c: dtm.datetime, a: dtm.datetime) -> int:
+        if bucket == "day":
+            return (a - c).days
+        if bucket == "week":
+            return (a - c).days // 7
+        return (a.year - c.year) * 12 + (a.month - c.month)
+
+    first: dict[int, dtm.datetime] = {}
+    for u, d, q in events:
+        if q:
+            ts = base + dtm.timedelta(days=d)
+            if u not in first or ts < first[u]:
+                first[u] = ts
+    cohort_of = {u: trunc(ts) for u, ts in first.items()}
+    cells: dict[tuple, set] = {}
+    for u, d, _ in events:
+        if u not in cohort_of:
+            continue
+        a = trunc(base + dtm.timedelta(days=d))
+        if a >= cohort_of[u]:
+            cells.setdefault((cohort_of[u], offset(cohort_of[u], a)), set()).add(u)
+    sizes: dict[dtm.datetime, int] = {}
+    for u, c in cohort_of.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    want = {
+        (c, o): (len(users), sizes[c]) for (c, o), users in cells.items()
+    }
+    assert got == want
