@@ -698,3 +698,81 @@ def test_cohort_retention_matches_reference(spark, events, bucket):
         (c, o): (len(users), sizes[c]) for (c, o), users in cells.items()
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=20),
+        min_size=1,
+        max_size=20,
+    ),
+    r1=st.integers(0, 1000),
+    r2=st.integers(0, 1000),
+)
+@SETTINGS
+def test_stratified_sample_rate_monotonicity(spark, texts, r1, r2):
+    """The classic hash-sampling property the docstring promises: raising
+    a stratum's rate only ever GROWS the kept set (a document's bucket
+    never changes), and rate 1000/1000 keeps everything."""
+    from bicis_spark.extensions.sampling import stratified_sample
+
+    lo, hi = sorted((r1, r2))
+    df = spark.createDataFrame(
+        [(i, t, "x") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    kept_lo = {
+        r["doc_id"] for r in stratified_sample(df, "lang", {"x": lo}).collect()
+    }
+    kept_hi = {
+        r["doc_id"] for r in stratified_sample(df, "lang", {"x": hi}).collect()
+    }
+    assert kept_lo <= kept_hi
+    kept_all = {
+        r["doc_id"] for r in stratified_sample(df, "lang", {"x": 1000}).collect()
+    }
+    assert kept_all == set(range(len(texts)))
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=_edges)
+@SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation == a pure-Python union-find on arbitrary
+    graphs (self-loops, duplicate edges, multiple components): every node
+    labeled by the smallest node id reachable from it."""
+    from bicis_spark.extensions.dedup import connected_components_min_label
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_min_label(df, "a", "b").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for a, b in edges:
+        union(a, b)
+    want = {}
+    for v in parent:
+        r = find(v)
+        want[v] = min(u for u in parent if find(u) == r)
+    assert got == want
