@@ -742,7 +742,11 @@ _edges = st.lists(
 
 
 @given(edges=_edges)
-@SETTINGS
+@settings(
+    max_examples=8,  # each example runs a multi-round distributed loop
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 def test_connected_components_match_union_find(spark, edges):
     """Min-label propagation == a pure-Python union-find on arbitrary
     graphs (self-loops, duplicate edges, multiple components): every node
