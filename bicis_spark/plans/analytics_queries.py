@@ -90,11 +90,11 @@ c AS (
            (SELECT count(*) FROM s3)::BIGINT AS n3
 )
 SELECT 1::BIGINT AS step, 'view' AS step_name, n1 AS n_users,
-       n1::DOUBLE / n1::DOUBLE AS conv_from_first FROM c
+       n1::DOUBLE / nullif(n1, 0)::DOUBLE AS conv_from_first FROM c
 UNION ALL
-SELECT 2::BIGINT, 'click', n2, n2::DOUBLE / n1::DOUBLE FROM c
+SELECT 2::BIGINT, 'click', n2, n2::DOUBLE / nullif(n1, 0)::DOUBLE FROM c
 UNION ALL
-SELECT 3::BIGINT, 'purchase', n3, n3::DOUBLE / n1::DOUBLE FROM c
+SELECT 3::BIGINT, 'purchase', n3, n3::DOUBLE / nullif(n1, 0)::DOUBLE FROM c
 """
 
 
@@ -2443,11 +2443,11 @@ c AS (
            (SELECT count(*) FROM s3)::BIGINT AS n3
 )
 SELECT 1::BIGINT AS step, 'view' AS step_name, n1 AS n_users,
-       n1::DOUBLE / n1::DOUBLE AS conv_from_first FROM c
+       n1::DOUBLE / nullif(n1, 0)::DOUBLE AS conv_from_first FROM c
 UNION ALL
-SELECT 2::BIGINT, 'click', n2, n2::DOUBLE / n1::DOUBLE FROM c
+SELECT 2::BIGINT, 'click', n2, n2::DOUBLE / nullif(n1, 0)::DOUBLE FROM c
 UNION ALL
-SELECT 3::BIGINT, 'purchase', n3, n3::DOUBLE / n1::DOUBLE FROM c
+SELECT 3::BIGINT, 'purchase', n3, n3::DOUBLE / nullif(n1, 0)::DOUBLE FROM c
 """
 
 
