@@ -326,10 +326,15 @@ def ann_topk_ivf(
     and training cost quadratically. Real IVF keeps n_lists a constant
     (or √N, retrained offline); declared queries pin the cap.
     """
-    c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    ).select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col), dims).alias("qv")
+    c = (
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize(F.col(vec_col), dims).alias("qv"),
+        )
+        # consumed by every training iteration and the final assignment —
+        # persist so the corpus scan + quantize runs once
+        .persist()
     )
     seed_filter = F.col(id_col) % n_centroids_mod == 1
     if max_lists is not None:
@@ -683,10 +688,14 @@ def ann_topk_pq(
     not the raw embedding. Compose with the IVF router for sublinear
     candidate counts (this operator scores ALL pairs, compressed).
     """
-    c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    ).select(F.col(id_col).alias("nid"), quantize(F.col(vec_col)).alias("qv"))
-    subvecs = pq_subvectors(c, "nid", "qv", n_subspaces, sub_dims)
+    c = (
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("nid"), quantize(F.col(vec_col)).alias("qv"))
+        # consumed by seeds, train, encode, and the re-rank stage — persist
+        # so the corpus scan + repartition exchange runs once, not 3-4x
+        .persist()
+    )
+    subvecs = pq_subvectors(c, "nid", "qv", n_subspaces, sub_dims).persist()
     # codebook size must be a CONSTANT, not a corpus fraction: real PQ uses
     # K=256 codes per subspace at any corpus size (one byte per code), and
     # training/encoding cost is N·K per subspace — a mod-only seed rule
