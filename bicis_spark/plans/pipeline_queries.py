@@ -524,7 +524,10 @@ def glm_poisson_mse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_events_dir(
-    spark: SparkSession, sf_dir: str, single_file: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    single_file: bool = False,
+    n_files: int | None = None,
 ) -> str:
     """Stage the events table as a parquet directory for the file-source
     stream. The cache key includes a content fingerprint (mtime+size of the
@@ -532,7 +535,11 @@ def _staged_events_dir(
 
     ``single_file=True`` stages one parquet file ⇒ one microbatch: needed
     by append-mode queries whose batch-equality argument relies on no
-    watermark-driven state eviction between triggers (stream-stream join)."""
+    watermark-driven state eviction between triggers (stream-stream join).
+    ``n_files=N`` hash-partitions on event_id into exactly N files ⇒ N
+    microbatches under maxFilesPerTrigger=1: needed by sink queries whose
+    point is the cross-batch merge path (a one-file stage would collapse
+    them to a single batch and never exercise it)."""
     import os
     import tempfile
 
@@ -551,12 +558,15 @@ def _staged_events_dir(
 
     if _nanos_ts_cols(f"{sf_dir}/events.parquet", EVENTS):
         fp = (fp * 31 + 1) % (1 << 61)
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp:x}" + ("_1f" if single_file else "")
+    suffix = "_1f" if single_file else (f"_{n_files}f" if n_files else "")
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp:x}" + suffix
     src = os.path.join(tempfile.gettempdir(), f"bicis_spark_stream_events_{tag}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         df = read_table(spark, sf_dir, "events")
         if single_file:
             df = df.coalesce(1)
+        elif n_files:
+            df = df.repartition(n_files, F.col("event_id"))
         df.write.mode("overwrite").parquet(src)
     return src
 
@@ -952,4 +962,54 @@ def ols_calibration_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_label"),
         F.min("prediction").alias("pred_lo"),
         F.max("prediction").alias("pred_hi"),
+    )
+
+
+@register(
+    "streaming_upsert_user_state",
+    """
+    SELECT user_id,
+           ts AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           value AS last_value,
+           props AS last_props
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def streaming_upsert_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink: the event stream maintains a keyed
+    user-state table (latest row per user) via per-microbatch upsert into
+    a versioned parquet table (streaming/sinks.py — the Delta-MERGE
+    pattern on a plain filesystem). Staged as 4 files ⇒ 4 microbatches,
+    so the cross-batch merge path genuinely runs; (ts, event_id) is a
+    total order per key, so the final state equals the batch argmax
+    regardless of how the stream was batched — which is exactly what the
+    oracle replays."""
+    import tempfile
+
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.streaming.sinks import run_upsert_stream
+    from bicis_spark.streaming.windows import read_events_stream
+
+    src = _staged_events_dir(spark, sf_dir, n_files=4)
+    stream = read_events_stream(spark, src, EVENTS)
+    target = tempfile.mkdtemp(prefix="bicis_spark_upsert_state_")
+    state = run_upsert_stream(
+        stream,
+        target,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        query_name="streaming_upsert_user_state_sink",
+    )
+    return state.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
     )

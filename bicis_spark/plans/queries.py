@@ -72,7 +72,9 @@ _LOADED = False
 #   target_encode_priority, temperature_mix_weights,
 #   token_budget_allocation, twap_user_value, unigram_surprisal_quality,
 #   winsorized_value_stats, split_leakage_audit (52nd, added after the
-#   queue snapshot), variant_props_stats and unpivot_status_counts (53rd/54th, late-round-4 additions).
+#   queue snapshot), variant_props_stats and unpivot_status_counts (53rd/54th, late-round-4 additions),
+#   streaming_upsert_user_state (55th, round-4 continuation: foreachBatch
+#   MERGE sink — oracle-verified locally at sf0.001/sf0.01).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
