@@ -54,6 +54,44 @@ def latest_per_key(
     ).select(*key_cols, *[F.col(f"_r.{c}").alias(c) for c in others])
 
 
+def upsert_step(
+    target: DataFrame | None,
+    batch: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """One merge step of the latest-wins fold: the post-merge state after
+    applying ``batch`` to ``target`` (None = empty initial state).
+
+    Pure relational function of its inputs — property-tested directly
+    (tests/test_properties.py): folding ANY partition of a dataset in ANY
+    batch order yields the global argmax per key, because max over the
+    (order_cols) total order is commutative and associative and the
+    update condition fires exactly when the source row is strictly
+    greater."""
+    src = latest_per_key(batch, key_cols, order_cols)
+    if target is None:
+        return src
+    newer = None
+    # lexicographic (order_cols) comparison: s wins on the first
+    # strictly-greater column with all earlier columns equal
+    for i, oc in enumerate(order_cols):
+        eq_prefix = F.lit(True)
+        for prev in order_cols[:i]:
+            eq_prefix = eq_prefix & (F.col(f"s.{prev}") == F.col(f"t.{prev}"))
+        term = eq_prefix & (F.col(f"s.{oc}") > F.col(f"t.{oc}"))
+        newer = term if newer is None else (newer | term)
+    payload = [c for c in batch.columns if c not in key_cols]
+    return merge_into(
+        target,
+        src,
+        key_cols=key_cols,
+        update_set={c: F.col(f"s.{c}") for c in payload},
+        update_cond=newer,
+        insert_values={c: F.col(f"s.{c}") for c in batch.columns},
+    )
+
+
 _VERSION_RE = re.compile(r"^v(\d+)$")
 
 
@@ -104,33 +142,8 @@ def run_upsert_stream(
     schema = stream_df.schema
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        src = latest_per_key(batch_df, key_cols, order_cols)
         target = read_table_version(spark, target_dir, schema)
-        if target is None:
-            merged = src
-        else:
-            newer = None
-            # lexicographic (order_cols) comparison: s wins on the first
-            # strictly-greater column with all earlier columns equal
-            for i, oc in enumerate(order_cols):
-                eq_prefix = F.lit(True)
-                for prev in order_cols[:i]:
-                    eq_prefix = eq_prefix & (
-                        F.col(f"s.{prev}") == F.col(f"t.{prev}")
-                    )
-                term = eq_prefix & (F.col(f"s.{oc}") > F.col(f"t.{oc}"))
-                newer = term if newer is None else (newer | term)
-            payload = [c for c in batch_df.columns if c not in key_cols]
-            merged = merge_into(
-                target,
-                src,
-                key_cols=key_cols,
-                update_set={c: F.col(f"s.{c}") for c in payload},
-                update_cond=newer,
-                insert_values={
-                    c: F.col(f"s.{c}") for c in batch_df.columns
-                },
-            )
+        merged = upsert_step(target, batch_df, key_cols, order_cols)
         versions = _committed_versions(target_dir)
         next_v = (versions[-1] + 1) if versions else 0
         # write the full new version, then rely on _SUCCESS as the commit

@@ -780,3 +780,52 @@ def test_connected_components_match_union_find(spark, edges):
         r = find(v)
         want[v] = min(u for u in parent if find(u) == r)
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),      # key
+            st.integers(0, 20),     # ts
+            st.integers(-100, 100), # payload
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(1, 29), max_size=3, unique=True),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_upsert_fold_is_batch_boundary_invariant(spark, rows, cuts):
+    """streaming/sinks.upsert_step: folding ANY partition of the event
+    list through the merge equals the global argmax per key — the claim
+    that makes the foreachBatch sink's final state independent of how the
+    stream was batched. (event_id = list index: unique, so (ts, event_id)
+    totally orders every key's rows.)"""
+    from bicis_spark.streaming.sinks import upsert_step
+
+    schema = "event_id long, k long, ts long, v long"
+    data = [(i, k, ts, v) for i, (k, ts, v) in enumerate(rows)]
+
+    bounds = sorted({c for c in cuts if c < len(data)}) + [len(data)]
+    state = None
+    lo = 0
+    for hi in bounds:
+        if hi <= lo:
+            continue
+        batch = spark.createDataFrame(data[lo:hi], schema)
+        state = upsert_step(state, batch, ["k"], ["ts", "event_id"])
+        lo = hi
+    got = sorted(map(tuple, state.collect()))
+
+    # pure-Python replay: max (ts, event_id) per key
+    best = {}
+    for eid, k, ts, v in data:
+        if k not in best or (ts, eid) > (best[k][2], best[k][0]):
+            best[k] = (eid, k, ts, v)
+    # upsert_step output column order: key first, then remaining
+    want = sorted((k, eid, ts, v) for (eid, k, ts, v) in best.values())
+    assert got == want
