@@ -358,3 +358,68 @@ def test_upsert_sink_stale_replay_is_noop(spark, tmp_path):
     second = sorted(map(tuple, _run(old_dir, "ck2").collect()))
     assert second == first  # every replayed row was stale: state unchanged
     assert all(r[3] != -1.0 for r in second)
+
+
+def test_upsert_sink_version_history_obeys_cdc_laws(spark, tmp_path):
+    """Cross-operator integration: snapshot_diff over the sink's committed
+    version history is a change-data-feed, and an upsert-only sink's feed
+    obeys three laws — (1) no key is ever removed, (2) every final key is
+    'added' in exactly one version step, (3) a 'changed' key's (ts,
+    event_id) strictly increases (latest-wins can only move state
+    forward)."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.snapshot import snapshot_diff
+    from bicis_spark.streaming.sinks import (
+        _committed_versions,
+        read_table_version,
+        run_upsert_stream,
+    )
+
+    src_dir = str(tmp_path / "cdc_src")
+    target = str(tmp_path / "cdc_target")
+    schema = "event_id long, k long, ts long, v double"
+    rows = [(i, i % 5, (7 * i) % 23, float(i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(4, F.col("event_id")).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    final = run_upsert_stream(
+        stream,
+        target,
+        key_cols=["k"],
+        order_cols=["ts", "event_id"],
+        keep_versions=100,  # retain the full history for the diff walk
+    )
+
+    versions = _committed_versions(target)
+    assert len(versions) == 4  # one commit per microbatch
+    import os
+
+    def _read(v):
+        return spark.read.schema(final.schema).parquet(
+            os.path.join(target, f"v{v}")
+        )
+
+    added_keys: list[int] = []
+    for before_v, after_v in zip(versions, versions[1:]):
+        before, after = _read(before_v), _read(after_v)
+        feed = snapshot_diff(before, after, ["k"]).collect()
+        assert all(r["status"] != "removed" for r in feed)
+        added_keys += [r["k"] for r in feed if r["status"] == "added"]
+        changed = [r["k"] for r in feed if r["status"] == "changed"]
+        if changed:
+            b = {r["k"]: (r["ts"], r["event_id"]) for r in before.collect()}
+            a = {r["k"]: (r["ts"], r["event_id"]) for r in after.collect()}
+            assert all(a[k] > b[k] for k in changed)
+
+    first_keys = {r["k"] for r in _read(versions[0]).collect()}
+    final_keys = {r["k"] for r in final.collect()}
+    # law 2: first version's keys + one 'added' per later-arriving key
+    assert first_keys | set(added_keys) == final_keys
+    assert len(added_keys) == len(set(added_keys))
