@@ -192,3 +192,67 @@ def test_running_counts_on_rocksdb_state_store(spark, sf_dir, tmp_path):
     )
     want = {r["station"]: r["total"] for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_matches_apply_in_pandas_variant(
+    spark, sf_dir, tmp_path
+):
+    """running_station_counts_tws (transformWithStateInPandas, two named
+    value states, RocksDB-backed) is output-identical to the
+    applyInPandasWithState operator and to the batch aggregate on a
+    drained finite source. Skips where the new API's protobuf runner
+    dependency is absent (this container) — the gate below is the same
+    capability probe the operator itself raises on."""
+    import pytest
+
+    from bicis_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        running_station_counts_tws,
+    )
+    from bicis_spark.streaming.statestore import rocksdb_state
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_station_counts_tws(
+                spark.readStream.format("rate").load(), station_col="value", ts_col="timestamp"
+            )
+        pytest.skip("transformWithState needs google.protobuf (not in container)")
+
+    src = str(tmp_path / "events_stream_tws")
+    read_table(spark, sf_dir, "events").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = read_events_stream(spark, src, EVENTS)
+    with rocksdb_state(spark):
+        q = (
+            running_station_counts_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("running_counts_tws_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # totals and last_ts are both monotone per key: max = final emission
+    got = {
+        r["station"]: (r["total"], r["last_ts"])
+        for r in spark.sql(
+            "SELECT station, max(total_events) AS total, max(last_ts) AS last_ts "
+            "FROM running_counts_tws_t GROUP BY station"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["last_ts"])
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
