@@ -137,7 +137,14 @@ def run_upsert_stream(
     defaults to ``<target_dir>/_checkpoint``; pass a fresh one to
     re-process a source against existing state (a replay — a no-op merge
     when the data is stale, by the latest-wins total order).
+
+    Single-writer protocol: one query owns a target_dir at a time (the
+    version counter is read-modify-write). Rows whose order_cols hold
+    NULLs never compare greater, so they can seed state for a new key but
+    never overwrite existing state — give every row a real event time.
     """
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1 (the current table)")
     spark = stream_df.sparkSession
     schema = stream_df.schema
 
