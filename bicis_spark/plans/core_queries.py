@@ -1638,3 +1638,68 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# S7/S8 sinks proven by the roundtrip law (write -> read -> aggregate ==
+# aggregate of the original; the oracle only ever sees the parquet, so any
+# loss in the text trip — timestamp truncation, null/empty confusion,
+# double formatting — breaks the hash)
+# ---------------------------------------------------------------------------
+
+_TEXT_ROUNDTRIP_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       min(ts) AS min_ts, max(ts) AS max_ts,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register("csv_sink_roundtrip", _TEXT_ROUNDTRIP_SQL)
+def csv_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (headered CSV sink, unify.py:40-50 / split.py:49-72 semantics):
+    events written through write_csv and re-read schema-explicitly must
+    aggregate bit-identically to the source. timestampFormat is pinned to
+    microseconds on BOTH sides — the writer default truncates to millis
+    (sources/io.py TEXT_TS_FORMAT)."""
+    import tempfile
+
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.sources.io import TEXT_TS_FORMAT, read_csv, write_csv
+
+    ev = read_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="bicis_spark_csv_rt_")
+    opts = {"timestampFormat": TEXT_TS_FORMAT}
+    write_csv(ev, path, options=opts)
+    back = read_csv(spark, path, EVENTS, sep=",", header=True, options=opts)
+    return _roundtrip_agg(back)
+
+
+@register("json_sink_roundtrip", _TEXT_ROUNDTRIP_SQL)
+def json_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (JSON sink): the JSON-lines roundtrip twin of the CSV law, same
+    microsecond timestampFormat pin on write and read."""
+    import tempfile
+
+    from bicis_spark.schemas import EVENTS
+    from bicis_spark.sources.io import TEXT_TS_FORMAT, read_jsonl, write_json
+
+    ev = read_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="bicis_spark_json_rt_")
+    opts = {"timestampFormat": TEXT_TS_FORMAT}
+    write_json(ev, path, options=opts)
+    back = read_jsonl(spark, path, EVENTS, options=opts)
+    return _roundtrip_agg(back)

@@ -74,7 +74,9 @@ _LOADED = False
 #   winsorized_value_stats, split_leakage_audit (52nd, added after the
 #   queue snapshot), variant_props_stats and unpivot_status_counts (53rd/54th, late-round-4 additions),
 #   streaming_upsert_user_state (55th, round-4 continuation: foreachBatch
-#   MERGE sink — oracle-verified locally at sf0.001/sf0.01).
+#   MERGE sink — oracle-verified locally at sf0.001/sf0.01/sf0.1),
+#   csv_sink_roundtrip and json_sink_roundtrip (56th/57th: S7/S8 sinks
+#   proven by the write→read→aggregate law, verified sf0.001+sf0.01).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (

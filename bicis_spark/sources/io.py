@@ -194,24 +194,29 @@ def read_csv(
     schema: StructType,
     sep: str = ";",
     header: bool = True,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Schema-explicit CSV scan (S3/S4). The reference's `;`-delimited dialect
     reads (``parse_raw_data.py:126-144``) map here; dialect column renaming
     lives in operators.unify."""
-    return spark.read.csv(path, schema=schema, sep=sep, header=header)
+    return (
+        spark.read.options(**(options or {}))
+        .csv(path, schema=schema, sep=sep, header=header)
+    )
 
 
 def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: StructType,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Schema-explicit JSON-lines scan (the S4 discipline applied to the
     JSON source): no schema inference (an extra full read at 100 TB) and
     deterministic column types. Corrupt lines surface in the
     ``_corrupt_record``-free PERMISSIVE default as nulls; switch to
     FAILFAST per pipeline policy."""
-    return spark.read.schema(schema).json(path)
+    return spark.read.options(**(options or {})).schema(schema).json(path)
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
@@ -224,14 +229,31 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
-def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+#: Microsecond-precision timestamp format for text sinks. The CSV/JSON
+#: writer DEFAULTS truncate to milliseconds (``...ss[.SSS]``) — a silent
+#: 1000× precision loss on micro-stamped event times; pass this to both
+#: sides of any text roundtrip.
+TEXT_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
     """Headered CSV sink kept for reference parity (S7)."""
-    df.write.mode(mode).csv(path, header=True)
+    df.write.mode(mode).options(**(options or {})).csv(path, header=True)
 
 
-def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
     """JSON sink for small metadata/metrics outputs (S8)."""
-    df.write.mode(mode).json(path)
+    df.write.mode(mode).options(**(options or {})).json(path)
 
 
 def write_bucketed_table(
