@@ -1013,3 +1013,61 @@ def streaming_upsert_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("value").alias("last_value"),
         F.col("props").alias("last_props"),
     )
+
+
+@register(
+    "ols_model_reload_predictions",
+    f"""
+    WITH {_OLS_SUMS_SQL.strip()}
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           min(c2.intercept + c2.slope
+               * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)) AS min_pred,
+           max(c2.intercept + c2.slope
+               * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)) AS max_pred
+    FROM lineitem, c2
+    GROUP BY l_returnflag
+    """,
+)
+def ols_model_reload_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (model save/load, models/interface.py Fit→Predict handoff)
+    proven by a hash gate: the exact-OLS coefficient row is SAVED through
+    the JSON sink, RELOADED schema-explicitly, and predictions come from
+    the reloaded artifact only. The oracle computes predictions from the
+    closed form directly, so any loss in the persisted model (double
+    formatting, schema drift) breaks the value hash — JSON doubles
+    round-trip bitwise (shortest-representation printing on write, exact
+    parse on read)."""
+    import tempfile
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from bicis_spark.operators.model import fit_ols_exact
+    from bicis_spark.sources.io import read_jsonl, write_json
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    coef = fit_ols_exact(lineitem, "l_quantity", "l_extendedprice").select(
+        "slope", "intercept"
+    )
+    path = tempfile.mkdtemp(prefix="bicis_spark_ols_model_")
+    write_json(coef, path)
+    loaded = read_jsonl(
+        spark,
+        path,
+        StructType(
+            [
+                StructField("slope", DoubleType()),
+                StructField("intercept", DoubleType()),
+            ]
+        ),
+    )
+    x_d = F.col("l_quantity").cast("decimal(18,2)").cast("double")
+    pred = lineitem.crossJoin(F.broadcast(loaded)).select(
+        "l_returnflag",
+        (F.col("intercept") + F.col("slope") * x_d).alias("prediction"),
+    )
+    return pred.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("prediction").alias("min_pred"),
+        F.max("prediction").alias("max_pred"),
+    )

@@ -76,7 +76,9 @@ _LOADED = False
 #   streaming_upsert_user_state (55th, round-4 continuation: foreachBatch
 #   MERGE sink — oracle-verified locally at sf0.001/sf0.01/sf0.1),
 #   csv_sink_roundtrip and json_sink_roundtrip (56th/57th: S7/S8 sinks
-#   proven by the write→read→aggregate law, verified sf0.001+sf0.01).
+#   proven by the write→read→aggregate law, verified sf0.001+sf0.01),
+#   ols_model_reload_predictions (58th: S12 save→load→predict hash gate,
+#   verified sf0.001+sf0.01).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
