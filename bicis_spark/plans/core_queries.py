@@ -1703,3 +1703,42 @@ def json_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_json(ev, path, options=opts)
     back = read_jsonl(spark, path, EVENTS, options=opts)
     return _roundtrip_agg(back)
+
+
+@register(
+    "string_normalize_stations",
+    """
+    WITH s AS (
+        SELECT c_custkey,
+               CASE c_custkey % 3
+                   WHEN 0 THEN '   ' || lower(c_name) || '  '
+                   WHEN 1 THEN ' ' || upper(c_name)
+                   ELSE c_name
+               END AS raw
+        FROM customer
+    )
+    SELECT c_custkey, raw, upper(trim(raw)) AS station FROM s
+    """,
+)
+def string_normalize_stations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 (string normalization, parse_raw_data.py:84,89): messy padded /
+    case-mangled station strings synthesized per-row from a driver column
+    (same synthesized-input pattern as X1/X2), normalized with the
+    engine's normalize_station — both engines see identical inputs and
+    the oracle replays upper∘trim."""
+    from bicis_spark.functions.parsing import normalize_station
+
+    customer = read_table(spark, sf_dir, "customer")
+    raw = (
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("   "), F.lower("c_name"), F.lit("  ")),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.lit(" "), F.upper("c_name")))
+        .otherwise(F.col("c_name"))
+    )
+    return customer.select(
+        "c_custkey",
+        raw.alias("raw"),
+        normalize_station(raw).alias("station"),
+    )

@@ -78,7 +78,8 @@ _LOADED = False
 #   csv_sink_roundtrip and json_sink_roundtrip (56th/57th: S7/S8 sinks
 #   proven by the write→read→aggregate law, verified sf0.001+sf0.01),
 #   ols_model_reload_predictions (58th: S12 save→load→predict hash gate,
-#   verified sf0.001+sf0.01).
+#   verified sf0.001+sf0.01), string_normalize_stations (59th: X5 via
+#   synthesized messy inputs, verified sf0.001+sf0.01).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
