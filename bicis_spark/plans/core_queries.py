@@ -1742,3 +1742,47 @@ def string_normalize_stations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw"),
         normalize_station(raw).alias("station"),
     )
+
+
+@register(
+    "row_validity_filter",
+    """
+    WITH r AS (
+        SELECT event_id, event_type,
+               date_trunc('second', ts) AS rd,
+               event_id % 4 AS m
+        FROM events
+    )
+    SELECT CAST(event_id AS VARCHAR) AS rent_station,
+           rd AS rent_date,
+           CASE m WHEN 2 THEN rd + INTERVAL 2700 SECOND
+                  ELSE rd + INTERVAL 5415 SECOND END AS return_date,
+           event_type AS return_station
+    FROM r WHERE m IN (2, 3)
+    """,
+)
+def row_validity_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (row-validity predicate, unify.py:43-49 + parse_raw_data.py:
+    108-115) end-to-end through the V4 dialect: raw strings synthesized
+    per-row carry a zero duration ('0' — falsy timedelta, no return_date
+    derivation), a negative one ('-15' — rejected by the isdigit parity
+    digit gate), integer minutes ('45' → +2700 s) and the H/MIN/SEG
+    grammar ('1H 30MIN 15SEG' → +5415 s). normalize_dialect must drop
+    exactly the first two classes; the oracle replays the survivors'
+    derived return_dates directly."""
+    from bicis_spark.operators.unify import FIELDS_V4, normalize_dialect
+
+    events = read_table(spark, sf_dir, "events")
+    raw = events.select(
+        F.date_format("ts", "dd/MM/yyyy HH:mm:ss").alias("fecha_hora_retiro"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("0"))
+        .when(F.col("event_id") % 4 == 1, F.lit("-15"))
+        .when(F.col("event_id") % 4 == 2, F.lit("45"))
+        .otherwise(F.lit("1H 30MIN 15SEG"))
+        .alias("tiempo_uso"),
+        F.col("event_id").cast("string").alias("nombre_origen"),
+        F.col("event_type").alias("nombre_destino"),
+    )
+    return normalize_dialect(raw, FIELDS_V4).select(
+        "rent_station", "rent_date", "return_date", "return_station"
+    )

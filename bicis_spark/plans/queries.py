@@ -79,7 +79,10 @@ _LOADED = False
 #   proven by the write→read→aggregate law, verified sf0.001+sf0.01),
 #   ols_model_reload_predictions (58th: S12 save→load→predict hash gate,
 #   verified sf0.001+sf0.01), string_normalize_stations (59th: X5 via
-#   synthesized messy inputs, verified sf0.001+sf0.01).
+#   synthesized messy inputs, verified sf0.001+sf0.01),
+#   row_validity_filter (60th: F6 end-to-end through the V4 dialect —
+#   zero/negative durations dropped, minutes + H/MIN/SEG derived —
+#   verified sf0.001+sf0.01).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
