@@ -1071,3 +1071,62 @@ def ols_model_reload_predictions_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("prediction").alias("min_pred"),
         F.max("prediction").alias("max_pred"),
     )
+
+
+from bicis_spark.plans.core_queries import _HOUR_PROFILE_ORACLE
+
+
+@register("pipeline_runner_hour_profile", _HOUR_PROFILE_ORACLE)
+def pipeline_runner_hour_profile_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U3/U5/L1-L2 under a hash gate via composition: the hour profile is
+    produced by the YAML-configured DAG runner — load_experiment resolves
+    the builder callable + params from configs/hour_profile_pipeline.yaml
+    (the reference's DI container, object_loader.py:9-60), Pipeline
+    topologically runs source → profile stages with each output
+    MATERIALIZED to parquet and read back (L2 memoization path), and the
+    returned frame is the parquet read-back, not the in-memory plan. The
+    oracle is the same SQL as ``hour_profile``, so a fault anywhere in
+    the runner chain (resolution, param passing, materialize/reload)
+    breaks the hash."""
+    import os
+    import tempfile
+
+    from bicis_spark.plans.runner import Pipeline, load_experiment
+
+    cfg = load_experiment(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            "configs",
+            "hour_profile_pipeline.yaml",
+        )
+    )
+    builder, params = cfg["profile_builder"]
+
+    p = Pipeline(spark, tempfile.mkdtemp(prefix="bicis_spark_runner_q_"))
+
+    @p.stage("events_src")
+    def events_src(s):
+        return read_table(s, sf_dir, "events").select(
+            "user_id", "ts", "event_type"
+        )
+
+    @p.stage("hour_profile", deps=["events_src"])
+    def hour_profile_stage(s, events):
+        return builder(
+            events,
+            params["station_col"],
+            params["ts_col"],
+            params["key"],
+            is_rent=F.col("event_type") == RENT_TYPE,
+            is_return=F.col("event_type") == RETURN_TYPE,
+        )
+
+    out = p.run(["hour_profile"])["hour_profile"]
+    return out.select(
+        F.col("station").cast("long").alias("station"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_rents",
+        "n_returns",
+    )

@@ -82,7 +82,10 @@ _LOADED = False
 #   synthesized messy inputs, verified sf0.001+sf0.01),
 #   row_validity_filter (60th: F6 end-to-end through the V4 dialect —
 #   zero/negative durations dropped, minutes + H/MIN/SEG derived —
-#   verified sf0.001+sf0.01).
+#   verified sf0.001+sf0.01), pipeline_runner_hour_profile (61st:
+#   U3/U5/L1-L2 by composition — YAML-resolved builder through the
+#   materializing DAG runner, hour_profile oracle, verified
+#   sf0.001+sf0.01).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
