@@ -1130,3 +1130,45 @@ def pipeline_runner_hour_profile_q(
         "n_rents",
         "n_returns",
     )
+
+
+@register(
+    "vector_assembly_roundtrip",
+    """
+    SELECT l_orderkey * 10 + l_linenumber AS id,
+           l_tax AS label,
+           l_quantity AS f0,
+           l_extendedprice AS f1,
+           l_discount AS f2
+    FROM lineitem
+    """,
+)
+def vector_assembly_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (point parsing → VectorAssembler, build_dataset.py:206-212)
+    under a hash gate via the roundtrip law: features assembled into the
+    ML vector and decomposed back (vector_to_array) must reproduce the
+    source doubles bitwise — the oracle never sees a vector, only the
+    original columns, so any precision or ordering loss inside the
+    VectorUDT trip breaks the hash."""
+    from pyspark.ml.functions import vector_to_array
+
+    from bicis_spark.operators.model import assemble_features
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_tax").alias("target"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    assembled = assemble_features(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], "target", "id"
+    )
+    arr = vector_to_array(F.col("features"))
+    return assembled.select(
+        "id",
+        "label",
+        F.element_at(arr, 1).alias("f0"),
+        F.element_at(arr, 2).alias("f1"),
+        F.element_at(arr, 3).alias("f2"),
+    )
