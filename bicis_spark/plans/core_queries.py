@@ -1786,3 +1786,50 @@ def row_validity_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_dialect(raw, FIELDS_V4).select(
         "rent_station", "rent_date", "return_date", "return_station"
     )
+
+
+@register(
+    "partitioned_sink_day_counts",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           count(*)::BIGINT AS n,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) >= (SELECT min(CAST(ts AS DATE)) FROM events)
+      AND CAST(ts AS DATE) <  (SELECT min(CAST(ts AS DATE)) FROM events) + 7
+    GROUP BY 1, 2
+    """,
+)
+def partitioned_sink_day_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read under a hash
+    gate: events written day-partitioned through the dynamic-overwrite
+    sink (the idempotent daily-backfill layout), then read back with a
+    first-week day filter that must resolve via PARTITION pruning (the
+    filter key IS the directory key; tests/test_io.py asserts the plan's
+    PartitionFilters carry it). The oracle filters the original table
+    directly, so a row lost or duplicated by the partitioned write or
+    the pruned read breaks the hash."""
+    import tempfile
+
+    from bicis_spark.sources.io import overwrite_partitions_dynamic
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    path = tempfile.mkdtemp(prefix="bicis_spark_part_sink_")
+    overwrite_partitions_dynamic(ev, path, ["event_date"])
+
+    first_day = ev.agg(F.min("event_date")).first()[0]
+    # schema-explicit read of the partitioned layout: the partition column
+    # comes back from directory names, data columns from the files
+    back = spark.read.parquet(path).where(
+        (F.col("event_date") >= F.lit(first_day))
+        & (F.col("event_date") < F.date_add(F.lit(first_day), 7))
+    )
+    return back.groupBy(
+        F.col("event_date").cast("timestamp").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -86,7 +86,9 @@ _LOADED = False
 #   U3/U5/L1-L2 by composition — YAML-resolved builder through the
 #   materializing DAG runner, hour_profile oracle, verified
 #   sf0.001+sf0.01), vector_assembly_roundtrip (62nd: U4 VectorUDT
-#   assemble→decompose law, verified sf0.001+sf0.01).
+#   assemble→decompose law, verified sf0.001+sf0.01),
+#   partitioned_sink_day_counts (63rd: day-partitioned dynamic-overwrite
+#   sink + partition-pruned read, verified sf0.001+sf0.01).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (

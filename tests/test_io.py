@@ -356,3 +356,30 @@ def test_compact_parquet_sees_partitioned_layouts(spark, tmp_path):
     n = compact_parquet(spark, src, out, target_file_bytes=total_bytes // 2)
     assert n >= 2
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, tmp_path):
+    """The day-partitioned sink layout must let a day filter resolve via
+    PARTITION pruning (directory-level skip), not a per-row data filter:
+    the physical scan's PartitionFilters carry the event_date predicate."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bicis_spark.sources.io import overwrite_partitions_dynamic
+
+    rows = [
+        (i, dt.date(2024, 3, 1 + i % 10), float(i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, event_date date, v double")
+    path = str(tmp_path / "part_sink")
+    overwrite_partitions_dynamic(df, path, ["event_date"])
+
+    back = spark.read.parquet(path).where(
+        F.col("event_date") < dt.date(2024, 3, 4)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "day filter did not reach PartitionFilters"
+    assert back.count() == sum(1 for _, d, _ in rows if d < dt.date(2024, 3, 4))
