@@ -1833,3 +1833,60 @@ def partitioned_sink_day_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "bucketed_join_order_revenue",
+    """
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_order_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join under a hash gate: orders and lineitem
+    are WRITTEN as tables bucketed on the join key (equal bucket counts,
+    the write-time shuffle being the only one ever paid — tests/test_io.py
+    asserts the zero-Exchange plan), then joined and aggregated. The
+    oracle joins the original parquet directly, so bucket routing errors
+    (a row hashed into the wrong bucket, a bucket dropped) break the
+    hash. At 100 TB this is THE repeated-join layout: both fact tables
+    pre-shuffled once at ingest, every subsequent join exchange-free."""
+    import uuid
+
+    from bicis_spark.sources.io import write_bucketed_table
+
+    tag = uuid.uuid4().hex[:8]
+    lt, rt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed_table(orders, lt, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed_table(
+        lineitem, rt, ["l_orderkey"], 8, sort_cols=["l_orderkey"]
+    )
+    try:
+        joined = spark.table(lt).join(
+            spark.table(rt),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            # materialize BEFORE dropping the tables the plan reads from
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")

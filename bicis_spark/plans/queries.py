@@ -88,7 +88,9 @@ _LOADED = False
 #   sf0.001+sf0.01), vector_assembly_roundtrip (62nd: U4 VectorUDT
 #   assemble→decompose law, verified sf0.001+sf0.01),
 #   partitioned_sink_day_counts (63rd: day-partitioned dynamic-overwrite
-#   sink + partition-pruned read, verified sf0.001+sf0.01).
+#   sink + partition-pruned read, verified sf0.001+sf0.01),
+#   bucketed_join_order_revenue (64th: bucketed co-located join written
+#   through write_bucketed_table, verified sf0.001+sf0.01).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
