@@ -423,3 +423,75 @@ def test_upsert_sink_version_history_obeys_cdc_laws(spark, tmp_path):
     # law 2: first version's keys + one 'added' per later-arriving key
     assert first_keys | set(added_keys) == final_keys
     assert len(added_keys) == len(set(added_keys))
+
+
+def test_upsert_sink_resumes_from_checkpoint_incrementally(spark, tmp_path):
+    """Stop/restart semantics: a second run with the SAME checkpoint over
+    a source that gained files processes ONLY the new files (the file
+    source's checkpointed offset log), advances the version counter by
+    exactly the new batches, and lands on the same final state as one
+    uninterrupted run."""
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    from bicis_spark.streaming.sinks import (
+        _committed_versions,
+        latest_per_key,
+        run_upsert_stream,
+    )
+
+    schema = "event_id long, k long, ts long, v double"
+    rows = [(i, i % 6, (11 * i) % 17, float(i)) for i in range(40)]
+    all_dir = str(tmp_path / "all")
+    spark.createDataFrame(rows, schema).repartition(
+        4, F.col("event_id")
+    ).write.parquet(all_dir)
+    import os
+
+    files = sorted(
+        f for f in os.listdir(all_dir) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for f in files[:2]:
+        sh.copy(os.path.join(all_dir, f), os.path.join(src, f))
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        return run_upsert_stream(
+            stream,
+            target,
+            key_cols=["k"],
+            order_cols=["ts", "event_id"],
+            keep_versions=100,
+            checkpoint_dir=ckpt,
+        )
+
+    _run()
+    v_after_first = _committed_versions(target)[-1]
+    assert v_after_first == 1  # two files => commits v0, v1
+
+    for f in files[2:]:
+        sh.copy(os.path.join(all_dir, f), os.path.join(src, f))
+    final = _run()
+    v_after_second = _committed_versions(target)[-1]
+    # only the two NEW files were processed: exactly two more commits
+    assert v_after_second == 3
+
+    batch = spark.read.schema(schema).parquet(all_dir)
+    want = sorted(
+        map(tuple, latest_per_key(batch, ["k"], ["ts", "event_id"]).collect())
+    )
+    got = sorted(map(tuple, final.select("k", "event_id", "ts", "v").collect()))
+    assert got == want
