@@ -175,3 +175,48 @@ def k_anonymity_audit(
         F.count(F.lit(1)).cast("long").alias("group_size"),
         (F.count(F.lit(1)) >= k).alias("is_k_anonymous"),
     )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+    weight_mod: int = 7,
+    weight_shift: int = 3,
+) -> DataFrame:
+    """Map-side linear text classifier over signed hashed token features —
+    the quality-filtering stage of a corpus pipeline (a fasttext-style
+    linear scorer applied at scan time): score(doc) = Σ_tokens
+    sign(tok)·w[slot(tok)], flag = score ≥ 0.
+
+    The weight vector here is a deterministic function of the slot,
+    w[s] = (s mod weight_mod) − weight_shift, standing in for trained
+    weights so the whole path — tokenize, hash, score, threshold — is
+    integer-exact and oracle-replayable; swap in a broadcast array of
+    trained int-quantized weights for production (same plan shape:
+    per-row expressions, one map-combined aggregate, zero joins).
+
+    Scale: tokens explode map-side and collapse in ONE hash aggregate
+    keyed by the doc id — the shuffle carries (id, partial score), never
+    tokens. Docs with no tokens produce no row (both engines agree by
+    construction)."""
+    tok = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " ", -1), lambda x: x != F.lit("")
+        )
+    ).alias("tok")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tok
+    )
+    slot = _hash_slot("tok", F.col("tok"), n_buckets)
+    sign = _hash_sign("tok", F.col("tok"))
+    contrib = sign * (F.pmod(slot, F.lit(weight_mod)) - F.lit(weight_shift))
+    return (
+        toks.select(F.col(id_col), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(F.sum("_c").cast("long").alias("score"))
+        .select(
+            id_col, "score", (F.col("score") >= 0).alias("is_quality")
+        )
+    )

@@ -3509,3 +3509,38 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n").isNotNull())
         .select("o_orderpriority", "o_orderstatus", F.col("n").cast("long").alias("n"))
     )
+
+
+_QUALITY_CLF_SQL = """
+WITH t AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE text IS NOT NULL
+),
+h AS (
+    SELECT doc_id, md5('tok:' || tok) AS h FROM t WHERE tok != ''
+),
+s AS (
+    SELECT doc_id,
+           (('0x' || substr(h, 1, 8))::BIGINT % 64)::BIGINT AS slot,
+           (CASE WHEN ('0x' || substr(h, 9, 1))::BIGINT % 2 = 0
+                 THEN 1 ELSE -1 END)::BIGINT AS sign
+    FROM h
+)
+SELECT doc_id,
+       sum(sign * ((slot % 7) - 3))::BIGINT AS score,
+       sum(sign * ((slot % 7) - 3)) >= 0 AS is_quality
+FROM s GROUP BY doc_id
+"""
+
+
+@register("quality_classifier_flags", _QUALITY_CLF_SQL)
+def quality_classifier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality filtering as a map-side linear classifier over
+    signed hashed token features (operators/featurize.py:
+    linear_text_classifier) — tokenize, md5-hash to 64 slots, score with
+    slot-derived integer weights, threshold at 0. Every step is
+    integer-exact; the oracle replays the full path."""
+    from bicis_spark.operators.featurize import linear_text_classifier
+
+    docs = read_table(spark, sf_dir, "documents")
+    return linear_text_classifier(docs, "doc_id", "text")

@@ -90,7 +90,9 @@ _LOADED = False
 #   partitioned_sink_day_counts (63rd: day-partitioned dynamic-overwrite
 #   sink + partition-pruned read, verified sf0.001+sf0.01),
 #   bucketed_join_order_revenue (64th: bucketed co-located join written
-#   through write_bucketed_table, verified sf0.001+sf0.01).
+#   through write_bucketed_table, verified sf0.001+sf0.01),
+#   quality_classifier_flags (65th: map-side linear text classifier over
+#   signed hashed token features, verified sf0.001+sf0.01+sf0.1).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
