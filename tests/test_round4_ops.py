@@ -489,3 +489,40 @@ def test_hash_split_null_key_matches_oracle(spark):
     # first hex char = 'e' -> bucket 1 -> train), not quarantined to a
     # divergent branch
     assert spark_splits[0] == "train"
+
+
+def test_linear_text_classifier_edges(spark):
+    """Known-score example plus the no-row edge cases: NULL text,
+    empty text, and all-space text yield NO output row (no tokens), and a
+    doc's score equals the hand-computed sum of its tokens' signed
+    slot-weights."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.featurize import linear_text_classifier
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, None),
+            (3, ""),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["score"], r["is_quality"])
+        for r in linear_text_classifier(docs, "doc_id", "text").collect()
+    }
+    assert set(out) == {1}
+
+    # replay doc 1 by hand through the same hash exprs
+    import hashlib
+
+    def w(tok):
+        h = hashlib.md5(f"tok:{tok}".encode()).hexdigest()
+        slot = int(h[:8], 16) % 64
+        sign = 1 if int(h[8], 16) % 2 == 0 else -1
+        return sign * ((slot % 7) - 3)
+
+    want = 2 * w("alpha") + w("beta")
+    assert out[1] == (want, want >= 0)
