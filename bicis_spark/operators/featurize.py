@@ -184,6 +184,7 @@ def linear_text_classifier(
     n_buckets: int = 64,
     weight_mod: int = 7,
     weight_shift: int = 3,
+    weights: list[int] | None = None,
 ) -> DataFrame:
     """Map-side linear text classifier over signed hashed token features —
     the quality-filtering stage of a corpus pipeline (a fasttext-style
@@ -211,7 +212,18 @@ def linear_text_classifier(
     )
     slot = _hash_slot("tok", F.col("tok"), n_buckets)
     sign = _hash_sign("tok", F.col("tok"))
-    contrib = sign * (F.pmod(slot, F.lit(weight_mod)) - F.lit(weight_shift))
+    if weights is not None:
+        # production path: trained int-quantized weights ride the plan as
+        # an array literal (K ints — broadcast with the task binary);
+        # element_at is 1-indexed
+        if len(weights) != n_buckets:
+            raise ValueError("weights must have n_buckets entries")
+        w = F.element_at(
+            F.array(*[F.lit(int(x)) for x in weights]), slot.cast("int") + 1
+        )
+    else:
+        w = F.pmod(slot, F.lit(weight_mod)) - F.lit(weight_shift)
+    contrib = sign * w
     return (
         toks.select(F.col(id_col), contrib.alias("_c"))
         .groupBy(id_col)

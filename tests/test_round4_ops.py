@@ -526,3 +526,30 @@ def test_linear_text_classifier_edges(spark):
 
     want = 2 * w("alpha") + w("beta")
     assert out[1] == (want, want >= 0)
+
+
+def test_linear_text_classifier_trained_weights(spark):
+    """The trained-weights path scores with the provided slot weights;
+    identity check: weights[s] = (s % 7) - 3 reproduces the default."""
+    import pytest
+
+    from bicis_spark.operators.featurize import linear_text_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    default = sorted(
+        map(tuple, linear_text_classifier(docs, "doc_id", "text").collect())
+    )
+    same = sorted(
+        map(
+            tuple,
+            linear_text_classifier(
+                docs, "doc_id", "text", weights=[(s % 7) - 3 for s in range(64)]
+            ).collect(),
+        )
+    )
+    assert default == same
+    with pytest.raises(ValueError, match="n_buckets"):
+        linear_text_classifier(docs, "doc_id", "text", weights=[1, 2, 3])
