@@ -3544,3 +3544,91 @@ def quality_classifier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return linear_text_classifier(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (round-4 continuation): EWMA generalized to
+# (level, trend) state — the one-step-ahead forecasting primitive
+# ---------------------------------------------------------------------------
+
+_HOLT_SQL = """
+WITH ordered AS (
+    SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+    FROM events GROUP BY user_id
+),
+prep AS (
+    -- accumulator is a [level, trend, x] DOUBLE list, NOT a struct:
+    -- DuckDB 1.0's list_reduce evaluates struct-accumulator fields
+    -- sequentially with earlier fields already overwritten (observed:
+    -- a field reading acc.l after the 'l' field sees the NEW level),
+    -- so struct state folds are unsound there; list construction
+    -- evaluates all elements against the pre-step accumulator
+    SELECT user_id, len(xs) AS n, xs,
+           CASE WHEN len(xs) >= 2 THEN
+             list_prepend(
+               [xs[2], xs[2] - xs[1], 0.0],
+               [[0.0, 0.0, x] for x in xs[3:]]
+             )
+           END AS st
+    FROM ordered
+),
+red AS (
+    SELECT user_id, n, xs,
+           CASE WHEN n >= 2 THEN
+             list_reduce(st, (acc, e) ->
+               [0.5 * e[3] + 0.5 * (acc[1] + acc[2]),
+                0.5 * ((0.5 * e[3] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                    + 0.5 * acc[2],
+                0.0])
+           END AS fin
+    FROM prep
+)
+SELECT user_id, n::BIGINT AS n_events,
+       CASE WHEN n = 1 THEN xs[1] ELSE fin[1] + fin[2] END AS holt_forecast
+FROM red
+"""
+
+
+@register("holt_forecast_user_value", _HOLT_SQL)
+def holt_forecast_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing per user (α = β = 0.5, exact binary
+    doubles), one-step-ahead forecast lₙ + bₙ — the (level, trend)
+    generalization of ``ewma_user_value``'s fold. Init: l₂ = x₂,
+    b₂ = x₂ − x₁ (n = 1 degenerates to the last value). The two-variable
+    recursion folds a struct accumulator over the (ts, event_id)-sorted
+    value array; the oracle seeds the same state as the list head (DuckDB
+    list_reduce uses element one as the initial accumulator) and both
+    engines execute the identical inlined IEEE op tree, so the forecast
+    is bitwise stable. Same scale shape as EWMA: one shuffle keyed by
+    user, per-user arrays bounded, no window, no UDF."""
+    ev = read_table(spark, sf_dir, "events")
+    xs = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+            )
+        ),
+        lambda s: s["value"],
+    )
+    g = read_table(spark, sf_dir, "events").groupBy("user_id").agg(xs.alias("xs"))
+    n = F.size("xs")
+    x1, x2 = F.element_at("xs", 1), F.element_at("xs", 2)
+    init = F.struct(x2.alias("l"), (x2 - x1).alias("b"))
+
+    def step(acc, x):
+        new_l = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        new_b = (
+            F.lit(0.5)
+            * ((F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])) - acc["l"])
+            + F.lit(0.5) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    fin = F.aggregate(
+        F.slice(F.col("xs"), 3, F.greatest(n - 2, F.lit(0))), init, step
+    )
+    return g.select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        F.when(n == 1, x1).otherwise(fin["l"] + fin["b"]).alias("holt_forecast"),
+    )

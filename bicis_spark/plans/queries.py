@@ -92,7 +92,9 @@ _LOADED = False
 #   bucketed_join_order_revenue (64th: bucketed co-located join written
 #   through write_bucketed_table, verified sf0.001+sf0.01),
 #   quality_classifier_flags (65th: map-side linear text classifier over
-#   signed hashed token features, verified sf0.001+sf0.01+sf0.1).
+#   signed hashed token features, verified sf0.001+sf0.01+sf0.1),
+#   holt_forecast_user_value (66th: Holt level+trend smoothing fold,
+#   verified at all 3 SFs).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
