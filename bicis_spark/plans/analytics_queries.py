@@ -3632,3 +3632,145 @@ def holt_forecast_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_events"),
         F.when(n == 1, x1).otherwise(fin["l"] + fin["b"]).alias("holt_forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (round-4 continuation): the
+# (level, trend, m-season) completion of the EWMA → Holt fold family
+# ---------------------------------------------------------------------------
+
+_HW_M = 24
+
+_HW_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+    FROM events GROUP BY user_id
+),
+init AS (
+    SELECT user_id, len(xs) AS n, xs,
+        CASE WHEN len(xs) >= {2 * _HW_M} THEN
+          list_reduce(xs[1:{_HW_M}], (a, x) -> a + x) END AS sum1,
+        CASE WHEN len(xs) >= {2 * _HW_M} THEN
+          list_reduce(xs[{_HW_M + 1}:{2 * _HW_M}], (a, x) -> a + x) END AS sum2
+    FROM ordered
+),
+st0 AS (
+    SELECT user_id, n, xs,
+        CASE WHEN n >= {2 * _HW_M} THEN
+          list_concat(
+            [sum1 / {_HW_M}.0,
+             (sum2 / {_HW_M}.0 - sum1 / {_HW_M}.0) / {_HW_M}.0,
+             {_HW_M}.0],
+            [x - sum1 / {_HW_M}.0 for x in xs[1:{_HW_M}]]
+          ) END AS s0
+    FROM init
+),
+red AS (
+    -- state = [level, trend, t, s1..sm] as a DOUBLE list (the struct-
+    -- accumulator hazard documented at holt_forecast_user_value);
+    -- elements are 1-long [x] lists so acc and element share a type
+    SELECT user_id, n,
+        CASE WHEN n >= {2 * _HW_M} THEN
+          list_reduce(
+            list_prepend(s0, [[x] for x in xs[{_HW_M + 1}:]]),
+            (acc, e) ->
+            list_concat(list_concat(list_concat(
+              [0.5 * (e[1] - acc[(4 + acc[3]::INT % {_HW_M})])
+                   + 0.5 * (acc[1] + acc[2]),
+               0.25 * ((0.5 * (e[1] - acc[(4 + acc[3]::INT % {_HW_M})])
+                        + 0.5 * (acc[1] + acc[2])) - acc[1])
+                   + 0.75 * acc[2],
+               acc[3] + 1.0],
+              acc[4:(3 + acc[3]::INT % {_HW_M})]),
+              [0.25 * (e[1] - (0.5 * (e[1] - acc[(4 + acc[3]::INT % {_HW_M})])
+                               + 0.5 * (acc[1] + acc[2])))
+                   + 0.75 * acc[(4 + acc[3]::INT % {_HW_M})]]),
+              acc[(5 + acc[3]::INT % {_HW_M}):{_HW_M + 3}])
+          ) END AS fin
+    FROM st0
+)
+SELECT user_id, n::BIGINT AS n_events,
+       CASE WHEN n >= {2 * _HW_M}
+            THEN fin[1] + fin[2] + fin[(4 + n::INT % {_HW_M})] END
+           AS hw_forecast
+FROM red
+"""
+
+
+@register("holt_winters_forecast_user_value", _HW_SQL)
+def holt_winters_forecast_user_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters additive smoothing per user (α=0.5, β=0.25, γ=0.25 —
+    exact binary doubles; season length m=24 positions), one-step-ahead
+    forecast l + b + s_next. Classic init over the first 2m points
+    (l = mean of window 1, b = windowed-mean slope, s_i = x_i − l), then
+    the three-variable recursion folds a [level, trend, t, s1..sm]
+    DOUBLE-list state over the remaining series — the m-season
+    generalization of ``holt_forecast_user_value``'s fold, with the
+    season slot updated in place by computed-index list surgery. Users
+    with fewer than 2m events yield NULL (not enough data to seed the
+    seasonals). Both engines execute identical inlined IEEE op trees
+    over identically sorted arrays, so forecasts are bitwise stable;
+    same scale shape as EWMA/Holt (one shuffle keyed by user, bounded
+    per-user arrays, no window, no UDF)."""
+    m = _HW_M
+    ev = read_table(spark, sf_dir, "events")
+    xs = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+            )
+        ),
+        lambda s: s["value"],
+    )
+    g = ev.groupBy("user_id").agg(xs.alias("xs"))
+    n = F.size("xs")
+
+    def lsum(start: int, length: int):
+        return F.aggregate(
+            F.slice(F.col("xs"), start + 1, length - 1),
+            F.element_at("xs", start),
+            lambda a, x: a + x,
+        )
+
+    sum1, sum2 = lsum(1, m), lsum(m + 1, m)
+    l0 = sum1 / F.lit(float(m))
+    b0 = (sum2 / F.lit(float(m)) - sum1 / F.lit(float(m))) / F.lit(float(m))
+    s0 = F.concat(
+        F.array(l0, b0, F.lit(float(m))),
+        F.transform(
+            F.slice(F.col("xs"), 1, m), lambda x: x - sum1 / F.lit(float(m))
+        ),
+    )
+    elems = F.transform(
+        F.slice(F.col("xs"), m + 1, n - m), lambda x: F.array(x)
+    )
+
+    def step(acc, e):
+        jp = F.lit(4) + (F.element_at(acc, 3).cast("int") % m)
+        sj = F.element_at(acc, jp)
+        x = F.element_at(e, 1)
+        l, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        nl = F.lit(0.5) * (x - sj) + F.lit(0.5) * (l + b)
+        nb = F.lit(0.25) * (nl - l) + F.lit(0.75) * b
+        ns = F.lit(0.25) * (x - nl) + F.lit(0.75) * sj
+        return F.concat(
+            F.array(nl, nb, F.element_at(acc, 3) + F.lit(1.0)),
+            F.slice(acc, 4, jp - 4),
+            F.array(ns),
+            F.slice(acc, jp + 1, F.lit(m + 3) - jp),
+        )
+
+    fin = F.aggregate(elems, s0, step)
+    forecast = F.when(
+        n >= 2 * m,
+        F.element_at(fin, 1)
+        + F.element_at(fin, 2)
+        + F.element_at(fin, F.lit(4) + (n.cast("int") % m)),
+    )
+    return g.select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        forecast.alias("hw_forecast"),
+    )

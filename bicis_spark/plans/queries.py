@@ -94,6 +94,8 @@ _LOADED = False
 #   quality_classifier_flags (65th: map-side linear text classifier over
 #   signed hashed token features, verified sf0.001+sf0.01+sf0.1),
 #   holt_forecast_user_value (66th: Holt level+trend smoothing fold,
+#   verified at all 3 SFs), holt_winters_forecast_user_value (67th:
+#   additive-seasonal m=24 fold with computed-index season updates,
 #   verified at all 3 SFs).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
