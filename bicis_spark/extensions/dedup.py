@@ -775,14 +775,14 @@ def semantic_dedup(
     c = _partitioned(df, None).select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
     )
-    seed_filter = F.col(id_col) % n_centroids_mod == 1
+    seed_filter = F.col("vid") % n_centroids_mod == 1
     if max_clusters is not None:
         seed_filter = seed_filter & (
-            F.col(id_col) < n_centroids_mod * max_clusters
+            F.col("vid") < n_centroids_mod * max_clusters
         )
-    seeds = df.where(seed_filter).select(
-        F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col), dims).alias("qv")
-    )
+    # seeds from the PERSISTED projection, not a second raw-corpus scan
+    # (same rows — c preserves the id — served from cache)
+    seeds = c.where(seed_filter).select(F.col("vid").alias("centroid_id"), "qv")
     cents = kmeans_refine_exact(c, seeds, train_iters, "vid", "qv", dims).persist()
     assigned = _reusable(
         ivf_assign(c, cents, "vid", "qv", dims).withColumn(

@@ -336,11 +336,16 @@ def ann_topk_ivf(
         # persist so the corpus scan + quantize runs once
         .persist()
     )
-    seed_filter = F.col(id_col) % n_centroids_mod == 1
+    seed_filter = F.col("neighbor_id") % n_centroids_mod == 1
     if max_lists is not None:
-        seed_filter = seed_filter & (F.col(id_col) < n_centroids_mod * max_lists)
-    seeds = corpus.where(seed_filter).select(
-        F.col(id_col).alias("centroid_id"), quantize(F.col(vec_col), dims).alias("qv")
+        seed_filter = seed_filter & (
+            F.col("neighbor_id") < n_centroids_mod * max_lists
+        )
+    # derive seeds from the PERSISTED projection (same rows as filtering
+    # the raw corpus — c preserves the id — but served from cache instead
+    # of a second full scan + quantize)
+    seeds = c.where(seed_filter).select(
+        F.col("neighbor_id").alias("centroid_id"), "qv"
     )
     # persist: the trained centroids feed two broadcast consumers (corpus
     # assignment + query probing); without a persist each broadcast re-runs

@@ -3610,7 +3610,7 @@ def holt_forecast_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: s["value"],
     )
-    g = read_table(spark, sf_dir, "events").groupBy("user_id").agg(xs.alias("xs"))
+    g = ev.groupBy("user_id").agg(xs.alias("xs"))
     n = F.size("xs")
     x1, x2 = F.element_at("xs", 1), F.element_at("xs", 2)
     init = F.struct(x2.alias("l"), (x2 - x1).alias("b"))
@@ -3743,8 +3743,12 @@ def holt_winters_forecast_user_value(
             F.slice(F.col("xs"), 1, m), lambda x: x - sum1 / F.lit(float(m))
         ),
     )
+    # greatest-guard mirrors the Holt twin: today the n >= 2m gate means
+    # this branch is never evaluated for short users, but a negative
+    # slice length would crash any future use of elems outside the gate
     elems = F.transform(
-        F.slice(F.col("xs"), m + 1, n - m), lambda x: F.array(x)
+        F.slice(F.col("xs"), m + 1, F.greatest(n - m, F.lit(0))),
+        lambda x: F.array(x),
     )
 
     def step(acc, e):

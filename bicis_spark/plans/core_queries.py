@@ -1680,12 +1680,19 @@ def csv_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bicis_spark.schemas import EVENTS
     from bicis_spark.sources.io import TEXT_TS_FORMAT, read_csv, write_csv
 
+    import shutil
+
     ev = read_table(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="bicis_spark_csv_rt_")
     opts = {"timestampFormat": TEXT_TS_FORMAT}
-    write_csv(ev, path, options=opts)
-    back = read_csv(spark, path, EVENTS, sep=",", header=True, options=opts)
-    return _roundtrip_agg(back)
+    try:
+        write_csv(ev, path, options=opts)
+        back = read_csv(spark, path, EVENTS, sep=",", header=True, options=opts)
+        # eager checkpoint so the staged copy can be deleted immediately
+        # (per-run mkdtemp dirs otherwise accumulate in tmp across runs)
+        return _roundtrip_agg(back).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @register("json_sink_roundtrip", _TEXT_ROUNDTRIP_SQL)
@@ -1697,12 +1704,17 @@ def json_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bicis_spark.schemas import EVENTS
     from bicis_spark.sources.io import TEXT_TS_FORMAT, read_jsonl, write_json
 
+    import shutil
+
     ev = read_table(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="bicis_spark_json_rt_")
     opts = {"timestampFormat": TEXT_TS_FORMAT}
-    write_json(ev, path, options=opts)
-    back = read_jsonl(spark, path, EVENTS, options=opts)
-    return _roundtrip_agg(back)
+    try:
+        write_json(ev, path, options=opts)
+        back = read_jsonl(spark, path, EVENTS, options=opts)
+        return _roundtrip_agg(back).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @register(
@@ -1817,22 +1829,32 @@ def partitioned_sink_day_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = read_table(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
     )
-    path = tempfile.mkdtemp(prefix="bicis_spark_part_sink_")
-    overwrite_partitions_dynamic(ev, path, ["event_date"])
+    import shutil
 
-    first_day = ev.agg(F.min("event_date")).first()[0]
-    # schema-explicit read of the partitioned layout: the partition column
-    # comes back from directory names, data columns from the files
-    back = spark.read.parquet(path).where(
-        (F.col("event_date") >= F.lit(first_day))
-        & (F.col("event_date") < F.date_add(F.lit(first_day), 7))
-    )
-    return back.groupBy(
-        F.col("event_date").cast("timestamp").alias("day"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
+    path = tempfile.mkdtemp(prefix="bicis_spark_part_sink_")
+    try:
+        overwrite_partitions_dynamic(ev, path, ["event_date"])
+
+        first_day = ev.agg(F.min("event_date")).first()[0]
+        # schema-explicit read of the partitioned layout: the partition
+        # column comes back from directory names, data from the files
+        back = spark.read.parquet(path).where(
+            (F.col("event_date") >= F.lit(first_day))
+            & (F.col("event_date") < F.date_add(F.lit(first_day), 7))
+        )
+        return (
+            back.groupBy(
+                F.col("event_date").cast("timestamp").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @register(

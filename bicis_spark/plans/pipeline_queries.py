@@ -19,7 +19,12 @@ from bicis_spark.operators.model import train_predict_evaluate
 from bicis_spark.operators.profiles import event_profile_single_scan
 from bicis_spark.operators.split import SplitPeriods, split_bounds, with_split_label
 from bicis_spark.operators.targets import next_window_count_bucketed
-from bicis_spark.plans.core_queries import RENT_TYPE, RETURN_TYPE, events_as_trips
+from bicis_spark.plans.core_queries import (
+    _HOUR_PROFILE_ORACLE,
+    RENT_TYPE,
+    RETURN_TYPE,
+    events_as_trips,
+)
 from bicis_spark.plans.queries import register
 from bicis_spark.sources.io import read_table
 
@@ -995,24 +1000,29 @@ def streaming_upsert_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame
     from bicis_spark.streaming.sinks import run_upsert_stream
     from bicis_spark.streaming.windows import read_events_stream
 
+    import shutil
+
     src = _staged_events_dir(spark, sf_dir, n_files=4)
     stream = read_events_stream(spark, src, EVENTS)
     target = tempfile.mkdtemp(prefix="bicis_spark_upsert_state_")
-    state = run_upsert_stream(
-        stream,
-        target,
-        key_cols=["user_id"],
-        order_cols=["ts", "event_id"],
-        query_name="streaming_upsert_user_state_sink",
-    )
-    return state.select(
-        "user_id",
-        F.col("ts").alias("last_ts"),
-        F.col("event_id").alias("last_event_id"),
-        F.col("event_type").alias("last_type"),
-        F.col("value").alias("last_value"),
-        F.col("props").alias("last_props"),
-    )
+    try:
+        state = run_upsert_stream(
+            stream,
+            target,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            query_name="streaming_upsert_user_state_sink",
+        )
+        return state.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("props").alias("last_props"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
 
 
 @register(
@@ -1049,31 +1059,37 @@ def ols_model_reload_predictions_q(spark: SparkSession, sf_dir: str) -> DataFram
     coef = fit_ols_exact(lineitem, "l_quantity", "l_extendedprice").select(
         "slope", "intercept"
     )
+    import shutil
+
     path = tempfile.mkdtemp(prefix="bicis_spark_ols_model_")
-    write_json(coef, path)
-    loaded = read_jsonl(
-        spark,
-        path,
-        StructType(
-            [
-                StructField("slope", DoubleType()),
-                StructField("intercept", DoubleType()),
-            ]
-        ),
-    )
-    x_d = F.col("l_quantity").cast("decimal(18,2)").cast("double")
-    pred = lineitem.crossJoin(F.broadcast(loaded)).select(
-        "l_returnflag",
-        (F.col("intercept") + F.col("slope") * x_d).alias("prediction"),
-    )
-    return pred.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("prediction").alias("min_pred"),
-        F.max("prediction").alias("max_pred"),
-    )
-
-
-from bicis_spark.plans.core_queries import _HOUR_PROFILE_ORACLE
+    try:
+        write_json(coef, path)
+        loaded = read_jsonl(
+            spark,
+            path,
+            StructType(
+                [
+                    StructField("slope", DoubleType()),
+                    StructField("intercept", DoubleType()),
+                ]
+            ),
+        )
+        x_d = F.col("l_quantity").cast("decimal(18,2)").cast("double")
+        pred = lineitem.crossJoin(F.broadcast(loaded)).select(
+            "l_returnflag",
+            (F.col("intercept") + F.col("slope") * x_d).alias("prediction"),
+        )
+        return (
+            pred.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("prediction").alias("min_pred"),
+                F.max("prediction").alias("max_pred"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @register("pipeline_runner_hour_profile", _HOUR_PROFILE_ORACLE)
@@ -1104,7 +1120,8 @@ def pipeline_runner_hour_profile_q(
     )
     builder, params = cfg["profile_builder"]
 
-    p = Pipeline(spark, tempfile.mkdtemp(prefix="bicis_spark_runner_q_"))
+    root = tempfile.mkdtemp(prefix="bicis_spark_runner_q_")
+    p = Pipeline(spark, root)
 
     @p.stage("events_src")
     def events_src(s):
@@ -1123,13 +1140,18 @@ def pipeline_runner_hour_profile_q(
             is_return=F.col("event_type") == RETURN_TYPE,
         )
 
-    out = p.run(["hour_profile"])["hour_profile"]
-    return out.select(
-        F.col("station").cast("long").alias("station"),
-        F.col("hour").cast("long").alias("hour"),
-        "n_rents",
-        "n_returns",
-    )
+    import shutil
+
+    try:
+        out = p.run(["hour_profile"])["hour_profile"]
+        return out.select(
+            F.col("station").cast("long").alias("station"),
+            F.col("hour").cast("long").alias("hour"),
+            "n_rents",
+            "n_returns",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
