@@ -829,3 +829,95 @@ def test_upsert_fold_is_batch_boundary_invariant(spark, rows, cuts):
     # upsert_step output column order: key first, then remaining
     want = sorted((k, eid, ts, v) for (eid, k, ts, v) in best.values())
     assert got == want
+
+
+def _holt_py(xs):
+    if len(xs) == 1:
+        return xs[0]
+    l, b = xs[1], xs[1] - xs[0]
+    for x in xs[2:]:
+        nl = 0.5 * x + 0.5 * (l + b)
+        nb = 0.5 * (nl - l) + 0.5 * b
+        l, b = nl, nb
+    return l + b
+
+
+def _hw_py(xs, m=24):
+    n = len(xs)
+    if n < 2 * m:
+        return None
+    s1 = xs[0]
+    for x in xs[1:m]:
+        s1 += x
+    s2 = xs[m]
+    for x in xs[m + 1 : 2 * m]:
+        s2 += x
+    l = s1 / 24.0
+    b = (s2 / 24.0 - s1 / 24.0) / 24.0
+    s = [x - s1 / 24.0 for x in xs[:m]]
+    t = m
+    for x in xs[m:]:
+        j = t % m
+        nl = 0.5 * (x - s[j]) + 0.5 * (l + b)
+        nb = 0.25 * (nl - l) + 0.75 * b
+        s[j] = 0.25 * (x - nl) + 0.75 * s[j]
+        l, b, t = nl, nb, t + 1
+    return l + b + s[n % m]
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False).map(lambda v: round(v, 3)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_smoothing_folds_match_python_replay(spark, vals):
+    """The Holt and Holt-Winters Spark folds are bitwise-equal to direct
+    Python replays of the recursions over the same ordered series —
+    pinning the engine side independently of the DuckDB oracle (which
+    has its own replay). Covers the n=1 Holt degenerate and the <2m
+    Holt-Winters NULL."""
+    import datetime as dt
+
+    from bicis_spark.plans.analytics_queries import (
+        holt_forecast_user_value,
+        holt_winters_forecast_user_value,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 7, "view", v, None)
+        for i, v in enumerate(vals)
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bicis_smoothing_prop_")
+    # match the driver layout: MICROS, not Spark's INT96 writer default
+    # (read_table's footer probe reads typed timestamps)
+    prior = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        src.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+
+    holt = holt_forecast_user_value(spark, d).collect()[0]
+    assert holt["holt_forecast"] == _holt_py(vals)
+
+    hw = holt_winters_forecast_user_value(spark, d).collect()[0]
+    assert hw["hw_forecast"] == _hw_py(vals)
+
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
