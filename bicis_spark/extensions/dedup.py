@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bicis_spark.extensions.similarity import cosine_sim, quantize
+from bicis_spark.extensions.similarity import quantize
 
 
 def _partitioned(df: DataFrame, parallelism: int | None) -> DataFrame:
