@@ -73,6 +73,9 @@ HEADLINE = [
     "dsir_importance_resample",  # map-only DSIR selection vs broadcast histograms
     "dedup_incremental_batch",  # anti-join vs 16-byte fingerprint index
     "pit_status_at_ship",      # point-in-time SCD2 dimension lookup
+    # round-4 continuation additions
+    "quality_classifier_flags",  # map-side hashed-feature linear scorer
+    "holt_winters_forecast_user_value",  # seasonal list-state fold (m=24)
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
