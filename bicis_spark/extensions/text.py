@@ -40,8 +40,10 @@ def token_count(text: Column) -> Column:
 def char_fingerprint(text: Column) -> Column:
     """Deterministic rolling polynomial hash over characters:
     acc = (acc*31 + codepoint) mod (2^31-1). A content fingerprint usable
-    for exact-dup bucketing and incremental re-crawl detection."""
-    chars = F.regexp_extract_all(text, F.lit("(.)"), 1)
+    for exact-dup bucketing and incremental re-crawl detection. (?s) so
+    line terminators hash too — without it Java regex '.' silently skips
+    \\n/\\r/\\u2028, and "a\\nb" would collide with "ab"."""
+    chars = F.regexp_extract_all(text, F.lit("(?s)(.)"), 1)
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
@@ -351,7 +353,10 @@ def char_entropy(
     )
     chars = base.select(
         id_col,
-        F.explode(F.regexp_extract_all(t, F.lit("(.)"), 1)).alias("ch"),
+        # (?s): the entropy oracle splits with string_split(text, '') which
+        # keeps line terminators; Java '.' without DOTALL would drop them
+        # and diverge on any newline-bearing document.
+        F.explode(F.regexp_extract_all(t, F.lit("(?s)(.)"), 1)).alias("ch"),
     )
     counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
     per_doc = (

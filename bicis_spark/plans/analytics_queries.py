@@ -253,28 +253,31 @@ def hourly_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _QUALITY_SQL = """
+-- coalesce(sum(..), 0): sum over zero rows is NULL in SQL, but the
+-- engine (operators/quality.py) defines an empty table as 0 violations
+-- and passed=true — the degenerate input a quality suite must pin down
 SELECT 'totalprice_positive' AS check_name, count(*)::BIGINT AS n_rows,
-       sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
-           THEN 1 ELSE 0 END)::BIGINT AS n_violations,
-       (sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
-            THEN 1 ELSE 0 END)::BIGINT = 0) AS passed
+       coalesce(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+           THEN 1 ELSE 0 END), 0)::BIGINT AS n_violations,
+       (coalesce(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+            THEN 1 ELSE 0 END), 0)::BIGINT = 0) AS passed
 FROM orders
 UNION ALL
 SELECT 'totalprice_below_450k', count(*)::BIGINT,
-       sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END)::BIGINT,
-       (sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END)::BIGINT = 0)
+       coalesce(sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END), 0)::BIGINT,
+       (coalesce(sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END), 0)::BIGINT = 0)
 FROM orders
 UNION ALL
 SELECT 'orderdate_not_null', count(*)::BIGINT,
-       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
-       (sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT = 0)
+       coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0)::BIGINT,
+       (coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0)::BIGINT = 0)
 FROM orders
 UNION ALL
 SELECT 'status_valid', count(*)::BIGINT,
-       sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                  OR o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
-       (sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                   OR o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT = 0)
+       coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                  OR o_orderstatus IS NULL THEN 1 ELSE 0 END), 0)::BIGINT,
+       (coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                   OR o_orderstatus IS NULL THEN 1 ELSE 0 END), 0)::BIGINT = 0)
 FROM orders
 UNION ALL
 SELECT 'orderkey_unique', count(*)::BIGINT,
@@ -1574,7 +1577,12 @@ SELECT coalesce(t.user_id, s.user_id) AS user_id,
             WHEN t.user_id IS NOT NULL THEN t.n_events
             ELSE s.n_new END AS BIGINT) AS n_events
 FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
-WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL AND s.last_type = 'error')
+-- coalesce(.., FALSE): SQL MERGE only fires a WHEN clause on TRUE, and
+-- merge_into coalesces a NULL delete condition to FALSE — a NULL
+-- s.last_type must keep the row, not delete it (NOT(NULL) is NULL and
+-- would filter it out)
+WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+           AND coalesce(s.last_type = 'error', FALSE))
 """
 
 
@@ -3156,12 +3164,17 @@ def equidepth_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIT_SQL = """
 WITH ranked AS (
     SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-           lag(o_orderstatus) OVER w AS prev
+           lag(o_orderstatus) OVER w AS prev,
+           row_number() OVER w AS rn
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ),
 changes AS (
-    SELECT * FROM ranked WHERE prev IS NULL OR o_orderstatus <> prev
+    -- NULL-safe change detection, same formulation as _SCD2_SQL (rn=1 +
+    -- IS DISTINCT FROM): `prev IS NULL OR status <> prev` drops version
+    -- starts when the attribute itself is NULL (A <> NULL filters the
+    -- row) and opens spurious ones mid-run, diverging from scd2_history
+    SELECT * FROM ranked WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev
 ),
 dim AS (
     SELECT o_custkey AS custkey, o_orderstatus AS status,

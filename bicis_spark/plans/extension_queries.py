@@ -518,7 +518,7 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            list_reduce(
                list_prepend(0::BIGINT,
-                   list_transform(regexp_extract_all(text, '(.)', 1), c -> unicode(c)::BIGINT)),
+                   list_transform(regexp_extract_all(text, '(?s)(.)', 1), c -> unicode(c)::BIGINT)),
                (acc, x) -> (acc * 31 + x) % 2147483647
            ) AS fingerprint
     FROM documents

@@ -573,3 +573,182 @@ def test_linear_text_classifier_trained_weights(spark):
     assert default == same
     with pytest.raises(ValueError, match="n_buckets"):
         linear_text_classifier(docs, "doc_id", "text", weights=[1, 2, 3])
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-input oracle parity: run registered query + its oracle SQL on
+# staged adversarial tables the driver data never samples (NULL attribute
+# runs, NULL merge conditions, empty tables). These pin the cross-engine
+# corners found in the round-4 analytics review.
+# ---------------------------------------------------------------------------
+
+
+_PA_TYPES = {
+    "long": "int64",
+    "int": "int32",
+    "double": "float64",
+    "string": "string",
+    "timestamp": "timestamp[us]",
+}
+
+
+def _stage_tables(spark, tables):
+    """Write {name: (rows, schema)} as single-file naive-MICROS parquet in
+    a temp dir laid out exactly like the driver testdata (Spark's own
+    writer stamps isAdjustedToUTC=true, which DuckDB surfaces as
+    TIMESTAMPTZ and breaks the comparison); returns (dir, duckdb con)."""
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    d = tempfile.mkdtemp(prefix="bicis_degenerate_")
+    for name, (rows, schema) in tables.items():
+        fields = []
+        for part in schema.split(","):
+            col, typ = part.strip().rsplit(" ", 1)
+            fields.append(pa.field(col, _PA_TYPES[typ]))
+        pa_schema = pa.schema(fields)
+        cols = {
+            f.name: [r[i] for r in rows] for i, f in enumerate(pa_schema)
+        }
+        papq.write_table(
+            pa.Table.from_pydict(cols, schema=pa_schema), f"{d}/{name}.parquet"
+        )
+    con = duckdb.connect()
+    for name in tables:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{d}/{name}.parquet'"
+        )
+    return d, con
+
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+_LINEITEM_SCHEMA = (
+    "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, "
+    "l_tax double, l_returnflag string, l_linestatus string, "
+    "l_shipdate timestamp"
+)
+_CUSTOMER_SCHEMA = (
+    "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+    "c_mktsegment string"
+)
+
+
+def test_merge_user_state_null_type_oracle_parity(spark):
+    """A matched user whose incoming last_type is NULL must be KEPT and
+    updated on both engines: SQL MERGE fires WHEN clauses only on TRUE,
+    so the NULL delete condition must not delete (the engine coalesces;
+    the oracle's NOT(...) must too, else NOT(NULL)=NULL drops the row)."""
+    import shutil
+    from datetime import datetime as DT
+
+    from bicis_spark.plans.analytics_queries import _MERGE_SQL, merge_user_state
+    from tests.oracle_utils import assert_oracle_match
+
+    h1 = DT(2024, 1, 10)  # first half (< 2024-01-16)
+    h2 = DT(2024, 1, 20)  # second half
+    rows = [
+        # u7: matched, incoming latest type NULL -> UPDATE (not delete)
+        (1, h1, 7, "view", 0.0, "x"),
+        (2, h2, 7, "view", 0.0, "x"),
+        (3, DT(2024, 1, 21), 7, None, 0.0, "x"),
+        # u8: matched, incoming latest type 'error' -> DELETE
+        (4, h1, 8, "view", 0.0, "x"),
+        (5, h2, 8, "error", 0.0, "x"),
+        # u11: target-only -> kept
+        (6, h1, 11, "click", 0.0, "x"),
+        # u13: source-only -> inserted
+        (7, h2, 13, "purchase", 0.0, "x"),
+    ]
+    d, con = _stage_tables(spark, {"events": (rows, _EVENTS_SCHEMA)})
+    try:
+        out = merge_user_state(spark, d)
+        assert_oracle_match(out, con, _MERGE_SQL, "merge_user_state/null-type")
+        got = {r["user_id"]: r for r in out.collect()}
+        assert set(got) == {7, 11, 13}  # u8 deleted, u7 KEPT
+        assert got[7]["last_type"] is None and got[7]["n_events"] == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_quality_expectations_empty_table_oracle_parity(spark):
+    """Empty orders: every check must report 0 violations and passed=true
+    on both engines (SQL sum() over zero rows is NULL — the oracle must
+    coalesce it the way the engine does)."""
+    import shutil
+
+    from bicis_spark.plans.analytics_queries import (
+        _QUALITY_SQL,
+        quality_expectations,
+    )
+    from tests.oracle_utils import assert_oracle_match
+
+    d, con = _stage_tables(
+        spark,
+        {"orders": ([], _ORDERS_SCHEMA), "customer": ([], _CUSTOMER_SCHEMA)},
+    )
+    try:
+        out = quality_expectations(spark, d)
+        assert_oracle_match(out, con, _QUALITY_SQL, "quality_expectations/empty")
+        for r in out.collect():
+            assert r["n_violations"] == 0 and r["passed"] is True, r
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pit_status_null_runs_oracle_parity(spark):
+    """SCD2 version starts on NULL attribute values: statuses
+    [O, NULL, NULL, F] must open a NULL version at its FIRST date (02-01),
+    not drop it / reopen it mid-run — the NULL-unsafe `prev IS NULL OR
+    status <> prev` formulation diverges from scd2_history here."""
+    import shutil
+    from datetime import datetime as DT
+
+    from bicis_spark.plans.analytics_queries import _PIT_SQL, pit_status_at_ship
+    from tests.oracle_utils import assert_oracle_match
+
+    orders = [
+        (1, 100, "O", 10.0, DT(2024, 1, 1), "p"),
+        (2, 100, None, 10.0, DT(2024, 2, 1), "p"),
+        (3, 100, None, 10.0, DT(2024, 3, 1), "p"),
+        (4, 100, "F", 10.0, DT(2024, 4, 1), "p"),
+    ]
+    # one shipment inside each month; all on order 1 so the ship rows
+    # resolve to customer 100 regardless of which order carried them
+    def li(n, ship):
+        return (1, 1, 1, n, 1.0, 1.0, 0.0, 0.0, "N", "O", ship)
+
+    lineitem = [
+        li(1, DT(2024, 1, 15)),
+        li(2, DT(2024, 2, 15)),  # inside the dropped NULL version
+        li(3, DT(2024, 3, 15)),
+        li(4, DT(2024, 4, 15)),
+    ]
+    d, con = _stage_tables(
+        spark,
+        {
+            "orders": (orders, _ORDERS_SCHEMA),
+            "lineitem": (lineitem, _LINEITEM_SCHEMA),
+        },
+    )
+    try:
+        out = pit_status_at_ship(spark, d)
+        assert_oracle_match(out, con, _PIT_SQL, "pit_status_at_ship/null-runs")
+        got = {
+            (r["status_at_ship"], r["l_returnflag"]): r["n_lines"]
+            for r in out.collect()
+        }
+        # 01-15 -> O; 02-15 and 03-15 -> the NULL run; 04-15 -> F
+        assert got == {("O", "N"): 1, (None, "N"): 2, ("F", "N"): 1}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
