@@ -76,6 +76,99 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+# Gopher rule 5 (Rae et al. 2021, §A1.1): a kept document must contain at
+# least 2 distinct members of this 8-word stop set.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality filter battery (Rae et al. 2021,
+    Appendix A1.1 — public heuristics): per-document signals, one boolean
+    per rule, and the conjunctive ``keep`` decision.
+
+    Rules (canonical thresholds):
+      * 50 <= word count <= 100,000
+      * 3 <= mean word length <= 10
+      * symbol-to-word ratio (``#`` chars + ``...`` runs) <= 0.1
+      * < 90% of lines start with a bullet (``- `` / ``* ``)
+      * < 30% of lines end with an ellipsis (``...``)
+      * >= 80% of words contain an alphabetic character
+      * >= 2 distinct GOPHER_STOPWORDS present
+
+    (The intra-document repetition rules from the same appendix live in
+    `curation.doc_repetition` — this battery covers the non-repetition
+    half.) Pure column expressions: map-only, zero shuffles, vectorized
+    in whole-stage codegen — linear scale-out over a 100 TB corpus. Mean
+    word length uses the single-space-separation identity
+    ``total_word_chars = n_chars - (n_words - 1)`` (same convention as
+    `quality_metrics`); every ratio is an exact-int / exact-int double
+    division so the DuckDB oracle matches bitwise, and the threshold
+    comparisons therefore agree too.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    total_word_chars = (F.length(t).cast("long") - n_words + F.lit(1)).cast("long")
+    mean_word_len = total_word_chars.cast("double") / n_words.cast("double")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    # non-overlapping left-to-right '...' runs; replace() has identical
+    # semantics in Spark and DuckDB, and the delta is an exact multiple
+    # of 3 so the double division truncates exactly
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* "))
+        ).cast("double")
+        / n_lines.cast("double")
+    )
+    ellipsis_line_frac = (
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double")
+        / n_lines.cast("double")
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+        / n_words.cast("double")
+    )
+    n_stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    ).cast("long")
+
+    wc_ok = (n_words >= 50) & (n_words <= 100000)
+    mwl_ok = (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+    sym_ok = symbol_ratio <= 0.1
+    bullet_ok = bullet_frac < 0.9
+    ell_ok = ellipsis_line_frac < 0.3
+    alpha_ok = alpha_frac >= 0.8
+    stop_ok = n_stop_distinct >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        sym_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ell_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stopword_ok"),
+        (wc_ok & mwl_ok & sym_ok & bullet_ok & ell_ok & alpha_ok & stop_ok).alias(
+            "keep"
+        ),
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-vocabulary language scoring with a deterministic argmax
     (ties break toward the earlier language in LANG_MARKERS order)."""

@@ -37,6 +37,7 @@ from bicis_spark.extensions.similarity import (
 )
 from bicis_spark.extensions.text import (
     fingerprints,
+    gopher_quality,
     language_id,
     quality_metrics,
     token_count,
@@ -487,6 +488,63 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return quality_metrics(docs)
+
+
+@register(
+    "gopher_quality_flags",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split(text, ' ') AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_words,
+               (length(text) - len(toks) + 1)::BIGINT AS twc,
+               (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+               ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT AS n_ellipsis,
+               len(lines)::BIGINT AS n_lines,
+               len(list_filter(lines, x -> starts_with(x, '- ')
+                                        OR starts_with(x, '* ')))::BIGINT AS n_bullet,
+               len(list_filter(lines, x -> ends_with(x, '...')))::BIGINT AS n_ell_end,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT AS n_alpha,
+               len(list_distinct(list_filter(toks,
+                   x -> x IN ('the','be','to','of','and','that','have','with'))))::BIGINT AS n_stop
+        FROM t
+    )
+    SELECT doc_id,
+           n_words,
+           twc::DOUBLE / n_words::DOUBLE AS mean_word_len,
+           (n_hash + n_ellipsis)::DOUBLE / n_words::DOUBLE AS symbol_ratio,
+           n_bullet::DOUBLE / n_lines::DOUBLE AS bullet_line_frac,
+           n_ell_end::DOUBLE / n_lines::DOUBLE AS ellipsis_line_frac,
+           n_alpha::DOUBLE / n_words::DOUBLE AS alpha_word_frac,
+           n_stop AS n_stop_distinct,
+           (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+           (twc::DOUBLE / n_words::DOUBLE >= 3.0
+            AND twc::DOUBLE / n_words::DOUBLE <= 10.0) AS mean_word_len_ok,
+           ((n_hash + n_ellipsis)::DOUBLE / n_words::DOUBLE <= 0.1) AS symbol_ok,
+           (n_bullet::DOUBLE / n_lines::DOUBLE < 0.9) AS bullet_ok,
+           (n_ell_end::DOUBLE / n_lines::DOUBLE < 0.3) AS ellipsis_ok,
+           (n_alpha::DOUBLE / n_words::DOUBLE >= 0.8) AS alpha_ok,
+           (n_stop >= 2) AS stopword_ok,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (twc::DOUBLE / n_words::DOUBLE >= 3.0
+                 AND twc::DOUBLE / n_words::DOUBLE <= 10.0)
+            AND ((n_hash + n_ellipsis)::DOUBLE / n_words::DOUBLE <= 0.1)
+            AND (n_bullet::DOUBLE / n_lines::DOUBLE < 0.9)
+            AND (n_ell_end::DOUBLE / n_lines::DOUBLE < 0.3)
+            AND (n_alpha::DOUBLE / n_words::DOUBLE >= 0.8)
+            AND (n_stop >= 2)) AS keep
+    FROM s
+    """,
+)
+def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 A1.1) over documents:
+    per-rule booleans + conjunctive keep. Map-only column expressions."""
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_quality(docs)
 
 
 @register(

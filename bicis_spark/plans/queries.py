@@ -96,7 +96,9 @@ _LOADED = False
 #   holt_forecast_user_value (66th: Holt level+trend smoothing fold,
 #   verified at all 3 SFs), holt_winters_forecast_user_value (67th:
 #   additive-seasonal m=24 fold with computed-index season updates,
-#   verified at all 3 SFs).
+#   verified at all 3 SFs), gopher_quality_flags (68th: Gopher rule
+#   battery — Rae et al. 2021 A1.1 non-repetition half, map-only column
+#   exprs, verified sf0.001+sf0.01 + adversarial staged-docs parity).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (

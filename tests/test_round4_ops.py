@@ -752,3 +752,63 @@ def test_pit_status_null_runs_oracle_parity(spark):
         assert got == {("O", "N"): 1, (None, "N"): 2, ("F", "N"): 1}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def test_gopher_quality_adversarial_docs_oracle_parity(spark):
+    """Gopher rule battery on inputs the synthetic corpus never samples:
+    bulleted lists, ellipsis spam, '#'-heavy text, numeric-only words,
+    stopword-free text, and a long clean doc that passes every rule.
+    Both engines must agree bitwise on every signal, flag, and keep."""
+    import shutil
+
+    from bicis_spark.extensions.text import gopher_quality
+    from bicis_spark.plans.extension_queries import gopher_quality_flags_q
+    from bicis_spark.plans.queries import oracle_sql
+    from tests.oracle_utils import assert_oracle_match
+
+    clean = " ".join(
+        ["the quick brown fox jumps with vigor over the lazy dog and"] * 6
+    )  # 60 words, all alpha, 4 distinct gopher stopwords, mean len in [3,10]
+    docs = [
+        (1, clean, "en", "web", len(clean)),
+        # every line bulleted -> bullet_ok false (frac 1.0 >= 0.9)
+        (2, "\n".join(["- item one of the list"] * 5), "en", "web", 0),
+        # every line ends '...' -> ellipsis_ok false; '...' also counts
+        # into the symbol ratio
+        (3, "\n".join(["to be continued..."] * 4), "en", "web", 0),
+        # '#'-dense -> symbol_ok false
+        (4, "# # # # # # # # the code of and", "en", "web", 0),
+        # numeric words -> alpha_ok false
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12", "en", "web", 0),
+        # zero gopher stopwords -> stopword_ok false
+        (6, "alpha beta gamma delta epsilon zeta", "en", "web", 0),
+        # single short word -> wc_ok false, mean_word_len ok boundary
+        (7, "hi", "en", "web", 2),
+    ]
+    rows = [(i, t, l, s, n) for i, t, l, s, n in docs]
+    d, con = _stage_tables(spark, {"documents": (rows, _DOCUMENTS_SCHEMA)})
+    try:
+        out = gopher_quality_flags_q(spark, d)
+        assert_oracle_match(
+            out, con, oracle_sql()["gopher_quality_flags"], "gopher/adversarial"
+        )
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert got[1]["keep"] is True
+        assert got[2]["bullet_ok"] is False
+        assert got[3]["ellipsis_ok"] is False and got[3]["symbol_ok"] is False
+        assert got[4]["symbol_ok"] is False
+        assert got[5]["alpha_ok"] is False
+        assert got[6]["stopword_ok"] is False and got[6]["n_stop_distinct"] == 0
+        assert got[7]["wc_ok"] is False
+        assert all(not got[i]["keep"] for i in range(2, 8))
+        # engine fn and registered query agree column-for-column
+        assert out.columns == gopher_quality(
+            out.sparkSession.createDataFrame(rows, _DOCUMENTS_SCHEMA)
+        ).columns
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
