@@ -117,6 +117,64 @@ def pii_metrics(
     return df.select(F.col(id_col), *counts, red.alias("redacted_text"))
 
 
+# C4 line-retention rules (Raffel et al. 2020, §2.2 — public heuristics):
+# a line survives iff it ends in terminal punctuation, has >= 5 words,
+# and mentions none of the boilerplate markers.
+_C4_TERMINALS = (".", "!", "?", '"')
+_C4_MIN_LINE_WORDS = 5
+_C4_BAD_MARKERS = ("javascript", "lorem ipsum")
+
+
+def _c4_line_keep(x: Column) -> Column:
+    ends_ok = F.lit(False)
+    for term in _C4_TERMINALS:
+        ends_ok = ends_ok | x.endswith(term)
+    keep = ends_ok & (F.size(F.split(x, " ", -1)) >= _C4_MIN_LINE_WORDS)
+    low = F.lower(x)
+    for marker in _C4_BAD_MARKERS:
+        keep = keep & ~low.contains(marker)
+    return keep & ~x.contains("{")
+
+
+def c4_line_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): drop lines
+    that don't end in terminal punctuation, have < 5 words, or carry
+    boilerplate markers ('javascript', 'lorem ipsum', '{'), then keep the
+    document only if the surviving text still has >= 3 sentences (counted
+    as terminal-punctuation characters — the deterministic stand-in for a
+    sentence splitter).
+
+    Returns the cleaned text alongside the line/sentence bookkeeping so
+    the hash gate covers the actual transformation output, not just
+    flags. Map-only column expressions (array filter + array_join) — one
+    scan, zero shuffles, linear scale-out; the span-level 3-sentence
+    dedup half of C4 lives in `span_dedup`.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    kept = F.filter(lines, _c4_line_keep)
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = (
+        F.length(cleaned)
+        - F.length(F.replace(cleaned, F.lit("."), F.lit("")))
+        + F.length(cleaned)
+        - F.length(F.replace(cleaned, F.lit("!"), F.lit("")))
+        + F.length(cleaned)
+        - F.length(F.replace(cleaned, F.lit("?"), F.lit("")))
+    ).cast("long")
+    n_kept = F.size(kept).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        ((n_kept >= 1) & (n_sentences >= 3)).alias("keep"),
+        cleaned.alias("cleaned_text"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -548,6 +548,96 @@ def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c4_line_clean",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                   substr(text, 1, 60) || '.',
+                   'too short.',
+                   substr(text, 61, 60) || CASE WHEN doc_id % 3 = 0 THEN '!'
+                                                WHEN doc_id % 3 = 1 THEN '?'
+                                                ELSE '' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'please enable javascript to view this content.'
+                        ELSE substr(text, 121, 60) || '."' END,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+                        ELSE 'no terminal punctuation line here at all' END,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN 'var config = { "a": 1, "b": 2 };'
+                        ELSE substr(text, 181, 60) || '.' END
+               ) AS text
+        FROM documents
+    ), lf AS (
+        SELECT doc_id,
+               string_split(text, chr(10)) AS lines,
+               list_filter(string_split(text, chr(10)),
+                   x -> (ends_with(x, '.') OR ends_with(x, '!')
+                         OR ends_with(x, '?') OR ends_with(x, '"'))
+                        AND len(string_split(x, ' ')) >= 5
+                        AND NOT contains(lower(x), 'javascript')
+                        AND NOT contains(lower(x), 'lorem ipsum')
+                        AND NOT contains(x, '{')) AS kept
+        FROM aug
+    ), c AS (
+        SELECT doc_id,
+               len(lines)::BIGINT AS n_lines,
+               len(kept)::BIGINT AS n_lines_kept,
+               array_to_string(kept, chr(10)) AS cleaned_text
+        FROM lf
+    )
+    SELECT doc_id, n_lines, n_lines_kept,
+           (length(cleaned_text) - length(replace(cleaned_text, '.', ''))
+            + length(cleaned_text) - length(replace(cleaned_text, '!', ''))
+            + length(cleaned_text) - length(replace(cleaned_text, '?', '')))::BIGINT
+               AS n_sentences,
+           ((n_lines_kept >= 1)
+            AND (length(cleaned_text) - length(replace(cleaned_text, '.', ''))
+                 + length(cleaned_text) - length(replace(cleaned_text, '!', ''))
+                 + length(cleaned_text) - length(replace(cleaned_text, '?', ''))) >= 3)
+               AS keep,
+           cleaned_text
+    FROM c
+    """,
+)
+def c4_line_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
+    deterministically line-structured corpus (the raw corpus is a single
+    line with no punctuation, so multi-line punctuated documents are
+    synthesized from doc_id + text slices — identically on both engines,
+    the pii_scrub pattern). The hash gate covers the cleaned text itself,
+    not just the flags. Map-only, zero shuffles."""
+    from bicis_spark.extensions.curation import c4_line_filter
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.col("text")
+    l1 = F.concat(F.substring(t, 1, 60), F.lit("."))
+    l2 = F.lit("too short.")
+    l3 = F.concat(
+        F.substring(t, 61, 60),
+        F.when(d % 3 == 0, F.lit("!")).when(d % 3 == 1, F.lit("?")).otherwise(
+            F.lit("")
+        ),
+    )
+    l4 = F.when(
+        d % 5 == 0, F.lit("please enable javascript to view this content.")
+    ).otherwise(F.concat(F.substring(t, 121, 60), F.lit('."')))
+    l5 = F.when(
+        d % 7 == 0,
+        F.lit("lorem ipsum dolor sit amet consectetur adipiscing elit."),
+    ).otherwise(F.lit("no terminal punctuation line here at all"))
+    l6 = F.when(d % 11 == 0, F.lit('var config = { "a": 1, "b": 2 };')).otherwise(
+        F.concat(F.substring(t, 181, 60), F.lit("."))
+    )
+    aug = docs.select(
+        d.alias("doc_id"), F.concat_ws("\n", l1, l2, l3, l4, l5, l6).alias("text")
+    )
+    return c4_line_filter(aug)
+
+
+@register(
     "language_id",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -98,7 +98,9 @@ _LOADED = False
 #   additive-seasonal m=24 fold with computed-index season updates,
 #   verified at all 3 SFs), gopher_quality_flags (68th: Gopher rule
 #   battery — Rae et al. 2021 A1.1 non-repetition half, map-only column
-#   exprs, verified sf0.001+sf0.01 + adversarial staged-docs parity).
+#   exprs, verified sf0.001+sf0.01 + adversarial staged-docs parity),
+#   c4_line_clean (69th: C4 §2.2 line-retention cleaning, hash gate over
+#   the cleaned text itself, verified sf0.001+sf0.01).
 # Everything
 # previously green stays covered by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -812,3 +812,35 @@ def test_gopher_quality_adversarial_docs_oracle_parity(spark):
         ).columns
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_c4_line_filter_edge_docs(spark):
+    """Direct-function edges the registered query's augmentation always
+    structures away: a doc whose every line is dropped (keep=false,
+    cleaned_text=''), the >=3-sentence keep boundary, and quote-terminal
+    lines. Engine vs hand-computed expectations."""
+    from bicis_spark.extensions.curation import c4_line_filter
+
+    rows = [
+        # every line dropped: short, no terminal, boilerplate
+        (1, "one two.\nno terminal punct here at all\nuses javascript on page."),
+        # exactly 3 sentences after cleaning (boundary: keep=true)
+        (2, "alpha beta gamma delta epsilon.\nthis line also has five words!"
+            "\nand a third sentence right here?"),
+        # 2 sentences only -> keep=false
+        (3, "alpha beta gamma delta epsilon.\nsecond full line of words here."),
+        # quote-terminal counts as a valid line end but not a sentence char
+        (4, 'he said the words were "fine words indeed"\nshort one.'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert got[1]["n_lines_kept"] == 0 and got[1]["keep"] is False
+    assert got[1]["cleaned_text"] == ""
+    assert got[2]["n_lines_kept"] == 3
+    assert got[2]["n_sentences"] == 3 and got[2]["keep"] is True
+    assert got[3]["n_sentences"] == 2 and got[3]["keep"] is False
+    # doc 4: quote-ended line kept, but zero ./!/? chars in it survive the
+    # sentence floor only via the second line — which is too short
+    assert got[4]["n_lines_kept"] == 1
+    assert got[4]["n_sentences"] == 0 and got[4]["keep"] is False
+    assert got[4]["cleaned_text"].endswith('"')
