@@ -153,16 +153,21 @@ def test_pipeline_observed_metrics_ride_the_write_job(spark, tmp_path):
         return base_df.where(F.col("id") >= 5)
 
     tracker = spark.sparkContext.statusTracker()
-    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    # Compare ID sets, not counts: the tracker retains only the last
+    # spark.ui.retainedJobs (1000) job ids, so deep into a full-suite
+    # session old ids are evicted WHILE the stage runs and a
+    # before/after count delta undercounts. Eviction only drops old
+    # ids, so the set difference still isolates exactly the new jobs.
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
     p.run(["filtered"])
-    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    new_jobs = set(tracker.getJobIdsForGroup(None) or []) - jobs_before
 
     assert p.last_run_metrics["base"] == {"rows": 25}
     assert p.last_run_metrics["filtered"] == {"rows": 20, "n_even": 10}
     # two jobs per stage (the parquet write + the post-write read's
     # file-listing/schema job) and ZERO metric jobs — a count()-based
     # metrics pass would add one more job per stage (6 total)
-    assert jobs_after - jobs_before == 4
+    assert len(new_jobs) == 4
 
     p.run(["filtered"])  # memoized rerun
     assert p.last_run_metrics == {
