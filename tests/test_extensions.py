@@ -346,3 +346,87 @@ def test_bpe_encode_applies_merges_in_order(spark):
     }
     assert got[1] == ["abab"]
     assert got[2] == ["ab", "a"]
+
+
+def test_bmp_wav_codec_roundtrip_pure():
+    """The round-5 REAL codecs: encode→decode must invert exactly, and the
+    decoder must come from header fields (magic, offsets, strides), not the
+    generator's arithmetic."""
+    from bicis_spark.extensions.multimodal import (
+        decode_bmp,
+        decode_wav,
+        synth_bmp,
+        synth_wav,
+    )
+
+    for d in (0, 1, 2, 13, 100, 501, 9999):
+        got = decode_bmp(synth_bmp(d))
+        w, h = 1 + d % 7, 1 + d % 5
+        assert got == {
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "pixel_sum": sum((d * 31 + i) % 256 for i in range(w * h * 3)),
+        }
+        got = decode_wav(synth_wav(d))
+        n, rate = 16 + d % 32, 8000 + (d % 4) * 4000
+        assert got == {
+            "sample_rate": rate,
+            "n_samples": n,
+            "duration_us": n * 1_000_000 // rate,
+            "sample_abs_sum": sum(
+                abs(((d * 7919 + i * 104729) % 65536) - 32768) for i in range(n)
+            ),
+        }
+
+
+def test_bmp_padding_is_stripped_not_summed():
+    """Width 1 rows carry 1 byte of pixels + 1 byte of 0xAA padding per
+    row-stride; a parser that sums the raw pixel area would be off by
+    h * pad_bytes * 0xAA. doc_id=7 → w=1 (3 bytes/row, 1 pad byte)."""
+    from bicis_spark.extensions.multimodal import decode_bmp, synth_bmp
+
+    d = 7  # w=1+7%7=1, h=1+7%5=3 → stride 4, 1 pad byte per row
+    payload = synth_bmp(d)
+    assert payload.count(b"\xaa") >= 3  # poison present in the payload
+    got = decode_bmp(payload)
+    assert got["pixel_sum"] == sum((d * 31 + i) % 256 for i in range(1 * 3 * 3))
+
+
+def test_wav_decoder_walks_chunks():
+    """Insert an unknown RIFF chunk before 'data' — a fixed-offset parser
+    would misread; the chunk walker must skip it (incl. odd-size 2-byte
+    alignment)."""
+    import struct
+
+    from bicis_spark.extensions.multimodal import decode_wav, synth_wav
+
+    base = synth_wav(3)
+    # splice a 5-byte 'LIST' chunk (odd size → 1 alignment byte) after fmt
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 5) + b"junk!" + b"\x00"
+    payload = base[:fmt_end] + extra + base[fmt_end:]
+    # patch RIFF size
+    payload = payload[:4] + struct.pack("<I", len(payload) - 8) + payload[8:]
+    assert decode_wav(payload) == decode_wav(base)
+
+
+def test_codec_features_lenient_vs_strict(spark):
+    """Garbage payloads: lenient mode yields NULL-feature rows (a bad object
+    must not abort a 100 TB scan); strict mode raises."""
+    import pytest as _pytest
+
+    from bicis_spark.extensions.multimodal import decode_codec_features
+
+    rows = [
+        (1, "image/bmp", bytearray(b"not a bmp at all"), 16),
+        (2, "audio/wav", None, 0),
+    ]
+    binary = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary, n_bytes long"
+    )
+    feats = {r["doc_id"]: r for r in decode_codec_features(binary).collect()}
+    assert feats[1]["width"] is None and feats[1]["sample_rate"] is None
+    assert feats[2]["pixel_sum"] is None
+    with _pytest.raises(Exception, match="ValueError|unknown|NULL"):
+        decode_codec_features(binary, strict=True).collect()
