@@ -49,111 +49,88 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver hash-verifies only the FIRST 50 registered queries (observed:
-# CORRECTNESS_r01/r02 keys == queries() positions 1-50 in insertion order).
+# CORRECTNESS_r01-r04 keys == queries() positions 1-50 in insertion order).
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
-# Round-4 rotation (r3 verdict item #1): the 46 round-3 window members
-# came back green (+4 rows-only by design), so all 50 slots moved to the
-# never-driver-checked round-3 analytics battery. ROUND-5 QUEUE — the
-# exact set of queries with no driver row after round 4 (51 names,
-# recomputed from CORRECTNESS_r01-r03 ∪ this round's window; 50 fit the
-# window, queue the leftover first in round 6):
-#   ab_spend_ztest, ann_pq_recall, ann_topk_pq, bigram_surprisal_quality,
-#   customer_revenue_pareto, dedup_incremental_batch,
-#   dsir_importance_resample, equidepth_quantity_buckets,
-#   event_gap_percentiles, ewma_user_value, hard_negative_candidates,
-#   hll_overlap_contract, k_anonymity_customer,
-#   next_event_training_examples, ols_calibration_deciles,
-#   order_value_drift, part_copurchase_triangles, path_trigrams_top10,
-#   peak_event_rate, pit_status_at_ship, purchase_attribution,
-#   q2/q4/q6/q7/q8/q9/q11/q12/q13/q14/q15/q16/q17/q18/q19/q20/q21/q22
-#   (18 TPC-H battery names), rfm_segments, semantic_dedup_flags,
-#   session_conversion_funnel, session_cooccurrence_lift,
-#   span_dedup_rebuild, streaming_view_purchase_left_join,
-#   target_encode_priority, temperature_mix_weights,
-#   token_budget_allocation, twap_user_value, unigram_surprisal_quality,
-#   winsorized_value_stats, split_leakage_audit (52nd, added after the
-#   queue snapshot), variant_props_stats and unpivot_status_counts (53rd/54th, late-round-4 additions),
-#   streaming_upsert_user_state (55th, round-4 continuation: foreachBatch
-#   MERGE sink — oracle-verified locally at sf0.001/sf0.01/sf0.1),
-#   csv_sink_roundtrip and json_sink_roundtrip (56th/57th: S7/S8 sinks
-#   proven by the write→read→aggregate law, verified sf0.001+sf0.01),
-#   ols_model_reload_predictions (58th: S12 save→load→predict hash gate,
-#   verified sf0.001+sf0.01), string_normalize_stations (59th: X5 via
-#   synthesized messy inputs, verified sf0.001+sf0.01),
-#   row_validity_filter (60th: F6 end-to-end through the V4 dialect —
-#   zero/negative durations dropped, minutes + H/MIN/SEG derived —
-#   verified sf0.001+sf0.01), pipeline_runner_hour_profile (61st:
-#   U3/U5/L1-L2 by composition — YAML-resolved builder through the
-#   materializing DAG runner, hour_profile oracle, verified
-#   sf0.001+sf0.01), vector_assembly_roundtrip (62nd: U4 VectorUDT
-#   assemble→decompose law, verified sf0.001+sf0.01),
-#   partitioned_sink_day_counts (63rd: day-partitioned dynamic-overwrite
-#   sink + partition-pruned read, verified sf0.001+sf0.01),
-#   bucketed_join_order_revenue (64th: bucketed co-located join written
-#   through write_bucketed_table, verified sf0.001+sf0.01),
-#   quality_classifier_flags (65th: map-side linear text classifier over
-#   signed hashed token features, verified sf0.001+sf0.01+sf0.1),
-#   holt_forecast_user_value (66th: Holt level+trend smoothing fold,
-#   verified at all 3 SFs), holt_winters_forecast_user_value (67th:
-#   additive-seasonal m=24 fold with computed-index season updates,
-#   verified at all 3 SFs), gopher_quality_flags (68th: Gopher rule
-#   battery — Rae et al. 2021 A1.1 non-repetition half, map-only column
-#   exprs, verified sf0.001+sf0.01 + adversarial staged-docs parity),
-#   c4_line_clean (69th: C4 §2.2 line-retention cleaning, hash gate over
-#   the cleaned text itself, verified sf0.001+sf0.01).
-# Everything
-# previously green stays covered by tests/test_oracle_queries.py locally.
+#
+# Round-5 rotation (r4 verdict item #1): all 50 round-4 window members came
+# back green, so every slot moves to the never-driver-checked queue — the
+# 18 TPC-H shapes lead (per the verdict), then the round-4 dedup/ANN scale
+# paths (SemDeDup, PQ-ADC + its recall contract, span dedup), the round-4
+# sink/model/runner/streaming hash gates, and the LLM-data-pipeline
+# curation/quality/sampling family; the 50th slot goes to this round's new
+# multimodal_bmp_wav_decode (real byte-level BMP/WAV codec, r4 verdict
+# item #4 asked for a hash-green row on a real decoder).
+#
+# ROUND-6 QUEUE — the 20 names still without a driver row after this
+# window (all oracle-MATCH locally at sf0.001+sf0.01; recompute with
+# scripts/next_window.py after CORRECTNESS_r05.json lands):
+#   part_copurchase_triangles, purchase_attribution, winsorized_value_stats,
+#   session_cooccurrence_lift, session_conversion_funnel, twap_user_value,
+#   customer_revenue_pareto, peak_event_rate, path_trigrams_top10,
+#   event_gap_percentiles, rfm_segments, order_value_drift, ab_spend_ztest,
+#   equidepth_quantity_buckets, pit_status_at_ship, ewma_user_value,
+#   variant_props_stats, unpivot_status_counts, holt_forecast_user_value,
+#   holt_winters_forecast_user_value
+# plus any query registered during round 5 itself (those queue behind the
+# 20 above). Everything previously green stays covered by
+# tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "asof_forward_next_order",
-    "asof_nearest_order",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "streaming_topk_event_types",
-    "streaming_scd2_enrichment",
-    "training_mix_manifest",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "hourly_gap_fill_ffill",
-    "quality_expectations",
-    "cms_heavy_hitters",
-    "hll_distinct_contract",
-    "customer_event_reconciliation",
-    "quantity_deciles",
-    "totalprice_histogram",
-    "interval_overlap_error_purchase",
-    "vocab_encode_documents",
-    "streaming_dedup_watermark",
-    "snapshot_diff_orders",
-    "hourly_anomalies",
-    "training_epoch_shuffle",
-    "pagerank_part_supplier",
-    "bloom_pruned_part_revenue",
-    "key_skew_profile_events",
-    "hashed_features_customer",
-    "scaled_quantity_features",
-    "doc_cosine_topk",
-    "quantile_interpolation",
-    "bpe_encode_stats",
-    "topk_agg_orders_per_customer",
-    "prorated_daily_revenue",
-    "group_sample_events",
-    "quantile_approx_contract",
-    "above_avg_customers",
-    "grouping_sets_order_stats",
-    "array_hof_order_stats",
-    "merge_user_state",
-    "revenue_share_by_nation",
-    "mad_robust_anomalies",
-    "orders_30d_range_frame",
-    "price_percentile_vector",
-    "pivot_status_multi_agg",
-    "null_semantics_battery",
-    "json_typed_parse",
-    "sliding_window_distinct_users",
-    "hash_split_assignment",
-    "order_lifecycle_snapshot",
-    "running_median_value",
+    # TPC-H battery (the 18 shapes never driver-checked; 1/3/5/10 green r4)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_census",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    # round-4 dedup/ANN scale paths
+    "semantic_dedup_flags",
+    "ann_topk_pq",
+    "ann_pq_recall",
+    "span_dedup_rebuild",
+    # round-4 sink / model / runner / streaming hash gates
+    "csv_sink_roundtrip",
+    "json_sink_roundtrip",
+    "partitioned_sink_day_counts",
+    "bucketed_join_order_revenue",
+    "ols_model_reload_predictions",
+    "pipeline_runner_hour_profile",
+    "vector_assembly_roundtrip",
+    "streaming_view_purchase_left_join",
+    "streaming_upsert_user_state",
+    # LLM-data-pipeline curation / quality / sampling
+    "gopher_quality_flags",
+    "c4_line_clean",
+    "unigram_surprisal_quality",
+    "bigram_surprisal_quality",
+    "dsir_importance_resample",
+    "dedup_incremental_batch",
+    "quality_classifier_flags",
+    "split_leakage_audit",
+    "hll_overlap_contract",
+    "k_anonymity_customer",
+    "target_encode_priority",
+    "hard_negative_candidates",
+    # remaining round-4 additions
+    "temperature_mix_weights",
+    "token_budget_allocation",
+    "next_event_training_examples",
+    "string_normalize_stations",
+    "row_validity_filter",
+    "ols_calibration_deciles",
+    # round-5 addition: REAL BMP/WAV byte-level codec (hash-gated)
+    "multimodal_bmp_wav_decode",
 )
 
 
