@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bicis_spark.plans import queries as registry  # noqa: E402
+from bicis_spark.caching import release_tracked  # noqa: E402
 from bicis_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family.
@@ -112,6 +113,7 @@ def main() -> None:
         # session contaminates later timings (the round-3 overlap
         # regression suspect). Within a query, run 2 still reuses run 1's
         # caches — that steady-state reuse is the thing being measured.
+        release_tracked()
         spark.catalog.clearCache()
 
     # Accuracy contracts for the approximate ANN scale paths: mean recall@5

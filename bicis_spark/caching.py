@@ -44,3 +44,47 @@ def persisted(*frames: DataFrame) -> Iterator[tuple[DataFrame, ...]]:
     finally:
         for c in cached:
             c.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Tracked session caches (round-5, ADVICE item on IVF/PQ persist leaks).
+#
+# Some builders persist multi-consumer subtrees (IVF centroids, PQ
+# codebooks, dedup shingle blocks) that MUST outlive the builder call:
+# the returned plan is lazy, and the bench contract measures run 2 of a
+# query re-using run 1's trained structures (the long-lived-cluster
+# steady state), so an in-builder unpersist would defeat both. The
+# discipline instead is ownership transfer: builders register such
+# persists here, and every harness boundary (bench between queries,
+# driver emulation between queries, test teardown) calls
+# ``release_tracked()`` — an explicit, inspectable release path, so
+# nothing accumulates for the rest of the session.
+# ---------------------------------------------------------------------------
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """Persist a builder intermediate whose cache deliberately outlives
+    the builder call (lazy result plans reference it). The frame is
+    recorded so ``release_tracked()`` at the next harness boundary frees
+    it; use plain ``persisted(...)`` for caches that can die with the
+    builder."""
+    _TRACKED.append(df.persist())
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked builder cache; returns how many were
+    released. Idempotent; safe to call between queries or in teardown."""
+    n = 0
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
+        n += 1
+    return n
+
+
+def tracked_count() -> int:
+    """How many builder caches are currently tracked (leak probe for
+    tests)."""
+    return len(_TRACKED)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bicis_spark.caching import tracked_persist
 from bicis_spark.extensions.similarity import quantize
 
 
@@ -47,9 +48,11 @@ def _reusable(df: DataFrame, parallelism: int | None, key: str) -> DataFrame:
     projection once per consumer (verified empirically: 8 scans, zero
     ReusedExchange). An explicit persist (memory, spill-to-disk) is the
     reference's own L4 pattern (build_dataset.py:123,136) applied at the
-    one spot measurement says it pays."""
+    one spot measurement says it pays. Tracked (caching.py): the
+    returned plan is lazy, so release happens at harness boundaries, not
+    here."""
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, key).persist()
+    return tracked_persist(df.repartition(n, key))
 
 
 
@@ -772,8 +775,10 @@ def semantic_dedup(
         norm_col,
     )
 
-    c = _partitioned(df, None).select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
+    c = tracked_persist(
+        _partitioned(df, None).select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
+        )
     )
     seed_filter = F.col("vid") % n_centroids_mod == 1
     if max_clusters is not None:
@@ -781,9 +786,12 @@ def semantic_dedup(
             F.col("vid") < n_centroids_mod * max_clusters
         )
     # seeds from the PERSISTED projection, not a second raw-corpus scan
-    # (same rows — c preserves the id — served from cache)
+    # (same rows — c preserves the id — served from cache); matches
+    # ann_topk_ivf: c feeds every training iteration plus the assignment
     seeds = c.where(seed_filter).select(F.col("vid").alias("centroid_id"), "qv")
-    cents = kmeans_refine_exact(c, seeds, train_iters, "vid", "qv", dims).persist()
+    cents = tracked_persist(
+        kmeans_refine_exact(c, seeds, train_iters, "vid", "qv", dims)
+    )
     assigned = _reusable(
         ivf_assign(c, cents, "vid", "qv", dims).withColumn(
             "n", norm_col(F.col("qv"), dims)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bicis_spark.caching import tracked_persist
+
 QUANT_SCALE = 1_000_000
 
 # NOTE on array math strategy: dot products/norms use higher-order array
@@ -333,9 +335,10 @@ def ann_topk_ivf(
             quantize(F.col(vec_col), dims).alias("qv"),
         )
         # consumed by every training iteration and the final assignment —
-        # persist so the corpus scan + quantize runs once
-        .persist()
+        # persist so the corpus scan + quantize runs once; tracked: the
+        # returned plan is lazy, harness boundaries release (caching.py)
     )
+    c = tracked_persist(c)
     seed_filter = F.col("neighbor_id") % n_centroids_mod == 1
     if max_lists is not None:
         seed_filter = seed_filter & (
@@ -350,9 +353,9 @@ def ann_topk_ivf(
     # persist: the trained centroids feed two broadcast consumers (corpus
     # assignment + query probing); without a persist each broadcast re-runs
     # the training shuffle
-    cents = kmeans_refine_exact(
-        c, seeds, train_iters, "neighbor_id", "qv", dims
-    ).persist()
+    cents = tracked_persist(
+        kmeans_refine_exact(c, seeds, train_iters, "neighbor_id", "qv", dims)
+    )
     c_assigned = (
         ivf_assign(c, cents, "neighbor_id", "qv", dims)
         .withColumnRenamed("qv", "cv")
@@ -697,10 +700,11 @@ def ann_topk_pq(
         corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col).alias("nid"), quantize(F.col(vec_col)).alias("qv"))
         # consumed by seeds, train, encode, and the re-rank stage — persist
-        # so the corpus scan + repartition exchange runs once, not 3-4x
-        .persist()
+        # so the corpus scan + repartition exchange runs once, not 3-4x;
+        # tracked: lazy result plan, harness boundaries release (caching.py)
     )
-    subvecs = pq_subvectors(c, "nid", "qv", n_subspaces, sub_dims).persist()
+    c = tracked_persist(c)
+    subvecs = tracked_persist(pq_subvectors(c, "nid", "qv", n_subspaces, sub_dims))
     # codebook size must be a CONSTANT, not a corpus fraction: real PQ uses
     # K=256 codes per subspace at any corpus size (one byte per code), and
     # training/encoding cost is N·K per subspace — a mod-only seed rule
@@ -712,7 +716,7 @@ def ann_topk_pq(
     seeds = pq_subvectors(
         c.where(seed_filter), "nid", "qv", n_subspaces, sub_dims
     ).select("sub", F.col("nid").alias("cid"), "sv")
-    cb = pq_train_codebooks(subvecs, seeds, train_iters, "nid").persist()
+    cb = tracked_persist(pq_train_codebooks(subvecs, seeds, train_iters, "nid"))
 
     codes = pq_encode(subvecs, cb, "nid")
 

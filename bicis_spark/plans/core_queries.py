@@ -1889,11 +1889,13 @@ def bucketed_join_order_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame
     lineitem = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
-    write_bucketed_table(orders, lt, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
-    write_bucketed_table(
-        lineitem, rt, ["l_orderkey"], 8, sort_cols=["l_orderkey"]
-    )
+    # writes inside the try: if the second write fails, the finally still
+    # drops the first table instead of leaking it into the warehouse
     try:
+        write_bucketed_table(orders, lt, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        write_bucketed_table(
+            lineitem, rt, ["l_orderkey"], 8, sort_cols=["l_orderkey"]
+        )
         joined = spark.table(lt).join(
             spark.table(rt),
             F.col("o_orderkey") == F.col("l_orderkey"),

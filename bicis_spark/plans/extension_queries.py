@@ -24,6 +24,7 @@ from bicis_spark.extensions.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from bicis_spark.caching import tracked_persist
 from bicis_spark.extensions.multimodal import (
     decode_codec_features,
     decode_media,
@@ -1544,9 +1545,11 @@ def dedup_minhash_lsh_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ref feeds BOTH the count aggregate and the semi-join probe: without
     # a persist the inverted-index plan runs twice (measured ~2x of this
     # query's bench cost)
-    ref = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.4, max_doc_freq=50
-    ).select("doc_a", "doc_b").persist()
+    ref = tracked_persist(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.4, max_doc_freq=50
+        ).select("doc_a", "doc_b")
+    )
     fast = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="xxhash64"
     ).select("doc_a", "doc_b")

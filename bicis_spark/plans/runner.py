@@ -101,6 +101,14 @@ class Pipeline:
                 obs = Observation(f"stage:{name}")
                 aggs = {"rows": F.count(F.lit(1)).alias("rows")}
                 for mname, col in (stage.metrics or {}).items():
+                    if mname in aggs:
+                        # 'rows' is the built-in row-count observation; a
+                        # user metric under the same key would silently
+                        # shadow it in last_run_metrics
+                        raise ValueError(
+                            f"stage {name!r}: metric name {mname!r} collides "
+                            "with a reserved observation key"
+                        )
                     aggs[mname] = col.alias(mname)
                 df = df.observe(obs, *aggs.values())
                 writer = df.write.mode("overwrite")

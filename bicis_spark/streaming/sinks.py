@@ -178,5 +178,11 @@ def run_upsert_stream(
     finally:
         q.stop()
     out = read_table_version(spark, target_dir, schema)
-    assert out is not None, "stream produced no batches"
+    if out is None:
+        # not an assert: stripped under `python -O`, and an empty stream
+        # returning None would surface as a confusing downstream AttributeError
+        raise RuntimeError(
+            "upsert stream produced no batches (no table version written "
+            f"under {target_dir!r})"
+        )
     return out

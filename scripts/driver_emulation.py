@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from bicis_spark.caching import release_tracked  # noqa: E402
 from bicis_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -77,8 +78,10 @@ def main() -> int:
             ok = False
             print(f"t2 {name}: ERROR — {type(exc).__name__}: {exc}")
         finally:
-            # some builders persist subtrees with no release path; don't
-            # let 190 queries of caches accumulate in one session
+            # release builder caches between queries (tracked_persist
+            # ownership-transfer contract, bicis_spark/caching.py) so 200+
+            # queries don't accumulate caches in one session
+            release_tracked()
             spark.catalog.clearCache()
 
     spark.stop()

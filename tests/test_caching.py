@@ -55,3 +55,39 @@ def test_checkpointed_result_survives_release(spark):
         out = c.groupBy().sum("v").localCheckpoint(eager=True)
     assert not c.is_cached
     assert out.collect()[0][0] == sum(range(100))
+
+
+def test_tracked_persist_registers_and_releases(spark):
+    from bicis_spark.caching import release_tracked, tracked_count, tracked_persist
+
+    release_tracked()  # clean slate
+    df = tracked_persist(_make_df(spark))
+    assert df.is_cached and tracked_count() == 1
+    df.count()
+    assert release_tracked() == 1
+    assert not df.is_cached and tracked_count() == 0
+    assert release_tracked() == 0  # idempotent
+
+
+def test_ann_builders_register_their_caches(spark):
+    """The IVF/PQ/SemDeDup builders persist trained structures that must
+    outlive the call (lazy result plans + bench run-2 reuse) — the
+    discipline is that every such persist is TRACKED so harness
+    boundaries can release it. Pin that the builders actually register,
+    and that release leaves nothing cached."""
+    from bicis_spark.caching import release_tracked, tracked_count
+    from bicis_spark.extensions.similarity import ann_topk_ivf
+
+    release_tracked()
+    corpus = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> cast(pmod(id * i, 19) AS double) / 19.0)"
+        " AS embedding",
+    )
+    out = ann_topk_ivf(
+        corpus, corpus.limit(5), k=3, n_centroids_mod=10, dims=8, max_lists=4
+    )
+    assert tracked_count() >= 2  # corpus projection + centroids
+    assert out.count() > 0
+    released = release_tracked()
+    assert released >= 2 and tracked_count() == 0
