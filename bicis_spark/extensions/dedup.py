@@ -616,12 +616,20 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     dims: int | None = 64,
+    probe_mod: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine near-dup on quantized embeddings (exact integer dot
     products ⇒ bitwise-deterministic cosine).
 
     The brute-force O(n²) form — correct baseline;
     ``embedding_neardup_pairs_lsh`` is the scale path.
+
+    ``probe_mod`` bounds the baseline the way ``ann_topk_bruteforce``
+    bounds its query side: keep only pairs whose LOWER id is in the
+    deterministic ``id % probe_mod == 0`` subset, so the join is
+    N·(N/probe_mod) instead of N² and the oracle row stays runnable at
+    larger SFs. ``None`` keeps the full quadratic form (unit tests,
+    recall contracts — never declare it over an unbounded corpus).
     """
     from bicis_spark.extensions.similarity import cosine_from_norms, norm_col
 
@@ -629,6 +637,8 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
     ).withColumn("n", norm_col(F.col("qv"), dims))
     a, b = q.alias("a"), q.alias("b")
+    if probe_mod is not None:
+        a = a.where(F.col("vid") % probe_mod == 0)
     pairs = a.join(b, F.col("a.vid") < F.col("b.vid"))
     sim = cosine_from_norms(
         F.col("a.qv"), F.col("b.qv"), F.col("a.n"), F.col("b.n"), dims

@@ -295,12 +295,20 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_COS.format(a='a', b='b')} AS cosine
     FROM q a JOIN q b ON a.vec_id < b.vec_id
-    WHERE {_COS.format(a='a', b='b')} >= 0.45
+    WHERE a.vec_id % 20 = 0
+      AND {_COS.format(a='a', b='b')} >= 0.45
     """,
 )
 def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-cosine BASELINE row, bounded (r4 verdict item #3): the
+    probe side is the deterministic 5% id subset, so the declared join is
+    N·N/20 and stays runnable at any SF — the full near-dup sweep is the
+    LSH twin (``dedup_embedding_cosine_lsh``), which this row's exact
+    pairs spot-check."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, probe_mod=20
+    )
 
 
 def _lsh_bucket_sql(rel: str, n_planes: int, dims: int = 64, plane_offset: int = 0) -> str:
