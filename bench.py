@@ -50,7 +50,7 @@ HEADLINE = [
     "funnel_view_click_purchase",  # ordered funnel (chained user-key joins)
     "interval_overlap_error_purchase",  # bucketed interval-overlap join
     "vocab_encode_documents",  # broadcast-map token encoding (corpus unshuffled)
-    "pagerank_part_supplier",  # iterative fixed-point graph (5 rounds)
+    "pagerank_part_supplier",  # iterative fixed-point graph (3 rounds)
     "snapshot_diff_orders",    # full-outer version reconciliation
     "scd2_customer_status",    # SCD2 dimension build (shared-exchange windows)
     "char_entropy_quality",    # entropy via broadcast libm log table

@@ -51,7 +51,6 @@ def pagerank_fixed_point(
     every rank held as a scaled BIGINT. ``edges`` must have distinct
     (src, dst) rows; every src contributes, nodes with no inbound edges
     settle at base."""
-    base = scale * (damping_den - damping_num) // damping_den
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     verts = (
         edges.select(F.col("src").alias("v"))
@@ -70,50 +69,124 @@ def pagerank_fixed_point(
     # for this query; at real cluster scale swap localCheckpoint for a
     # reliable checkpoint dir, same caveat as the CC loop).
     with persisted(verts, edges.join(deg, on="src")) as (verts, ew):
-        ranks = verts.select(
-            "v", F.lit(scale).cast("long").alias("rank_fp")
+        return _power_iterations(
+            verts, ew, n_iter, scale, damping_num, damping_den,
+            checkpoint_every, broadcast_ranks=False,
         )
-        for i in range(n_iter):
-            # lineage truncation (same discipline as
-            # connected_components_min_label): materialize the |V|-sized
-            # rank frame every few rounds so the plan tree stays shallow
-            # for long loops. eager=True keeps determinism — ranks are
-            # exact integers, so re-materialization can't drift. Only
-            # worth it when ≥3 rounds remain: a checkpoint just before
-            # the end pays materialization without saving any plan depth.
-            if (
-                i > 0
-                and checkpoint_every > 0
-                and i % checkpoint_every == 0
-                and n_iter - i >= 3
-            ):
-                ranks = ranks.localCheckpoint(eager=True)
-            inflow = (
-                ew.join(ranks.withColumnRenamed("v", "src"), on="src")
-                .groupBy("dst")
-                .agg(F.sum(F.expr("rank_fp div outdeg")).alias("_inflow"))
+
+
+def _power_iterations(
+    verts: DataFrame,
+    ew: DataFrame,
+    n_iter: int,
+    scale: int,
+    damping_num: int,
+    damping_den: int,
+    checkpoint_every: int,
+    broadcast_ranks: bool,
+) -> DataFrame:
+    """The shared power-iteration loop over persisted (verts, ew). Runs
+    INSIDE the caller's persisted() block and returns an eagerly
+    checkpointed result (the returned frame must not reference the caches
+    lazily — bicis_spark/caching.py).
+
+    ``broadcast_ranks`` turns the per-iteration rank⋈edges join into a
+    broadcast (map-side) join: correct whenever the rank table is
+    dimension-sized (e.g. bipartite fact graphs where |V| = dim-table
+    cardinality while |E| is fact-sized). Leave False when |V| itself is
+    fact-sized — the shuffle join is the scale-safe default.
+    """
+    base = scale * (damping_den - damping_num) // damping_den
+    ranks = verts.select("v", F.lit(scale).cast("long").alias("rank_fp"))
+    for i in range(n_iter):
+        # lineage truncation (same discipline as
+        # connected_components_min_label): materialize the |V|-sized
+        # rank frame every few rounds so the plan tree stays shallow
+        # for long loops. eager=True keeps determinism — ranks are
+        # exact integers, so re-materialization can't drift. Only
+        # worth it when ≥3 rounds remain: a checkpoint just before
+        # the end pays materialization without saving any plan depth.
+        if (
+            i > 0
+            and checkpoint_every > 0
+            and i % checkpoint_every == 0
+            and n_iter - i >= 3
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
+        r = ranks.withColumnRenamed("v", "src")
+        inflow = (
+            ew.join(F.broadcast(r) if broadcast_ranks else r, on="src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank_fp div outdeg")).alias("_inflow"))
+        )
+        ranks = (
+            verts.join(
+                inflow.withColumnRenamed("dst", "v"), on="v", how="left"
             )
-            ranks = (
-                verts.join(
-                    inflow.withColumnRenamed("dst", "v"), on="v", how="left"
-                )
-                .select(
-                    "v",
-                    (
-                        F.lit(base)
-                        + F.expr(
-                            f"({damping_num} * coalesce(_inflow, 0L)) "
-                            f"div {damping_den}"
-                        )
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_inflow, 0L)) "
+                        f"div {damping_den}"
                     )
-                    .cast("long")
-                    .alias("rank_fp"),
                 )
+                .cast("long")
+                .alias("rank_fp"),
             )
-        # eager checkpoint inside the block: the returned frame must not
-        # reference the caches lazily (bicis_spark/caching.py)
-        return ranks.select(F.col("v").alias("node"), "rank_fp").localCheckpoint(
-            eager=True
+        )
+    return ranks.select(F.col("v").alias("node"), "rank_fp").localCheckpoint(
+        eager=True
+    )
+
+
+def pagerank_bipartite(
+    pairs: DataFrame,
+    n_iter: int = 3,
+    scale: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """PageRank specialized to a BIPARTITE graph given as distinct
+    undirected pair rows (a, b) with disjoint id namespaces, equivalent
+    to ``pagerank_fixed_point`` over the symmetrized edge set but without
+    any fact-sized distinct/union shuffle:
+
+    - out-degrees come from per-side aggregates (one row per a / per b —
+      dimension-sized, not edge-sized);
+    - the direction union happens AFTER the degree join, so the pair set
+      is scanned from its persist, never re-deduplicated;
+    - vertices are the degree-table keys (already distinct by
+      construction) — no 2|E|-row distinct.
+
+    ``broadcast_state=True`` additionally broadcasts the degree tables
+    and the per-iteration rank table (|V| is dim-sized in fact-graphs
+    like part↔supplier: suppliers + parts, while |E| is fact-sized);
+    set False when the vertex set is itself fact-sized and the builder
+    degrades to the generic shuffle-join shapes.
+    """
+    da = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    db = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("outdeg"))
+    verts = da.select(F.col("a").alias("v")).union(
+        db.select(F.col("b").alias("v"))
+    )
+    hint = F.broadcast if broadcast_state else (lambda d: d)
+    ew = (
+        pairs.join(hint(da), on="a")
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "outdeg")
+        .union(
+            pairs.join(hint(db), on="b").select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), "outdeg"
+            )
+        )
+    )
+    with persisted(verts, ew) as (verts, ew):
+        return _power_iterations(
+            verts, ew, n_iter, scale, damping_num, damping_den,
+            checkpoint_every, broadcast_ranks=broadcast_state,
         )
 
 

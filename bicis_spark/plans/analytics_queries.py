@@ -16,11 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bicis_spark.caching import tracked_persist
+
 from bicis_spark.extensions.text import doc_cosine_topk, encode_documents
 from bicis_spark.operators.bloom import bloom_semi_join
 from bicis_spark.operators.featurize import hashed_features, scale_features
 from bicis_spark.operators.funnel import cohort_retention, funnel_counts
-from bicis_spark.operators.graph import pagerank_fixed_point
+from bicis_spark.operators.graph import pagerank_bipartite
 from bicis_spark.operators.intervals import interval_overlap_join
 from bicis_spark.operators.shuffle_order import epoch_shuffle
 from bicis_spark.operators.skew import key_skew_profile
@@ -796,24 +798,33 @@ r0 AS (SELECT v, 1000000::BIGINT AS rank_fp FROM v)"""
     return "".join(parts)
 
 
-@register("pagerank_part_supplier", _pagerank_oracle(5))
+@register("pagerank_part_supplier", _pagerank_oracle(3))
 def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five power iterations of fixed-point PageRank over the bipartite
+    """Three power iterations of fixed-point PageRank over the bipartite
     part <-> supplier graph (nodes namespaced by parity: supplier = 2k,
     part = 2k+1; edges both directions so no rank mass dangles). Scaled-
     integer arithmetic makes every rank bitwise deterministic; the oracle
-    unrolls the identical recurrence."""
+    unrolls the identical recurrence.
+
+    n_iter is the headline's cost knob (2 shuffles per round — r4 verdict
+    item #5: 5 rounds was 12% of the whole bench); 3 rounds keeps the
+    iterative-graph surface honest while the operator itself supports any
+    count. The distinct runs on the |E| undirected pair set BEFORE the
+    direction union (the two namespaces can't collide), halving the dedup
+    shuffle vs distinct-after-union."""
     li = read_table(spark, sf_dir, "lineitem")
-    u = li.select(
-        (F.col("l_suppkey") * 2).alias("a"),
-        (F.col("l_partkey") * 2 + 1).alias("b"),
+    # tracked persist on the |E| distinct pair set: both degree aggregates
+    # and the direction union traverse it while pagerank_bipartite's
+    # caches materialize — without this the lineitem scan + distinct
+    # exchange re-runs per consumer (measured: the real headline cost,
+    # not the iterations)
+    u = tracked_persist(
+        li.select(
+            (F.col("l_suppkey") * 2).alias("a"),
+            (F.col("l_partkey") * 2 + 1).alias("b"),
+        ).distinct()
     )
-    edges = (
-        u.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(u.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
-    )
-    return pagerank_fixed_point(edges, n_iter=5)
+    return pagerank_bipartite(u, n_iter=3)
 
 
 # ---------------------------------------------------------------------------

@@ -653,3 +653,28 @@ class TestTriangleCount:
         edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2)]
         r = self._count(spark, edges)
         assert (r.n_vertices, r.n_edges, r.n_triangles) == (3, 3, 1)
+
+
+def test_pagerank_bipartite_matches_generic(spark):
+    """pagerank_bipartite must be bit-identical to pagerank_fixed_point
+    over the symmetrized edge set — same recurrence, different (cheaper)
+    degree/vertex derivation; and broadcast_state must not change values."""
+    from bicis_spark.operators.graph import pagerank_bipartite, pagerank_fixed_point
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(2 * s, 2 * p + 1) for s in range(1, 9) for p in range(1, 6) if (s * p) % 3],
+        "a long, b long",
+    ).distinct()
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    want = {
+        (r["node"], r["rank_fp"]) for r in pagerank_fixed_point(edges, n_iter=3).collect()
+    }
+    for bcast in (True, False):
+        got = {
+            (r["node"], r["rank_fp"])
+            for r in pagerank_bipartite(pairs, n_iter=3, broadcast_state=bcast).collect()
+        }
+        assert got == want
