@@ -131,6 +131,32 @@ def main() -> None:
             )
             recall[rname + "@5"] = round(float(row["r"]), 4)
 
+    # Streaming surface micro-bench (r4 verdict item #7): each stateful/
+    # windowed streaming query is a full availableNow drain of the staged
+    # events source — report drain seconds and input rows/sec so the
+    # streaming operators carry a recorded throughput point per round.
+    # min-of-2 like the batch rows: run 1 pays source staging + checkpoint
+    # creation; run 2 is the steady drain.
+    n_events = None
+    streaming: dict[str, dict[str, float]] = {}
+    for name in sorted(n for n in all_queries if n.startswith("streaming_")):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = all_queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        if n_events is None:
+            from bicis_spark.sources.io import read_table as _rt
+
+            n_events = _rt(spark, sf_dir, "events").count()
+        streaming[name] = {
+            "sec": round(best, 4),
+            "input_rows_per_sec": round(n_events / best, 1),
+        }
+        release_tracked()
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 4)
     # round-1 comparability: the r1 headline was 17 queries; r2 added six
     # new operator families. This subtotal covers the 16 r1 queries still
@@ -182,6 +208,7 @@ def main() -> None:
                 "r2_overlap_total": r2_overlap,
                 "r3_overlap_total": r3_overlap,
                 "ann_mean_recall": recall,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
