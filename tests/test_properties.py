@@ -921,3 +921,59 @@ def test_smoothing_folds_match_python_replay(spark, vals):
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    dialect_i=st.integers(0, 3),
+    order_seed=st.randoms(use_true_random=False),
+    case_mask=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+    pad=st.sampled_from(["", " ", "\t"]),
+    n_junk=st.integers(0, 2),
+)
+@SETTINGS
+def test_dialect_mapping_total_over_header_permutations(
+    spark, dialect_i, order_seed, case_mask, pad, n_junk
+):
+    """SURVEY §5.3 'mapper is total over header permutations/case', all
+    four dialects: any column ORDER, any per-header case mangling
+    (upper/lower/title), any padding, with junk columns interleaved, must
+    map every raw value to its canonical column — checked by VALUE, not
+    just by shape. The invariant across dialects: rent 10:30, return
+    10:55 (given for v1-v3, derived from the 25-minute duration for v4),
+    stations SA/SB."""
+    import datetime as dt
+
+    from bicis_spark.operators.unify import (
+        FIELDS_V1,
+        FIELDS_V2,
+        FIELDS_V3,
+        FIELDS_V4,
+        normalize_dialect,
+    )
+
+    dialect = [FIELDS_V1, FIELDS_V2, FIELDS_V3, FIELDS_V4][dialect_i]
+    canon_value = {
+        "rent_date": "1/2/2011 10:30",
+        "return_date": "1/2/2011 10:55",
+        "rent_station": "SA",
+        "return_station": "SB",
+        "duration": "25",
+    }
+    cols = [(src, canon_value[dst]) for src, dst in dialect.mapping.items()]
+    for j in range(n_junk):
+        cols.append((f"junk_{j}", "zzz"))
+    order_seed.shuffle(cols)
+
+    def mangle(h: str, mode: int) -> str:
+        return [h.upper(), h.lower(), h.title()][mode] + pad
+
+    headers = [mangle(h, case_mask[i % len(case_mask)]) for i, (h, _) in enumerate(cols)]
+    values = tuple(v for _, v in cols)
+    raw = spark.createDataFrame([values], headers)
+    out = normalize_dialect(raw, dialect).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["rent_station"] == "SA"
+    assert r["return_station"] == "SB"
+    assert r["rent_date"] == dt.datetime(2011, 2, 1, 10, 30)
+    assert r["return_date"] == dt.datetime(2011, 2, 1, 10, 55)
