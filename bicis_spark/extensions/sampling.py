@@ -143,3 +143,64 @@ def importance_resample(
         .where(keep)
         .select(F.col(id_col), *buckets, weight.alias("weight"))
     )
+
+
+def cluster_balanced_sample(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids_mod: int = 50,
+    train_iters: int = 1,
+    dims: int | None = 64,
+    max_clusters: int | None = None,
+    target_per_cluster: int = 10,
+):
+    """Topic-balanced resampling: k-means-cluster the embedding space
+    (the SemDeDup/IVF deterministic trainer), then keep a deterministic
+    ``target_per_cluster``-row sample of every cluster — equalizing topic
+    mass the way curation pipelines rebalance over-represented content
+    clusters before training.
+
+    Output: [id, cluster_id, cluster_size, sample_rank, keep] — every
+    input row, with ``keep`` marking the selected sample (clusters
+    smaller than the target keep everything). Selection is RNG-free:
+    rank within cluster by (md5(id), id), so retries, re-partitioning,
+    and the SQL oracle all agree bit-for-bit.
+
+    Scale: training is the capped-constant IVF shape (broadcast
+    centroids, max_clusters seeds); assignment is one broadcast pass;
+    the only shuffle is the per-cluster rank window, keyed by cluster_id
+    and bounded by the largest cluster (AQE skew-split applies). At
+    100 TB the hash-threshold variant (keep iff md5-bucket <
+    target/size, map-only, approximately balanced) drops even that
+    window; the exact-rank form is declared because its balance is
+    exact and the window cost is the same class as the engine's other
+    top-k-per-group operators."""
+    from pyspark.sql import Window
+
+    from bicis_spark.extensions.dedup import _partitioned
+    from bicis_spark.extensions.similarity import (
+        ivf_assign,
+        kmeans_refine_exact,
+        quantize,
+    )
+
+    c = _partitioned(df, None).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
+    )
+    seed_filter = F.col("vid") % n_centroids_mod == 1
+    if max_clusters is not None:
+        seed_filter = seed_filter & (F.col("vid") < n_centroids_mod * max_clusters)
+    seeds = c.where(seed_filter).select(F.col("vid").alias("centroid_id"), "qv")
+    cents = kmeans_refine_exact(c, seeds, train_iters, "vid", "qv", dims)
+    assigned = ivf_assign(c, cents, "vid", "qv", dims).select("vid", "centroid_id")
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vid").cast("string")), F.col("vid")
+    )
+    sized = Window.partitionBy("centroid_id")
+    return assigned.select(
+        F.col("vid").alias(id_col),
+        F.col("centroid_id").alias("cluster_id"),
+        F.count(F.lit(1)).over(sized).cast("long").alias("cluster_size"),
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+    ).withColumn("keep", F.col("sample_rank") <= target_per_cluster)

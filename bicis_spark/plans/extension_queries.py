@@ -1669,17 +1669,16 @@ def training_mix_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _semdedup_oracle(
+def _kmeans_assign_prefix(
     mod: int = 50,
     train_iters: int = 1,
-    threshold: float = 0.45,
     max_clusters: int | None = None,
 ) -> str:
-    """Oracle for ``semantic_dedup``: replays the deterministic k-means
-    (seeds ``vec_id % mod == 1``, max-cosine assignment with centroid-id
-    tie-break, floor-of-mean integer update), then flags each vector with
-    a lower-id in-cluster neighbor at cosine ≥ threshold. ``max_clusters``
-    replays the operator's constant-cluster-count seed cap."""
+    """Shared WITH-prefix replaying the deterministic k-means trainer
+    (seeds ``vec_id % mod == 1`` capped at ``max_clusters``, max-cosine
+    assignment with centroid-id tie-break, floor-of-mean integer update)
+    ending in an ``assign(vec_id, qv, centroid_id)`` CTE — used by the
+    SemDeDup and cluster-balanced-sample oracles."""
     steps = []
     for t in range(train_iters):
         steps.append(
@@ -1721,7 +1720,18 @@ def _semdedup_oracle(
                                                c.centroid_id) AS rn
             FROM q v CROSS JOIN {trained} c
         ) t WHERE rn = 1
-    ),
+    )"""
+
+
+def _semdedup_oracle(
+    mod: int = 50,
+    train_iters: int = 1,
+    threshold: float = 0.45,
+    max_clusters: int | None = None,
+) -> str:
+    """Oracle for ``semantic_dedup``: the shared k-means prefix, then flag
+    each vector with a lower-id in-cluster neighbor at cosine ≥ threshold."""
+    return f"""{_kmeans_assign_prefix(mod, train_iters, max_clusters)},
     dups AS (
         SELECT b.vec_id, min(a.vec_id) AS dup_of
         FROM assign a JOIN assign b
@@ -1754,6 +1764,55 @@ def semantic_dedup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids_mod=50,
         train_iters=1,
         max_clusters=_IVF_MAX_LISTS,
+    )
+
+
+def _cluster_balanced_oracle(
+    mod: int = 50,
+    train_iters: int = 1,
+    max_clusters: int | None = None,
+    target: int = 10,
+) -> str:
+    """Oracle for ``cluster_balanced_sample``: shared k-means prefix, then
+    per-cluster sizes and the RNG-free md5 rank selection."""
+    return f"""{_kmeans_assign_prefix(mod, train_iters, max_clusters)},
+    ranked AS (
+        SELECT vec_id, centroid_id,
+               count(*) OVER (PARTITION BY centroid_id)::BIGINT AS cluster_size,
+               row_number() OVER (
+                   PARTITION BY centroid_id
+                   ORDER BY md5(vec_id::VARCHAR), vec_id
+               )::BIGINT AS sample_rank
+        FROM assign
+    )
+    SELECT vec_id, centroid_id AS cluster_id, cluster_size, sample_rank,
+           (sample_rank <= {target}) AS keep
+    FROM ranked
+    """
+
+
+@register(
+    "cluster_balanced_sample",
+    _cluster_balanced_oracle(max_clusters=_IVF_MAX_LISTS, target=10),
+)
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced resampling (round 5): k-means clusters over the
+    embedding space (the SemDeDup trainer), then a deterministic
+    10-per-cluster md5-ranked sample to equalize topic mass — the
+    curation move that rebalances over-represented content clusters
+    before training. Training, assignment, and selection all replay
+    bit-for-bit in the oracle."""
+    from bicis_spark.extensions.sampling import cluster_balanced_sample
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb,
+        "vec_id",
+        "embedding",
+        n_centroids_mod=50,
+        train_iters=1,
+        max_clusters=_IVF_MAX_LISTS,
+        target_per_cluster=10,
     )
 
 
