@@ -363,3 +363,66 @@ def span_dedup(
             ),
         ).alias("deduped_text"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty vs everything EARLIER in the corpus
+    (memorization/novelty audit): for each doc, the share of its distinct
+    word n-grams whose first owner (minimum doc id containing the gram)
+    is an earlier document. Curation pipelines drop or down-weight
+    low-novelty documents — near-copies that sail under the pairwise
+    dedup thresholds but add no new n-grams.
+
+    Output: [id, n_grams (distinct), n_seen (first seen earlier),
+    novelty = 1 - n_seen/n_grams] — docs with fewer than n words emit
+    n_grams = 0 and NULL novelty.
+
+    Scale: explode → per-doc DISTINCT gram (map-side combinable agg) →
+    gram-keyed min-owner agg (partial combine collapses each gram to one
+    row per task before the exchange) → join back on the gram key → one
+    per-doc agg. Nothing ever pairs documents; the widest shuffle is the
+    distinct gram set. At 100 TB swap the gram STRING for its 128-bit
+    fingerprint as the join/agg key (extensions/dedup.fingerprint_cols)
+    — the string key is declared here because the SQL oracle replays it
+    verbatim."""
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
+    ).select(
+        F.col(id_col).alias("_id"),
+        word_ngrams(
+            F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")), n
+        ).alias("_grams"),
+    )
+    doc_grams = base.select(
+        "_id", F.explode("_grams").alias("gram")
+    ).distinct()
+    first_owner = doc_grams.groupBy("gram").agg(F.min("_id").alias("_first"))
+    per_doc = (
+        doc_grams.join(first_owner, "gram")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_first") < F.col("_id")).cast("long"))
+            .cast("long")
+            .alias("n_seen"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_seen"), F.lit(0)).cast("long").alias("n_seen"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.lit(1.0)
+                - F.col("n_seen").cast("double") / F.col("n_grams").cast("double"),
+            ).alias("novelty"),
+        )
+    )

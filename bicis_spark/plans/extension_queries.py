@@ -1816,6 +1816,49 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOVELTY_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+dg AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                      THEN list_transform(range(0, len(w) - 3 + 1),
+                                          i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))
+                      ELSE [] END) AS gram
+        FROM toks
+    )
+),
+fo AS (SELECT gram, min(doc_id) AS first FROM dg GROUP BY gram),
+per AS (
+    SELECT dg.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN fo.first < dg.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_seen
+    FROM dg JOIN fo USING (gram) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(per.n_seen, 0)::BIGINT AS n_seen,
+       CASE WHEN per.n_grams > 0
+            THEN 1.0 - per.n_seen::DOUBLE / per.n_grams::DOUBLE END AS novelty
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("ngram_novelty_scores", _NOVELTY_SQL)
+def ngram_novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization/novelty audit (round 5): share of each document's
+    distinct word 3-grams first seen in an earlier document. Novelty is
+    an exact integer ratio (IEEE division of two exact values), so the
+    double hashes bit-identically."""
+    from bicis_spark.extensions.curation import ngram_novelty
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3)
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM surprisal quality score (round 4)
 # ---------------------------------------------------------------------------

@@ -152,3 +152,26 @@ def test_vocab_stats_and_tfidf(spark):
     assert best[2][0] == "cherry" or best[2][0] == "apple"
     # doc3: cherry 2*3/2=3.0 ties date 1*3/1=3.0 -> 'cherry' on token order
     assert best[3] == ("cherry", 3.0)
+
+
+def test_ngram_novelty_flags_near_copies(spark):
+    """A verbatim near-copy (same text + one new sentence) must score low
+    novelty; the original and an unrelated doc score 1.0; a short doc
+    (< n words) gets NULL novelty and zero grams."""
+    from bicis_spark.extensions.curation import ngram_novelty
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, a),
+        (2, a + " with one extra closing clause"),
+        (3, "completely different content about spark partitions"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert got[1]["novelty"] == 1.0 and got[1]["n_seen"] == 0
+    # doc 2 shares all of doc 1's grams; only grams crossing into the new
+    # clause are novel
+    assert got[2]["n_seen"] > 0 and got[2]["novelty"] < 0.5
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["n_grams"] == 0 and got[4]["novelty"] is None
