@@ -94,3 +94,50 @@ def merge_into(
 
     keep = ~drop_row & (t_present | (s_present & F.lit(insert_values is not None)))
     return joined.where(keep).select(*out_cols)
+
+
+def incremental_agg_merge(base_agg, delta, key_cols, count_col="n", sum_col=None, sum_src=None):
+    """Incremental materialized-aggregate maintenance: fold a DELTA batch
+    into an existing keyed aggregate WITHOUT touching base rows outside
+    the delta's keys.
+
+    ``base_agg``: the maintained aggregate [key..., n(, sum)]; ``delta``:
+    raw new rows. The delta is aggregated first (map-side combine — the
+    only thing that scales: the base is |keys|-sized, the delta batch is
+    small, the full fact history is never rescanned) and then outer-
+    merged: n = n_base + n_delta, sum likewise. The maintenance LAW —
+    merge(agg(base), delta) == agg(base ∪ delta) — is what the declared
+    query's oracle checks (it recomputes the full aggregate).
+
+    At 100 TB: this is the nightly-ingest shape. Keep the maintained
+    aggregate bucketed on the keys so the merge join is co-located and
+    exchange-free on the big side (sources/io.write_bucketed_table)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias(count_col)]
+    if sum_col is not None:
+        aggs.append(
+            F.sum(F.col(sum_src or sum_col).cast("decimal(18,2)")).alias(sum_col)
+        )
+    d = delta.groupBy(*key_cols).agg(*aggs)
+    cols = [count_col] + ([sum_col] if sum_col else [])
+    b = base_agg.select(
+        *key_cols, *[F.col(c).alias(f"_b_{c}") for c in cols]
+    )
+    dd = d.select(*key_cols, *[F.col(c).alias(f"_d_{c}") for c in cols])
+    merged = b.join(dd, on=list(key_cols), how="full_outer")
+    out_cols = [
+        (
+            F.coalesce(F.col(f"_b_{count_col}"), F.lit(0))
+            + F.coalesce(F.col(f"_d_{count_col}"), F.lit(0))
+        )
+        .cast("long")
+        .alias(count_col)
+    ]
+    if sum_col:
+        zero = F.lit(0).cast("decimal(18,2)")
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"_b_{sum_col}"), zero)
+                + F.coalesce(F.col(f"_d_{sum_col}"), zero)
+            ).alias(sum_col)
+        )
+    return merged.select(*key_cols, *out_cols)

@@ -1816,6 +1816,56 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_AGG_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS hour,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+@register("incremental_agg_maintenance", _INC_AGG_SQL)
+def incremental_agg_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (round 5): the
+    hourly (event_type, hour) count/value aggregate is built from the
+    90% base slice, then a 10% delta batch (event_id % 10 == 0) is
+    folded in via outer-merge of the delta's OWN aggregate —
+    the fact history is never rescanned. The oracle recomputes the full
+    aggregate from scratch, so a hash MATCH proves the maintenance law
+    merge(agg(base), delta) == agg(base ∪ delta) bit-for-bit
+    (counts exact, sums through DECIMAL)."""
+    from bicis_spark.operators.merge import incremental_agg_merge
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    base = ev.where(F.col("event_id") % 10 != 0)
+    delta = ev.where(F.col("event_id") % 10 == 0)
+    base_agg = base.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+    merged = incremental_agg_merge(
+        base_agg,
+        delta,
+        ["event_type", "hour"],
+        count_col="n",
+        sum_col="total_value",
+        sum_src="value",
+    )
+    return merged.select(
+        "event_type",
+        "hour",
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
 _NOVELTY_SQL = """
 WITH toks AS (
     SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w

@@ -844,3 +844,29 @@ def test_c4_line_filter_edge_docs(spark):
     assert got[4]["n_lines_kept"] == 1
     assert got[4]["n_sentences"] == 0 and got[4]["keep"] is False
     assert got[4]["cleaned_text"].endswith('"')
+
+
+def test_incremental_agg_merge_law(spark):
+    """merge(agg(base), delta) == agg(base ∪ delta) including keys only
+    in the delta (insert path) and keys untouched by the delta."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.merge import incremental_agg_merge
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.5), ("b", 3.0)], "k string, v double"
+    )
+    delta = spark.createDataFrame(
+        [("a", 4.0), ("c", 0.5)], "k string, v double"
+    )
+    base_agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+    )
+    got = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in incremental_agg_merge(
+            base_agg, delta, ["k"], count_col="n", sum_col="s", sum_src="v"
+        ).collect()
+    }
+    assert got == {"a": (3, 7.5), "b": (1, 3.0), "c": (1, 0.5)}
