@@ -426,3 +426,48 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    seq_tokens: int,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard packing report for ``pack_sequences``: how many fixed-
+    length training sequences each shard yields and how full the last
+    (ragged) one is — the number a tokenize-and-pack job reports so the
+    training run can size its dataloader and account for padding waste.
+
+    Output per shard: [shard, n_docs, n_tokens, n_seqs, tail_fill,
+    utilization] where n_seqs = ceil(n_tokens / L), tail_fill is the
+    token count of the final partial sequence (0 when it divides
+    exactly), and utilization = n_tokens / (n_seqs·L). One map-side-
+    combined aggregate keyed by shard — no window, no doc ordering
+    needed (totals are order-invariant even though placement isn't)."""
+    toks = tokens(F.col(text_col))
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(shard_col).alias("shard"),
+        F.greatest(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    agg = base.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    n_seqs = F.ceil(F.col("n_tokens") / F.lit(seq_tokens)).cast("long")
+    return agg.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        n_seqs.alias("n_seqs"),
+        F.when(
+            F.col("n_tokens") % seq_tokens == 0, F.lit(0).cast("long")
+        )
+        .otherwise((F.col("n_tokens") % seq_tokens).cast("long"))
+        .alias("tail_fill"),
+        (
+            F.col("n_tokens").cast("double")
+            / (n_seqs * F.lit(seq_tokens)).cast("double")
+        ).alias("utilization"),
+    )

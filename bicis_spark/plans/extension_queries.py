@@ -1816,6 +1816,36 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_EFF_SQL = """
+WITH tok AS (
+    SELECT source AS shard, len(string_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+    SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+    FROM tok GROUP BY shard
+)
+SELECT shard, n_docs, n_tokens,
+       CAST(ceil(n_tokens / 64.0) AS BIGINT) AS n_seqs,
+       (n_tokens % 64)::BIGINT AS tail_fill,
+       n_tokens::DOUBLE / (CAST(ceil(n_tokens / 64.0) AS BIGINT) * 64)::DOUBLE
+           AS utilization
+FROM agg
+"""
+
+
+@register("packing_efficiency", _PACK_EFF_SQL)
+def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing report (round 5): sequences yielded, tail fill,
+    and utilization for the 64-token packer — the padding-waste numbers a
+    tokenize-and-pack job publishes alongside sequence_packing's
+    placements."""
+    from bicis_spark.extensions.curation import packing_efficiency
+
+    docs = read_table(spark, sf_dir, "documents")
+    return packing_efficiency(docs, seq_tokens=64)
+
+
 _INC_AGG_SQL = """
 SELECT event_type,
        date_trunc('hour', ts) AS hour,
