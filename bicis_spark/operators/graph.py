@@ -237,3 +237,51 @@ def triangle_count(
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_triangles = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_vertices.join(F.broadcast(n_edges)).join(F.broadcast(n_triangles))
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 2,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    deterministic tie-break: labels start as the node id; each round every
+    node adopts the most frequent label among its in-neighbors, ties
+    broken by SMALLEST label. Deterministic under any partitioning (exact
+    integer counts, total tie order), so a SQL oracle unrolls the same
+    rounds. ``edges`` must already contain both directions of an
+    undirected graph (same contract as ``pagerank_fixed_point``).
+
+    Per round: one join of the |V|-sized label frame to edges + one
+    (node, label)-keyed count with map-side combine + one argmax
+    aggregate — the Pregel step expressed relationally, same shuffle
+    shape and lineage discipline as the pagerank loop. Isolated nodes
+    (absent from ``edges``) are the caller's concern — every vertex here
+    has degree ≥ 1 by construction."""
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    with persisted(verts, edges) as (verts, edges):
+        labels = verts.select("v", F.col("v").alias("lbl"))
+        for i in range(n_iter):
+            if i > 0 and checkpoint_every > 0 and i % checkpoint_every == 0:
+                labels = labels.localCheckpoint(eager=True)
+            cnt = (
+                edges.join(labels.withColumnRenamed("v", "src"), on="src")
+                .groupBy(F.col("dst").alias("v"), "lbl")
+                .agg(F.count(F.lit(1)).alias("_c"))
+            )
+            pick = cnt.groupBy("v").agg(
+                F.max_by(
+                    F.col("lbl"), F.struct(F.col("_c"), -F.col("lbl"))
+                ).alias("_new")
+            )
+            labels = (
+                labels.join(pick, on="v", how="left")
+                .select("v", F.coalesce(F.col("_new"), F.col("lbl")).alias("lbl"))
+            )
+        return labels.select(
+            F.col("v").alias("node"), F.col("lbl").cast("long").alias("label")
+        ).localCheckpoint(eager=True)

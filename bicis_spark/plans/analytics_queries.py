@@ -827,6 +827,68 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_bipartite(u, n_iter=3)
 
 
+def _lpa_oracle(n_iter: int = 2) -> str:
+    """Unrolled synchronous label propagation over the part co-purchase
+    graph (same chained-CTE codegen as the pagerank oracle): per round,
+    per-neighbor label counts then argmax with (count DESC, label ASC)."""
+    parts = [
+        """WITH u AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT pa AS src, pb AS dst FROM u UNION ALL SELECT pb, pa FROM u),
+v AS (SELECT DISTINCT src AS v FROM e),
+l0 AS (SELECT v, v AS lbl FROM v)"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""",
+cnt{i} AS (
+    SELECT e.dst AS v, l.lbl, count(*)::BIGINT AS c
+    FROM e JOIN l{i} l ON l.v = e.src GROUP BY e.dst, l.lbl
+),
+l{i + 1} AS (
+    SELECT v, lbl FROM (
+        SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+        FROM cnt{i}
+    ) t WHERE rn = 1
+)"""
+        )
+    parts.append(f"\nSELECT v AS node, lbl::BIGINT AS label FROM l{n_iter}")
+    return "".join(parts)
+
+
+@register("label_propagation_communities", _lpa_oracle(2))
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (round 5): two synchronous label-propagation
+    rounds over the part co-purchase graph (parts sharing an order, both
+    directions). Deterministic argmax (count DESC, smallest label) makes
+    every round bitwise replayable; the oracle unrolls the identical
+    recurrence. Pair generation is an equi-self-join on the order key —
+    fan-out bounded by lines-per-order, never a cross join."""
+    from bicis_spark.operators.graph import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    u = tracked_persist(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    edges = u.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        u.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    return label_propagation(edges, n_iter=2)
+
+
 # ---------------------------------------------------------------------------
 # Bloom-pruned semi-join and key-skew diagnosis
 # ---------------------------------------------------------------------------
