@@ -77,6 +77,13 @@ HEADLINE = [
     # round-4 continuation additions
     "quality_classifier_flags",  # map-side hashed-feature linear scorer
     "holt_winters_forecast_user_value",  # seasonal list-state fold (m=24)
+    # round-5 additions
+    "multimodal_bmp_wav_decode",  # real BMP/WAV byte codecs over mapInPandas
+    "cluster_balanced_sample",    # k-means topic rebalancing sample
+    "ngram_novelty_scores",       # gram-keyed min-owner novelty audit
+    "label_propagation_communities",  # 2-round synchronous LPA
+    "kaplan_meier_user_lifetimes",  # survival curve (bounded fold)
+    "incremental_agg_maintenance",  # delta-merge materialized aggregate
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -190,12 +197,20 @@ def main() -> None:
         "dsir_importance_resample", "dedup_incremental_batch",
         "pit_status_at_ship",
     }
+    r5_set = {
+        "multimodal_bmp_wav_decode", "cluster_balanced_sample",
+        "ngram_novelty_scores", "label_propagation_communities",
+        "kaplan_meier_user_lifetimes", "incremental_agg_maintenance",
+    }
     r2_overlap = round(
-        sum(t for q, t in timings.items() if q not in r3_set and q not in r4_set),
+        sum(
+            t for q, t in timings.items()
+            if q not in r3_set and q not in r4_set and q not in r5_set
+        ),
         4,
     )
     r3_overlap = round(
-        sum(t for q, t in timings.items() if q not in r4_set), 4
+        sum(t for q, t in timings.items() if q not in r4_set and q not in r5_set), 4
     )
     print(
         json.dumps(
@@ -207,6 +222,9 @@ def main() -> None:
                 "r1_overlap_total": r1_overlap,
                 "r2_overlap_total": r2_overlap,
                 "r3_overlap_total": r3_overlap,
+                "r4_overlap_total": round(
+                    sum(t for q, t in timings.items() if q not in r5_set), 4
+                ),
                 "ann_mean_recall": recall,
                 "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -15,7 +15,7 @@ between ANALYZE (approx) and audit (exact).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _INTEGRAL = {"bigint", "int", "smallint", "tinyint", "long", "integer"}
@@ -167,3 +167,70 @@ def histogram_drift(
             - F.col("cur_n").cast("double") / F.col("_ct").cast("double")
         ).alias("abs_diff"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over subject lifetimes (first to last
+    observed event, bucketed to ``bucket_us``): for each distinct
+    lifetime t, the risk set n(t) = subjects with lifetime ≥ t, events
+    d(t) = subjects ending exactly at t, and
+
+        S(t) = Π_{t_i ≤ t} (n(t_i) − d(t_i)) / n(t_i)
+
+    Output: [lifetime, n_risk, d, survival] — the churn/retention curve
+    of a user base.
+
+    Determinism: n and d are exact integers; each factor is ONE IEEE
+    division; the running product folds over the ascending-lifetime
+    prefix SEQUENTIALLY (per-prefix fold, identical operation order in
+    Spark's ``aggregate`` and DuckDB's ``list_reduce``), never through a
+    windowed product (segment-tree combining would reorder multiplies)
+    or exp∘Σlog (libm). The curve is |distinct lifetimes|-sized — a few
+    hundred buckets regardless of corpus size — so the single-row fold
+    state is bounded; at 100 TB everything before it is two map-side-
+    combinable aggregates."""
+    lifetimes = df.groupBy(subject_col).agg(
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / F.lit(bucket_us)
+        )
+        .cast("long")
+        .alias("lt")
+    )
+    d = lifetimes.groupBy("lt").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    w = Window.orderBy(F.col("lt").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.withColumn("n_risk", F.sum("d").over(w).cast("long"))
+    curve = r.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("lt", "d", "n_risk"))).alias("_a")
+    )
+    factors = F.transform(
+        F.col("_a"),
+        lambda s: (s["n_risk"] - s["d"]).cast("double")
+        / s["n_risk"].cast("double"),
+    )
+    k = F.size(F.col("_a"))
+    stepped = curve.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda j: F.struct(
+                    F.element_at(F.col("_a"), j)["lt"].alias("lifetime"),
+                    F.element_at(F.col("_a"), j)["n_risk"].alias("n_risk"),
+                    F.element_at(F.col("_a"), j)["d"].alias("d"),
+                    F.aggregate(
+                        F.slice(factors, F.lit(1), j),
+                        F.lit(1.0),
+                        lambda acc, x: acc * x,
+                    ).alias("survival"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stepped.select("s.lifetime", "s.n_risk", "s.d", "s.survival")

@@ -889,6 +889,45 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return label_propagation(edges, n_iter=2)
 
 
+_KM_SQL = """
+WITH lt AS (
+    SELECT user_id,
+           ((epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000)::BIGINT AS lt
+    FROM events GROUP BY user_id
+),
+d AS (SELECT lt, count(*)::BIGINT AS d FROM lt GROUP BY lt),
+r AS (
+    SELECT lt, d,
+           sum(d) OVER (ORDER BY lt DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_risk
+    FROM d
+),
+arr AS (
+    SELECT list(lt ORDER BY lt) AS lts,
+           list(d ORDER BY lt) AS ds,
+           list(n_risk ORDER BY lt) AS ns,
+           list((n_risk - d)::DOUBLE / n_risk::DOUBLE ORDER BY lt) AS fs
+    FROM r
+)
+SELECT lts[j] AS lifetime, ns[j] AS n_risk, ds[j] AS d,
+       list_reduce(list_slice(fs, 1, j), (a, x) -> a * x) AS survival
+FROM arr, unnest(range(1, len(lts) + 1)) AS t(j)
+"""
+
+
+@register("kaplan_meier_user_lifetimes", _KM_SQL)
+def kaplan_meier_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis (round 5): the Kaplan–Meier retention curve over
+    user lifetimes (first→last event, hour buckets). Integer risk sets,
+    one IEEE division per factor, per-prefix SEQUENTIAL product folds on
+    both engines (a windowed product would segment-tree-reorder the
+    multiplies) — bitwise-deterministic survival values."""
+    from bicis_spark.operators.stats import kaplan_meier
+
+    ev = read_table(spark, sf_dir, "events")
+    return kaplan_meier(ev, "user_id", "ts")
+
+
 # ---------------------------------------------------------------------------
 # Bloom-pruned semi-join and key-skew diagnosis
 # ---------------------------------------------------------------------------

@@ -713,3 +713,34 @@ def test_label_propagation_two_cliques(spark):
     assert got == lbl
     # structural expectation: the two triangle cores agree on a label
     assert got[1] == got[2] and got[5] == got[6]
+
+
+def test_kaplan_meier_matches_python_replay(spark):
+    """KM curve vs a direct python replay on staged lifetimes, including
+    ties (multiple subjects ending at the same bucket) and a single-event
+    subject (lifetime 0)."""
+    import datetime as dt
+
+    from bicis_spark.operators.stats import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # lifetimes in hours: u1:0 (single event), u2:2, u3:2, u4:5
+    for uid, hours in [(1, 0), (2, 2), (3, 2), (4, 5)]:
+        rows.append((uid, base))
+        if hours:
+            rows.append((uid, base + dt.timedelta(hours=hours)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["lifetime"]: (r["n_risk"], r["d"], r["survival"])
+        for r in kaplan_meier(df, "user_id", "ts").collect()
+    }
+    lts = [0, 2, 2, 5]
+    s, want = 1.0, {}
+    for t in sorted(set(lts)):
+        n = sum(1 for x in lts if x >= t)
+        d = sum(1 for x in lts if x == t)
+        s = s * ((n - d) / n)
+        want[t] = (n, d, s)
+    assert got == want
+    assert got[5][2] == 0.0  # everyone churned by the last bucket
