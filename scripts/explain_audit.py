@@ -6,8 +6,9 @@ bounded aggregate; see _raw_bnlj). Prints a per-query summary; use
 --dump <name> for the full formatted plan.
 
 Caveat: builders using the persisted()+eager-checkpoint discipline
-(bicis_spark/caching.py — pagerank_part_supplier and the two surprisal
-queries) execute eagerly and return a checkpointed frame, so their
+(bicis_spark/caching.py — pagerank_part_supplier,
+label_propagation_communities, and the two surprisal queries) execute
+eagerly and return a checkpointed frame, so their
 audited "plan" is a Scan-ExistingRDD stub; audit those by reading their
 loop bodies, not this output.
 
@@ -17,7 +18,8 @@ broadcast the bounded 1%-subset query side (dedup_embedding_cosine,
 ann_topk_bruteforce, ann_*_recall's exact arm), and k-means first-round
 assignment joins broadcast the seed rows, capped at max_lists /
 max_clusters / max_codes constants (ann_topk_ivf, semantic_dedup_flags,
-hard_negative_candidates). Anything OUTSIDE that family flagging
+hard_negative_candidates, cluster_balanced_sample). Anything OUTSIDE
+that family flagging
 BNLJ-RAW is a real finding."""
 
 from __future__ import annotations
