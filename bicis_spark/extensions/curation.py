@@ -390,20 +390,48 @@ def ngram_novelty(
     fingerprint as the join/agg key (extensions/dedup.fingerprint_cols)
     — the string key is declared here because the SQL oracle replays it
     verbatim."""
-    base = df.where(
+    # Gram construction: posexplode tokens + lead() windows, NOT the
+    # word_ngrams higher-order transform — array_join(slice) per element
+    # is O(len·n) char copying per gram and Catalyst re-inlines the
+    # token-split into the lambda (projection collapse), measured 5.3s vs
+    # 1.5s at sf0.1 for the same 260k grams. The window is keyed by doc
+    # and bounded by doc length.
+    toks = df.where(
         F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
     ).select(
         F.col(id_col).alias("_id"),
-        word_ngrams(
-            F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")), n
-        ).alias("_grams"),
+        F.posexplode(
+            F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+        ).alias("_p", "_t"),
     )
-    doc_grams = base.select(
-        "_id", F.explode("_grams").alias("gram")
-    ).distinct()
-    first_owner = doc_grams.groupBy("gram").agg(F.min("_id").alias("_first"))
+    if n > 1:
+        w = Window.partitionBy("_id").orderBy("_p")
+        lead_cols = [F.lead("_t", k).over(w) for k in range(1, n)]
+        grams = toks.select(
+            "_id",
+            F.concat_ws(" ", F.col("_t"), *lead_cols).alias("_g"),
+            lead_cols[-1].alias("_full"),
+        ).where(F.col("_full").isNotNull())
+    else:
+        grams = toks.select("_id", F.col("_t").alias("_g"))
+    # 128-bit fingerprint as the distinct/agg/join key: 16 bytes per gram
+    # through every exchange instead of the gram string (the engine's
+    # standard exact-dedup discipline, extensions/dedup.fingerprint_cols);
+    # the oracle groups the strings themselves, so the hash gate also
+    # certifies the fingerprint grouping is collision-free on this corpus
+    doc_grams = (
+        grams.select(
+            "_id",
+            F.xxhash64(F.lit(1), F.col("_g")).alias("_fp1"),
+            F.xxhash64(F.lit(2), F.col("_g")).alias("_fp2"),
+        )
+        .distinct()
+    )
+    first_owner = doc_grams.groupBy("_fp1", "_fp2").agg(
+        F.min("_id").alias("_first")
+    )
     per_doc = (
-        doc_grams.join(first_owner, "gram")
+        doc_grams.join(first_owner, ["_fp1", "_fp2"])
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

@@ -243,6 +243,7 @@ def label_propagation(
     edges: DataFrame,
     n_iter: int = 2,
     checkpoint_every: int = CHECKPOINT_EVERY,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) with a
     deterministic tie-break: labels start as the node id; each round every
@@ -257,7 +258,12 @@ def label_propagation(
     aggregate — the Pregel step expressed relationally, same shuffle
     shape and lineage discipline as the pagerank loop. Isolated nodes
     (absent from ``edges``) are the caller's concern — every vertex here
-    has degree ≥ 1 by construction."""
+    has degree ≥ 1 by construction.
+
+    ``broadcast_labels`` broadcasts the |V|-sized label frame into the
+    per-round edge join (same dimension-sized-state reasoning as
+    ``pagerank_bipartite``'s broadcast_state); leave False when the
+    vertex set is fact-sized."""
     verts = (
         edges.select(F.col("src").alias("v"))
         .union(edges.select(F.col("dst").alias("v")))
@@ -268,8 +274,11 @@ def label_propagation(
         for i in range(n_iter):
             if i > 0 and checkpoint_every > 0 and i % checkpoint_every == 0:
                 labels = labels.localCheckpoint(eager=True)
+            lbl_src = labels.withColumnRenamed("v", "src")
+            if broadcast_labels:
+                lbl_src = F.broadcast(lbl_src)
             cnt = (
-                edges.join(labels.withColumnRenamed("v", "src"), on="src")
+                edges.join(lbl_src, on="src")
                 .groupBy(F.col("dst").alias("v"), "lbl")
                 .agg(F.count(F.lit(1)).alias("_c"))
             )

@@ -886,7 +886,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     edges = u.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
         u.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    return label_propagation(edges, n_iter=2)
+    return label_propagation(edges, n_iter=2, broadcast_labels=True)
 
 
 _KM_SQL = """
