@@ -65,3 +65,72 @@ def gap_fill_forward(
     for c in ffill_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def cusum_flags(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    threshold_per_point: int = 20,
+    slack_per_point: int = 0,
+) -> DataFrame:
+    """One-sided CUSUM change-point monitor per group, in EXACT integer
+    arithmetic: with per-group n points and integer total S = Σx, the
+    classic recursion s_t = max(0, s_{t-1} + (x_t − mean − slack)) is run
+    scaled by n —
+
+        s'_t = max(0, s'_{t-1} + n·x_t − S − n·slack)
+
+    so the group mean never becomes a float. A point is flagged when the
+    accumulated drift exceeds ``threshold_per_point`` units of the
+    measured value, i.e. s'_t > n·threshold. Deterministic under any
+    partitioning: every quantity is a BIGINT.
+
+    Output: [group, ts, value, cusum_scaled, n_points, flag]. The
+    sequential fold runs per group over the collected ordered series —
+    bounded model state (one row per group × points-per-group, the same
+    envelope as the Holt/Holt-Winters folds); upstream aggregation to
+    the (group, ts) grain is the caller's normal map-side-combined
+    groupBy, so the corpus never funnels through a single task."""
+    g = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    series = g.groupBy("_g").agg(
+        F.sort_array(F.collect_list(F.struct("_ts", "_x"))).alias("_a"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").cast("long").alias("_s"),
+    )
+    drift = lambda s: s["_x"] * F.col("_n") - F.col("_s") - F.col("_n") * F.lit(slack_per_point)  # noqa: E731
+    stepped = series.select(
+        "_g",
+        "_n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_a")),
+                lambda j: F.struct(
+                    F.element_at(F.col("_a"), j)["_ts"].alias("ts"),
+                    F.element_at(F.col("_a"), j)["_x"].alias("value"),
+                    F.aggregate(
+                        F.slice(F.col("_a"), F.lit(1), j),
+                        F.lit(0).cast("long"),
+                        lambda acc, s: F.greatest(
+                            F.lit(0).cast("long"), acc + drift(s)
+                        ),
+                    ).alias("cusum_scaled"),
+                ),
+            )
+        ).alias("_e"),
+    )
+    return stepped.select(
+        F.col("_g").alias(group_col),
+        F.col("_e.ts").alias(ts_col),
+        F.col("_e.value").alias(value_col),
+        F.col("_e.cusum_scaled").alias("cusum_scaled"),
+        F.col("_n").alias("n_points"),
+        (F.col("_e.cusum_scaled") > F.col("_n") * F.lit(threshold_per_point)).alias(
+            "flag"
+        ),
+    )

@@ -889,6 +889,54 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return label_propagation(edges, n_iter=2, broadcast_labels=True)
 
 
+_CUSUM_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+series AS (
+    SELECT event_type,
+           list(hour ORDER BY hour) AS hs,
+           list(n_events ORDER BY hour) AS xs,
+           count(*)::BIGINT AS n,
+           sum(n_events)::BIGINT AS s
+    FROM hourly GROUP BY event_type
+)
+SELECT event_type,
+       hs[j] AS hour,
+       xs[j] AS n_events,
+       list_reduce(
+           list_prepend(0::BIGINT, list_slice(xs, 1, j)),
+           (acc, x) -> greatest(0::BIGINT, acc + x * n - s)
+       ) AS cusum_scaled,
+       n AS n_points,
+       list_reduce(
+           list_prepend(0::BIGINT, list_slice(xs, 1, j)),
+           (acc, x) -> greatest(0::BIGINT, acc + x * n - s)
+       ) > n * 5 AS flag
+FROM series, unnest(range(1, len(xs) + 1)) AS t(j)
+"""
+
+
+@register("cusum_hourly_drift", _CUSUM_SQL)
+def cusum_hourly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential change-point monitor (round 5): one-sided CUSUM over
+    per-type hourly event counts, run entirely in scaled integers
+    (s'_t = max(0, s'_{t-1} + n·x_t − Σx)) so the group mean never
+    becomes a float — flags hours where accumulated drift exceeds 5
+    events/point. Complements the pointwise z-score `hourly_anomalies`
+    with drift detection."""
+    from bicis_spark.operators.timeseries import cusum_flags
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return cusum_flags(
+        hourly, "event_type", "hour", "n_events", threshold_per_point=5
+    )
+
+
 _KM_SQL = """
 WITH lt AS (
     SELECT user_id,

@@ -744,3 +744,29 @@ def test_kaplan_meier_matches_python_replay(spark):
         want[t] = (n, d, s)
     assert got == want
     assert got[5][2] == 0.0  # everyone churned by the last bucket
+
+
+def test_cusum_detects_level_shift(spark):
+    """A series flat at 10 then stepped to 14 must accumulate drift and
+    flag after the shift; values match a python replay of the scaled
+    recursion exactly (all-integer)."""
+    import datetime as dt
+
+    from bicis_spark.operators.timeseries import cusum_flags
+
+    base = dt.datetime(2024, 1, 1)
+    xs = [10] * 12 + [14] * 12
+    rows = [("a", base + dt.timedelta(hours=i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, x long")
+    got = {
+        r["ts"]: (r["cusum_scaled"], r["flag"])
+        for r in cusum_flags(df, "g", "ts", "x", threshold_per_point=1).collect()
+    }
+    n, s = len(xs), sum(xs)
+    acc, want = 0, {}
+    for i, x in enumerate(xs):
+        acc = max(0, acc + x * n - s)
+        want[base + dt.timedelta(hours=i)] = (acc, acc > n * 1)
+    assert got == want
+    assert not got[base + dt.timedelta(hours=11)][1]   # pre-shift: no flag
+    assert got[base + dt.timedelta(hours=23)][1]       # post-shift: flagged
