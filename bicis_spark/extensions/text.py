@@ -649,3 +649,105 @@ def bigram_surprisal(
             # eager checkpoint inside the block: the returned frame must
             # not reference the caches lazily (bicis_spark/caching.py)
             return result.localCheckpoint(eager=True)
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    log_scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed term set,
+    with the Okapi constants as exact rationals (k1 = 6/5, b = 3/4) and
+    every step integer-exact:
+
+        score_q(d) = Σ_t  fdiv( idf_q(t) · tf·22·S ,
+                                10·S·tf + 3·S + 9·dl·N )
+
+    where S = Σ dl, N = doc count (both exact BIGINT; the coefficients
+    are (k1+1), k1(1−b), k1·b times 10·S), and idf_q(t) =
+    floor(log2(2N−2df+1)·scale) − floor(log2(2df+1)·scale) — the
+    libm-log-table discipline (two floors, computed identically by
+    python and the SQL oracle). fdiv is FLOOR division implemented as
+    ``(a − pmod(a, b)) div b`` so negative idf terms (df > N/2 — BM25's
+    real behavior for very common terms) round the same way on both
+    engines (Spark ``div`` truncates, DuckDB ``//`` floors — only exact
+    divisibility makes them agree).
+
+    Plan: per-(doc, term) tf rows for the query terms only (the explode
+    filters to a ≤|terms| token set BEFORE any shuffle), dl map-side,
+    1-row corpus stats broadcast, df per term collected driver-side
+    (≤|terms| rows — bounded model state) to build the idf literal map.
+    Output: [id, n_terms, score_q, score] for docs matching ≥1 term.
+
+    int64 headroom: idf_q·tf·22·S stays under 2^63 for corpora to ~10⁹
+    tokens at this scale; past that, drop log_scale or route the product
+    through DECIMAL(38,0)."""
+    import math
+
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")).alias("_w"),
+    )
+    dl = base.select("_id", F.size("_w").cast("long").alias("_dl"))
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_dl").cast("long").alias("_s"),
+    )
+    tf = (
+        base.select("_id", F.explode("_w").alias("_t"))
+        .where(F.col("_t").isin(list(query_terms)))
+        .groupBy("_id", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    )
+    # df per query term + corpus N: bounded driver-side model state
+    # (≤|terms|+1 rows), the BPE-merge-table collect class
+    n_docs = stats.select("_n").first()["_n"]
+    df_rows = {
+        r["_t"]: r["_df"]
+        for r in tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df")).collect()
+    }
+    spark = df.sparkSession
+    idf_tbl = spark.createDataFrame(
+        [
+            (
+                t,
+                int(math.floor(math.log2(2 * n_docs - 2 * dfv + 1) * log_scale))
+                - int(math.floor(math.log2(2 * dfv + 1) * log_scale)),
+            )
+            for t, dfv in sorted(df_rows.items())
+        ],
+        "_t string, _idf long",
+    )
+    scored = (
+        tf.join(F.broadcast(idf_tbl), "_t")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_num", F.col("_idf") * F.col("_tf") * F.lit(22) * F.col("_s"))
+        .withColumn(
+            "_den",
+            F.lit(10) * F.col("_s") * F.col("_tf")
+            + F.lit(3) * F.col("_s")
+            + F.lit(9) * F.col("_dl") * F.col("_n"),
+        )
+        .withColumn(
+            "_sq",
+            F.expr("(_num - pmod(_num, _den)) div _den"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("_sq").cast("long").alias("score_q"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_terms",
+            "score_q",
+            (F.col("score_q").cast("double") / F.lit(float(log_scale))).alias("score"),
+        )
+    )

@@ -1816,6 +1816,56 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_SQL = """
+WITH d AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+tf AS (
+    SELECT doc_id, token, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, unnest(w) AS token FROM d
+    ) WHERE token IN ('dup', 'data', 'join')
+    GROUP BY doc_id, token
+),
+dfv AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+idf AS (
+    SELECT token,
+           floor(log2((2 * (SELECT n FROM stats) - 2 * df + 1)::DOUBLE) * 1000000)::BIGINT
+           - floor(log2((2 * df + 1)::DOUBLE) * 1000000)::BIGINT AS idf_q
+    FROM dfv
+),
+nd AS (
+    SELECT tf.doc_id,
+           (idf.idf_q * tf.tf * 22 * st.s)::BIGINT AS num,
+           (10 * st.s * tf.tf + 3 * st.s + 9 * dl.dl * st.n)::BIGINT AS den
+    FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN stats st
+),
+scored AS (
+    -- FLOOR division via the positive-remainder identity (DuckDB's //
+    -- truncates toward zero on negatives; Spark-side fdiv floors)
+    SELECT doc_id, (num - ((num % den) + den) % den) // den AS sq FROM nd
+)
+SELECT doc_id, count(*)::BIGINT AS n_terms, sum(sq)::BIGINT AS score_q,
+       sum(sq)::DOUBLE / 1000000.0 AS score
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("bm25_query_scores", _BM25_SQL)
+def bm25_query_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (round 5) for the fixed query
+    {dup, data, join} — 'dup' is rare (positive idf), the others are
+    corpus-common (negative idf, BM25's true behavior), so both floor-
+    division sign paths are exercised. Okapi constants as exact
+    rationals, libm-log-table idf, integer-exact throughout."""
+    from bicis_spark.extensions.text import bm25_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["dup", "data", "join"])
+
+
 _PACK_EFF_SQL = """
 WITH tok AS (
     SELECT source AS shard, len(string_split(text, ' '))::BIGINT AS n_tokens

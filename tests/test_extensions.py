@@ -430,3 +430,24 @@ def test_codec_features_lenient_vs_strict(spark):
     assert feats[2]["pixel_sum"] is None
     with _pytest.raises(Exception, match="ValueError|unknown|NULL"):
         decode_codec_features(binary, strict=True).collect()
+
+
+def test_bm25_ranks_rare_term_docs_first(spark):
+    """BM25 sanity on a staged corpus: the doc stuffed with the rare
+    query term outranks one with a single occurrence; a doc with only the
+    ubiquitous term scores ≤ 0 (negative idf, Robertson's real behavior);
+    n_terms counts matched query terms only."""
+    from bicis_spark.extensions.text import bm25_scores
+
+    common = "the " * 30
+    rows = [
+        (1, common + "zebra zebra zebra"),
+        (2, common + "zebra"),
+        (3, common.strip()),
+        (4, "unrelated words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bm25_scores(df, ["zebra", "the"]).collect()}
+    assert got[1]["score"] > got[2]["score"] > 0 > got[3]["score"]
+    assert got[1]["n_terms"] == 2 and got[3]["n_terms"] == 1
+    assert 4 not in got  # no query term -> no row
