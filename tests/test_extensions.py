@@ -441,13 +441,17 @@ def test_bm25_ranks_rare_term_docs_first(spark):
 
     common = "the " * 30
     rows = [
-        (1, common + "zebra zebra zebra"),
-        (2, common + "zebra"),
+        (1, "filler words " * 10 + "zebra zebra zebra"),
+        (2, "filler words " * 10 + "zebra"),
         (3, common.strip()),
         (4, "unrelated words only here"),
+        (5, "more filler about nothing at all"),
+        (6, "and another plain document here"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in bm25_scores(df, ["zebra", "the"]).collect()}
-    assert got[1]["score"] > got[2]["score"] > 0 > got[3]["score"]
-    assert got[1]["n_terms"] == 2 and got[3]["n_terms"] == 1
-    assert 4 not in got  # no query term -> no row
+    # zebra: df=2 of N=6 -> idf = flog2(9) - flog2(5) > 0 (rare term)
+    # the: df=1 but doc 3 is ALL "the": tf saturation still caps its score
+    assert got[1]["score"] > got[2]["score"] > 0
+    assert got[1]["n_terms"] == 1 and got[3]["n_terms"] == 1
+    assert 4 not in got and 5 not in got  # no query term -> no row
