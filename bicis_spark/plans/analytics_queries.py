@@ -889,6 +889,37 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return label_propagation(edges, n_iter=2, broadcast_labels=True)
 
 
+_ITEMSETS_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+pair_occ AS (
+    SELECT x.bk, x.it AS a, y.it AS b
+    FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+),
+pairs AS (
+    SELECT 'pair' AS kind, a AS item_a, b AS item_b, NULL::BIGINT AS item_c,
+           count(*)::BIGINT AS support
+    FROM pair_occ GROUP BY a, b HAVING count(*) >= 2
+),
+triples AS (
+    SELECT 'triple' AS kind, p.a, p.b, z.it, count(*)::BIGINT AS support
+    FROM pair_occ p JOIN b z ON p.bk = z.bk AND p.b < z.it
+    GROUP BY p.a, p.b, z.it HAVING count(*) >= 2
+)
+SELECT * FROM pairs UNION ALL SELECT * FROM triples
+"""
+
+
+@register("frequent_itemsets_parts", _ITEMSETS_SQL)
+def frequent_itemsets_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining (round 5): all part pairs and triples
+    co-purchased in ≥2 distinct orders — exact relational Apriori with
+    ordered candidates (a<b<c), basket-key equi-joins only."""
+    from bicis_spark.operators.itemsets import frequent_itemsets
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
+
+
 _CUSUM_SQL = """
 WITH hourly AS (
     SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events

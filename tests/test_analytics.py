@@ -770,3 +770,32 @@ def test_cusum_detects_level_shift(spark):
     assert got == want
     assert not got[base + dt.timedelta(hours=11)][1]   # pre-shift: no flag
     assert got[base + dt.timedelta(hours=23)][1]       # post-shift: flagged
+
+
+def test_frequent_itemsets_exact_counts(spark):
+    """Staged baskets with known pair/triple supports, duplicate items
+    within a basket (must dedup), and the mega-basket cap."""
+    from bicis_spark.operators.itemsets import frequent_itemsets
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"),   # dup 'a' in basket 1
+        (2, "a"), (2, "b"), (2, "c"),
+        (3, "a"), (3, "b"),
+        (4, "x"), (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r["kind"], r["item_a"], r["item_b"], r["item_c"]): r["support"]
+        for r in frequent_itemsets(df, "bk", "it", min_support=2).collect()
+    }
+    assert got == {
+        ("pair", "a", "b", None): 3,
+        ("pair", "a", "c", None): 2,
+        ("pair", "b", "c", None): 2,
+        ("triple", "a", "b", "c"): 2,
+    }
+    capped = frequent_itemsets(
+        df, "bk", "it", min_support=2, max_items_per_basket=2
+    ).collect()
+    # only baskets 3 (a,b) and 4 (x,y) survive the cap -> no support-2 sets
+    assert capped == []
