@@ -74,6 +74,16 @@ REPRESENTATIVES = [
     "multimodal_bmp_wav_decode",  # codec arithmetic constants
     "cohort_retention_weekly",  # week bucketing offset
     "bloom_pruned_part_revenue",  # semi-join predicate constant
+    # round-5 additions
+    "cluster_balanced_sample",  # k-means mod/cap + sample target
+    "ngram_novelty_scores",     # gram width / ownership comparison
+    "incremental_agg_maintenance",  # delta split modulus
+    "kaplan_meier_user_lifetimes",  # lifetime bucket width
+    "cusum_hourly_drift",       # drift threshold multiplier
+    "bm25_query_scores",        # Okapi integer coefficients
+    "frequent_itemsets_parts",  # min-support boundary
+    "seasonal_decompose_hourly",  # MA radius / slot extraction
+    "label_propagation_communities",  # co-purchase ordering boundary
 ]
 
 # (pattern, replacement, label) — applied ONE AT A TIME, first match only.
