@@ -84,6 +84,10 @@ HEADLINE = [
     "label_propagation_communities",  # 2-round synchronous LPA
     "kaplan_meier_user_lifetimes",  # survival curve (bounded fold)
     "incremental_agg_maintenance",  # delta-merge materialized aggregate
+    "cusum_hourly_drift",         # integer CUSUM drift monitor
+    "bm25_query_scores",          # BM25 retrieval scoring
+    "frequent_itemsets_parts",    # exact Apriori pairs+triples
+    "seasonal_decompose_hourly",  # additive decomposition
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -201,6 +205,8 @@ def main() -> None:
         "multimodal_bmp_wav_decode", "cluster_balanced_sample",
         "ngram_novelty_scores", "label_propagation_communities",
         "kaplan_meier_user_lifetimes", "incremental_agg_maintenance",
+        "cusum_hourly_drift", "bm25_query_scores",
+        "frequent_itemsets_parts", "seasonal_decompose_hourly",
     }
     r2_overlap = round(
         sum(
