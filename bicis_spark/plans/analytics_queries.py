@@ -889,6 +889,48 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return label_propagation(edges, n_iter=2, broadcast_labels=True)
 
 
+_MARKOV_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+pairs AS (
+    SELECT cur, nxt, count(*)::BIGINT AS n
+    FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+tot AS (SELECT cur, sum(n)::BIGINT AS t FROM pairs GROUP BY cur)
+SELECT p.cur, p.nxt, p.n, t.t AS row_total,
+       p.n::DOUBLE / t.t::DOUBLE AS prob
+FROM pairs p JOIN tot t USING (cur)
+"""
+
+
+@register("event_transition_matrix", _MARKOV_SQL)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (round 5): lead() pairs with the (ts, event_id) total
+    order, exact counts, row-normalized by one integer ratio. The
+    |types|² matrix is the bounded output of one user-keyed window plus
+    two map-side-combined aggregates — the sequence-model summary a
+    behavioral pipeline exports."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = pairs.groupBy("cur").agg(F.sum("n").cast("long").alias("row_total"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        "row_total",
+        (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("prob"),
+    )
+
+
 _DECOMP_SQL = """
 WITH hourly AS (
     SELECT event_type AS g, date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
