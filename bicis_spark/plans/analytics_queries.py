@@ -889,6 +889,68 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return label_propagation(edges, n_iter=2, broadcast_labels=True)
 
 
+_LINKAGE_SQL = """
+WITH c AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           (c_nationkey, floor(c_acctbal / 1000)) AS blk
+    FROM customer
+),
+pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 24 ELSE -8 END
+            + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 6 ELSE -3 END
+            + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 50.0 THEN 10 ELSE -5 END
+           )::BIGINT AS score
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+)
+SELECT id_a, id_b, score,
+       CASE WHEN score >= 30 THEN 'link'
+            WHEN score >= 5 THEN 'possible'
+            ELSE 'non_link' END AS match_class
+FROM pairs WHERE score >= 5
+"""
+
+
+@register("record_linkage_customers", _LINKAGE_SQL)
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage (round 5): customers blocked on
+    (nation, acctbal/1000 band), compared on name edit distance,
+    segment, and balance proximity with integer log-odds weights, banded
+    into link/possible. All-integer scores, blocked candidates only."""
+    from bicis_spark.operators.linkage import fellegi_sunter_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    comparators = [
+        (
+            "name",
+            lambda a, b: F.levenshtein(F.col(a + "c_name"), F.col(b + "c_name")) <= 2,
+            24,
+            -8,
+        ),
+        (
+            "segment",
+            lambda a, b: F.col(a + "c_mktsegment") == F.col(b + "c_mktsegment"),
+            6,
+            -3,
+        ),
+        (
+            "balance",
+            lambda a, b: F.abs(F.col(a + "c_acctbal") - F.col(b + "c_acctbal"))
+            <= 50.0,
+            10,
+            -5,
+        ),
+    ]
+    return fellegi_sunter_pairs(
+        cust,
+        "c_custkey",
+        [F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 1000)],
+        comparators,
+        link_threshold=30,
+        possible_threshold=5,
+    )
+
+
 _MARKOV_SQL = """
 WITH seq AS (
     SELECT user_id, event_type AS cur,

@@ -827,3 +827,43 @@ def test_seasonal_decompose_reconstruction_identity(spark):
     # 40/3 or 50/3; seasonal mean is exactly x - grand; residual follows
     mid = [r for r in out if 0 < (r["ts"] - base).total_seconds() / 3600 < 47]
     assert all(abs(r["residual"]) < 4 for r in mid)
+
+
+def test_fellegi_sunter_blocking_and_bands(spark):
+    """Staged people: an exact near-duplicate scores 'link'; a same-block
+    partial agreement scores 'possible'; cross-block pairs are never
+    compared (blocking contract); non-link pairs are dropped by default
+    and kept with keep_below_possible."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.linkage import fellegi_sunter_pairs
+
+    rows = [
+        (1, "ann smith", "X", 10),
+        (2, "ann smyth", "X", 10),   # near-dup of 1 (lev 1, same seg)
+        (3, "bob jones", "Y", 10),   # same block, disagrees on name+seg
+        (4, "ann smith", "X", 99),   # other block: never paired with 1
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string, seg string, blk long")
+    comps = [
+        ("name", lambda a, b: F.levenshtein(F.col(a + "name"), F.col(b + "name")) <= 1, 20, -10),
+        ("seg", lambda a, b: F.col(a + "seg") == F.col(b + "seg"), 5, -5),
+    ]
+    got = {
+        (r["id_a"], r["id_b"]): (r["score"], r["match_class"])
+        for r in fellegi_sunter_pairs(
+            df, "pid", [F.col("blk")], comps, link_threshold=20, possible_threshold=0
+        ).collect()
+    }
+    assert got == {(1, 2): (25, "link")}
+    everything = {
+        (r["id_a"], r["id_b"]): r["match_class"]
+        for r in fellegi_sunter_pairs(
+            df, "pid", [F.col("blk")], comps, 20, 0, keep_below_possible=True
+        ).collect()
+    }
+    assert everything == {
+        (1, 2): "link",
+        (1, 3): "non_link",
+        (2, 3): "non_link",
+    }  # pid 4 is in another block: no pair at all
