@@ -71,9 +71,15 @@ _LOADED = False
 #   equidepth_quantity_buckets, pit_status_at_ship, ewma_user_value,
 #   variant_props_stats, unpivot_status_counts, holt_forecast_user_value,
 #   holt_winters_forecast_user_value
-# plus any query registered during round 5 itself (those queue behind the
-# 20 above). Everything previously green stays covered by
-# tests/test_oracle_queries.py locally.
+# plus the queries registered during round 5 itself (these queue behind
+# the 20 above; all oracle-MATCH at sf0.001+sf0.01 and covered by the
+# local suite): cluster_balanced_sample, ngram_novelty_scores,
+# incremental_agg_maintenance, packing_efficiency,
+# label_propagation_communities, kaplan_meier_user_lifetimes,
+# cusum_hourly_drift, bm25_query_scores, frequent_itemsets_parts,
+# seasonal_decompose_hourly, event_transition_matrix,
+# record_linkage_customers. Everything previously green stays covered
+# by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H battery (the 18 shapes never driver-checked; 1/3/5/10 green r4)
     "q2_min_cost_supplier",
