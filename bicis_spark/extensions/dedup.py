@@ -868,3 +868,153 @@ def incremental_dedup(
     return batch.join(index_df, ["_fp1", "_fp2"], "left_anti").select(
         id_col, "n_copies"
     )
+
+
+def _grouped_assign(
+    members: DataFrame,
+    cents: DataFrame,
+    dims: int | None,
+) -> DataFrame:
+    """Assign each (vid, qv, super_id) member to its max-cosine centroid
+    WITHIN its super cluster (centroid table [super_id, sub_id, cqv],
+    broadcast — it is (super × sub) rows, a constant). Deterministic
+    sub_id tie-break, argmax via max_by hash-aggregate (map-side
+    combinable), mirroring similarity.ivf_assign."""
+    from bicis_spark.extensions.similarity import cosine_from_norms, norm_col
+
+    m = members.withColumn("_mn", norm_col(F.col("qv"), dims))
+    c = cents.select(
+        "super_id", "sub_id", F.col("cqv").alias("_cv")
+    ).withColumn("_cn", norm_col(F.col("_cv"), dims))
+    sim = cosine_from_norms(F.col("qv"), F.col("_cv"), F.col("_mn"), F.col("_cn"), dims)
+    pairs = m.join(F.broadcast(c), "super_id").withColumn("_sim", sim)
+    return (
+        pairs.groupBy("vid")
+        .agg(
+            F.max_by(
+                F.struct("super_id", "sub_id", "qv"),
+                F.struct(F.col("_sim"), -F.col("sub_id")),
+            ).alias("_best")
+        )
+        .select("vid", "_best.super_id", "_best.sub_id", "_best.qv")
+    )
+
+
+def semantic_dedup_two_level(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    super_mod: int = 100,
+    max_super: int | None = 8,
+    sub_mod: int = 25,
+    max_sub_per_super: int = 5,
+    train_iters: int = 1,
+    dims: int | None = 64,
+) -> DataFrame:
+    """The 100 TB SemDeDup shape promised by ``semantic_dedup``'s
+    docstring, made real: a SUPER k-means routes the corpus into coarse
+    shards, then an independent per-super sub-k-means refines each shard,
+    and near-dup pairs are found only within (super, sub) blocks — two
+    levels of blocking, so block size is n/(k₁·k₂) with BOTH trained
+    structures capped constants (max_super supers; ≤ max_sub_per_super
+    sub-centroids per super, taken as each super's first qualifying ids
+    by row_number).
+
+    Everything stays in the engine's deterministic k-means algebra
+    (mod-seeds, max-cosine assignment with min-id tie-break,
+    floor-of-mean integer updates), so the full two-level pipeline —
+    training included — is replayed bit-for-bit by the SQL oracle.
+
+    Output: [id, super_id, sub_id, is_semantic_dup, dup_of]."""
+    from bicis_spark.extensions.similarity import (
+        cosine_from_norms,
+        ivf_assign,
+        kmeans_refine_exact,
+        norm_col,
+        quantize,
+    )
+
+    c = tracked_persist(
+        _partitioned(df, None).select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
+        )
+    )
+    sfilter = F.col("vid") % super_mod == 1
+    if max_super is not None:
+        sfilter = sfilter & (F.col("vid") < super_mod * max_super)
+    sseeds = c.where(sfilter).select(F.col("vid").alias("centroid_id"), "qv")
+    scents = kmeans_refine_exact(c, sseeds, train_iters, "vid", "qv", dims)
+    sup = tracked_persist(
+        ivf_assign(c, scents, "vid", "qv", dims).withColumnRenamed(
+            "centroid_id", "super_id"
+        )
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("super_id").orderBy("vid")
+    cents2 = (
+        sup.where(F.col("vid") % sub_mod == 1)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_sub_per_super)
+        .select("super_id", F.col("vid").alias("sub_id"), F.col("qv").alias("cqv"))
+    )
+    for _ in range(train_iters):
+        asg = _grouped_assign(sup, cents2, dims)
+        means = (
+            asg.select("super_id", "sub_id", F.posexplode("qv"))
+            .groupBy("super_id", "sub_id", "pos")
+            .agg(
+                F.floor(
+                    F.sum("col").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("m")
+            )
+            .groupBy("super_id", "sub_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("_new")
+            )
+        )
+        cents2 = cents2.join(means, ["super_id", "sub_id"], "left").select(
+            "super_id",
+            "sub_id",
+            F.coalesce(F.col("_new"), F.col("cqv")).alias("cqv"),
+        )
+
+    asg = _grouped_assign(sup, cents2, dims).withColumn(
+        "n", norm_col(F.col("qv"), dims)
+    )
+    a = asg.select(
+        F.col("vid").alias("va"), F.col("super_id").alias("sa"),
+        F.col("sub_id").alias("ca"), F.col("qv").alias("qv_a"), F.col("n").alias("n_a"),
+    )
+    b = asg.select(
+        F.col("vid").alias("vb"), F.col("super_id").alias("sb"),
+        F.col("sub_id").alias("cb"), F.col("qv").alias("qv_b"), F.col("n").alias("n_b"),
+    )
+    sim = cosine_from_norms(
+        F.col("qv_a"), F.col("qv_b"), F.col("n_a"), F.col("n_b"), dims
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("sa") == F.col("sb"))
+            & (F.col("ca") == F.col("cb"))
+            & (F.col("va") < F.col("vb")),
+        )
+        .where(sim >= threshold)
+        .groupBy(F.col("vb").alias("vid"))
+        .agg(F.min("va").alias("dup_of"))
+    )
+    return asg.join(dups, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "super_id",
+        "sub_id",
+        F.col("dup_of").isNotNull().alias("is_semantic_dup"),
+        "dup_of",
+    )

@@ -1746,6 +1746,103 @@ def _semdedup_oracle(
     """
 
 
+def _semdedup_two_level_oracle(
+    super_mod: int = 100,
+    max_super: int = 8,
+    sub_mod: int = 25,
+    max_sub: int = 5,
+    train_iters: int = 1,
+    threshold: float = 0.45,
+) -> str:
+    """Oracle for ``semantic_dedup_two_level``: the shared capped-k-means
+    prefix trains the SUPER router, then a per-super sub-k-means (seeds =
+    each super's first ``max_sub`` qualifying ids by row_number, grouped
+    assignment/mean-update keyed by (super, sub)) and near-dup flags
+    within (super, sub) blocks — the whole two-level pipeline replayed
+    bit-for-bit."""
+    parts = [_kmeans_assign_prefix(super_mod, train_iters, max_super)]
+    parts.append(
+        f""",
+    sup AS (SELECT vec_id, qv, centroid_id AS super_id FROM assign),
+    cand AS (
+        SELECT vec_id, qv, super_id,
+               row_number() OVER (PARTITION BY super_id ORDER BY vec_id) AS rn
+        FROM sup WHERE vec_id % {sub_mod} = 1
+    ),
+    s2c0 AS (SELECT super_id, vec_id AS sub_id, qv FROM cand WHERE rn <= {max_sub})"""
+    )
+    for t in range(train_iters):
+        parts.append(
+            f""",
+    a2_{t} AS (
+        SELECT vec_id, qv, super_id, sub_id FROM (
+            SELECT v.vec_id, v.qv, v.super_id, c.sub_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC, c.sub_id) AS rn
+            FROM sup v JOIN s2c{t} c ON v.super_id = c.super_id
+        ) t WHERE rn = 1
+    ),
+    m2_{t} AS (
+        SELECT super_id, sub_id, i,
+               CAST(floor(CAST(sum(qv[i+1]) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        FROM a2_{t}, range(64) t(i) GROUP BY super_id, sub_id, i
+    ),
+    s2c{t + 1} AS (
+        SELECT c.super_id, c.sub_id, coalesce(l.qv, c.qv) AS qv
+        FROM s2c{t} c LEFT JOIN (
+            SELECT super_id, sub_id, list(m ORDER BY i) AS qv
+            FROM m2_{t} GROUP BY super_id, sub_id
+        ) l USING (super_id, sub_id)
+    )"""
+        )
+    parts.append(
+        f""",
+    asg2 AS (
+        SELECT vec_id, qv, super_id, sub_id FROM (
+            SELECT v.vec_id, v.qv, v.super_id, c.sub_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC, c.sub_id) AS rn
+            FROM sup v JOIN s2c{train_iters} c ON v.super_id = c.super_id
+        ) t WHERE rn = 1
+    ),
+    dups AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM asg2 a JOIN asg2 b
+          ON a.super_id = b.super_id AND a.sub_id = b.sub_id AND a.vec_id < b.vec_id
+        WHERE {_COS.format(a='a', b='b')} >= {threshold}
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.super_id, s.sub_id,
+           (d.dup_of IS NOT NULL) AS is_semantic_dup, d.dup_of
+    FROM asg2 s LEFT JOIN dups d USING (vec_id)
+    """
+    )
+    return "".join(parts)
+
+
+@register("semantic_dedup_two_level_flags", _semdedup_two_level_oracle())
+def semantic_dedup_two_level_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level SemDeDup router (round 5): super k-means shards the
+    corpus, per-super sub-k-means refines each shard, near-dups flagged
+    within (super, sub) blocks only — block size n/(k1·k2) with both
+    trained structures capped constants. The production scale shape the
+    single-level operator's docstring promises, hash-gated end to end."""
+    from bicis_spark.extensions.dedup import semantic_dedup_two_level
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_two_level(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.45,
+        super_mod=100,
+        max_super=8,
+        sub_mod=25,
+        max_sub_per_super=5,
+        train_iters=1,
+    )
+
+
 @register("semantic_dedup_flags", _semdedup_oracle(max_clusters=_IVF_MAX_LISTS))
 def semantic_dedup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic deduplication: one trained-k-means pass

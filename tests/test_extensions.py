@@ -455,3 +455,29 @@ def test_bm25_ranks_rare_term_docs_first(spark):
     assert got[1]["score"] > got[2]["score"] > 0
     assert got[1]["n_terms"] == 1 and got[3]["n_terms"] == 1
     assert 4 not in got and 5 not in got  # no query term -> no row
+
+
+def test_two_level_semdedup_block_containment(spark):
+    """Two-level SemDeDup invariants: every vector appears exactly once;
+    every flagged dup's survivor shares its (super, sub) block and has a
+    smaller id; sub-centroid count per super never exceeds the cap."""
+    from bicis_spark.extensions.dedup import semantic_dedup_two_level
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = semantic_dedup_two_level(
+        emb, threshold=0.45, super_mod=100, max_super=8,
+        sub_mod=25, max_sub_per_super=5,
+    ).collect()
+    assert len({r["vec_id"] for r in rows}) == len(rows) == emb.count()
+    blocks = {r["vec_id"]: (r["super_id"], r["sub_id"]) for r in rows}
+    for r in rows:
+        if r["is_semantic_dup"]:
+            assert r["dup_of"] < r["vec_id"]
+            assert blocks[r["dup_of"]] == blocks[r["vec_id"]]
+    from collections import defaultdict
+
+    subs = defaultdict(set)
+    for r in rows:
+        subs[r["super_id"]].add(r["sub_id"])
+    assert all(len(s) <= 5 for s in subs.values())
