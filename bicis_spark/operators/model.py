@@ -223,3 +223,53 @@ def train_predict_evaluate(
     model = fit_poisson(assembled, link=link, max_iter=max_iter)
     preds = predict(model, assembled)
     return model, preds, evaluate_mse(preds)
+
+
+def fit_ols_exact_grouped(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Closed-form OLS fitted PER GROUP in one aggregation pass — the
+    many-models-at-once shape (one model per segment/brand/tenant) that a
+    driver-side loop cannot scale to: sufficient statistics accumulate in
+    exact DECIMAL per group with map-side combine, and the coefficient
+    expressions are the same fixed float trees as ``fit_ols_exact``, so
+    every group's (slope, intercept, mse) replays bit-for-bit in the
+    oracle. Output: [group, n_rows, slope, intercept, mse]; groups whose
+    x is constant (zero variance) yield NULL slope/intercept/mse rather
+    than a division error."""
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    s = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _decimal_sum_double(F.sum(x)).alias("sx"),
+        _decimal_sum_double(F.sum(y)).alias("sy"),
+        _decimal_sum_double(F.sum(x * y)).alias("sxy"),
+        _decimal_sum_double(F.sum(x * x)).alias("sxx"),
+        _decimal_sum_double(F.sum(y * y)).alias("syy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    c = s.withColumn(
+        "slope",
+        F.when(
+            den != 0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+        ),
+    ).withColumn(
+        "intercept",
+        (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"),
+    )
+    mse = (
+        F.col("syy")
+        - F.lit(2) * F.col("slope") * F.col("sxy")
+        - F.lit(2) * F.col("intercept") * F.col("sy")
+        + F.col("slope") * F.col("slope") * F.col("sxx")
+        + F.lit(2) * F.col("slope") * F.col("intercept") * F.col("sx")
+        + F.col("n") * F.col("intercept") * F.col("intercept")
+    ) / F.col("n")
+    return c.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n_rows"),
+        "slope",
+        "intercept",
+        mse.alias("mse"),
+    )

@@ -354,6 +354,58 @@ c2 AS (SELECT *, (sy - slope * sx) / n AS intercept FROM c)
 """
 
 
+_OLS_SEGMENT_SQL = """
+WITH j AS (
+    SELECT p.p_brand AS brand,
+           CAST(l.l_quantity AS DECIMAL(18,2)) AS x,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s0 AS (
+    SELECT brand, count(*) AS n0,
+           sum(x) AS dsx, sum(y) AS dsy, sum(x*y) AS dsxy,
+           sum(x*x) AS dsxx, sum(y*y) AS dsyy
+    FROM j GROUP BY brand
+),
+s AS (
+    SELECT brand, CAST(n0 AS DOUBLE) AS n,
+           (CAST(CAST(floor(dsx) AS BIGINT) AS DOUBLE) + CAST(dsx - CAST(floor(dsx) AS BIGINT) AS DOUBLE)) AS sx, (CAST(CAST(floor(dsy) AS BIGINT) AS DOUBLE) + CAST(dsy - CAST(floor(dsy) AS BIGINT) AS DOUBLE)) AS sy, (CAST(CAST(floor(dsxy) AS BIGINT) AS DOUBLE) + CAST(dsxy - CAST(floor(dsxy) AS BIGINT) AS DOUBLE)) AS sxy,
+           (CAST(CAST(floor(dsxx) AS BIGINT) AS DOUBLE) + CAST(dsxx - CAST(floor(dsxx) AS BIGINT) AS DOUBLE)) AS sxx, (CAST(CAST(floor(dsyy) AS BIGINT) AS DOUBLE) + CAST(dsyy - CAST(floor(dsyy) AS BIGINT) AS DOUBLE)) AS syy
+    FROM s0
+),
+c AS (
+    SELECT brand, n, sx, sy, sxy, sxx, syy,
+           CASE WHEN n*sxx - sx*sx != 0
+                THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope
+    FROM s
+),
+c2 AS (SELECT *, (sy - slope*sx) / n AS intercept FROM c)
+SELECT brand, CAST(n AS BIGINT) AS n_rows, slope, intercept,
+       (syy - 2*slope*sxy - 2*intercept*sy + slope*slope*sxx
+        + 2*slope*intercept*sx + n*intercept*intercept) / n AS mse
+FROM c2
+"""
+
+
+@register("ols_per_brand_models", _OLS_SEGMENT_SQL)
+def ols_per_brand_models_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS (round 5): one price~quantity model PER
+    BRAND fitted in a single aggregation pass (25 models, one shuffle) —
+    the many-models shape a driver-side loop cannot scale to. Same exact
+    DECIMAL sufficient statistics + portable decimal→double decomposition
+    + fixed coefficient expression trees as ols_fit_stats, so every
+    group's (slope, intercept, mse) hashes bitwise."""
+    from bicis_spark.operators.model import fit_ols_exact_grouped
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    ).select(F.col("p_brand").alias("brand"), "l_quantity", "l_extendedprice")
+    return fit_ols_exact_grouped(j, "brand", "l_quantity", "l_extendedprice")
+
+
 @register(
     "ols_fit_stats",
     f"""

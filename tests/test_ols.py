@@ -67,3 +67,26 @@ def test_grid_eval_matches_single_fit(spark, sf_dir):
         single["n_rows"], single["slope"], single["intercept"], single["mse"],
     )
     assert grid["l_discount"]["mse"] != g["mse"]
+
+
+def test_grouped_ols_matches_per_group_fits(spark):
+    """fit_ols_exact_grouped must equal fit_ols_exact run per group, and
+    a zero-variance-x group yields NULL coefficients instead of a
+    division error."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.model import fit_ols_exact, fit_ols_exact_grouped
+
+    rows = [
+        ("a", 1.0, 2.0), ("a", 2.0, 4.1), ("a", 3.0, 5.9),
+        ("b", 1.0, 10.0), ("b", 2.0, 8.0), ("b", 4.0, 4.0),
+        ("c", 5.0, 1.0), ("c", 5.0, 2.0),   # constant x
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in fit_ols_exact_grouped(df, "g", "x", "y").collect()}
+    for g in ("a", "b"):
+        want = fit_ols_exact(df.where(F.col("g") == g), "x", "y").first()
+        assert got[g]["slope"] == want["slope"]
+        assert got[g]["intercept"] == want["intercept"]
+        assert got[g]["mse"] == want["mse"]
+    assert got["c"]["slope"] is None and got["c"]["n_rows"] == 2
