@@ -19,7 +19,7 @@ from pyspark.ml.regression import (
     GeneralizedLinearRegression,
     GeneralizedLinearRegressionModel,
 )
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 VALID_LINKS = ("log", "identity", "sqrt")
@@ -272,4 +272,79 @@ def fit_ols_exact_grouped(
         "slope",
         "intercept",
         mse.alias("mse"),
+    )
+
+
+def conformal_interval_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: list[str],
+    cal_mod: int = 5,
+    alpha_num: int = 9,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal interval calibration over the exact-OLS model:
+    rows with ``hash_key % cal_mod == 0`` form the calibration split
+    (the rest train), the model is ``fit_ols_exact`` on the train split,
+    and the interval half-width q is the k-th smallest absolute
+    calibration residual with k = ceil((alpha_num/alpha_den)·(n_cal+1))
+    — the distribution-free coverage guarantee of split conformal
+    prediction (Vovk et al.; Lei et al. 2018).
+
+    Determinism: the split is a modulus on the first key column; k is
+    integer arithmetic; q is an EXACT order statistic (row_number over
+    (|residual|, key...) — no percentile interpolation); residuals are a
+    fixed float expression tree over the hash-gated coefficients.
+    Output: 1 row [n_train, n_cal, k, q_width, n_covered, slope,
+    intercept] — n_covered/n_cal is the empirical coverage the guarantee
+    promises ≥ alpha on exchangeable data.
+
+    Scale: two aggregate passes; the model and q attach by 1-row
+    broadcasts. The k-th selection here is a global row_number over the
+    calibration split — exact and fine to ~10⁸ cal rows; past that, swap
+    in two-pass bucketed selection (residual histogram → locate k's
+    bucket → sort that bucket only), which preserves exactness without
+    the single-task sort."""
+    key = F.col(key_cols[0])
+    train = df.where(key % cal_mod != 0)
+    cal = df.where(key % cal_mod == 0)
+    coef = fit_ols_exact(train, x_col, y_col).select(
+        "slope", "intercept", F.col("n_rows").alias("n_train")
+    )
+    resid = F.abs(
+        F.col(y_col).cast("double")
+        - (F.col("slope") * F.col(x_col).cast("double") + F.col("intercept"))
+    )
+    scored = cal.crossJoin(F.broadcast(coef)).select(
+        *[F.col(c) for c in key_cols],
+        "slope",
+        "intercept",
+        "n_train",
+        resid.alias("_r"),
+    )
+    n_cal_df = scored.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    w = Window.orderBy(F.col("_r"), *[F.col(c) for c in key_cols])
+    ranked = scored.crossJoin(F.broadcast(n_cal_df)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    k_expr = F.ceil(
+        (F.lit(alpha_num) * (F.col("n_cal") + 1)) / F.lit(alpha_den)
+    ).cast("long")
+    q_row = ranked.where(F.col("_rn") == F.least(k_expr, F.col("n_cal"))).select(
+        "slope",
+        "intercept",
+        "n_train",
+        "n_cal",
+        F.least(k_expr, F.col("n_cal")).alias("k"),
+        F.col("_r").alias("q_width"),
+    )
+    covered = (
+        scored.crossJoin(F.broadcast(q_row.select("q_width")))
+        .where(F.col("_r") <= F.col("q_width"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_covered"))
+    )
+    return q_row.crossJoin(F.broadcast(covered)).select(
+        "n_train", "n_cal", "k", "q_width", "n_covered", "slope", "intercept"
     )

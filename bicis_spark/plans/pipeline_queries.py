@@ -354,6 +354,61 @@ c2 AS (SELECT *, (sy - slope * sx) / n AS intercept FROM c)
 """
 
 
+_CONFORMAL_SQL = """
+WITH tr AS (SELECT * FROM lineitem WHERE l_orderkey % 5 != 0),
+s0 AS (
+    SELECT count(*) AS n0,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS dsx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS dsy,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS dsxy,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS dsxx
+    FROM tr
+),
+s AS (SELECT CAST(n0 AS DOUBLE) AS n, (CAST(CAST(floor(dsx) AS BIGINT) AS DOUBLE) + CAST(dsx - CAST(floor(dsx) AS BIGINT) AS DOUBLE)) AS sx, (CAST(CAST(floor(dsy) AS BIGINT) AS DOUBLE) + CAST(dsy - CAST(floor(dsy) AS BIGINT) AS DOUBLE)) AS sy,
+             (CAST(CAST(floor(dsxy) AS BIGINT) AS DOUBLE) + CAST(dsxy - CAST(floor(dsxy) AS BIGINT) AS DOUBLE)) AS sxy, (CAST(CAST(floor(dsxx) AS BIGINT) AS DOUBLE) + CAST(dsxx - CAST(floor(dsxx) AS BIGINT) AS DOUBLE)) AS sxx, n0 FROM s0),
+c AS (SELECT n0 AS n_train, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope, n, sx, sy FROM s),
+c2 AS (SELECT n_train, slope, (sy - slope*sx) / n AS intercept FROM c),
+cal AS (
+    SELECT l_orderkey, l_linenumber,
+           abs(CAST(l_extendedprice AS DOUBLE)
+               - (c2.slope * CAST(l_quantity AS DOUBLE) + c2.intercept)) AS r,
+           c2.slope, c2.intercept, c2.n_train
+    FROM lineitem CROSS JOIN c2 WHERE l_orderkey % 5 = 0
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY r, l_orderkey, l_linenumber) AS rn,
+           count(*) OVER ()::BIGINT AS n_cal
+    FROM cal
+),
+q AS (
+    SELECT slope, intercept, n_train, n_cal,
+           least(CAST(ceil((9 * (n_cal + 1)) / 10.0) AS BIGINT), n_cal) AS k, r AS q_width
+    FROM ranked
+    WHERE rn = least(CAST(ceil((9 * (n_cal + 1)) / 10.0) AS BIGINT), n_cal)
+)
+SELECT q.n_train::BIGINT AS n_train, q.n_cal, q.k, q.q_width,
+       (SELECT count(*) FROM cal WHERE cal.r <= q.q_width)::BIGINT AS n_covered,
+       q.slope, q.intercept
+FROM q
+"""
+
+
+@register("ols_conformal_intervals", _CONFORMAL_SQL)
+def ols_conformal_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval calibration (round 5): 20% modulus
+    calibration split, exact-OLS model on the rest, interval half-width
+    as the EXACT ceil(0.9·(n+1))-th order statistic of absolute
+    calibration residuals (no percentile interpolation), plus the
+    empirical coverage count the guarantee promises. 1-row output,
+    bitwise-replayable."""
+    from bicis_spark.operators.model import conformal_interval_stats
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return conformal_interval_stats(
+        li, "l_quantity", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+
+
 _OLS_SEGMENT_SQL = """
 WITH j AS (
     SELECT p.p_brand AS brand,

@@ -90,3 +90,27 @@ def test_grouped_ols_matches_per_group_fits(spark):
         assert got[g]["intercept"] == want["intercept"]
         assert got[g]["mse"] == want["mse"]
     assert got["c"]["slope"] is None and got["c"]["n_rows"] == 2
+
+
+def test_conformal_coverage_guarantee_on_staged_data(spark):
+    """On a staged linear-with-noise dataset the conformal width must
+    cover ≥ ceil(0.9(n+1))-1 of the calibration residuals by
+    construction (k-th order statistic), and k must be the
+    ceil(0.9(n_cal+1)) formula."""
+    import math
+
+    from bicis_spark.operators.model import conformal_interval_stats
+
+    rows = [
+        (i, 1, float(i % 40), 3.0 * (i % 40) + 7.0 + ((i * 37) % 11 - 5))
+        for i in range(1, 501)
+    ]
+    df = spark.createDataFrame(rows, "k1 long, k2 long, x double, y double")
+    out = conformal_interval_stats(df, "x", "y", ["k1", "k2"], cal_mod=5).first()
+    assert out["n_train"] + out["n_cal"] == 500
+    assert out["k"] == min(
+        math.ceil(0.9 * (out["n_cal"] + 1)), out["n_cal"]
+    )
+    # k-th smallest residual covers at least k residuals (ties may add)
+    assert out["n_covered"] >= out["k"]
+    assert out["q_width"] >= 0.0
