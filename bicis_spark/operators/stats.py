@@ -234,3 +234,43 @@ def kaplan_meier(
         ).alias("s")
     )
     return stepped.select("s.lifetime", "s.n_risk", "s.d", "s.survival")
+
+
+def skyline_2d(
+    df: DataFrame,
+    id_col: str,
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto-frontier) query: rows not DOMINATED by any
+    other — B is dominated when some A has minimize ≤ B's and maximize ≥
+    B's with at least one strict. Equal (min, max) pairs do not dominate
+    each other, so exact ties all surface.
+
+    Plan: collapse to per-price groups (distinct ``minimize`` values,
+    max of ``maximize`` per group), one ordered window over that GROUP
+    table (running max + lag gives the best ``maximize`` among STRICTLY
+    cheaper groups), broadcast back to the full table. Dominance test:
+
+        dominated ⟺ best_strictly_cheaper ≥ v  OR  own_group_max > v
+
+    The only sort is over |distinct minimize values| — the skyline's
+    inherent order — while the data table is touched by scan + broadcast
+    join only."""
+    g = df.groupBy(F.col(minimize_col).alias("_m")).agg(
+        F.max(F.col(maximize_col)).alias("_gmax")
+    )
+    w = Window.orderBy("_m")
+    run = F.max("_gmax").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    gg = g.withColumn("_best_le", run).withColumn(
+        "_best_lt", F.lag("_best_le").over(w)
+    )
+    out = df.join(
+        F.broadcast(gg.select("_m", "_gmax", "_best_lt")),
+        df[minimize_col] == F.col("_m"),
+    )
+    dominated = (
+        F.col("_best_lt").isNotNull()
+        & (F.col("_best_lt") >= F.col(maximize_col))
+    ) | (F.col("_gmax") > F.col(maximize_col))
+    return out.where(~dominated).select(id_col, minimize_col, maximize_col)

@@ -889,6 +889,32 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return label_propagation(edges, n_iter=2, broadcast_labels=True)
 
 
+_SKYLINE_SQL = """
+WITH g AS (SELECT p_retailprice AS m, max(p_size) AS gmax FROM part GROUP BY p_retailprice),
+g2 AS (
+    SELECT m, gmax,
+           max(gmax) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best_le
+    FROM g
+),
+gg AS (SELECT m, gmax, lag(best_le) OVER (ORDER BY m) AS best_lt FROM g2)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN gg ON p.p_retailprice = gg.m
+WHERE NOT ((gg.best_lt IS NOT NULL AND gg.best_lt >= p.p_size) OR gg.gmax > p.p_size)
+"""
+
+
+@register("part_price_size_skyline", _SKYLINE_SQL)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (round 5): parts not dominated on
+    (cheaper price, larger size). The only sort is over distinct prices
+    (the frontier's inherent order); the part table itself is scan +
+    broadcast join."""
+    from bicis_spark.operators.stats import skyline_2d
+
+    part = read_table(spark, sf_dir, "part")
+    return skyline_2d(part, "p_partkey", "p_retailprice", "p_size")
+
+
 _LINKAGE_SQL = """
 WITH c AS (
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,

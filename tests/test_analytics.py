@@ -867,3 +867,31 @@ def test_fellegi_sunter_blocking_and_bands(spark):
         (1, 3): "non_link",
         (2, 3): "non_link",
     }  # pid 4 is in another block: no pair at all
+
+
+def test_skyline_dominance_and_ties(spark):
+    """Skyline vs a quadratic python reference on a staged set with an
+    exact duplicate point (both must surface — equal pairs don't
+    dominate each other) and an equal-price pair."""
+    from bicis_spark.operators.stats import skyline_2d
+
+    pts = [
+        (1, 1.0, 5), (2, 1.0, 5),    # duplicates: both in skyline
+        (3, 1.0, 3),                 # same price, smaller: dominated
+        (4, 2.0, 7), (5, 2.0, 6),    # 4 on frontier, 5 dominated by 4
+        (6, 3.0, 7),                 # dominated by 4 (cheaper, equal size)
+        (7, 3.0, 9),
+        (8, 4.0, 1),                 # dominated
+    ]
+    df = spark.createDataFrame(pts, "pid long, price double, size long")
+    got = {r["pid"] for r in skyline_2d(df, "pid", "price", "size").collect()}
+    want = set()
+    for i, pi, si in pts:
+        dominated = any(
+            (pj <= pi and sj >= si and (pj < pi or sj > si))
+            for j, pj, sj in pts
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want == {1, 2, 4, 7}
