@@ -499,3 +499,51 @@ def packing_efficiency(
             / (n_seqs * F.lit(seq_tokens)).cast("double")
         ).alias("utilization"),
     )
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "domcap",
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb / Penedo et al. 2023 §3.1 cap
+    over-represented hosts; FineWeb applies the same rule per domain):
+    keep at most ``cap`` documents from each ``domain_col`` value, chosen
+    by a deterministic hash lottery — priority = md5(salt:id) ascending,
+    ties broken on the id — so the kept subset is a uniform pseudo-random
+    sample that is identical across runs, retries, and engines (no RNG
+    state, the repo's standard md5 discipline).
+
+    Plan (the 100 TB shape): the naive ``row_number() OVER (PARTITION BY
+    domain)`` sorts every document of a hot domain in ONE task — exactly
+    the skew this operator exists to correct (a 10⁹-page domain would pin
+    a single sort). Instead the cap rides the skew-bounded two-phase
+    hash-agg top-k (operators/topk.py): both shuffles move at most
+    ``n_salts·cap`` 16-byte-priority structs per domain regardless of
+    domain size, so the hottest domain costs the same as the coldest.
+
+    Output: one row per KEPT document — [domain, sample_rank (1-based
+    lottery order), id] — the manifest downstream mixing joins against.
+    """
+    from bicis_spark.operators.topk import topk_by_group_agg
+
+    pri = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ).alias("_pri")
+    base = df.select(F.col(domain_col), F.col(id_col), pri)
+    kept = topk_by_group_agg(
+        base,
+        group_cols=[domain_col],
+        order_col="_pri",
+        tiebreak_col=id_col,
+        k=cap,
+        payload_cols=[id_col],
+        descending=False,
+    )
+    return kept.select(
+        domain_col,
+        F.col("rank_in_group").alias("sample_rank"),
+        id_col,
+    )

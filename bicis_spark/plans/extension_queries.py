@@ -2679,3 +2679,31 @@ def dedup_incremental_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") % 10 >= 7)
     idx = fingerprint_index(old, ["text"])
     return incremental_dedup(new, idx, ["text"])
+
+
+_DOMAIN_CAP_SQL = """
+WITH ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat_ws(':', 'domcap', doc_id::VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT source, rk::BIGINT AS sample_rank, doc_id
+FROM ranked WHERE rk <= 15
+"""
+
+
+@register("domain_cap_sample", _DOMAIN_CAP_SQL)
+def domain_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain cap: at most 15 docs kept per source,
+    selected by the deterministic md5 lottery. The oracle replays the
+    lottery with a plain window row_number; the engine runs the
+    skew-bounded two-phase hash-agg plan (operators/topk.py) — same
+    result, but the hot-domain sort the window plan would serialize
+    into one task never happens."""
+    from bicis_spark.extensions.curation import domain_cap_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return domain_cap_sample(docs, cap=15)

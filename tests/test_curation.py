@@ -175,3 +175,24 @@ def test_ngram_novelty_flags_near_copies(spark):
     assert got[2]["n_seen"] > 0 and got[2]["novelty"] < 0.5
     assert got[3]["novelty"] == 1.0
     assert got[4]["n_grams"] == 0 and got[4]["novelty"] is None
+
+
+def test_domain_cap_sample_caps_and_is_deterministic(spark):
+    """No domain exceeds the cap; under-cap domains keep everything;
+    ranks are 1..n_kept; and the lottery is stable across runs."""
+    from bicis_spark.extensions.curation import domain_cap_sample
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = domain_cap_sample(df, cap=10, domain_col="source").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["big"]) == 10  # capped
+    assert len(by_src["small"]) == 10  # under cap: all kept
+    for src, kept in by_src.items():
+        assert sorted(r["sample_rank"] for r in kept) == list(
+            range(1, len(kept) + 1)
+        )
+    again = domain_cap_sample(df, cap=10, domain_col="source").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
