@@ -751,3 +751,71 @@ def bm25_scores(
             (F.col("score_q").cast("double") / F.lit(float(log_scale))).alias("score"),
         )
     )
+
+
+def rrf_fuse(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 60,
+    topn: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two ranked candidate lists: ``rrf(d) = Σ_lists 1/(k + rank_d)``,
+    with a document absent from a list contributing 0. RRF is the
+    standard score-free way to merge heterogeneous retrieval signals
+    (lexical BM25 + a second ranker here; dense ANN in production) —
+    ranks are comparable where raw scores are not.
+
+    Inputs are (id, rank) frames that MUST already be bounded top-N
+    lists (the query-side contract): fusion is then a full outer join of
+    two tiny lists — broadcastable at any corpus size, since only the
+    candidate lists, never the corpus, reach this operator.
+
+    Determinism: 1/(k+rank) is one IEEE double division of exact
+    integers and the fused score adds the two terms in fixed column
+    order, so both engines produce bitwise-identical doubles; top-n
+    ties break on the id."""
+    a = ranking_a.select(
+        F.col(id_col).alias("_ida"), F.col("rank").alias("rank_a")
+    )
+    b = ranking_b.select(
+        F.col(id_col).alias("_idb"), F.col("rank").alias("rank_b")
+    )
+    fused = (
+        a.join(b, a["_ida"] == b["_idb"], "full_outer")
+        .select(
+            F.coalesce(F.col("_ida"), F.col("_idb")).alias(id_col),
+            F.col("rank_a"),
+            F.col("rank_b"),
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(k) + F.col("rank_a")).cast("double"),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(k) + F.col("rank_b")).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), id_col).limit(topn)
+
+
+def rank_topn(
+    scored: DataFrame,
+    order_cols: list,
+    id_col: str = "doc_id",
+    topn: int = 50,
+) -> DataFrame:
+    """Dense global top-N with 1-based ranks: TakeOrderedAndProject pulls
+    the N winners (never a global window over the corpus — that would
+    serialize every row through one task's sort), then row_number runs
+    on the N-row result only. Ties must be broken by including the id in
+    ``order_cols``."""
+    from pyspark.sql import Window
+
+    top = scored.orderBy(*order_cols).limit(topn)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -2707,3 +2707,81 @@ def domain_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return domain_cap_sample(docs, cap=15)
+
+
+_RRF_SQL = f"""
+WITH bm AS ({_BM25_SQL}),
+ra AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank_a
+    FROM bm ORDER BY score_q DESC, doc_id LIMIT 50
+),
+d2 AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+tf2 AS (
+    SELECT doc_id, count(*)::BIGINT AS tf_sum FROM (
+        SELECT doc_id, unnest(w) AS token FROM d2
+    ) WHERE token IN ('dup', 'data', 'join') GROUP BY doc_id
+),
+den AS (
+    SELECT d2.doc_id, (tf2.tf_sum * 1000000) // len(d2.w) AS density
+    FROM tf2 JOIN d2 USING (doc_id)
+),
+rb AS (
+    SELECT doc_id, row_number() OVER (ORDER BY density DESC, doc_id) AS rank_b
+    FROM den ORDER BY density DESC, doc_id LIMIT 50
+),
+f AS (
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_a, rb.rank_b,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + ra.rank_a), 0.0)
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + rb.rank_b), 0.0) AS rrf_score
+    FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rank_a::BIGINT AS rank_bm25, rank_b::BIGINT AS rank_density,
+       rrf_score
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+@register("rrf_fusion_topk", _RRF_SQL)
+def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 top-50 for
+    {dup, data, join} fused with a term-density top-50 (matching-token
+    count per document length, floor-scaled to an exact integer) —
+    rrf = Σ 1/(60+rank), missing list contributes 0, final top-20. Both
+    candidate lists come from TakeOrderedAndProject (no global window),
+    fusion joins two 50-row lists, and every float is a fixed-order sum
+    of two exact integer divisions, so the oracle replay is bitwise."""
+    from bicis_spark.extensions.text import bm25_scores, rank_topn, rrf_fuse, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    terms = ["dup", "data", "join"]
+    bm = bm25_scores(docs, terms)
+    ra = rank_topn(
+        bm.select("doc_id", "score_q"),
+        [F.desc("score_q"), F.asc("doc_id")],
+    )
+    base = docs.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("_w"),
+    )
+    tf2 = (
+        base.select("doc_id", F.explode("_w").alias("_t"))
+        .where(F.col("_t").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_sum"))
+    )
+    den = tf2.join(
+        base.select("doc_id", F.size("_w").cast("long").alias("_dl")), "doc_id"
+    ).select("doc_id", F.expr("(tf_sum * 1000000) div _dl").alias("density"))
+    rb = rank_topn(den, [F.desc("density"), F.asc("doc_id")])
+    fused = rrf_fuse(ra, rb)
+    return fused.select(
+        "doc_id",
+        F.col("rank_a").alias("rank_bm25"),
+        F.col("rank_b").alias("rank_density"),
+        "rrf_score",
+    )

@@ -481,3 +481,27 @@ def test_two_level_semdedup_block_containment(spark):
     for r in rows:
         subs[r["super_id"]].add(r["sub_id"])
     assert all(len(s) <= 5 for s in subs.values())
+
+
+def test_rrf_fuse_semantics(spark):
+    """A doc in both lists outranks single-list docs at comparable ranks;
+    absent-list contribution is exactly 0; ties break on doc_id."""
+    from bicis_spark.extensions.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank long"
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse(a, b, k=60, topn=10).collect()}
+    assert got[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61  # both lists
+    assert got[1]["rrf_score"] == 1.0 / 61  # list-a only
+    assert got[4]["rrf_score"] == 1.0 / 62 and got[4]["rank_a"] is None
+    order = [
+        r["doc_id"]
+        for r in sorted(
+            got.values(), key=lambda r: (-r["rrf_score"], r["doc_id"])
+        )
+    ]
+    assert order[0] == 2  # fusion wins over any single-list rank-1
