@@ -104,3 +104,89 @@ def heavy_hitters_with_contract(
         F.col("exact_n").cast("long").alias("exact_n"),
         (F.col("cms_est") >= F.col("exact_n")).alias("est_ge_exact"),
     )
+
+
+def hex_prefix_int_sql(inner_sql: str, ndigits: int = 15) -> str:
+    """SQL expression (valid in BOTH Spark SQL and DuckDB — the shared
+    dialect subset the oracle discipline relies on) converting the first
+    ``ndigits`` lowercase hex chars of ``inner_sql`` to a BIGINT via the
+    digit polynomial. 15 digits = 60 bits: the largest prefix that stays
+    comfortably inside int64. The per-digit decode is the same
+    ascii-minus-offset trick as plans/analytics_queries._hash_split_sql."""
+    if not 1 <= ndigits <= 15:
+        raise ValueError("ndigits must be in [1, 15] to fit int64")
+
+    def dig(i: int) -> str:
+        a = f"ascii(substr({inner_sql}, {i}, 1))"
+        return f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+
+    # Seed the accumulator as BIGINT: ascii() is 32-bit on both engines,
+    # so without the up-front cast the polynomial overflows INT past ~7
+    # digits (Spark ANSI raises; DuckDB would too).
+    v = f"CAST({dig(1)} AS BIGINT)"
+    for i in range(2, ndigits + 1):
+        v = f"({v} * 16 + {dig(i)})"
+    return f"CAST({v} AS BIGINT)"
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    key_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV / bottom-k distinct-count estimator (Bar-Yossef et al. 2002;
+    the θ-sketch family): hash every key to a 60-bit integer, keep the k
+    SMALLEST distinct hash values; if the k-th smallest is h_(k), the
+    keys are uniform on [0, 2^60), so est = (k-1) · 2^60 / h_(k). With
+    fewer than k distinct keys the sketch is exhaustive and the estimate
+    is exact.
+
+    Unlike HLL (whose register layout is engine-internal), every step
+    here is replayable SQL — md5 prefix, distinct, bottom-k, one double
+    division — so the ESTIMATE ITSELF is hash-gated cross-engine, not
+    just a tolerance contract around it.
+
+    Scale: the distinct-hash set shuffles 8-byte ints (map-side
+    combined); the bottom-k is sort+limit = per-partition take-ordered,
+    never a global sort. Sketch state is k values — mergeable across
+    partitions/days by unioning and re-taking the bottom k.
+
+    Output: 1 row [exact_distinct, kmv_estimate, within_15pct] — the
+    exact count rides along as the contract's reference."""
+    # STRING (not VARCHAR): the one spelling both Spark SQL and DuckDB parse
+    h_sql = hex_prefix_int_sql(
+        f"md5(concat_ws(':', '{salt}', CAST({key_col} AS STRING)))"
+    )
+    hashes = df.select(F.expr(h_sql).alias("h")).distinct()
+    bottom = hashes.orderBy("h").limit(k)
+    sk = bottom.agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).cast("long").alias("n_in")
+    )
+    exact = df.agg(
+        F.countDistinct(key_col).cast("long").alias("exact_distinct")
+    )
+    est = (
+        F.when(F.col("n_in") < k, F.col("n_in").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(float(2**60))
+            / F.col("hk").cast("double")
+        )
+        .alias("kmv_estimate")
+    )
+    return (
+        exact.crossJoin(F.broadcast(sk))
+        .select("exact_distinct", est)
+        .select(
+            "exact_distinct",
+            "kmv_estimate",
+            (
+                F.abs(
+                    F.col("kmv_estimate")
+                    - F.col("exact_distinct").cast("double")
+                )
+                <= F.lit(0.15) * F.col("exact_distinct").cast("double")
+            ).alias("within_15pct"),
+        )
+    )

@@ -4174,3 +4174,44 @@ def holt_winters_forecast_user_value(
         n.cast("long").alias("n_events"),
         forecast.alias("hw_forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct estimate (round 5): the estimate itself hash-gated
+# ---------------------------------------------------------------------------
+
+from bicis_spark.operators.sketch import hex_prefix_int_sql as _hex_int
+
+_KMV_H = _hex_int("md5(concat_ws(':', 'kmv', CAST(user_id AS STRING)))")
+
+_KMV_SQL = f"""
+WITH h AS (SELECT DISTINCT {_KMV_H} AS h FROM events),
+bk AS (SELECT h FROM h ORDER BY h LIMIT 128),
+s AS (SELECT max(h) AS hk, count(*)::BIGINT AS n_in FROM bk),
+e AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_distinct FROM events),
+j AS (
+    SELECT e.exact_distinct,
+           CASE WHEN s.n_in < 128 THEN CAST(s.n_in AS DOUBLE)
+                ELSE CAST(127 AS DOUBLE) * 1152921504606846976.0
+                     / CAST(s.hk AS DOUBLE)
+           END AS kmv_estimate
+    FROM e CROSS JOIN s
+)
+SELECT exact_distinct, kmv_estimate,
+       abs(kmv_estimate - CAST(exact_distinct AS DOUBLE))
+           <= 0.15 * CAST(exact_distinct AS DOUBLE) AS within_15pct
+FROM j
+"""
+
+
+@register("kmv_distinct_contract", _KMV_SQL)
+def kmv_distinct_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k, k=128) distinct-user estimate with the exact count
+    riding along. Every sketch step is md5-prefix integer arithmetic
+    replayed by the oracle, so — unlike the HLL contract, which can only
+    gate a tolerance boolean around an engine-internal register file —
+    the ESTIMATE VALUE is itself hash-verified bitwise."""
+    from bicis_spark.operators.sketch import kmv_distinct_estimate
+
+    ev = read_table(spark, sf_dir, "events")
+    return kmv_distinct_estimate(ev, "user_id", k=128)

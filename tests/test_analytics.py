@@ -895,3 +895,29 @@ def test_skyline_dominance_and_ties(spark):
         if not dominated:
             want.add(i)
     assert got == want == {1, 2, 4, 7}
+
+
+def test_kmv_exhaustive_regime_is_exact(spark):
+    """With fewer than k distinct keys the KMV sketch holds every hash
+    and the estimate must equal the exact count; duplicates collapse."""
+    from bicis_spark.operators.sketch import kmv_distinct_estimate
+
+    df = spark.createDataFrame(
+        [(i % 30,) for i in range(200)], "user_id long"
+    )
+    row = kmv_distinct_estimate(df, "user_id", k=128).first()
+    assert row["exact_distinct"] == 30
+    assert row["kmv_estimate"] == 30.0
+    assert row["within_15pct"] is True
+
+
+def test_kmv_estimation_regime_within_tolerance(spark):
+    """Past k distinct keys the estimator kicks in; with k=128 the
+    relative error on 5000 uniform keys should be well inside 15%."""
+    from bicis_spark.operators.sketch import kmv_distinct_estimate
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "user_id long")
+    row = kmv_distinct_estimate(df, "user_id", k=128).first()
+    assert row["exact_distinct"] == 5000
+    assert abs(row["kmv_estimate"] - 5000) <= 0.15 * 5000
+    assert row["within_15pct"] is True
