@@ -81,3 +81,68 @@ def check_foreign_key(
     n_bad = orphans.agg(F.count(F.lit(1)).alias("_v"))
     both = n_rows.crossJoin(F.broadcast(n_bad))  # two 1-row sides
     return _result_row(both, check, F.col("_n"), F.col("_v"))
+
+
+def benford_digit_audit(
+    df: DataFrame, value_col: str
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fraud / synthetic-
+    data screen (Nigrini 2012): naturally-occurring multiplicative
+    quantities put digit d first with probability log10(1 + 1/d), and a
+    fabricated or truncated column shows up as a deviating digit profile.
+
+    First digit via ``floor`` + string head: floor(x) is EXACT on
+    doubles and identical across engines, whereas CAST(DOUBLE AS BIGINT)
+    rounds on some engines and truncates on others — the kind of
+    off-by-one that corrupts digit counts silently. Audit domain is
+    [1, 2^63) — enforced by filter, NULLs dropped: past int64 the cast
+    would wrap (non-ANSI) or raise (ANSI), and a mantissa-based digit
+    would need cross-libm pow(), which is not correctly-rounded and so
+    not replayable. Money-scale columns sit comfortably inside.
+
+    Output: 9 rows [digit, n_rows, obs_share, benford_share, abs_dev] —
+    per-digit rows on purpose: no cross-digit float summation, so every
+    double is a single division or subtraction and the oracle replay is
+    bitwise. One column-pruned scan, map-side combined to ≤9 groups.
+    """
+    import math
+
+    spark = df.sparkSession
+    expected = [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+    bt = spark.createDataFrame(expected, "digit long, benford_share double")
+    digit = F.expr(
+        f"CAST(substr(CAST(CAST(floor({value_col}) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+    )
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & (F.col(value_col) >= 1)
+        & (F.col(value_col) < F.lit(float(2**63)))
+    )
+    counts = base.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    obs = F.col("n_rows").cast("double") / F.col("_tot").cast("double")
+    return (
+        bt.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            .cast("double")
+            .alias("_n"),
+            "benford_share",
+            "_tot",
+        )
+        .select(
+            "digit",
+            "n_rows",
+            (F.col("_n") / F.col("_tot").cast("double")).alias("obs_share"),
+            "benford_share",
+            F.abs(
+                F.col("_n") / F.col("_tot").cast("double")
+                - F.col("benford_share")
+            ).alias("abs_dev"),
+        )
+    )

@@ -4215,3 +4215,52 @@ def kmv_distinct_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return kmv_distinct_estimate(ev, "user_id", k=128)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (round 5)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {_math.log10(1.0 + 1.0 / d)!r})" for d in range(1, 10)
+)
+
+_BENFORD_SQL = f"""
+WITH base AS (
+    SELECT o_totalprice FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+      AND o_totalprice < 9223372036854775808.0
+),
+c AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),
+                       1, 1) AS BIGINT) AS digit,
+           count(*)::BIGINT AS n_rows
+    FROM base GROUP BY 1
+),
+t AS (SELECT count(*)::BIGINT AS tot FROM base),
+b(digit, benford_share) AS (VALUES {_BENFORD_VALUES})
+SELECT b.digit::BIGINT AS digit,
+       COALESCE(c.n_rows, 0)::BIGINT AS n_rows,
+       CAST(COALESCE(c.n_rows, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE)
+           AS obs_share,
+       b.benford_share,
+       abs(CAST(COALESCE(c.n_rows, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE)
+           - b.benford_share) AS abs_dev
+FROM b LEFT JOIN c USING (digit) CROSS JOIN t
+"""
+
+
+@register("benford_digit_audit", _BENFORD_SQL)
+def benford_digit_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals: observed first-digit
+    shares vs log10(1+1/d), per-digit rows so every float is one
+    division/subtraction (no cross-digit summation order). TPC-H
+    totalprice is a sum of many uniform extended prices, so it deviates
+    from Benford — the audit's point is measuring that deviation
+    deterministically, not asserting conformity."""
+    from bicis_spark.operators.quality import benford_digit_audit
+
+    ords = read_table(spark, sf_dir, "orders")
+    return benford_digit_audit(ords, "o_totalprice")

@@ -921,3 +921,23 @@ def test_kmv_estimation_regime_within_tolerance(spark):
     assert row["exact_distinct"] == 5000
     assert abs(row["kmv_estimate"] - 5000) <= 0.15 * 5000
     assert row["within_15pct"] is True
+
+
+def test_benford_audit_on_true_benford_sample(spark):
+    """A geometric series (log-uniform mantissas) follows Benford almost
+    exactly; a constant-leading-digit column maximally violates it."""
+    from bicis_spark.operators.quality import benford_digit_audit
+
+    # i < 100 keeps 1.5^i inside the operator's int64 audit domain
+    vals = [(1.5 ** i,) for i in range(1, 100)]  # log-uniform mod 10
+    good = benford_digit_audit(
+        spark.createDataFrame(vals, "v double"), "v"
+    ).collect()
+    assert sum(r["n_rows"] for r in good) == 99
+    assert max(r["abs_dev"] for r in good) < 0.03
+    bad_rows = benford_digit_audit(
+        spark.createDataFrame([(9000.0 + i,) for i in range(100)], "v double"),
+        "v",
+    ).collect()
+    nine = next(r for r in bad_rows if r["digit"] == 9)
+    assert nine["obs_share"] == 1.0 and nine["abs_dev"] > 0.9
