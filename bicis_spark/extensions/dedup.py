@@ -1018,3 +1018,118 @@ def semantic_dedup_two_level(
         F.col("dup_of").isNotNull().alias("is_semantic_dup"),
         "dup_of",
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau_num: int = 4,
+    tau_den: int = 5,
+) -> DataFrame:
+    """EXACT token-set Jaccard join at threshold τ = tau_num/tau_den via
+    prefix filtering (PPJoin family — Chaudhuri et al. ICDE 2006,
+    Xiao et al. WWW 2008): the zero-false-negative counterpart to
+    MinHash-LSH. Two sets with J(a,b) ≥ τ MUST share a token within each
+    set's first ``|s| − ⌈τ·|s|⌉ + 1`` tokens once both are ordered by a
+    global ranking — so candidates come from inverted lists over PREFIX
+    tokens only.
+
+    Why this scales where the plain inverted index doesn't
+    (``ngram_jaccard_pairs`` blocks on ALL shingles): ordering tokens
+    rarest-document-frequency-first pushes every corpus-hot token OUT of
+    the prefixes — the giant inverted lists ('the', boilerplate markup)
+    are never joined, and the lists that are joined are the rare-token
+    ones, short by construction. The τ-length filter
+    (tau_num·|a| ≤ tau_den·|b| and vice versa) prunes cross-size pairs
+    before the verify. Verification is exact set intersection on the
+    candidate pairs only, with the τ test as integer cross-
+    multiplication — no float thresholds.
+
+    Output: [id_a, id_b, inter, uni, jaccard] for all pairs with
+    J ≥ τ (id_a < id_b), jaccard as one exact int/int division."""
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+        )
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(id_col).alias("_id"), toks.alias("_s"))
+        .where(F.size("_s") > 0)
+    )
+    tok = base.select("_id", F.explode("_s").alias("_t"))
+    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    # per-doc token list ordered (df asc, token asc) — the global ranking
+    ordered = (
+        tok.join(dfreq, "_t")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_t")))
+            ).alias("_os")
+        )
+        .select(
+            "_id",
+            F.size("_os").cast("long").alias("_n"),
+            F.transform(F.col("_os"), lambda x: x["_t"]).alias("_ot"),
+        )
+    )
+    # prefix length p = n − ceil(τ·n) + 1, ceil via (τ_num·n + τ_den−1) div τ_den
+    p = (
+        F.col("_n")
+        - F.expr(f"({tau_num} * _n + {tau_den - 1}) div {tau_den}")
+        + F.lit(1)
+    ).cast("int")
+    prefix = ordered.select(
+        "_id", "_n", F.explode(F.slice("_ot", 1, p)).alias("_t")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._id") < F.col("b._id"))
+            # τ-length filter: sizes of a τ-similar pair differ ≤ 1/τ×
+            & (F.col("a._n") * tau_num <= F.col("b._n") * tau_den)
+            & (F.col("b._n") * tau_num <= F.col("a._n") * tau_den),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.size("_s").cast("long").alias("_na"),
+    )
+    sb = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.size("_s").cast("long").alias("_nb"),
+    )
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
+            (
+                F.col("_na")
+                + F.col("_nb")
+                - F.size(F.array_intersect("_sa", "_sb")).cast("long")
+            ).alias("uni"),
+        )
+        .where(F.col("inter") * tau_den >= F.lit(tau_num) * F.col("uni"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "uni",
+        (F.col("inter").cast("double") / F.col("uni").cast("double")).alias(
+            "jaccard"
+        ),
+    )

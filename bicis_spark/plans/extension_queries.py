@@ -2785,3 +2785,44 @@ def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_b").alias("rank_density"),
         "rrf_score",
     )
+
+
+_PPJOIN_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split(text, ' '), x -> x != ''))
+               AS s
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+dd AS (SELECT doc_id, s FROM d WHERE len(s) > 0),
+e AS (SELECT doc_id, unnest(s) AS t FROM dd),
+sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM dd),
+pair AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+    FROM e a JOIN e b ON a.t = b.t AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+    FROM pair
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, inter, uni::BIGINT AS uni,
+       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM j WHERE inter * 5 >= 4 * uni
+"""
+
+
+@register("dedup_prefix_filter_jaccard", _PPJOIN_SQL)
+def dedup_prefix_filter_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard join at τ = 4/5 by prefix filtering
+    (PPJoin family): candidates only from rarest-first prefix tokens, so
+    corpus-hot tokens never hit the inverted index; zero false negatives
+    by theorem. The oracle computes ALL-pairs exact Jaccard the naive
+    way — proving the pruned plan loses nothing — while the engine plan
+    is the one that survives 100 TB."""
+    from bicis_spark.extensions.dedup import prefix_filtered_jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_pairs(docs)

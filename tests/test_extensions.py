@@ -505,3 +505,33 @@ def test_rrf_fuse_semantics(spark):
         )
     ]
     assert order[0] == 2  # fusion wins over any single-list rank-1
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark):
+    """The prefix-filtered join must find EXACTLY the pairs brute-force
+    Jaccard finds — zero false negatives is the operator's theorem."""
+    from itertools import combinations
+
+    from bicis_spark.extensions.dedup import prefix_filtered_jaccard_pairs
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e f"),       # J(1,2)=5/6 >= 4/5
+        (3, "a b c d x"),         # J(1,3)=4/6 < 4/5
+        (4, "q r s t u"),
+        (5, "q r s t u"),         # exact dup of 4
+        (6, "z"),
+    ]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filtered_jaccard_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {
+        (i, j)
+        for i, j in combinations(sorted(sets), 2)
+        if 5 * len(sets[i] & sets[j]) >= 4 * len(sets[i] | sets[j])
+    }
+    assert got == want == {(1, 2), (4, 5)}
