@@ -232,3 +232,104 @@ def linear_text_classifier(
             id_col, "score", (F.col("score") >= 0).alias("is_quality")
         )
     )
+
+
+def mutual_information_rank(
+    df: DataFrame,
+    label_col: str,
+    features: dict[str, Column],
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mutual-information feature ranking: for each candidate categorical
+    feature X, MI(X; Y) = Σ_xy (n_xy/N)·log2(n_xy·N / (n_x·n_y)) — the
+    filter-method feature selector (Cover & Thomas ch.2; sklearn's
+    mutual_info_score). A constant or label-independent feature scores
+    ~0; the ranking is what a pipeline consults before committing to an
+    encode/train pass over the full corpus.
+
+    Determinism (the repo's libm-table discipline): Spark never calls a
+    JVM log. All DISTINCT cell/marginal counts (bounded by the
+    contingency-table size — tens of values for categorical features,
+    never corpus-scale) come to the driver; qlog(k) = floor(log2(k)·S)
+    is computed with Python libm (== DuckDB libm, the char_entropy
+    precedent) and broadcast back. Each cell contributes the exact int64
+    n_xy·(qlog(n_xy)+qlog(N)−qlog(n_x)−qlog(n_y)); the only float op is
+    the final division by N·S.
+
+    Plan: ONE melted scan (stack → (feature, value, label)), three tiny
+    hash aggs (cells, value-marginals, label-marginals), broadcast qlog
+    joins, one ≤|features|-row result. int64 headroom: |mi_q| ≤
+    N·40·S ≈ 4·10⁷·N — safe to ~10¹¹ rows at S=10⁶; shrink S past that.
+
+    ``features``: name → Column expression (will be cast to string).
+    Output: [feature, n_cells, mi_q, mi_bits], one row per feature."""
+    import math
+
+    melted = df.select(
+        F.col(label_col).cast("string").alias("_y"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("_f"),
+                        expr.cast("string").alias("_v"),
+                    )
+                    for name, expr in features.items()
+                ]
+            )
+        ).alias("_fv"),
+    ).select("_fv._f", "_fv._v", "_y")
+    cells = melted.groupBy("_f", "_v", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    margx = melted.groupBy("_f", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_x")
+    )
+    margy = melted.groupBy("_f", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_y")
+    )
+    n_total = df.count()
+    # distinct counts -> driver (contingency-bounded model state)
+    ks = {n_total}
+    for frame, col in ((cells, "n_xy"), (margx, "n_x"), (margy, "n_y")):
+        ks.update(r[0] for r in frame.select(col).distinct().collect())
+    spark = df.sparkSession
+    qlog = spark.createDataFrame(
+        [(int(k), int(math.floor(math.log2(k) * scale))) for k in sorted(ks)],
+        "k long, q long",
+    )
+    qn = int(math.floor(math.log2(n_total) * scale))
+
+    def with_q(frame: DataFrame, col: str, alias: str) -> DataFrame:
+        return frame.join(
+            F.broadcast(qlog), frame[col] == qlog["k"]
+        ).select(*frame.columns, F.col("q").alias(alias))
+
+    joined = (
+        with_q(cells, "n_xy", "q_xy")
+        .join(with_q(margx, "n_x", "q_x"), ["_f", "_v"])
+        .join(with_q(margy, "n_y", "q_y"), ["_f", "_y"])
+    )
+    per_cell = joined.select(
+        "_f",
+        (
+            F.col("n_xy")
+            * (F.col("q_xy") + F.lit(qn) - F.col("q_x") - F.col("q_y"))
+        ).alias("_term"),
+    )
+    return (
+        per_cell.groupBy("_f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("_term").cast("long").alias("mi_q"),
+        )
+        .select(
+            F.col("_f").alias("feature"),
+            "n_cells",
+            "mi_q",
+            (
+                F.col("mi_q").cast("double")
+                / F.lit(float(n_total * scale))
+            ).alias("mi_bits"),
+        )
+    )

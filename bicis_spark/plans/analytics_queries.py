@@ -4264,3 +4264,65 @@ def benford_digit_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ords = read_table(spark, sf_dir, "orders")
     return benford_digit_audit(ords, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking (round 5)
+# ---------------------------------------------------------------------------
+
+_MI_Q = "floor(log2(CAST({k} AS DOUBLE)) * 1000000)::BIGINT"
+
+_MI_SQL = f"""
+WITH base AS (
+    SELECT 'priority' AS f, o_orderpriority AS v, o_orderstatus AS y
+    FROM orders
+    UNION ALL
+    SELECT 'month', CAST(month(o_orderdate) AS STRING), o_orderstatus
+    FROM orders
+    UNION ALL
+    SELECT 'price_bucket',
+           CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS STRING),
+           o_orderstatus
+    FROM orders
+),
+t AS (SELECT count(*)::BIGINT AS n FROM orders),
+cells AS (SELECT f, v, y, count(*)::BIGINT AS n_xy FROM base GROUP BY 1, 2, 3),
+mx AS (SELECT f, v, count(*)::BIGINT AS n_x FROM base GROUP BY 1, 2),
+my AS (SELECT f, y, count(*)::BIGINT AS n_y FROM base GROUP BY 1, 2),
+per AS (
+    SELECT cells.f,
+           cells.n_xy * ({_MI_Q.format(k='cells.n_xy')}
+                         + {_MI_Q.format(k='t.n')}
+                         - {_MI_Q.format(k='mx.n_x')}
+                         - {_MI_Q.format(k='my.n_y')}) AS term
+    FROM cells JOIN mx USING (f, v) JOIN my USING (f, y) CROSS JOIN t
+)
+SELECT f AS feature, count(*)::BIGINT AS n_cells, sum(term)::BIGINT AS mi_q,
+       CAST(sum(term) AS DOUBLE)
+           / CAST((SELECT n FROM t) * 1000000 AS DOUBLE) AS mi_bits
+FROM per GROUP BY f
+"""
+
+
+@register("mutual_information_features", _MI_SQL)
+def mutual_information_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(X; o_orderstatus) for three candidate features — order
+    priority, order month, and 50k price bucket. Month and priority are
+    label-independent in TPC-H (MI ≈ 0 up to quantization) while the
+    price bucket carries signal through the date-driven status; the
+    ranking itself is the point. libm-qlog-table arithmetic end to end:
+    the only float is the final division."""
+    from bicis_spark.operators.featurize import mutual_information_rank
+
+    ords = read_table(spark, sf_dir, "orders")
+    return mutual_information_rank(
+        ords,
+        "o_orderstatus",
+        {
+            "priority": F.col("o_orderpriority"),
+            "month": F.month("o_orderdate"),
+            "price_bucket": F.floor(F.col("o_totalprice") / 50000).cast(
+                "long"
+            ),
+        },
+    )

@@ -941,3 +941,34 @@ def test_benford_audit_on_true_benford_sample(spark):
     ).collect()
     nine = next(r for r in bad_rows if r["digit"] == 9)
     assert nine["obs_share"] == 1.0 and nine["abs_dev"] > 0.9
+
+
+def test_mutual_information_rank_orders_features(spark):
+    """A feature identical to the label carries H(Y) bits; an independent
+    constant feature carries ~0; a noisy copy sits in between."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.featurize import mutual_information_rank
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "i long, y string")
+    got = {
+        r["feature"]: r
+        for r in mutual_information_rank(
+            df,
+            "y",
+            {
+                "copy": F.col("y"),
+                "const": F.lit("k"),
+                "noisy": F.when(F.col("i") % 8 < 6, F.col("y")).otherwise(
+                    F.lit("z")
+                ),
+            },
+        ).collect()
+    }
+    assert abs(got["copy"]["mi_bits"] - 1.0) < 1e-4  # H(Y)=1 bit, 50/50
+    assert abs(got["const"]["mi_bits"]) < 1e-4
+    assert 0.3 < got["noisy"]["mi_bits"] < 1.0
+    assert got["copy"]["n_cells"] == 2 and got["const"]["n_cells"] == 2
