@@ -88,6 +88,12 @@ HEADLINE = [
     "bm25_query_scores",          # BM25 retrieval scoring
     "frequent_itemsets_parts",    # exact Apriori pairs+triples
     "seasonal_decompose_hourly",  # additive decomposition
+    "domain_cap_sample",          # per-domain cap via skew-bounded top-k
+    "rrf_fusion_topk",            # reciprocal-rank fusion of two rankers
+    "kmv_distinct_contract",      # bottom-k distinct sketch, bitwise-gated
+    "dedup_prefix_filter_jaccard",  # exact Jaccard join, prefix-filtered
+    "mutual_information_features",  # qlog-table MI feature ranking
+    "benford_digit_audit",        # first-digit distribution screen
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):

@@ -78,7 +78,11 @@ _LOADED = False
 # label_propagation_communities, kaplan_meier_user_lifetimes,
 # cusum_hourly_drift, bm25_query_scores, frequent_itemsets_parts,
 # seasonal_decompose_hourly, event_transition_matrix,
-# record_linkage_customers. Everything previously green stays covered
+# record_linkage_customers, semantic_dedup_two_level_flags,
+# ols_per_brand_models, ols_conformal_intervals, part_price_size_skyline,
+# domain_cap_sample, rrf_fusion_topk, kmv_distinct_contract,
+# benford_digit_audit, dedup_prefix_filter_jaccard,
+# mutual_information_features. Everything previously green stays covered
 # by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H battery (the 18 shapes never driver-checked; 1/3/5/10 green r4)
