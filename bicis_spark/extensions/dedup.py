@@ -1026,43 +1026,87 @@ def prefix_filtered_jaccard_pairs(
     text_col: str = "text",
     tau_num: int = 4,
     tau_den: int = 5,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """EXACT token-set Jaccard join at threshold τ = tau_num/tau_den via
     prefix filtering (PPJoin family — Chaudhuri et al. ICDE 2006,
     Xiao et al. WWW 2008): the zero-false-negative counterpart to
-    MinHash-LSH. Two sets with J(a,b) ≥ τ MUST share a token within each
-    set's first ``|s| − ⌈τ·|s|⌉ + 1`` tokens once both are ordered by a
-    global ranking — so candidates come from inverted lists over PREFIX
-    tokens only.
+    MinHash-LSH. Two sets with J(a,b) ≥ τ MUST share an element within
+    each set's first ``|s| − ⌈τ·|s|⌉ + 1`` elements once both are ordered
+    by a global ranking — so candidates come from inverted lists over
+    PREFIX elements only.
 
     Why this scales where the plain inverted index doesn't
-    (``ngram_jaccard_pairs`` blocks on ALL shingles): ordering tokens
-    rarest-document-frequency-first pushes every corpus-hot token OUT of
-    the prefixes — the giant inverted lists ('the', boilerplate markup)
-    are never joined, and the lists that are joined are the rare-token
-    ones, short by construction. The τ-length filter
+    (``ngram_jaccard_pairs`` blocks on ALL shingles): ordering elements
+    rarest-document-frequency-first pushes every corpus-hot element OUT
+    of the prefixes — the giant inverted lists ('the', boilerplate
+    markup) are never joined, and the lists that are joined are the
+    rare-element ones, short by construction. The τ-length filter
     (tau_num·|a| ≤ tau_den·|b| and vice versa) prunes cross-size pairs
     before the verify. Verification is exact set intersection on the
     candidate pairs only, with the τ test as integer cross-
     multiplication — no float thresholds.
 
+    ``shingle_n``: when set, the compared sets are distinct n-word
+    SHINGLES instead of raw tokens — the right granularity for document
+    dedup (a unigram vocabulary is tiny and near-universally shared, so
+    token-set Jaccard saturates; shingle sets are diverse and τ-pairs
+    are genuine near-copies). Grams are built with posexplode + lead()
+    windows and carried as 128-bit fingerprints (two seeded xxhash64)
+    — the SCALE.md n-gram rule: the higher-order slice/concat transform
+    does O(len·n) char copying per gram and re-inlines the tokenizer,
+    measured 5× slower; fingerprints also shrink every shuffle/intersect
+    element to 16 bytes. Fingerprint identity is the repo's standard
+    128-bit discipline (collision-safe to ~10¹⁰ distinct grams).
+
     Output: [id_a, id_b, inter, uni, jaccard] for all pairs with
     J ≥ τ (id_a < id_b), jaccard as one exact int/int division."""
-    toks = F.array_distinct(
-        F.filter(
-            F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    from pyspark.sql import Window
+
+    base0 = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    if shingle_n is not None:
+        n = shingle_n
+        tokrows = base0.select(
+            "_id", F.posexplode(F.split("_txt", " ")).alias("_pos", "_w")
         )
+        w = Window.partitionBy("_id").orderBy("_pos")
+        parts = [F.col("_w")] + [
+            F.lead("_w", j).over(w) for j in range(1, n)
+        ]
+        gram = F.concat_ws(" ", *parts)
+        grams = tokrows.select(
+            "_id",
+            gram.alias("_g"),
+            F.lead("_w", n - 1).over(w).isNotNull().alias("_full"),
+        ).where(F.col("_full"))
+        tokh = grams.select(
+            "_id",
+            F.struct(
+                F.xxhash64("_g").alias("h1"),
+                F.xxhash64("_g", F.lit(1)).alias("h2"),
+            ).alias("_t"),
+        ).distinct()
+    else:
+        toks = F.array_distinct(
+            F.filter(F.split("_txt", " "), lambda x: x != F.lit(""))
+        )
+        tokh = base0.select(
+            "_id", F.explode(toks).alias("_t")
+        )  # array_distinct upstream ⇒ rows already distinct per doc
+    # tokh feeds two branches (dfreq + the ranking join) and ordered
+    # feeds three (prefix, both verify sides): per-consumer column
+    # pruning defeats exchange reuse here (the _reusable finding), so
+    # persist both — 16-byte fingerprints and per-doc arrays, tiny state
+    tokh = tracked_persist(tokh)
+    dfreq = tokh.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
     )
-    base = (
-        df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-        .select(F.col(id_col).alias("_id"), toks.alias("_s"))
-        .where(F.size("_s") > 0)
-    )
-    tok = base.select("_id", F.explode("_s").alias("_t"))
-    dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
-    # per-doc token list ordered (df asc, token asc) — the global ranking
+    # ONE groupBy builds both the global-ranked element list (prefix
+    # source) and the verify set (same array — intersect ignores order)
     ordered = (
-        tok.join(dfreq, "_t")
+        tokh.join(dfreq, "_t")
         .groupBy("_id")
         .agg(
             F.array_sort(
@@ -1074,8 +1118,10 @@ def prefix_filtered_jaccard_pairs(
             F.size("_os").cast("long").alias("_n"),
             F.transform(F.col("_os"), lambda x: x["_t"]).alias("_ot"),
         )
+        .where(F.col("_n") > 0)
     )
-    # prefix length p = n − ceil(τ·n) + 1, ceil via (τ_num·n + τ_den−1) div τ_den
+    ordered = tracked_persist(ordered)
+    # prefix length p = n − ceil(τ·n) + 1, ceil via (τn + τden−1) div τden
     p = (
         F.col("_n")
         - F.expr(f"({tau_num} * _n + {tau_den - 1}) div {tau_den}")
@@ -1094,33 +1140,28 @@ def prefix_filtered_jaccard_pairs(
             & (F.col("a._n") * tau_num <= F.col("b._n") * tau_den)
             & (F.col("b._n") * tau_num <= F.col("a._n") * tau_den),
         )
-        .select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    sa = base.select(
+    sa = ordered.select(
         F.col("_id").alias("id_a"),
-        F.col("_s").alias("_sa"),
-        F.size("_s").cast("long").alias("_na"),
+        F.col("_ot").alias("_sa"),
+        F.col("_n").alias("_na"),
     )
-    sb = base.select(
+    sb = ordered.select(
         F.col("_id").alias("id_b"),
-        F.col("_s").alias("_sb"),
-        F.size("_s").cast("long").alias("_nb"),
+        F.col("_ot").alias("_sb"),
+        F.col("_n").alias("_nb"),
     )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
-            (
-                F.col("_na")
-                + F.col("_nb")
-                - F.size(F.array_intersect("_sa", "_sb")).cast("long")
-            ).alias("uni"),
+            inter.alias("inter"),
+            (F.col("_na") + F.col("_nb") - inter).alias("uni"),
         )
         .where(F.col("inter") * tau_den >= F.lit(tau_num) * F.col("uni"))
     )

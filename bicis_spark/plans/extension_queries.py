@@ -2787,12 +2787,12 @@ def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PPJOIN_SQL = """
-WITH d AS (
-    SELECT doc_id,
-           list_distinct(list_filter(string_split(text, ' '), x -> x != ''))
-               AS s
-    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+_PPJOIN_SQL = f"""
+WITH {_SH_CTE.strip()},
+d AS (
+    SELECT sh.doc AS doc_id, sh.sh AS s
+    FROM sh JOIN documents ON documents.doc_id = sh.doc
+    WHERE text IS NOT NULL AND length(text) > 0
 ),
 dd AS (SELECT doc_id, s FROM d WHERE len(s) > 0),
 e AS (SELECT doc_id, unnest(s) AS t FROM dd),
@@ -2821,8 +2821,10 @@ def dedup_prefix_filter_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus-hot tokens never hit the inverted index; zero false negatives
     by theorem. The oracle computes ALL-pairs exact Jaccard the naive
     way — proving the pruned plan loses nothing — while the engine plan
-    is the one that survives 100 TB."""
+    is the one that survives 100 TB. Sets are distinct 3-word shingles
+    (the synthetic unigram vocabulary is ~31 tokens, so token-set
+    Jaccard saturates; shingle sets make τ-pairs genuine near-copies)."""
     from bicis_spark.extensions.dedup import prefix_filtered_jaccard_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return prefix_filtered_jaccard_pairs(docs)
+    return prefix_filtered_jaccard_pairs(docs, shingle_n=3)

@@ -535,3 +535,26 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark):
         if 5 * len(sets[i] & sets[j]) >= 4 * len(sets[i] | sets[j])
     }
     assert got == want == {(1, 2), (4, 5)}
+
+
+def test_prefix_filter_jaccard_shingle_mode(spark):
+    """Shingle mode flags a near-copy (one appended clause) and ignores
+    docs that merely share vocabulary; short docs yield no grams."""
+    from bicis_spark.extensions.dedup import prefix_filtered_jaccard_pairs
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, a),
+        (2, a + " extra"),  # shares all 11 of a's grams, adds 1: J = 11/12
+        (3, "dog fox the brown over quick lazy jumps again the and today"),
+        (4, "to short"),
+    ]
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filtered_jaccard_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            shingle_n=3,
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 11 / 12) < 1e-12
