@@ -333,3 +333,144 @@ def mutual_information_rank(
             ).alias("mi_bits"),
         )
     )
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    label_col: str,
+    features: dict[str, Column],
+    key_col: str,
+    scale: int = 1_000_000,
+    salt: str = "nb",
+) -> DataFrame:
+    """Categorical Naive Bayes, trained AND evaluated in one declarative
+    plan: hash-split 80/20 on ``key_col`` (the repo's md5 split rule),
+    fit class priors and Laplace-smoothed per-feature likelihoods on the
+    train fold, score the test fold, and return the confusion matrix
+    [actual, predicted, n_rows].
+
+    Everything is INTEGER arithmetic — the model's logs go through the
+    libm qlog table over distinct counts (all bounded by contingency
+    sizes): score(c) = q(n_c) + Σ_f [q(n_{f,v,c}+1) − q(n_c+|V_f|)],
+    with unseen (f,v) falling back to the smoothing floor −q(n_c+|V_f|).
+    The argmax is over exact int64 scores with ties broken on the class
+    name, so prediction — and therefore the confusion matrix — replays
+    bitwise in the oracle. No floats exist anywhere in the query.
+
+    Plan: the ENTIRE model (priors, smoothed likelihoods, per-feature
+    cardinalities — contingency-bounded, the BPE-merge-table collect
+    class) comes to the driver and goes back as ONE wide broadcast
+    table mapping (feature, value) → per-class score vector, with a
+    per-feature fallback vector for unseen values. Scoring is then:
+    melt the test fold once, broadcast-join the model, ONE hash agg per
+    (row, actual) summing a static column per class, a pure-projection
+    argmax (chained >= over the class columns — ties resolve to the
+    lexicographically first class), and the ≤ classes² confusion fold.
+    The corpus never shuffles except by its own melt key."""
+    import math
+
+    from bicis_spark.caching import tracked_persist
+    from bicis_spark.operators.sketch import hex_prefix_int_sql
+
+    split_sql = hex_prefix_int_sql(
+        f"md5(concat_ws(':', '{salt}', CAST({key_col} AS STRING)))", 5
+    )
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(label_col).cast("string").alias("_y"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("_f"),
+                        expr.cast("string").alias("_v"),
+                    )
+                    for name, expr in features.items()
+                ]
+            )
+        ).alias("_fv"),
+        (F.expr(split_sql) % 1000 < 800).alias("_train"),
+    ).select("_k", "_y", "_fv._f", "_fv._v", "_train")
+    # the model-state collects each run a job; without a persist every
+    # one rescans + re-melts + re-hashes the corpus (the md5 split poly
+    # per row is the expensive part)
+    base = tracked_persist(base)
+    train = base.where("_train")
+    first_feat = list(features)[0]
+    # model state to the driver: priors, per-feature cardinalities, cells
+    prior_rows = (
+        train.where(F.col("_f") == first_feat)
+        .groupBy("_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+        .collect()
+    )
+    vf_rows = {
+        r["_f"]: r["n_vf"]
+        for r in train.groupBy("_f")
+        .agg(F.countDistinct("_v").cast("long").alias("n_vf"))
+        .collect()
+    }
+    cell_rows = train.groupBy("_f", "_v", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fvc")
+    ).collect()
+    classes = sorted(r["_y"] for r in prior_rows)
+    n_c = {r["_y"]: r["n_c"] for r in prior_rows}
+
+    def q(k: int) -> int:
+        return int(math.floor(math.log2(k) * scale))
+
+    q_den = {
+        (f, c): q(n_c[c] + nv) for f, nv in vf_rows.items() for c in classes
+    }
+    # wide model: (f, v) → per-class score vector, fallback = smoothing floor
+    lik: dict[tuple[str, str], list[int]] = {}
+    for r in cell_rows:
+        key = (r["_f"], r["_v"])
+        if key not in lik:
+            lik[key] = [-q_den[(r["_f"], c)] for c in classes]
+        lik[key][classes.index(r["_y"])] = (
+            q(r["n_fvc"] + 1) - q_den[(r["_f"], r["_y"])]
+        )
+    spark = df.sparkSession
+    model = spark.createDataFrame(
+        [(f, v, vec) for (f, v), vec in sorted(lik.items())],
+        "_f string, _v string, _lqs array<long>",
+    )
+    fallback = spark.createDataFrame(
+        [
+            (f, [-q_den[(f, c)] for c in classes])
+            for f in sorted(vf_rows)
+        ],
+        "_f string, _dlqs array<long>",
+    )
+    prior_q = [q(n_c[c]) for c in classes]
+    test = base.where(~F.col("_train"))
+    scored = (
+        test.join(F.broadcast(model), ["_f", "_v"], "left")
+        .join(F.broadcast(fallback), "_f")
+        .select(
+            "_k",
+            "_y",
+            F.coalesce(F.col("_lqs"), F.col("_dlqs")).alias("_s"),
+        )
+        .groupBy("_k", "_y")
+        .agg(
+            *[
+                (F.sum(F.element_at("_s", i + 1)) + F.lit(prior_q[i]))
+                .cast("long")
+                .alias(f"_s{i}")
+                for i in range(len(classes))
+            ]
+        )
+    )
+    # argmax with ties to the lexicographically FIRST class: chained >=
+    pred_expr = F.lit(classes[-1])
+    for i in range(len(classes) - 2, -1, -1):
+        cond = F.lit(True)
+        for j in range(i + 1, len(classes)):
+            cond = cond & (F.col(f"_s{i}") >= F.col(f"_s{j}"))
+        pred_expr = F.when(cond, F.lit(classes[i])).otherwise(pred_expr)
+    pred = scored.select("_k", "_y", pred_expr.alias("predicted"))
+    return pred.groupBy(F.col("_y").alias("actual"), "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )

@@ -4326,3 +4326,94 @@ def mutual_information_features_q(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes train/predict/eval (round 5) — integer-exact confusion matrix
+# ---------------------------------------------------------------------------
+
+from bicis_spark.operators.sketch import hex_prefix_int_sql as _hex5
+
+_NB_SPLIT = _hex5("md5(concat_ws(':', 'nb', CAST(k2 AS STRING)))", 5)
+
+
+def _nbq(k: str) -> str:
+    return f"floor(log2(CAST({k} AS DOUBLE)) * 1000000)::BIGINT"
+
+
+_NB_SQL = f"""
+WITH base AS (
+    SELECT k2, y, f, v, ({_NB_SPLIT} % 1000 < 800) AS train
+    FROM (
+        SELECT o_orderkey AS k2, o_orderstatus AS y,
+               'priority' AS f, o_orderpriority AS v FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               'month', CAST(month(o_orderdate) AS STRING) FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'price_bucket',
+               CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS STRING)
+        FROM orders
+    )
+),
+tr AS (SELECT * FROM base WHERE train),
+te AS (SELECT * FROM base WHERE NOT train),
+prior AS (
+    SELECT y, count(*)::BIGINT AS n_c FROM tr WHERE f = 'priority' GROUP BY y
+),
+cells AS (SELECT f, v, y, count(*)::BIGINT AS n_fvc FROM tr GROUP BY 1, 2, 3),
+vf AS (SELECT f, count(DISTINCT v)::BIGINT AS n_vf FROM tr GROUP BY f),
+den AS (
+    SELECT prior.y, vf.f, {_nbq('prior.n_c + vf.n_vf')} AS q_den
+    FROM prior CROSS JOIN vf
+),
+lik AS (
+    SELECT cells.f, cells.v, cells.y,
+           {_nbq('cells.n_fvc + 1')} - den.q_den AS lq
+    FROM cells JOIN den ON den.y = cells.y AND den.f = cells.f
+),
+priq AS (SELECT y, {_nbq('n_c')} AS q_prior FROM prior),
+classes AS (SELECT y AS c FROM prior),
+scored AS (
+    SELECT te.k2, te.y, classes.c, COALESCE(lik.lq, -den.q_den) AS term
+    FROM te
+    CROSS JOIN classes
+    JOIN den ON den.y = classes.c AND den.f = te.f
+    LEFT JOIN lik ON lik.f = te.f AND lik.v = te.v AND lik.y = classes.c
+),
+ll AS (SELECT k2, y, c, sum(term)::BIGINT AS s FROM scored GROUP BY 1, 2, 3),
+sc AS (
+    SELECT ll.k2, ll.y, ll.c, ll.s + priq.q_prior AS score
+    FROM ll JOIN priq ON priq.y = ll.c
+),
+pred AS (
+    SELECT k2, y, first(c ORDER BY score DESC, c) AS predicted
+    FROM sc GROUP BY k2, y
+)
+SELECT y AS actual, predicted, count(*)::BIGINT AS n_rows
+FROM pred GROUP BY 1, 2
+"""
+
+
+@register("naive_bayes_confusion", _NB_SQL)
+def naive_bayes_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical Naive Bayes over order priority / month / price
+    bucket predicting o_orderstatus: 80/20 md5 split, Laplace-smoothed
+    qlog-table likelihoods, integer argmax with class-name tie-break,
+    confusion-matrix output. The whole train→predict→evaluate loop is
+    replayed by the oracle with ZERO floats anywhere."""
+    from bicis_spark.operators.featurize import naive_bayes_confusion
+
+    ords = read_table(spark, sf_dir, "orders")
+    return naive_bayes_confusion(
+        ords,
+        "o_orderstatus",
+        {
+            "priority": F.col("o_orderpriority"),
+            "month": F.month("o_orderdate"),
+            "price_bucket": F.floor(F.col("o_totalprice") / 50000).cast(
+                "long"
+            ),
+        },
+        key_col="o_orderkey",
+    )

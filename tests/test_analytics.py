@@ -972,3 +972,24 @@ def test_mutual_information_rank_orders_features(spark):
     assert abs(got["const"]["mi_bits"]) < 1e-4
     assert 0.3 < got["noisy"]["mi_bits"] < 1.0
     assert got["copy"]["n_cells"] == 2 and got["const"]["n_cells"] == 2
+
+
+def test_naive_bayes_learns_predictive_feature(spark):
+    """With a feature that equals the label, NB must classify every test
+    row correctly (confusion matrix is diagonal); with only a constant
+    feature, every row gets the majority class."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.featurize import naive_bayes_confusion
+
+    rows = [(i, "pos" if i % 3 == 0 else "neg") for i in range(600)]
+    df = spark.createDataFrame(rows, "k long, y string")
+    diag = naive_bayes_confusion(
+        df, "y", {"copy": F.col("y"), "const": F.lit("c")}, key_col="k"
+    ).collect()
+    assert all(r["actual"] == r["predicted"] for r in diag)
+    assert sum(r["n_rows"] for r in diag) > 0
+    majority = naive_bayes_confusion(
+        df, "y", {"const": F.lit("c")}, key_col="k"
+    ).collect()
+    assert {r["predicted"] for r in majority} == {"neg"}  # 2/3 majority
