@@ -474,3 +474,134 @@ def naive_bayes_confusion(
     return pred.groupBy(F.col("_y").alias("actual"), "predicted").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
+
+
+def decision_stump_gains(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    width: int,
+    n_buckets: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Decision-stump split finding: information gain of the split
+    ``value ≤ t`` for every candidate threshold t on a fixed bucket grid
+    (t = bucket upper edges, width·1 … width·(B−1)) — the inner loop of
+    tree induction (CART/C4.5) and the one-feature baseline every
+    tabular pipeline should check before training anything bigger.
+
+    N·H(Y|split) = Σ_side Σ_c n_{c,side}·(q(n_side) − q(n_{c,side})) and
+    N·H(Y) = Σ_c n_c·(q(N) − q(n_c)) with q(k) = floor(log2(k)·S) — so
+    IG·N·S is EXACT int64 and the only float is the final normalization.
+    q() is a literal map expression built driver-side with Python libm
+    (== DuckDB libm): the distinct cumulative counts are bounded by
+    buckets × classes, the usual contingency collect class.
+
+    Plan: ONE corpus scan folds to ≤ buckets × classes cells (map-side
+    combined); thresholds are evaluated by prefix sums OVER THE CELLS
+    (a window over ≤ B·C rows, never the corpus). Values beyond the grid
+    clamp into the last bucket.
+
+    Output: [threshold, n_left, n_right, ig_q, ig_bits] per candidate,
+    splits with an empty side excluded by construction (last bucket)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from bicis_spark.caching import tracked_persist
+
+    bucket = F.least(
+        F.floor(F.col(value_col) / width), F.lit(n_buckets - 1)
+    ).cast("long")
+    cells = tracked_persist(
+        df.groupBy(
+            bucket.alias("_b"), F.col(label_col).cast("string").alias("_y")
+        ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    bs = cells.select("_b").distinct()
+    ys = cells.groupBy("_y").agg(F.sum("_n").cast("long").alias("_nc"))
+    grid = (
+        bs.crossJoin(ys)
+        .join(cells, ["_b", "_y"], "left")
+        .select(
+            "_b", "_y", "_nc", F.coalesce(F.col("_n"), F.lit(0)).alias("_n")
+        )
+    )
+    wcum = (
+        Window.partitionBy("_y")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "_b", "_y", "_nc", F.sum("_n").over(wcum).cast("long").alias("_nlc")
+    )
+    # model-state collect: the grid is ≤ buckets × classes rows
+    rows = cum.collect()
+    n_total = sum({r["_y"]: r["_nc"] for r in rows}.values())
+    nl_by_b: dict[int, int] = {}
+    for r in rows:
+        nl_by_b[r["_b"]] = nl_by_b.get(r["_b"], 0) + r["_nlc"]
+    ks: set[int] = {n_total}
+    for r in rows:
+        ks.update(
+            k
+            for k in (
+                r["_nlc"],
+                r["_nc"] - r["_nlc"],
+                r["_nc"],
+                nl_by_b[r["_b"]],
+                n_total - nl_by_b[r["_b"]],
+            )
+            if k > 0
+        )
+    q = {k: int(math.floor(math.log2(k) * scale)) for k in ks}
+    qmap = F.create_map(
+        *[F.lit(x) for kv in sorted(q.items()) for x in kv]
+    )
+
+    def ql(c: Column) -> Column:
+        return F.element_at(qmap, c.cast("long"))
+
+    hy_q = sum(
+        nc * (q[n_total] - q[nc])
+        for nc in {r["_y"]: r["_nc"] for r in rows}.values()
+    )
+    sides = cum.groupBy("_b").agg(F.sum("_nlc").cast("long").alias("_nl"))
+    terms = (
+        cum.join(sides, "_b")
+        .select(
+            "_b",
+            "_nl",
+            (
+                F.when(
+                    F.col("_nlc") > 0,
+                    F.col("_nlc") * (ql(F.col("_nl")) - ql(F.col("_nlc"))),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    (F.col("_nc") - F.col("_nlc")) > 0,
+                    (F.col("_nc") - F.col("_nlc"))
+                    * (
+                        ql(F.lit(n_total) - F.col("_nl"))
+                        - ql(F.col("_nc") - F.col("_nlc"))
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("_t"),
+        )
+    )
+    max_b = max(nl_by_b)
+    ig = (
+        terms.groupBy("_b", "_nl")
+        .agg(F.sum("_t").cast("long").alias("_cond"))
+        .where(F.col("_b") < max_b)
+        .select(
+            ((F.col("_b") + 1) * width).cast("long").alias("threshold"),
+            F.col("_nl").alias("n_left"),
+            (F.lit(n_total) - F.col("_nl")).cast("long").alias("n_right"),
+            (F.lit(hy_q) - F.col("_cond")).cast("long").alias("ig_q"),
+            (
+                (F.lit(hy_q) - F.col("_cond")).cast("double")
+                / F.lit(float(n_total * scale))
+            ).alias("ig_bits"),
+        )
+    )
+    return ig

@@ -4417,3 +4417,68 @@ def naive_bayes_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         key_col="o_orderkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump split gains (round 5)
+# ---------------------------------------------------------------------------
+
+_STUMP_SQL = f"""
+WITH cells AS (
+    SELECT least(CAST(floor(o_totalprice / 25000) AS BIGINT), 19) AS b,
+           o_orderstatus AS y, count(*)::BIGINT AS n
+    FROM orders GROUP BY 1, 2
+),
+bs AS (SELECT DISTINCT b FROM cells),
+ys AS (SELECT y, sum(n)::BIGINT AS n_c FROM cells GROUP BY y),
+grid AS (
+    SELECT bs.b, ys.y, ys.n_c, COALESCE(cells.n, 0)::BIGINT AS n
+    FROM bs CROSS JOIN ys
+    LEFT JOIN cells ON cells.b = bs.b AND cells.y = ys.y
+),
+cum AS (
+    SELECT b, y, n_c,
+           sum(n) OVER (PARTITION BY y ORDER BY b)::BIGINT AS nl_cy
+    FROM grid
+),
+tot AS (SELECT sum(n_c)::BIGINT AS nn FROM ys),
+sides AS (SELECT b, sum(nl_cy)::BIGINT AS nl FROM cum GROUP BY b),
+terms AS (
+    SELECT cum.b, sides.nl,
+           (CASE WHEN nl_cy > 0
+                 THEN nl_cy * ({_nbq('sides.nl')} - {_nbq('nl_cy')})
+                 ELSE 0 END)
+           + (CASE WHEN (n_c - nl_cy) > 0
+                   THEN (n_c - nl_cy)
+                        * ({_nbq('tot.nn - sides.nl')} - {_nbq('n_c - nl_cy')})
+                   ELSE 0 END) AS t
+    FROM cum JOIN sides USING (b) CROSS JOIN tot
+),
+hy AS (
+    SELECT sum(n_c * ({_nbq('tot.nn')} - {_nbq('n_c')}))::BIGINT AS hy_q
+    FROM ys CROSS JOIN tot
+),
+ig AS (SELECT b, nl, sum(t)::BIGINT AS cond_q FROM terms GROUP BY b, nl)
+SELECT ((b + 1) * 25000)::BIGINT AS threshold,
+       nl::BIGINT AS n_left,
+       (tot.nn - nl)::BIGINT AS n_right,
+       (hy.hy_q - cond_q)::BIGINT AS ig_q,
+       CAST(hy.hy_q - cond_q AS DOUBLE)
+           / CAST(tot.nn * 1000000 AS DOUBLE) AS ig_bits
+FROM ig CROSS JOIN hy CROSS JOIN tot
+WHERE b < (SELECT max(b) FROM bs)
+"""
+
+
+@register("decision_stump_gains", _STUMP_SQL)
+def decision_stump_gains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of every candidate split 'o_totalprice ≤ t' on a
+    25k grid against o_orderstatus — stump induction with IG·N·S exact
+    int64 (qlog tables); one corpus scan folds to ≤ 20×3 cells, and
+    thresholds are prefix sums over the cells, never the corpus."""
+    from bicis_spark.operators.featurize import decision_stump_gains
+
+    ords = read_table(spark, sf_dir, "orders")
+    return decision_stump_gains(
+        ords, "o_totalprice", "o_orderstatus", width=25000, n_buckets=20
+    )

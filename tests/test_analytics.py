@@ -993,3 +993,23 @@ def test_naive_bayes_learns_predictive_feature(spark):
         df, "y", {"const": F.lit("c")}, key_col="k"
     ).collect()
     assert {r["predicted"] for r in majority} == {"neg"}  # 2/3 majority
+
+
+def test_decision_stump_finds_separating_threshold(spark):
+    """A perfectly separable dataset (label flips at value 100) must put
+    the maximal gain — exactly H(Y) — at threshold 100, and near-zero
+    gain at far-away thresholds."""
+    from bicis_spark.operators.featurize import decision_stump_gains
+
+    rows = [(float(v), "lo" if v < 100 else "hi") for v in range(0, 200)]
+    df = spark.createDataFrame(rows, "v double, y string")
+    got = {
+        r["threshold"]: r
+        for r in decision_stump_gains(df, "v", "y", width=50, n_buckets=4).collect()
+    }
+    assert set(got) == {50, 100, 150}
+    best = got[100]
+    assert best["n_left"] == 100 and best["n_right"] == 100
+    assert abs(best["ig_bits"] - 1.0) < 1e-4  # 50/50 labels: H(Y) = 1 bit
+    assert got[100]["ig_q"] > got[50]["ig_q"]
+    assert got[100]["ig_q"] > got[150]["ig_q"]
