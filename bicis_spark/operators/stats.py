@@ -274,3 +274,136 @@ def skyline_2d(
         & (F.col("_best_lt") >= F.col(maximize_col))
     ) | (F.col("_gmax") > F.col(maximize_col))
     return out.where(~dominated).select(id_col, minimize_col, maximize_col)
+
+
+def _poisson1_count_sql(u_sql: str, bits: int = 48, max_k: int = 9) -> str:
+    """Shared-dialect CASE expression mapping a uniform ``bits``-bit
+    integer to a Poisson(1) draw by inverse CDF. Thresholds are
+    floor(P(X≤k)·2^bits) int literals computed here with Python libm and
+    embedded VERBATIM in both engines — no runtime exp/factorial, so the
+    draw replays bitwise. Tail clamps at ``max_k`` (P(X>8) ≈ 1.1e-6)."""
+    import math
+
+    cum, thresholds = 0.0, []
+    for k in range(max_k):
+        cum += math.exp(-1.0) / math.factorial(k)
+        thresholds.append(int(math.floor(cum * (1 << bits))))
+    cases = " ".join(
+        f"WHEN {u_sql} < {t} THEN {k}" for k, t in enumerate(thresholds)
+    )
+    return f"(CASE {cases} ELSE {max_k} END)"
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_resamples: int = 64,
+    value_scale: int = 1_000_000,
+    salt: str = "boot",
+) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al. 2012 — the
+    bootstrap that works in one pass on distributed data): each row
+    enters resample b with multiplicity ~ Poisson(1), drawn by inverse
+    CDF from a 32-bit md5 uniform of (salt, key, b) — RNG-free, so
+    every resample, and therefore the interval, is identical across
+    runs, retries, and engines.
+
+    The classic n-out-of-n bootstrap needs the global n per resample
+    BEFORE sampling (multinomial); Poissonization decouples rows, which
+    is exactly what a 100 TB scan needs — the corpus is read ONCE,
+    exploded ×B, and map-side combined to B partial sums. No state, no
+    second pass.
+
+    Exactness: values quantize to floor(v·S) int64, so each resample's
+    (Σ count·v_q, Σ count) is exact; the resample mean is one double
+    division; the 95% interval is the (2nd, B−1th) order statistic of
+    the B means (B=64 → 2.5%/97.5%), selected by array_sort over a
+    B-row aggregate.
+
+    Output: 1 row [n_rows, mean, ci_lo, ci_hi]."""
+    if n_resamples % 4 != 0:
+        raise ValueError("n_resamples must be a multiple of 4 (4 draws/md5)")
+    vq = F.floor(F.col(value_col) * value_scale).cast("long")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col), vq.alias("_vq")
+    )
+    # ONE md5 = 128 bits = FOUR independent 32-bit uniforms: resample
+    # b = 4g+j draws from hex chars [8j+1, 8j+8] of md5(salt:key:g).
+    # Staged hash → uniform → count, each a named column, so neither
+    # engine re-evaluates the hash per branch; the uniform is one native
+    # hex parse (conv here, a '0x' cast in the DuckDB oracle) — the
+    # 12-digit ascii polynomial measured 4× slower, and one md5 per
+    # (row, resample) another 4× on top of that
+    exploded = (
+        base.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_resamples // 4 - 1))
+            ).alias("_g"),
+        )
+        .select(
+            "_g",
+            "_vq",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col(key_col).cast("string"),
+                    F.col("_g").cast("string"),
+                )
+            ).alias("_h"),
+        )
+        .select(
+            "_vq",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("_g") * 4 + F.lit(j)).alias("_b"),
+                            F.expr(
+                                f"CAST(conv(substring(_h, {8 * j + 1}, 8),"
+                                f" 16, 10) AS BIGINT)"
+                            ).alias("_u"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("_bu"),
+        )
+        .select(
+            F.col("_bu._b").alias("_b"),
+            "_vq",
+            F.expr(_poisson1_count_sql("_bu._u", bits=32))
+            .cast("long")
+            .alias("_c"),
+        )
+    )
+    resamples = exploded.groupBy("_b").agg(
+        F.sum(F.col("_c") * F.col("_vq")).cast("long").alias("_s"),
+        F.sum("_c").cast("long").alias("_n"),
+    )
+    means = resamples.select(
+        (
+            F.col("_s").cast("double")
+            / (F.col("_n") * F.lit(value_scale)).cast("double")
+        ).alias("_m")
+    )
+    full = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_vq").cast("long").alias("_sq"),
+    )
+    lo_i, hi_i = 2, n_resamples - 1  # 2.5% / 97.5% for B = 64
+    ci = means.agg(F.array_sort(F.collect_list("_m")).alias("_ms")).select(
+        F.element_at("_ms", lo_i).alias("ci_lo"),
+        F.element_at("_ms", hi_i).alias("ci_hi"),
+    )
+    return full.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        (
+            F.col("_sq").cast("double")
+            / (F.col("n_rows") * F.lit(value_scale)).cast("double")
+        ).alias("mean"),
+        "ci_lo",
+        "ci_hi",
+    )

@@ -4482,3 +4482,57 @@ def decision_stump_gains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decision_stump_gains(
         ords, "o_totalprice", "o_orderstatus", width=25000, n_buckets=20
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap mean CI (round 5)
+# ---------------------------------------------------------------------------
+
+from bicis_spark.operators.stats import _poisson1_count_sql as _poisson_sql
+
+_BOOT_SQL = f"""
+WITH base AS (
+    SELECT event_id, CAST(floor(value * 1000000) AS BIGINT) AS vq
+    FROM events WHERE value IS NOT NULL
+),
+ex AS (
+    SELECT vq, t.g AS g,
+           md5(concat_ws(':', 'boot', CAST(event_id AS STRING),
+                         CAST(t.g AS STRING))) AS h
+    FROM base CROSS JOIN (SELECT unnest(range(16)) AS g) t
+),
+uu AS (
+    SELECT vq, 4 * g + tj.j AS _b,
+           ('0x' || substr(h, 8 * tj.j + 1, 8))::BIGINT AS u
+    FROM ex CROSS JOIN (SELECT unnest(range(4)) AS j) tj
+),
+drawn AS (SELECT _b, vq, {_poisson_sql('u', bits=32)} AS c FROM uu),
+rs AS (
+    SELECT _b, sum(c * vq)::BIGINT AS s, sum(c)::BIGINT AS n
+    FROM drawn GROUP BY _b
+),
+ms AS (
+    SELECT CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS m FROM rs
+),
+sorted AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM ms),
+f AS (SELECT count(*)::BIGINT AS n_rows, sum(vq)::BIGINT AS sq FROM base)
+SELECT f.n_rows,
+       CAST(f.sq AS DOUBLE) / CAST(f.n_rows * 1000000 AS DOUBLE) AS mean,
+       (SELECT m FROM sorted WHERE r = 2) AS ci_lo,
+       (SELECT m FROM sorted WHERE r = 63) AS ci_hi
+FROM f
+"""
+
+
+@register("bootstrap_mean_ci", _BOOT_SQL)
+def bootstrap_mean_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% CI for the mean event value by deterministic Poisson
+    bootstrap: 64 resamples whose per-row multiplicities come from an
+    inverse-CDF draw on a 32-bit md5 uniform — one corpus scan, exploded
+    ×64, map-side combined to 64 partial sums; the interval is the
+    (2,63) order statistic of the resample means. RNG-free, so the
+    oracle replays every resample bitwise."""
+    from bicis_spark.operators.stats import bootstrap_mean_ci
+
+    ev = read_table(spark, sf_dir, "events")
+    return bootstrap_mean_ci(ev, "value", "event_id")

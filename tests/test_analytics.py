@@ -1013,3 +1013,19 @@ def test_decision_stump_finds_separating_threshold(spark):
     assert abs(best["ig_bits"] - 1.0) < 1e-4  # 50/50 labels: H(Y) = 1 bit
     assert got[100]["ig_q"] > got[50]["ig_q"]
     assert got[100]["ig_q"] > got[150]["ig_q"]
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    """The 95% interval must bracket the full-data mean for a well-
+    behaved sample, tighten with n, and be identical across runs."""
+    from bicis_spark.operators.stats import bootstrap_mean_ci
+
+    rows = [(i, float(i % 100)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    r1 = bootstrap_mean_ci(df, "v", "k").first()
+    assert r1["n_rows"] == 5000
+    assert abs(r1["mean"] - 49.5) < 1e-9
+    assert r1["ci_lo"] < r1["mean"] < r1["ci_hi"]
+    assert r1["ci_hi"] - r1["ci_lo"] < 4.0  # ~2*1.96*28.9/sqrt(5000) ≈ 1.6
+    r2 = bootstrap_mean_ci(df, "v", "k").first()
+    assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
