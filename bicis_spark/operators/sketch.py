@@ -190,3 +190,80 @@ def kmv_distinct_estimate(
             ).alias("within_15pct"),
         )
     )
+
+
+def kmv_merge_law(
+    df: DataFrame,
+    key_col: str,
+    part_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """The property that makes KMV a SKETCH rather than a query: per-
+    partition bottom-k states merge losslessly — union the k-sets and
+    re-take the bottom k, and you get EXACTLY the sketch a direct pass
+    over the union would build (both are the k smallest distinct hashes;
+    the per-partition bottom-k can only discard hashes that the union's
+    bottom-k would discard anyway).
+
+    This is the 100 TB operating mode: per-day / per-shard sketches are
+    tiny persisted states, and any ad-hoc slice union (last week, one
+    region) answers distinct counts WITHOUT rescanning the corpus. The
+    law is checked end-to-end here: build one sketch per ``part_col``
+    value, merge, and compare against the direct whole-table sketch.
+
+    Output: 1 row [n_parts, merged_estimate, direct_estimate,
+    merge_law_holds] — the boolean is the contract; both estimates are
+    also hash-gated values themselves."""
+    h_sql = hex_prefix_int_sql(
+        f"md5(concat_ws(':', '{salt}', CAST({key_col} AS STRING)))"
+    )
+    hashes = df.select(
+        F.col(part_col).alias("_p"), F.expr(h_sql).alias("h")
+    ).distinct()
+    # per-partition bottom-k: slice of the sorted distinct-hash array
+    per_part = hashes.groupBy("_p").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("_bk")
+    )
+    n_parts = per_part.select(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    # merge: union the k-sets, dedup, re-take bottom k
+    merged = (
+        per_part.select(F.explode("_bk").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+    def estimate():
+        return F.when(
+            F.col("n_in") < k, F.col("n_in").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(float(2**60)) / F.col("hk").cast("double")
+        )
+
+    m = merged.agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).cast("long").alias("n_in")
+    ).select(estimate().alias("merged_estimate"))
+    direct = (
+        hashes.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(
+            F.max("h").alias("hk"),
+            F.count(F.lit(1)).cast("long").alias("n_in"),
+        )
+        .select(estimate().alias("direct_estimate"))
+    )
+    return (
+        n_parts.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            "n_parts",
+            "merged_estimate",
+            "direct_estimate",
+            (F.col("merged_estimate") == F.col("direct_estimate")).alias(
+                "merge_law_holds"
+            ),
+        )
+    )

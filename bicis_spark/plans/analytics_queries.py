@@ -4536,3 +4536,46 @@ def bootstrap_mean_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return bootstrap_mean_ci(ev, "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# KMV merge law (round 5): per-partition sketches merge losslessly
+# ---------------------------------------------------------------------------
+
+_KMV_EST_CASE = (
+    "CASE WHEN n_in < 128 THEN CAST(n_in AS DOUBLE) "
+    "ELSE CAST(127 AS DOUBLE) * 1152921504606846976.0 / CAST(hk AS DOUBLE) END"
+)
+
+_KMV_MERGE_SQL = f"""
+WITH h0 AS (SELECT DISTINCT event_type AS p, {_KMV_H} AS h FROM events),
+pp AS (
+    SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h) AS r FROM h0
+),
+npart AS (SELECT count(DISTINCT p)::BIGINT AS n_parts FROM h0),
+mrg0 AS (SELECT DISTINCT h FROM pp WHERE r <= 128),
+mrg AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM mrg0),
+ms AS (
+    SELECT max(h) AS hk, count(*)::BIGINT AS n_in FROM mrg WHERE r <= 128
+),
+me AS (SELECT {_KMV_EST_CASE} AS merged_estimate FROM ms),
+dr AS (SELECT h FROM (SELECT DISTINCT h FROM h0) ORDER BY h LIMIT 128),
+ds AS (SELECT max(h) AS hk, count(*)::BIGINT AS n_in FROM dr),
+de AS (SELECT {_KMV_EST_CASE} AS direct_estimate FROM ds)
+SELECT npart.n_parts, me.merged_estimate, de.direct_estimate,
+       me.merged_estimate = de.direct_estimate AS merge_law_holds
+FROM npart CROSS JOIN me CROSS JOIN de
+"""
+
+
+@register("kmv_merge_law", _KMV_MERGE_SQL)
+def kmv_merge_law_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability, checked end-to-end: one KMV bottom-128 per
+    event_type, merged by union + re-take, must equal the direct
+    whole-table sketch exactly — the property that lets per-day/shard
+    sketch states answer ad-hoc slice distinct counts at 100 TB without
+    rescanning. Same user_id hash domain as kmv_distinct_contract."""
+    from bicis_spark.operators.sketch import kmv_merge_law
+
+    ev = read_table(spark, sf_dir, "events")
+    return kmv_merge_law(ev, "user_id", "event_type", k=128)

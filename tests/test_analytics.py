@@ -1029,3 +1029,16 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert r1["ci_hi"] - r1["ci_lo"] < 4.0  # ~2*1.96*28.9/sqrt(5000) ≈ 1.6
     r2 = bootstrap_mean_ci(df, "v", "k").first()
     assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+
+
+def test_kmv_merge_law_holds_on_disjoint_and_overlapping_parts(spark):
+    """Merged per-partition sketches must equal the direct sketch whether
+    partitions overlap in keys or not."""
+    from bicis_spark.operators.sketch import kmv_merge_law
+
+    rows = [(i % 700, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, p string")
+    r = kmv_merge_law(df, "k", "p", k=64).first()
+    assert r["n_parts"] == 2
+    assert r["merge_law_holds"] is True
+    assert r["merged_estimate"] == r["direct_estimate"]
