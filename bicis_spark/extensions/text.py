@@ -819,3 +819,42 @@ def rank_topn(
     top = scored.orderBy(*order_cols).limit(topn)
     w = Window.orderBy(*order_cols)
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search via the positional index pattern: a document
+    matches iff its token stream contains the phrase's tokens at
+    CONSECUTIVE positions — the operation a search engine runs against a
+    positional inverted index, here expressed as posexplode + lead()
+    windows (the SCALE.md n-gram rule: never rebuild position windows
+    with higher-order array transforms in a hot path).
+
+    At scale: the window runs per document (bounded partitions — a
+    document's own token count), match rows collapse map-side before the
+    only shuffle (document-keyed count aggregation). A dedicated
+    positional inverted index would add a per-term posting-list join;
+    for streaming-scan search over a corpus this one-pass window form is
+    the right cost.
+
+    Output: [id, n_occurrences] for matching documents only."""
+    from pyspark.sql import Window
+
+    words = phrase.split(" ")
+    if len(words) < 1:
+        raise ValueError("empty phrase")
+    tokrows = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(F.split(text_col, " ")).alias("_pos", "_w")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    cond = F.col("_w") == words[0]
+    for j, word in enumerate(words[1:], start=1):
+        cond = cond & (F.lead("_w", j).over(w) == word)
+    hits = tokrows.select(F.col(id_col), cond.alias("_m")).where("_m")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )

@@ -2828,3 +2828,31 @@ def dedup_prefix_filter_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = read_table(spark, sf_dir, "documents")
     return prefix_filtered_jaccard_pairs(docs, shingle_n=3)
+
+
+_PHRASE_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+hits AS (
+    SELECT doc_id,
+           len(list_filter(range(len(t) - 2),
+               i -> t[i+1] = 'big' AND t[i+2] = 'order' AND t[i+3] = 'scan'
+           ))::BIGINT AS n_occurrences
+    FROM d WHERE len(t) >= 3
+)
+SELECT doc_id, n_occurrences FROM hits WHERE n_occurrences > 0
+"""
+
+
+@register("phrase_search_positional", _PHRASE_SQL)
+def phrase_search_positional_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('big order scan') by consecutive-position
+    matching — the positional-inverted-index operation, as posexplode +
+    lead() windows with per-document partitions; the oracle replays the
+    position arithmetic over the same token streams."""
+    from bicis_spark.extensions.text import phrase_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "big order scan")

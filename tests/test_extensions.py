@@ -558,3 +558,24 @@ def test_prefix_filter_jaccard_shingle_mode(spark):
     }
     assert set(got) == {(1, 2)}
     assert abs(got[(1, 2)] - 11 / 12) < 1e-12
+
+
+def test_phrase_search_consecutive_only(spark):
+    """Matches require consecutive positions: scrambled or gapped tokens
+    must not match; overlapping occurrences each count."""
+    from bicis_spark.extensions.text import phrase_search
+
+    rows = [
+        (1, "x a b c y a b c"),   # two occurrences
+        (2, "a x b c"),           # gapped: no
+        (3, "c b a"),             # scrambled: no
+        (4, "a b"),               # too short: no
+        (5, "a a b c"),           # one occurrence, prefix noise
+    ]
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(
+            spark.createDataFrame(rows, "doc_id long, text string"), "a b c"
+        ).collect()
+    }
+    assert got == {1: 2, 5: 1}
