@@ -4579,3 +4579,53 @@ def kmv_merge_law_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return kmv_merge_law(ev, "user_id", "event_type", k=128)
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted quantiles (round 5): two-pass bucketed rank selection —
+# the distributed replacement for a global ORDER BY + running-sum scan
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_QUANTILES_SQL = """
+WITH w AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+           CAST(l_quantity AS BIGINT) AS wt
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+      AND l_quantity IS NOT NULL AND l_quantity > 0
+),
+t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w),
+agg AS (SELECT v, CAST(SUM(wt) AS BIGINT) AS bw FROM w GROUP BY v),
+c AS (SELECT v, CAST(SUM(bw) OVER (ORDER BY v) AS BIGINT) AS cw FROM agg),
+q(quantile, q_num, q_den) AS (
+    VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+           ('p90', 9, 10), ('p99', 99, 100)
+)
+SELECT q.quantile,
+       CAST(q.q_num AS BIGINT) AS q_num,
+       CAST(q.q_den AS BIGINT) AS q_den,
+       CAST(MIN(c.v) AS BIGINT) AS value_cents
+FROM q, c, t
+WHERE c.cw * q.q_den >= q.q_num * t.tot
+GROUP BY 1, 2, 3
+"""
+
+
+@register("weighted_quantiles_price", _WEIGHTED_QUANTILES_SQL)
+def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted quantiles of the unit-priced line value
+    (price in exact integer cents, weight = quantity): the oracle replays
+    the global distinct-value running-sum DEFINITION, the Spark plan is
+    the two-pass bucketed selection (operators/stats.py
+    weighted_quantiles) whose widest window partition is bounded at
+    ~1/n_buckets of the distinct values — never a global sort."""
+    from bicis_spark.operators.stats import weighted_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    scaled = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_quantiles(scaled, "cents", "qty")

@@ -1042,3 +1042,56 @@ def test_kmv_merge_law_holds_on_disjoint_and_overlapping_parts(spark):
     assert r["n_parts"] == 2
     assert r["merge_law_holds"] is True
     assert r["merged_estimate"] == r["direct_estimate"]
+
+
+def test_weighted_quantiles_exact_semantics(spark):
+    """Two-pass bucketed weighted quantiles vs a direct python replay of
+    the definition min{v : cumweight(v)*den >= num*tot}, including a tie
+    (duplicate value rows whose weights merge), a boundary hit where
+    cumweight*den == num*tot exactly, and a dominant-weight value that
+    absorbs several quantiles. Tiny n_buckets forces multi-value buckets
+    so the pass-2 within-bucket selection is actually exercised."""
+    from bicis_spark.operators.stats import weighted_quantiles
+
+    rows = [(10, 1), (20, 3), (20, 1), (30, 2), (40, 9), (50, 4)]
+    df = spark.createDataFrame(rows, "v LONG, w LONG")
+    got = {
+        r["quantile"]: (r["q_num"], r["q_den"], r["value_cents"])
+        for r in weighted_quantiles(df, "v", "w", n_buckets=4).collect()
+    }
+
+    merged = {}
+    for v, w in rows:
+        merged[v] = merged.get(v, 0) + w
+    tot = sum(merged.values())
+    for label, num, den in [
+        ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+        ("p90", 9, 10), ("p99", 99, 100),
+    ]:
+        cw = 0
+        expect = None
+        for v in sorted(merged):
+            cw += merged[v]
+            if cw * den >= num * tot:
+                expect = v
+                break
+        assert got[label] == (num, den, expect), label
+    # pinned values: tot=20 → p25 rank 5 lands exactly on the 20-tie
+    # boundary (cw=5 == 20*1/4), p90 inside the dominant 40 run
+    assert got["p25"][2] == 20
+    assert got["p50"][2] == 40
+    assert got["p90"][2] == 50  # cw(40)=16 < 18 = ceil(0.9·20) → next value
+    assert got["p99"][2] == 50
+
+
+def test_weighted_quantiles_degenerate_single_value(spark):
+    """All rows share one value (span 1 → a single bucket): every
+    quantile returns that value; zero/negative weights are dropped."""
+    from bicis_spark.operators.stats import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(7, 5), (7, 3), (7, 0), (7, -2)], "v LONG, w LONG"
+    )
+    out = weighted_quantiles(df, "v", "w").collect()
+    assert len(out) == 5
+    assert all(r["value_cents"] == 7 for r in out)
