@@ -4629,3 +4629,65 @@ def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("qty"),
     )
     return weighted_quantiles(scaled, "cents", "qty")
+
+
+# ---------------------------------------------------------------------------
+# Frontier BFS reachability (round 5): min-hop distances on the
+# part<->supplier bipartite graph, oracle = depth-bounded recursive CTE
+# ---------------------------------------------------------------------------
+
+_BFS_SQL = """
+WITH RECURSIVE e AS (
+    SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+),
+und AS (
+    SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM e
+    UNION ALL
+    SELECT sk * 2 + 1, pk * 2 FROM e
+),
+seeds AS (
+    SELECT DISTINCT s_suppkey * 2 + 1 AS node
+    FROM supplier WHERE s_suppkey % 10 = 0
+),
+reach AS (
+    SELECT node, 0 AS d FROM seeds
+    UNION
+    SELECT u.dst, r.d + 1
+    FROM reach r JOIN und u ON u.src = r.node
+    WHERE r.d < 4
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS hops
+FROM reach GROUP BY 1
+"""
+
+
+@register("bfs_part_supplier_hops", _BFS_SQL)
+def bfs_part_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS from every 10th supplier over the part<->supplier
+    co-occurrence graph (vertices encoded part=2k / supplier=2k+1).
+    The Spark plan is the frontier delta-iteration (operators/graph.py
+    bfs_hops — per-round work proportional to the frontier, not |V|);
+    the oracle replays min-hop semantics as a depth-bounded recursive
+    CTE, a formulation Spark itself lacks. The distinct edge set is the
+    loop invariant: persisted for the duration of the (eager) loop and
+    released before return per the caching.py discipline."""
+    from bicis_spark.caching import persisted as _persisted
+    from bicis_spark.operators.graph import bfs_hops
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    e = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 10 == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    with _persisted(und) as (und_c,):
+        return bfs_hops(und_c, seeds, max_hops=4)

@@ -1095,3 +1095,42 @@ def test_weighted_quantiles_degenerate_single_value(spark):
     out = weighted_quantiles(df, "v", "w").collect()
     assert len(out) == 5
     assert all(r["value_cents"] == 7 for r in out)
+
+
+def test_bfs_hops_min_distance_and_early_exit(spark):
+    """Frontier BFS on a staged graph: min-hop wins when two paths reach
+    the same vertex, unreachable vertices are absent, and the loop's
+    early exit (frontier drains at depth 2 < max_hops=4) still returns
+    the full visited set. Undirected edges passed as both directions."""
+    from bicis_spark.operators.graph import bfs_hops
+
+    #   1 - 2 - 3        (seed = 1)
+    #   1 - 4            4 also reaches 3 via 4-3: two paths to 3, both d=2
+    #   5 - 6            disconnected
+    und = [(1, 2), (2, 3), (1, 4), (4, 3), (5, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(1,)], "v LONG")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_hops_depth_cap(spark):
+    """max_hops truncates a long chain: with a 5-vertex path and
+    max_hops=2 only the first three vertices appear."""
+    from bicis_spark.operators.graph import bfs_hops
+
+    chain = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(1,)], "v LONG")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
