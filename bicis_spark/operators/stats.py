@@ -517,3 +517,57 @@ def weighted_quantiles(
         .where(F.col("_rn") == 1)
         .select("quantile", "q_num", "q_den", F.col("_v").alias("value_cents"))
     )
+
+
+def grouped_weighted_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+) -> DataFrame:
+    """Per-group exact lower weighted quantile
+    ``min{v : cumweight_g(v) * den >= num * total_g}`` — the GROUP BY
+    companion to ``weighted_quantiles`` (global, two-pass bucketed).
+
+    Plan: one (group, value) hash aggregate (map-side combined — the
+    shuffle carries distinct (group, value) pairs, not rows), then two
+    group-partitioned windows (running weight + group total) and a
+    row_number pick. Window partitions are per-GROUP distinct values, so
+    skew is bounded by value cardinality within a group, never global —
+    the two-pass bucket trick is unnecessary here because the group key
+    already shards the sort. Integer in, integer out.
+    """
+    g = [F.col(c) for c in group_cols]
+    agg = (
+        df.select(
+            *g,
+            F.col(value_col).cast("long").alias("_v"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        .where(F.col("_v").isNotNull() & F.col("_w").isNotNull() & (F.col("_w") > 0))
+        .groupBy(*group_cols, "_v")
+        .agg(F.sum("_w").cast("long").alias("_vw"))
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    ranked = (
+        agg.withColumn("_cw", F.sum("_vw").over(wcum).cast("long"))
+        .withColumn("_tot", F.sum("_vw").over(wtot).cast("long"))
+        .where(F.col("_cw") * F.lit(int(q_den)) >= F.lit(int(q_num)) * F.col("_tot"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(*group_cols).orderBy("_v")),
+        )
+        .where(F.col("_rn") == 1)
+    )
+    return ranked.select(
+        *group_cols,
+        F.col("_v").alias("value_cents"),
+        F.col("_tot").alias("total_weight"),
+    )

@@ -4691,3 +4691,51 @@ def bfs_part_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with _persisted(und) as (und_c,):
         return bfs_hops(und_c, seeds, max_hops=4)
+
+
+_BRAND_WMEDIAN_SQL = """
+WITH j AS (
+    SELECT p.p_brand,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS v,
+           CAST(l.l_quantity AS BIGINT) AS wt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_extendedprice IS NOT NULL
+      AND l.l_quantity IS NOT NULL AND l.l_quantity > 0
+),
+agg AS (
+    SELECT p_brand, v, CAST(SUM(wt) AS BIGINT) AS vw
+    FROM j GROUP BY 1, 2
+),
+c AS (
+    SELECT p_brand, v,
+           CAST(SUM(vw) OVER (PARTITION BY p_brand ORDER BY v) AS BIGINT) AS cw,
+           CAST(SUM(vw) OVER (PARTITION BY p_brand) AS BIGINT) AS tot
+    FROM agg
+)
+SELECT p_brand,
+       CAST(MIN(v) AS BIGINT) AS value_cents,
+       CAST(MIN(tot) AS BIGINT) AS total_weight
+FROM c
+WHERE cw * 2 >= tot
+GROUP BY 1
+"""
+
+
+@register("brand_weighted_median_price", _BRAND_WMEDIAN_SQL)
+def brand_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand exact quantity-weighted median line price (integer
+    cents): the GROUP BY companion to weighted_quantiles_price, built on
+    operators/stats.py grouped_weighted_quantile — one map-side-combined
+    (brand, value) aggregate, group-partitioned running-weight windows
+    (partition = per-brand distinct values, never a global sort), and a
+    broadcast dim join for the brand key."""
+    from bicis_spark.operators.stats import grouped_weighted_quantile
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return grouped_weighted_quantile(j, ["p_brand"], "cents", "qty", 1, 2)

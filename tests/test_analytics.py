@@ -1134,3 +1134,44 @@ def test_bfs_hops_depth_cap(spark):
         for r in bfs_hops(edges, seeds, max_hops=2).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_grouped_weighted_quantile_per_group_replay(spark):
+    """Per-group lower weighted median vs a python replay: groups with
+    tied values (weights merge), a one-value group, and weight skew.
+    Also checks the q_num/q_den generalization at p75."""
+    from bicis_spark.operators.stats import grouped_weighted_quantile
+
+    rows = [
+        ("a", 10, 1), ("a", 20, 3), ("a", 20, 1), ("a", 30, 5),
+        ("b", 7, 4),
+        ("c", 1, 1), ("c", 2, 1), ("c", 3, 1), ("c", 4, 1),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v LONG, w LONG")
+
+    def replay(num, den):
+        out = {}
+        for g in {r[0] for r in rows}:
+            merged = {}
+            for gg, v, w in rows:
+                if gg == g:
+                    merged[v] = merged.get(v, 0) + w
+            tot = sum(merged.values())
+            cw = 0
+            for v in sorted(merged):
+                cw += merged[v]
+                if cw * den >= num * tot:
+                    out[g] = (v, tot)
+                    break
+        return out
+
+    for num, den in [(1, 2), (3, 4)]:
+        got = {
+            r["g"]: (r["value_cents"], r["total_weight"])
+            for r in grouped_weighted_quantile(
+                df, ["g"], "v", "w", num, den
+            ).collect()
+        }
+        assert got == replay(num, den), (num, den)
+    # pinned: group a tot=10, median rank 5 → cw(20)=5 hits exactly
+    assert replay(1, 2)["a"] == (20, 10)
