@@ -94,6 +94,11 @@ HEADLINE = [
     "dedup_prefix_filter_jaccard",  # exact Jaccard join, prefix-filtered
     "mutual_information_features",  # qlog-table MI feature ranking
     "benford_digit_audit",        # first-digit distribution screen
+    "naive_bayes_confusion",      # integer-exact NB train/predict/eval
+    "phrase_search_positional",   # consecutive-position phrase match
+    "weighted_quantiles_price",   # two-pass bucketed exact weighted quantiles
+    "brand_weighted_median_price",  # grouped exact weighted median
+    "bfs_part_supplier_hops",     # frontier BFS (delta iteration)
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):

@@ -82,7 +82,10 @@ _LOADED = False
 # ols_per_brand_models, ols_conformal_intervals, part_price_size_skyline,
 # domain_cap_sample, rrf_fusion_topk, kmv_distinct_contract,
 # benford_digit_audit, dedup_prefix_filter_jaccard,
-# mutual_information_features. Everything previously green stays covered
+# mutual_information_features, naive_bayes_confusion, decision_stump_gains,
+# bootstrap_mean_ci, kmv_merge_law, phrase_search_positional,
+# weighted_quantiles_price, bfs_part_supplier_hops,
+# brand_weighted_median_price. Everything previously green stays covered
 # by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H battery (the 18 shapes never driver-checked; 1/3/5/10 green r4)
