@@ -99,6 +99,7 @@ HEADLINE = [
     "weighted_quantiles_price",   # two-pass bucketed exact weighted quantiles
     "brand_weighted_median_price",  # grouped exact weighted median
     "bfs_part_supplier_hops",     # frontier BFS (delta iteration)
+    "dedup_edit_distance_names",  # FastSS deletion-neighborhood edit<=1 join
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):

@@ -1174,3 +1174,70 @@ def prefix_filtered_jaccard_pairs(
             "jaccard"
         ),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Character-level similarity join at edit distance <= 1 via FastSS
+    deletion-neighborhood blocking — the character twin of
+    ``prefix_filtered_jaccard_pairs`` (token sets).
+
+    Every string blocks on its single-deletion variants plus itself: two
+    strings within one edit (insert / delete / substitute) necessarily
+    share a variant (a substitution at position i makes both i-deletions
+    equal; an insert/delete makes one string a deletion of the other), so
+    candidate generation is an equi-join on variant strings — NEVER
+    all-pairs — followed by an exact ``levenshtein`` verify that discards
+    the false positives blocking admits. Generalizes the reference's
+    exact-key station matching (bicis/etl/parse_raw.py name keys) to
+    typo-tolerant matching.
+
+    Scale shape: a string of length L emits L+1 variants (map-side
+    explode); candidate fan-out per variant group is bounded by how many
+    strings share a deletion (~alphabet size for substitution groups),
+    so the shuffle carries O(N·L) variant rows and the verify runs on
+    candidate pairs only. Output: [id_a, id_b, dist] with id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    ).where(F.col("_t").isNotNull() & (F.length("_t") >= 1))
+    variants = base.select(
+        "_id",
+        "_t",
+        F.explode(
+            F.concat(
+                F.array(F.col("_t")),
+                F.expr(
+                    "transform(sequence(1, length(_t)), i -> "
+                    "concat(substring(_t, 1, i-1), "
+                    "substring(_t, i+1, length(_t))))"
+                ),
+            )
+        ).alias("_v"),
+    ).distinct()
+    # ^ deleting any character of a repeated run yields the SAME variant
+    # (digit-heavy keys emit each run variant once per run char); the
+    # distinct collapses those before the join, shrinking both the join
+    # input and every variant group's pair fan-out
+    a = variants.select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("_ta"), "_v"
+    )
+    b = variants.select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("_tb"), "_v"
+    )
+    cand = (
+        a.join(b, on="_v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ta", "_tb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("_ta"), F.col("_tb")).cast("long")
+        )
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

@@ -2856,3 +2856,29 @@ def phrase_search_positional_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return phrase_search(docs, "big order scan")
+
+
+_EDIT1_SQL = """
+WITH c AS (
+    SELECT c_custkey AS id, c_name AS nm
+    FROM customer
+    WHERE c_name IS NOT NULL AND len(c_name) >= 1
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.id < b.id
+WHERE levenshtein(a.nm, b.nm) <= 1
+"""
+
+
+@register("dedup_edit_distance_names", _EDIT1_SQL)
+def dedup_edit_distance_names_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant name matching: customer-name pairs within ONE edit,
+    found by FastSS deletion-neighborhood blocking + exact levenshtein
+    verify (extensions/dedup.py edit_distance_pairs). The oracle is the
+    QUADRATIC definition (all-pairs levenshtein), so a MATCH also proves
+    the blocking admits no false negatives on this corpus."""
+    from bicis_spark.extensions.dedup import edit_distance_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    return edit_distance_pairs(cust, "c_custkey", "c_name")

@@ -85,7 +85,8 @@ _LOADED = False
 # mutual_information_features, naive_bayes_confusion, decision_stump_gains,
 # bootstrap_mean_ci, kmv_merge_law, phrase_search_positional,
 # weighted_quantiles_price, bfs_part_supplier_hops,
-# brand_weighted_median_price. Everything previously green stays covered
+# brand_weighted_median_price, dedup_edit_distance_names. Everything
+# previously green stays covered
 # by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H battery (the 18 shapes never driver-checked; 1/3/5/10 green r4)

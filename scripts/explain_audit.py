@@ -7,8 +7,8 @@ bounded aggregate; see _raw_bnlj). Prints a per-query summary; use
 
 Caveat: builders using the persisted()+eager-checkpoint discipline
 (bicis_spark/caching.py — pagerank_part_supplier,
-label_propagation_communities, and the two surprisal queries) execute
-eagerly and return a checkpointed frame, so their
+label_propagation_communities, bfs_part_supplier_hops, and the two
+surprisal queries) execute eagerly and return a checkpointed frame, so their
 audited "plan" is a Scan-ExistingRDD stub; audit those by reading their
 loop bodies, not this output.
 

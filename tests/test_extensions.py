@@ -579,3 +579,47 @@ def test_phrase_search_consecutive_only(spark):
         ).collect()
     }
     assert got == {1: 2, 5: 1}
+
+
+def test_edit_distance_pairs_blocking_complete(spark):
+    """FastSS edit<=1 join vs a quadratic python reference on a staged
+    set covering every edit kind (substitution, deletion, insertion),
+    an exact duplicate string pair, a distance-2 pair that blocking may
+    admit but verify must drop, and an empty-ish 1-char string."""
+    from bicis_spark.extensions.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "kitten"), (2, "sitten"),   # substitution
+        (3, "kitte"),                   # deletion of 1
+        (4, "kittens"),                 # insertion into 1
+        (5, "mitten"),                  # substitution of 1 (and of 2)
+        (6, "abc"), (7, "abc"),         # exact duplicate
+        (8, "xyz"),                     # isolated
+        (9, "a"), (10, "b"),            # 1-char: substitution via empty variant
+    ]
+    df = spark.createDataFrame(rows, "id LONG, t STRING")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "t").collect()
+    )
+
+    def lev(s, t):
+        m, n = len(s), len(t)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (s[i - 1] != t[j - 1])
+                )
+        return d[n]
+
+    want = sorted(
+        (ia, ib, lev(ta, tb))
+        for ia, ta in rows
+        for ib, tb in rows
+        if ia < ib and lev(ta, tb) <= 1
+    )
+    assert got == want
+    assert (1, 2, 1) in got and (6, 7, 0) in got and (9, 10, 1) in got
+    assert not any(p[:2] == (3, 4) for p in got)  # kitte↔kittens: dist 2
