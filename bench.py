@@ -100,6 +100,7 @@ HEADLINE = [
     "brand_weighted_median_price",  # grouped exact weighted median
     "bfs_part_supplier_hops",     # frontier BFS (delta iteration)
     "dedup_edit_distance_names",  # FastSS deletion-neighborhood edit<=1 join
+    "interval_union_coverage_users",  # merged-interval union coverage sweep
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):

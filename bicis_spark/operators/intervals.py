@@ -28,7 +28,7 @@ the test data's bounded intervals don't need it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,55 @@ def interval_overlap_join(
         F.unix_timestamp(F.greatest(F.col(l_start), F.col(r_start))) / width_s
     ).cast("long")
     return joined.where(overlap & (F.col("_bucket") == owner)).drop("_bucket")
+
+
+def interval_union_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping [start, end) intervals per key and report
+    [key, n_intervals, coverage_us] — union length in microseconds. The
+    uptime / session-coverage / time-range-dedup operator.
+
+    The classic sweep, expressed relationally: within each key order by
+    (start, end); an interval OPENS a new merged group iff its start
+    exceeds the running max of every earlier end (a 1-PRECEDING window
+    max); group ids are the running sum of those open flags; each merged
+    group then reduces to (min start, max end). Touching intervals
+    (start == previous max end) merge, per half-open semantics.
+
+    Everything is integer microseconds (unix_micros), so results are
+    bitwise deterministic; tied (start, end) duplicates are symmetric
+    under any tie order. Scale: all three windows and the final
+    aggregate share ONE hash partitioning on the key — a single
+    exchange, then per-key sorts bounded by that key's interval count.
+    """
+    iv = df.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(start_col)).alias("s"),
+        F.unix_micros(F.col(end_col)).alias("e"),
+    ).where(F.col("k").isNotNull() & F.col("s").isNotNull() & F.col("e").isNotNull())
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("k")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    opens = iv.withColumn("_pm", F.max("e").over(w_prev)).withColumn(
+        "_open",
+        F.when(F.col("_pm").isNull() | (F.col("s") > F.col("_pm")), 1).otherwise(0),
+    )
+    grouped = opens.withColumn("_grp", F.sum("_open").over(w_run))
+    merged = grouped.groupBy("k", "_grp").agg(
+        F.min("s").alias("_ms"), F.max("e").alias("_me")
+    )
+    return merged.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("_me") - F.col("_ms")).cast("long").alias("coverage_us"),
+    )

@@ -4739,3 +4739,56 @@ def brand_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("qty"),
     )
     return grouped_weighted_quantile(j, ["p_brand"], "cents", "qty", 1, 2)
+
+
+_COVERAGE_SQL = """
+WITH iv AS (
+    SELECT user_id AS k,
+           epoch_us(ts) AS s,
+           epoch_us(ts) + 600000000 AS e
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+o AS (
+    SELECT k, s, e,
+           MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pm
+    FROM iv
+),
+g AS (
+    SELECT k, s, e,
+           SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY s, e ROWS UNBOUNDED PRECEDING)
+               AS grp
+    FROM o
+),
+m AS (
+    SELECT k, grp, MIN(s) AS ms, MAX(e) AS me FROM g GROUP BY 1, 2
+)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(me - ms) AS BIGINT) AS coverage_us
+FROM m GROUP BY 1
+"""
+
+
+@register("interval_union_coverage_users", _COVERAGE_SQL)
+def interval_union_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active-time coverage: each event opens a 10-minute
+    activity interval; overlapping/touching intervals merge (the sweep
+    expressed as two shared-exchange windows + a group reduce,
+    operators/intervals.interval_union_coverage) and the union length is
+    exact integer microseconds. The complement to sessionization (which
+    counts sessions under a gap rule) — this measures covered TIME under
+    an overlap rule."""
+    from bicis_spark.operators.intervals import interval_union_coverage
+
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    return interval_union_coverage(iv, "user_id", "start_ts", "end_ts").select(
+        F.col("k"), "n_intervals", "coverage_us"
+    )

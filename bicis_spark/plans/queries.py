@@ -85,7 +85,8 @@ _LOADED = False
 # mutual_information_features, naive_bayes_confusion, decision_stump_gains,
 # bootstrap_mean_ci, kmv_merge_law, phrase_search_positional,
 # weighted_quantiles_price, bfs_part_supplier_hops,
-# brand_weighted_median_price, dedup_edit_distance_names. Everything
+# brand_weighted_median_price, dedup_edit_distance_names,
+# interval_union_coverage_users. Everything
 # previously green stays covered
 # by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (

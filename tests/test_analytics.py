@@ -1175,3 +1175,35 @@ def test_grouped_weighted_quantile_per_group_replay(spark):
         assert got == replay(num, den), (num, den)
     # pinned: group a tot=10, median rank 5 → cw(20)=5 hits exactly
     assert replay(1, 2)["a"] == (20, 10)
+
+
+def test_interval_union_coverage_merge_rules(spark):
+    """Merge semantics vs hand-computed coverage: overlapping intervals
+    merge, touching ([1,2) + [2,3)) merge per half-open semantics,
+    disjoint stay separate, nested absorb, exact duplicates collapse."""
+    import datetime as dt
+
+    from bicis_spark.operators.intervals import interval_union_coverage
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    rows = [
+        # u1: [0,10) + [5,15) overlap -> [0,15); [20,30) disjoint
+        (1, t(0), t(10)), (1, t(5), t(15)), (1, t(20), t(30)),
+        # u2: touching [0,10) + [10,20) -> one [0,20)
+        (2, t(0), t(10)), (2, t(10), t(20)),
+        # u3: nested [0,30) absorbs [5,10); duplicate [0,30) collapses
+        (3, t(0), t(30)), (3, t(5), t(10)), (3, t(0), t(30)),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, s TIMESTAMP, e TIMESTAMP")
+    got = {
+        r["k"]: (r["n_intervals"], r["coverage_us"])
+        for r in interval_union_coverage(df, "k", "s", "e").collect()
+    }
+    minute_us = 60_000_000
+    assert got == {
+        1: (2, 25 * minute_us),
+        2: (1, 20 * minute_us),
+        3: (1, 30 * minute_us),
+    }
