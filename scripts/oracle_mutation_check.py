@@ -84,6 +84,13 @@ REPRESENTATIVES = [
     "frequent_itemsets_parts",  # min-support boundary
     "seasonal_decompose_hourly",  # MA radius / slot extraction
     "label_propagation_communities",  # co-purchase ordering boundary
+    # round-5 session-2 additions
+    "weighted_quantiles_price",  # quantile num/den + cents scaling
+    "brand_weighted_median_price",  # grouped rank boundary (cw*2 >= tot)
+    "bfs_part_supplier_hops",    # depth cap + vertex-encoding parity
+    "dedup_edit_distance_names", # levenshtein <= 1 verify boundary
+    "interval_union_coverage_users",  # interval width + open-flag boundary
+    "phrase_search_positional",  # position-offset arithmetic
 ]
 
 # (pattern, replacement, label) — applied ONE AT A TIME, first match only.

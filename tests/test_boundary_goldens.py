@@ -149,3 +149,49 @@ def test_asof_nearest_exact_tie_prefers_backward(spark):
         left_id="eid", direction="nearest",
     ).collect()
     assert out[0]["val"] == 100
+
+
+def test_phrase_search_minimum_length_doc(spark):
+    """The `len(tokens) >= 3` phrase-length boundary the corpus never
+    exercises (no matching 3-token document at oracle SF): a document
+    that IS exactly the phrase must match with one occurrence; a 2-token
+    prefix must not appear; a 3-token doc one substitution off must not
+    match (kills the surviving ge->gt / position int+1 mutants)."""
+    from bicis_spark.extensions.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big order scan"),          # exactly the phrase
+            (2, "big order"),               # too short
+            (3, "big order scam"),          # 3 tokens, last differs
+            (4, "x big order scan"),        # phrase at the very END
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(docs, "big order scan").collect()
+    }
+    assert got == {1: 1, 4: 1}
+
+
+def test_bfs_vertex_encoding_keeps_sides_disjoint(spark):
+    """The 2k / 2k+1 bipartite encoding boundary the saturated sf0.001
+    graph can't show (every encoding perturbation still reaches the same
+    set within 2 hops there): on a graph where part 3 and supplier 1
+    would COLLIDE under a pk*3 encoding (3*1 == 2*1+1), the proper
+    encoding keeps them distinct vertices with distinct hop counts."""
+    from bicis_spark.operators.graph import bfs_hops
+
+    # supplier 1 (vertex 3) supplies part 3 (vertex 6); part 3 also
+    # supplied by supplier 2 (vertex 5). Seed = supplier 1.
+    edges_dir = [(3, 6), (5, 6)]
+    edges = spark.createDataFrame(
+        edges_dir + [(b, a) for a, b in edges_dir], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(3,)], "v LONG")
+    got = {
+        r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=4).collect()
+    }
+    # part vertex 6 (= 2*3) is NOT the same node as supplier vertex 3
+    assert got == {3: 0, 6: 1, 5: 2}
