@@ -267,3 +267,56 @@ def kmv_merge_law(
             ),
         )
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    group_cols: list[str],
+    field_cols: list[str],
+) -> DataFrame:
+    """Order-invariant per-group table digest — the HASH_AGG /
+    reconciliation primitive: [group..., n_rows, checksum] where
+
+        checksum = ( Σ_rows hex60(md5(row_encoding)) ) mod (2^61 - 1)
+
+    ``field_cols`` must already be STRING-canonicalized by the caller
+    (ints via CAST, doubles via exact cents, timestamps via epoch
+    micros — string renderings of floats/timestamps differ between
+    engines and would poison cross-system comparison). The row encoding
+    is length-prefixed (``len:value``) and NULL-marked (``_N``), joined
+    with '|', so field boundaries are unambiguous.
+
+    SUM (not XOR) keeps the digest MULTISET-sensitive: duplicate rows
+    shift the checksum instead of cancelling. The sum runs as exact
+    DECIMAL(38,0) (row values < 2^60, so any realistic group count stays
+    within 38 digits) and reduces mod the Mersenne prime 2^61-1 back to
+    BIGINT. Plan: map-side md5 + partial sums — one scan, one
+    bounded-key exchange; comparing two 100 TB replicas moves |groups|
+    rows per side.
+    """
+    enc = [
+        F.when(F.col(c).isNull(), F.lit("_N")).otherwise(
+            F.concat(
+                F.length(F.col(c)).cast("string"), F.lit(":"), F.col(c)
+            )
+        )
+        for c in field_cols
+    ]
+    rows = df.select(
+        *group_cols, F.md5(F.concat_ws("|", *enc)).alias("_h")
+    ).select(
+        *group_cols,
+        F.expr(hex_prefix_int_sql("_h")).alias("_ri"),
+    )
+    return (
+        rows.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("_ri").cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            *group_cols,
+            "n_rows",
+            F.expr("CAST(_s % 2305843009213693951 AS BIGINT)").alias("checksum"),
+        )
+    )

@@ -4792,3 +4792,58 @@ def interval_union_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return interval_union_coverage(iv, "user_id", "start_ts", "end_ts").select(
         F.col("k"), "n_intervals", "coverage_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-invariant table checksum (round 5): the HASH_AGG / replica-
+# reconciliation primitive, per order month
+# ---------------------------------------------------------------------------
+
+from bicis_spark.operators.sketch import hex_prefix_int_sql as _hex60
+
+_CHECKSUM_ROW = (
+    "md5(concat_ws('|', "
+    " CASE WHEN o_orderkey IS NULL THEN '_N' ELSE concat(CAST(length(CAST(o_orderkey AS STRING)) AS STRING), ':', CAST(o_orderkey AS STRING)) END,"
+    " CASE WHEN o_custkey IS NULL THEN '_N' ELSE concat(CAST(length(CAST(o_custkey AS STRING)) AS STRING), ':', CAST(o_custkey AS STRING)) END,"
+    " CASE WHEN o_orderstatus IS NULL THEN '_N' ELSE concat(CAST(length(o_orderstatus) AS STRING), ':', o_orderstatus) END,"
+    " CASE WHEN o_totalprice IS NULL THEN '_N' ELSE concat(CAST(length(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)) AS STRING), ':', CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)) END,"
+    " CASE WHEN o_orderpriority IS NULL THEN '_N' ELSE concat(CAST(length(o_orderpriority) AS STRING), ':', o_orderpriority) END"
+    "))"
+)
+
+_CHECKSUM_SQL = f"""
+WITH r AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           {_hex60(_CHECKSUM_ROW)} AS ri
+    FROM orders
+    WHERE o_orderdate IS NOT NULL
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(ri) % 2305843009213693951 AS BIGINT) AS checksum
+FROM r GROUP BY 1
+"""
+
+
+@register("table_checksum_orders_monthly", _CHECKSUM_SQL)
+def table_checksum_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant monthly digest of the orders table
+    (operators/sketch.table_checksum): length-prefixed NULL-marked row
+    encoding -> md5 -> 60-bit int -> exact per-group sum mod 2^61-1.
+    Columns are canonicalized to strings the same way on both engines
+    (ints cast, the double price as exact cents, the timestamp grouped
+    not encoded) — comparing two replicas of a 100 TB table moves
+    |groups| rows per side. The SQL oracle builds the row digest with
+    the SAME shared-dialect hex polynomial."""
+    from bicis_spark.operators.sketch import table_checksum
+
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
+    canon = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.col("o_orderkey").cast("string").alias("f1"),
+        F.col("o_custkey").cast("string").alias("f2"),
+        F.col("o_orderstatus").alias("f3"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string").alias("f4"),
+        F.col("o_orderpriority").alias("f5"),
+    )
+    return table_checksum(canon, ["month"], ["f1", "f2", "f3", "f4", "f5"])

@@ -1207,3 +1207,28 @@ def test_interval_union_coverage_merge_rules(spark):
         2: (1, 20 * minute_us),
         3: (1, 30 * minute_us),
     }
+
+
+def test_table_checksum_properties(spark):
+    """Checksum invariants: order-invariant (shuffled replica matches),
+    multiset-sensitive (a duplicated row CHANGES the digest — the XOR
+    failure mode), NULL distinct from empty string, and length-prefixing
+    defeats field-boundary ambiguity ('ab'+'c' vs 'a'+'bc')."""
+    from bicis_spark.operators.sketch import table_checksum
+
+    rows = [("g", "ab", "c"), ("g", "x", None), ("h", "", "z")]
+    df = spark.createDataFrame(rows, "k STRING, a STRING, b STRING")
+
+    def digest(data):
+        frame = spark.createDataFrame(data, "k STRING, a STRING, b STRING")
+        return {
+            r["k"]: (r["n_rows"], r["checksum"])
+            for r in table_checksum(frame, ["k"], ["a", "b"]).collect()
+        }
+
+    base = digest(rows)
+    assert base == digest(list(reversed(rows)))                      # order
+    dup = digest(rows + [("g", "ab", "c")])
+    assert dup["g"][0] == 3 and dup["g"][1] != base["g"][1]          # multiset
+    assert digest([("h", "", "z")]) != digest([("h", None, "z")])    # NULL
+    assert digest([("g", "ab", "c")])["g"] != digest([("g", "a", "bc")])["g"]
