@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_edit_distance_names",  # FastSS deletion-neighborhood edit<=1 join
     "interval_union_coverage_users",  # merged-interval union coverage sweep
     "table_checksum_orders_monthly",  # order-invariant HASH_AGG digest
+    "mode_impute_event_types",    # per-key categorical mode imputation
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):

@@ -605,3 +605,44 @@ def decision_stump_gains(
         )
     )
     return ig
+
+
+def mode_impute(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Fill NULLs in ``value_col`` with the per-``key_col`` MODE (most
+    frequent non-null value; ties break to the SMALLEST value so the
+    choice is deterministic on any engine) — the standard categorical
+    imputation step of a feature pipeline. Rows whose key has no
+    non-null value at all keep NULL.
+
+    Plan: one (key, value) count aggregate (map-side combined), a
+    per-key row_number pick (partition = distinct values per key), then
+    one key join back to the rows. The mode table is |keys|-sized —
+    dimension-class, so the join back is broadcastable at dim scale and
+    key-partitioned beyond. Output: df with ``value_col`` replaced.
+    """
+    from pyspark.sql import Window
+
+    cnt = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("_c"), F.asc(value_col)
+    )
+    mode = (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(key_col), F.col(value_col).alias("_mode"))
+    )
+    out_cols = [
+        F.coalesce(F.col(value_col), F.col("_mode")).alias(value_col)
+        if c == value_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.join(F.broadcast(mode), on=key_col, how="left").select(*out_cols)

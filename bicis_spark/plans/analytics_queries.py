@@ -4847,3 +4847,52 @@ def table_checksum_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("o_orderpriority").alias("f5"),
     )
     return table_checksum(canon, ["month"], ["f1", "f2", "f3", "f4", "f5"])
+
+
+_MODE_IMPUTE_SQL = """
+WITH e AS (
+    SELECT user_id,
+           CASE WHEN event_id % 37 = 0 THEN NULL ELSE event_type END AS et
+    FROM events
+    WHERE user_id IS NOT NULL
+),
+cnt AS (
+    SELECT user_id, et, COUNT(*) AS c
+    FROM e WHERE et IS NOT NULL GROUP BY 1, 2
+),
+mode AS (
+    SELECT user_id, et AS met FROM (
+        SELECT user_id, et,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, et ASC) AS rn
+        FROM cnt
+    ) WHERE rn = 1
+)
+SELECT e.user_id, COALESCE(e.et, m.met) AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e LEFT JOIN mode m ON m.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("mode_impute_event_types", _MODE_IMPUTE_SQL)
+def mode_impute_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical imputation: event_type is deterministically NULLed on
+    every 37th event_id (the synthesized-missingness discipline of
+    row_validity_filter) and refilled with the per-user mode
+    (operators/featurize.mode_impute — ties break to the smallest
+    value); output is the per-(user, type) census AFTER imputation, so
+    the hash gate covers count, pick, tie-break, and fill."""
+    from bicis_spark.operators.featurize import mode_impute
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    holed = ev.select(
+        "user_id",
+        F.when(F.col("event_id") % 37 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ).alias("event_type"),
+    )
+    filled = mode_impute(holed, "user_id", "event_type")
+    return filled.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

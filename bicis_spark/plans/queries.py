@@ -86,7 +86,8 @@ _LOADED = False
 # bootstrap_mean_ci, kmv_merge_law, phrase_search_positional,
 # weighted_quantiles_price, bfs_part_supplier_hops,
 # brand_weighted_median_price, dedup_edit_distance_names,
-# interval_union_coverage_users, table_checksum_orders_monthly. Everything
+# interval_union_coverage_users, table_checksum_orders_monthly,
+# mode_impute_event_types. Everything
 # previously green stays covered
 # by tests/test_oracle_queries.py locally.
 DRIVER_WINDOW: tuple[str, ...] = (

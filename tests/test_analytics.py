@@ -1232,3 +1232,25 @@ def test_table_checksum_properties(spark):
     assert dup["g"][0] == 3 and dup["g"][1] != base["g"][1]          # multiset
     assert digest([("h", "", "z")]) != digest([("h", None, "z")])    # NULL
     assert digest([("g", "ab", "c")])["g"] != digest([("g", "a", "bc")])["g"]
+
+
+def test_mode_impute_tiebreak_and_all_null_group(spark):
+    """Mode fill semantics: most-frequent wins, exact count ties go to
+    the SMALLEST value, a key whose values are all NULL stays NULL, and
+    non-null rows pass through untouched."""
+    from bicis_spark.operators.featurize import mode_impute
+
+    rows = [
+        (1, "b"), (1, "b"), (1, "a"), (1, None),    # mode b
+        (2, "z"), (2, "y"), (2, None),              # tie z/y -> y (smallest)
+        (3, None), (3, None),                       # no signal: stays NULL
+    ]
+    df = spark.createDataFrame(rows, "k LONG, v STRING")
+    got = sorted(
+        (r["k"], r["v"]) for r in mode_impute(df, "k", "v").collect()
+    )
+    assert got == sorted(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "b"),
+         (2, "z"), (2, "y"), (2, "y"),
+         (3, None), (3, None)]
+    )
