@@ -103,10 +103,74 @@ HEADLINE = [
     "interval_union_coverage_users",  # merged-interval union coverage sweep
     "table_checksum_orders_monthly",  # order-invariant HASH_AGG digest
     "mode_impute_event_types",    # per-key categorical mode imputation
+    # round-6 additions
+    "glm_poisson_irls_contract",  # hash-gated one-IRLS-step Poisson fit
+    "holt_winters_forecast_capped",  # skew-bounded HW fold (prefix cap)
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
 # ann_topk_bruteforce, dedup_embedding_cosine.
+
+# The round each headline query first appeared in. Single source of truth
+# for the cross-round overlap subtotals (r5 verdict item #2: the old
+# hand-maintained rN_set literals drifted — late-r5 additions leaked into
+# the r2/r3/r4 subtotals, corrupting the like-for-like comparison). The
+# "rN_overlap_total" printed below is the sum over queries with
+# ROUND_OF[q] <= N, i.e. exactly the rows a round-N bench would have run.
+ROUND_OF: dict[str, int] = {}
+_R1 = [
+    "hour_profile", "next_window_target", "circular_lag_features",
+    "ml_dataset", "pricing_summary", "revenue_per_brand",
+    "topk_orders_per_customer", "hourly_event_counts",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh_fast", "text_quality",
+    "doc_fingerprints", "sessionization", "asof_latest_order",
+    "range_join_recent_orders", "curation_pipeline",
+]
+_R2 = [
+    "ann_topk_lsh", "ann_topk_ivf", "dedup_embedding_cosine_lsh",
+    "ols_fit_stats", "benchmark_decontamination", "sequence_packing",
+    "tfidf_top_terms",
+]
+_R3 = [
+    "funnel_view_click_purchase", "interval_overlap_error_purchase",
+    "vocab_encode_documents", "pagerank_part_supplier",
+    "snapshot_diff_orders", "scd2_customer_status", "char_entropy_quality",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+    "topk_agg_orders_per_customer", "prorated_daily_revenue",
+    "asof_nearest_order", "group_sample_events",
+]
+_R4 = [
+    "ann_topk_pq", "semantic_dedup_flags", "span_dedup_rebuild",
+    "unigram_surprisal_quality", "q18_large_orders", "q7_volume_shipping",
+    "q9_product_type_profit", "q13_customer_distribution",
+    "dsir_importance_resample", "dedup_incremental_batch",
+    "pit_status_at_ship", "quality_classifier_flags",
+    "holt_winters_forecast_user_value",
+]
+_R5 = [
+    "multimodal_bmp_wav_decode", "cluster_balanced_sample",
+    "ngram_novelty_scores", "label_propagation_communities",
+    "kaplan_meier_user_lifetimes", "incremental_agg_maintenance",
+    "cusum_hourly_drift", "bm25_query_scores", "frequent_itemsets_parts",
+    "seasonal_decompose_hourly", "domain_cap_sample", "rrf_fusion_topk",
+    "kmv_distinct_contract", "dedup_prefix_filter_jaccard",
+    "mutual_information_features", "benford_digit_audit",
+    "naive_bayes_confusion", "phrase_search_positional",
+    "weighted_quantiles_price", "brand_weighted_median_price",
+    "bfs_part_supplier_hops", "dedup_edit_distance_names",
+    "interval_union_coverage_users", "table_checksum_orders_monthly",
+    "mode_impute_event_types",
+]
+_R6 = [
+    "glm_poisson_irls_contract",
+    "holt_winters_forecast_capped",
+]
+for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
+                       (6, _R6)):
+    for _n in _names:
+        ROUND_OF[_n] = _round
+_unmapped = [q for q in HEADLINE if q not in ROUND_OF]
+assert not _unmapped, f"HEADLINE queries missing from ROUND_OF: {_unmapped}"
 
 
 def main() -> None:
@@ -184,70 +248,49 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    # round-1 comparability: the r1 headline was 17 queries; r2 added six
-    # new operator families. This subtotal covers the 16 r1 queries still
-    # in the headline (ann_topk_bruteforce was demoted to a non-headline
-    # recall baseline per round-1 advice) — compare it, not the total.
-    r1_set = [
-        "hour_profile", "next_window_target", "circular_lag_features",
-        "ml_dataset", "pricing_summary", "revenue_per_brand",
-        "topk_orders_per_customer", "hourly_event_counts",
-        "dedup_ngram_jaccard", "dedup_minhash_lsh_fast", "text_quality",
-        "doc_fingerprints", "sessionization", "asof_latest_order",
-        "range_join_recent_orders", "curation_pipeline",
-    ]
-    r1_overlap = round(sum(timings[q] for q in r1_set if q in timings), 4)
-    # round-2 comparability: everything except the round-3 additions
-    # (both the early-round-3 operator families and the round-3b battery)
-    r3_set = {
-        "funnel_view_click_purchase", "interval_overlap_error_purchase",
-        "vocab_encode_documents", "pagerank_part_supplier",
-        "snapshot_diff_orders", "scd2_customer_status",
-        "char_entropy_quality",
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "q10_returned_items", "topk_agg_orders_per_customer",
-        "prorated_daily_revenue", "asof_nearest_order",
-        "group_sample_events",
+    # Like-for-like cross-round subtotals from the single ROUND_OF map:
+    # rN_overlap_total sums exactly the queries a round-N headline ran.
+    overlaps = {
+        f"r{N}_overlap_total": round(
+            sum(t for q, t in timings.items() if ROUND_OF[q] <= N), 4
+        )
+        for N in range(1, max(ROUND_OF.values()) + 1)
     }
-    r4_set = {
-        "ann_topk_pq", "semantic_dedup_flags", "span_dedup_rebuild",
-        "unigram_surprisal_quality", "q18_large_orders", "q7_volume_shipping",
-        "q9_product_type_profit", "q13_customer_distribution",
-        "dsir_importance_resample", "dedup_incremental_batch",
-        "pit_status_at_ship",
+    streaming_total = round(sum(v["sec"] for v in streaming.values()), 4)
+
+    # Full per-query + streaming detail goes to a file (the r5 bench line
+    # with 73 queries inline outgrew the driver's stdout-tail capture and
+    # voided the bench gate — BENCH_r05 "parsed": null). The stdout line
+    # below stays compact and stable-size as the headline grows.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        **overlaps,
+        "ann_mean_recall": recall,
+        "streaming": streaming,
+        "streaming_total_sec": streaming_total,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    r5_set = {
-        "multimodal_bmp_wav_decode", "cluster_balanced_sample",
-        "ngram_novelty_scores", "label_propagation_communities",
-        "kaplan_meier_user_lifetimes", "incremental_agg_maintenance",
-        "cusum_hourly_drift", "bm25_query_scores",
-        "frequent_itemsets_parts", "seasonal_decompose_hourly",
-    }
-    r2_overlap = round(
-        sum(
-            t for q, t in timings.items()
-            if q not in r3_set and q not in r4_set and q not in r5_set
-        ),
-        4,
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
     )
-    r3_overlap = round(
-        sum(t for q, t in timings.items() if q not in r4_set and q not in r5_set), 4
-    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "r1_overlap_total": r1_overlap,
-                "r2_overlap_total": r2_overlap,
-                "r3_overlap_total": r3_overlap,
-                "r4_overlap_total": round(
-                    sum(t for q, t in timings.items() if q not in r5_set), 4
-                ),
+                "queries": overlaps,  # compact: per-round subtotals
+                "n_queries": len(timings),
                 "ann_mean_recall": recall,
-                "streaming": streaming,
+                "streaming_total_sec": streaming_total,
+                "n_streaming": len(streaming),
+                "detail_file": "BENCH_FULL_latest.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

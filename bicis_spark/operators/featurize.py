@@ -26,22 +26,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _hash_slot(feature: str, value: Column, n_buckets: int) -> Column:
-    """Slot index in [0, n_buckets) from the first 8 hex digits of
-    md5('<feature>:<value>')."""
-    h = F.md5(F.concat_ws(":", F.lit(feature), value.cast("string")))
+def _feature_hex(feature: str, value: Column) -> Column:
+    """md5 hex of '<feature>:<value>' — computed ONCE per occurrence and
+    shared by the slot and sign derivations below (the r5 shape hashed
+    twice per token; at 100 TB the md5 is the dominant per-token cost)."""
+    return F.md5(F.concat_ws(":", F.lit(feature), value.cast("string")))
+
+
+def _slot_from_hex(h: Column, n_buckets: int) -> Column:
+    """Slot index in [0, n_buckets) from the first 8 hex digits."""
     return F.pmod(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
     ).cast("long")
 
 
-def _hash_sign(feature: str, value: Column) -> Column:
+def _sign_from_hex(h: Column) -> Column:
     """+1 / -1 from the parity of the 9th hex digit — the signed hashing
     trick (Weinberger et al., 2009): collisions cancel in expectation
     instead of always adding."""
-    h = F.md5(F.concat_ws(":", F.lit(feature), value.cast("string")))
     digit = F.conv(F.substring(h, 9, 1), 16, 10).cast("long")
     return F.when(digit % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+
+def _hash_slot(feature: str, value: Column, n_buckets: int) -> Column:
+    """Slot index in [0, n_buckets) of md5('<feature>:<value>')."""
+    return _slot_from_hex(_feature_hex(feature, value), n_buckets)
+
+
+def _hash_sign(feature: str, value: Column) -> Column:
+    """Sign of md5('<feature>:<value>') (see _sign_from_hex)."""
+    return _sign_from_hex(_feature_hex(feature, value))
 
 
 def hashed_features(
@@ -62,9 +76,11 @@ def hashed_features(
     """
     parts = [
         df.select(
+            F.col(id_col), _feature_hex(label, F.col(c)).alias("_h")
+        ).select(
             F.col(id_col),
-            _hash_slot(label, F.col(c), n_buckets).alias("slot"),
-            _hash_sign(label, F.col(c)).alias("sign"),
+            _slot_from_hex(F.col("_h"), n_buckets).alias("slot"),
+            _sign_from_hex(F.col("_h")).alias("sign"),
         )
         for label, c in feature_cols
     ]
@@ -209,9 +225,11 @@ def linear_text_classifier(
     ).alias("tok")
     toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), tok
+    ).select(
+        F.col(id_col), _feature_hex("tok", F.col("tok")).alias("_h")
     )
-    slot = _hash_slot("tok", F.col("tok"), n_buckets)
-    sign = _hash_sign("tok", F.col("tok"))
+    slot = _slot_from_hex(F.col("_h"), n_buckets)
+    sign = _sign_from_hex(F.col("_h"))
     if weights is not None:
         # production path: trained int-quantized weights ride the plan as
         # an array literal (K ints — broadcast with the task binary);

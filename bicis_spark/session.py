@@ -59,6 +59,13 @@ def get_spark(
         # driver testdata stores events.ts as parquet TIMESTAMP(NANOS), which
         # Spark cannot read natively; read as long nanos + convert (sources.io)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # STATIC conf, default 100 generated classes: a 75-query bench
+        # session thrashes it, so late-position queries re-Janino-compile
+        # on BOTH min-of-2 runs (the r5 quality_classifier/holt_winters
+        # driver-only 2-8x "regressions" — steady-state plans were flat).
+        # One long-lived JVM serving many queries wants a cache sized to
+        # its workload, same as a real Spark Thrift/Connect server.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     if extra_conf:
         for k, v in extra_conf.items():

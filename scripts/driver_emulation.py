@@ -61,6 +61,7 @@ def main() -> int:
     if only is not None:
         missing = only - set(qs)
         assert not missing, f"--only names not registered: {sorted(missing)}"
+    outcomes: dict[str, str] = {}
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
@@ -68,14 +69,18 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             if name in oracles:
                 assert_oracle_match(sdf, con, oracles[name], name)
+                outcomes[name] = "MATCH"
                 print(f"t2 {name}: MATCH")
             else:
+                outcomes[name] = "rows-only"
                 print(f"t2 {name}: rows-only rows={sdf.count()}")
         except AssertionError as exc:
             ok = False
+            outcomes[name] = "MISMATCH"
             print(f"t2 {name}: MISMATCH — {exc}")
         except Exception as exc:  # noqa: BLE001
             ok = False
+            outcomes[name] = "ERROR"
             print(f"t2 {name}: ERROR — {type(exc).__name__}: {exc}")
         finally:
             # release builder caches between queries (tracked_persist
@@ -85,6 +90,32 @@ def main() -> int:
             spark.catalog.clearCache()
 
     spark.stop()
+
+    # Full-registry runs leave an auditable one-file summary next to the
+    # driver's CORRECTNESS artifacts (r5 verdict item #6): the driver
+    # samples ~50 queries per round, so this records that the OTHER
+    # declared queries passed the same oracle check locally.
+    if only is None:
+        import json
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        counts = {
+            s: sum(1 for v in outcomes.values() if v == s)
+            for s in ("MATCH", "rows-only", "MISMATCH", "ERROR")
+        }
+        with open(os.path.join(repo, "EMULATION_latest.json"), "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(outcomes),
+                    "counts": counts,
+                    "outcomes": outcomes,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"t2 summary: {counts} -> EMULATION_latest.json")
     return 0 if ok else 1
 
 

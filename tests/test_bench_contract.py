@@ -1,5 +1,8 @@
-"""bench.py driver contract: prints exactly one JSON line with the required
-keys, honoring the env overrides."""
+"""bench.py driver contract: prints exactly one COMPACT JSON line with the
+required keys (r5 verdict item #1 — the inline 73-query map outgrew the
+driver's stdout-tail capture and voided the bench gate, so per-query detail
+now lives in BENCH_FULL_latest.json and the stdout line stays stable-size),
+honoring the env overrides."""
 
 from __future__ import annotations
 
@@ -7,6 +10,13 @@ import json
 import os
 import subprocess
 import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The driver captures a bounded stdout tail; BENCH_r05 "parsed": null was
+# caused by a ~5 KB line. Keep a hard margin under the observed ~3 KB
+# capture window so the gate can never silently void again.
+_MAX_LINE_BYTES = 1500
 
 
 def test_bench_json_contract():
@@ -28,10 +38,21 @@ def test_bench_json_contract():
         line for line in proc.stdout.splitlines() if line.startswith("{")
     ]
     assert len(json_lines) == 1
+    assert len(json_lines[0].encode()) <= _MAX_LINE_BYTES
     payload = json.loads(json_lines[0])
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
     assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
     assert all(v >= 0 for v in payload["queries"].values())
-    assert len(payload["queries"]) >= 15
+    # compact line: per-round overlap subtotals, not per-query rows
+    assert any(k.endswith("_overlap_total") for k in payload["queries"])
+    assert payload["queries"]["r1_overlap_total"] <= payload["value"] + 1e-9
+    # the full per-query map moves to the detail file
+    detail = os.path.join(_REPO, payload["detail_file"])
+    with open(detail) as f:
+        full = json.load(f)
+    assert full["value"] == payload["value"]
+    assert len(full["queries"]) >= 15
+    assert full["queries"].keys() <= set(__import__("bench").HEADLINE)
+    assert payload["n_queries"] == len(full["queries"])

@@ -114,3 +114,100 @@ def test_conformal_coverage_guarantee_on_staged_data(spark):
     # k-th smallest residual covers at least k residuals (ties may add)
     assert out["n_covered"] >= out["k"]
     assert out["q_width"] >= 0.0
+
+
+def test_poisson_irls_step_matches_quantized_replay(spark):
+    """fit_poisson_irls_step is BITWISE equal to a driver-side Python
+    replay of the same quantized arithmetic (zq = floor(z·1e6) via CPython
+    libm, integer sufficient statistics, the identical float tree) — and
+    within float-noise of the unquantized textbook WLS step. This pins the
+    engine side of glm_poisson_irls_contract independently of DuckDB."""
+    import math
+
+    from bicis_spark.operators.model import fit_poisson_irls_step
+
+    rows = [((i * 7) % 24, (i * i) % 40) for i in range(1, 401)]
+    pts = spark.createDataFrame(rows, "x long, y long")
+    out = {r["x"]: r for r in fit_poisson_irls_step(pts, "x", "y").collect()}
+
+    Z = 1_000_000
+    zq = {
+        y: math.floor((math.log(y + 0.1) - 0.1 / (y + 0.1)) * Z)
+        for y in {y for _, y in rows}
+    }
+    A = B = C = D = E = 0
+    for x, y in rows:
+        s = 10 * y + 1
+        A += s
+        B += s * x
+        C += s * x * x
+        D += s * zq[y]
+        E += s * x * zq[y]
+    a_d, b_d, c_d, d_d, e_d = map(float, (A, B, C, D, E))
+    slope = (a_d * e_d - b_d * d_d) / ((a_d * c_d - b_d * b_d) * float(Z))
+    intercept = (d_d / float(Z) - slope * b_d) / a_d
+    xs = sorted({x for x, _ in rows})
+    assert set(out) == set(xs)
+    for x in xs:
+        assert out[x]["slope"] == slope
+        assert out[x]["intercept"] == intercept
+        assert out[x]["eta"] == intercept + slope * float(x)
+        assert out[x]["n_pts"] == sum(1 for xx, _ in rows if xx == x)
+
+    # sanity vs the unquantized textbook step (quantization is 1e-6 on z)
+    Af = Bf = Cf = Df = Ef = 0.0
+    for x, y in rows:
+        mu = y + 0.1
+        z = math.log(mu) - 0.1 / mu
+        Af += mu
+        Bf += mu * x
+        Cf += mu * x * x
+        Df += mu * z
+        Ef += mu * x * z
+    slope_f = (Af * Ef - Bf * Df) / (Af * Cf - Bf * Bf)
+    intercept_f = (Df - slope_f * Bf) / Af
+    assert math.isclose(slope, slope_f, rel_tol=1e-3, abs_tol=1e-6)
+    assert math.isclose(intercept, intercept_f, rel_tol=1e-3)
+
+
+def test_poisson_irls_shares_mllib_fixed_point(spark):
+    """The contract's IRLS recursion and MLlib's GLR converge to the SAME
+    optimum (MLlib seeds iteration 0 differently, so single-step values
+    differ by design — the fixed point is the semantics that matter):
+    iterating the contract's step from the step-1 output lands on MLlib's
+    converged coefficients."""
+    import math
+
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+    from pyspark.sql import functions as F
+
+    rows = [((i * 7) % 24, (i * i) % 40) for i in range(1, 401)]
+    pts = spark.createDataFrame(rows, "x long, y long")
+    a = VectorAssembler(inputCols=["x"], outputCol="features").transform(
+        pts.select(
+            F.col("x").cast("double").alias("x"),
+            F.col("y").cast("double").alias("y"),
+        )
+    )
+    m = GeneralizedLinearRegression(
+        family="poisson", link="log", maxIter=50, regParam=0.0, labelCol="y"
+    ).fit(a)
+
+    # driver-side continuation of the textbook IRLS from mustart
+    mus = [y + 0.1 for _, y in rows]
+    slope = intercept = None
+    for _ in range(50):
+        A = B = C = D = E = 0.0
+        for (x, y), mu in zip(rows, mus):
+            z = math.log(mu) + (y - mu) / mu
+            A += mu
+            B += mu * x
+            C += mu * x * x
+            D += mu * z
+            E += mu * x * z
+        slope = (A * E - B * D) / (A * C - B * B)
+        intercept = (D - slope * B) / A
+        mus = [math.exp(intercept + slope * x) for x, _ in rows]
+    assert math.isclose(slope, float(m.coefficients[0]), rel_tol=1e-6, abs_tol=1e-9)
+    assert math.isclose(intercept, float(m.intercept), rel_tol=1e-6)

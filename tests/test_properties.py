@@ -977,3 +977,66 @@ def test_dialect_mapping_total_over_header_permutations(
     assert r["return_station"] == "SB"
     assert r["rent_date"] == dt.datetime(2011, 2, 1, 10, 30)
     assert r["return_date"] == dt.datetime(2011, 2, 1, 10, 55)
+
+
+def test_hw_capped_equals_python_replay_of_prefix(spark):
+    """holt_winters_forecast_capped == the HW fold over the FIRST cap
+    values of each user's sorted series: bitwise vs the Python replay on
+    the truncated prefix, with n_events reporting the capped length. A
+    150-point series exercises cap < n (the hot-user path the bound
+    exists for); a 30-point series pins the n < 2m NULL gate through the
+    cap."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from bicis_spark.plans.analytics_queries import (
+        _HW_CAP,
+        holt_winters_forecast_capped_q,
+    )
+
+    series = {
+        1: [float((i * 13) % 37) - 11.0 for i in range(150)],
+        2: [float(i % 9) for i in range(30)],
+    }
+    rows = []
+    eid = 0
+    for uid, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                    uid,
+                    "view",
+                    v,
+                    None,
+                )
+            )
+            eid += 1
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tempfile.mkdtemp(prefix="bicis_hw_cap_")
+    prior = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        src.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+    try:
+        out = {
+            r["user_id"]: r
+            for r in holt_winters_forecast_capped_q(spark, d).collect()
+        }
+        assert out[1]["n_events"] == _HW_CAP  # 150 capped to 96
+        assert out[1]["hw_forecast"] == _hw_py(series[1][:_HW_CAP])
+        assert out[2]["n_events"] == 30
+        assert out[2]["hw_forecast"] is None  # below the 2m seed gate
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
