@@ -106,6 +106,8 @@ HEADLINE = [
     # round-6 additions
     "glm_poisson_irls_contract",  # hash-gated one-IRLS-step Poisson fit
     "holt_winters_forecast_capped",  # skew-bounded HW fold (prefix cap)
+    "embedding_int8_quantize",    # per-dim int8 scalar quantization
+    "zorder_layout_orders",       # Morton-interleave layout zone maps
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -164,6 +166,8 @@ _R5 = [
 _R6 = [
     "glm_poisson_irls_contract",
     "holt_winters_forecast_capped",
+    "embedding_int8_quantize",
+    "zorder_layout_orders",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

@@ -799,3 +799,55 @@ def ann_topk_pq(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def int8_quantize_stats(
+    df: DataFrame, id_col: str, vec_col: str, dims: int = 64
+) -> DataFrame:
+    """Per-dimension symmetric int8 quantization of an embedding column —
+    the 4x memory/bandwidth compression step an ANN serving stack applies
+    before the PQ/IVF structures in this module (FAISS's ScalarQuantizer
+    QT_8bit; the scale path for storing 100 TB of vectors).
+
+    Per dimension d: scale s_d = 127 / max|x_d| over the corpus (0 when
+    the dimension is identically 0); per element: q = clamp(floor(x·s_d
+    + 0.5), -127, 127) — floor(·+0.5) rather than round() because the two
+    engines' round() tie conventions differ while the floor float tree is
+    IEEE-identical. Output per vector: [id, l1, sum_q, l2, n_clipped] —
+    integer summaries of the quantized vector (exact, order-independent),
+    n_clipped counting saturated elements (nonzero only when a dimension's
+    max is attained with opposite-sign near-max values… i.e. never for
+    symmetric scales; kept as the saturation audit for trained scales).
+
+    Plan: one map-side posexplode → a 64-key max aggregate (map-combined,
+    tiny shuffle) → the scales broadcast back onto a second exploded scan
+    → one hash aggregate keyed by vector id. The fact table never
+    shuffles un-aggregated (scale_features discipline); both scans prune
+    to [id, vec]."""
+    xd = F.col("x").cast("double")
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.slice(F.col(vec_col), 1, dims)).alias("pos", "x"),
+    )
+    scales = (
+        ex.groupBy("pos")
+        .agg(F.max(F.abs(xd)).alias("mx"))
+        .select(
+            "pos",
+            F.when(F.col("mx") > 0, F.lit(127.0) / F.col("mx"))
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+    )
+    raw = F.floor(xd * F.col("s") + F.lit(0.5))
+    q = F.least(F.lit(127), F.greatest(F.lit(-127), raw))
+    clip = F.when((raw > 127) | (raw < -127), F.lit(1)).otherwise(F.lit(0))
+    quant = ex.join(F.broadcast(scales), "pos").select(
+        F.col(id_col), q.alias("q"), clip.alias("clip")
+    )
+    return quant.groupBy(id_col).agg(
+        F.sum(F.abs(F.col("q"))).cast("long").alias("l1"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("l2"),
+        F.sum("clip").cast("long").alias("n_clipped"),
+    )

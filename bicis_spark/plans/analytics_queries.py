@@ -4933,3 +4933,79 @@ def mode_impute_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering contract (round 6): multi-dimensional data layout —
+# the Delta/Iceberg OPTIMIZE ZORDER primitive, bit-interleave expressed as
+# engine-portable integer arithmetic
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10
+
+
+def _interleave_terms(xc: str, yc: str, bits: int) -> str:
+    """SQL for the Morton/Z-value of two ``bits``-bit ints, as pure
+    integer arithmetic (div/mod/multiply — no engine-specific bitwise
+    operators): bit b of x lands at position 2b, of y at 2b+1. Valid in
+    Spark SQL (`div`) with the DuckDB twin using the same ops."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xc} div {1 << b}) % 2) * {1 << (2 * b)})")
+        terms.append(f"((({yc} div {1 << b}) % 2) * {1 << (2 * b + 1)})")
+    return " + ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH k AS (
+    SELECT (o_custkey % {1 << _Z_BITS}) AS xk,
+           ((epoch_us(o_orderdate) // 86400000000) % {1 << _Z_BITS}) AS yk
+    FROM orders
+),
+z AS (
+    SELECT xk, yk, ({_interleave_terms('xk', 'yk', _Z_BITS).replace(' div ', ' // ')}) AS zval
+    FROM k
+)
+SELECT (zval // {1 << _Z_BITS})::BIGINT AS zbucket,
+       count(*)::BIGINT AS n,
+       min(zval)::BIGINT AS min_z, max(zval)::BIGINT AS max_z,
+       min(xk)::BIGINT AS min_cust, max(xk)::BIGINT AS max_cust,
+       min(yk)::BIGINT AS min_day, max(yk)::BIGINT AS max_day
+FROM z GROUP BY zval // {1 << _Z_BITS}
+"""
+
+
+@register("zorder_layout_orders", _ZORDER_SQL)
+def zorder_layout_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of orders on (custkey, order day) —
+    the multi-dimension layout-optimization primitive behind Delta/
+    Iceberg OPTIMIZE ZORDER: interleaving the two keys' bits gives a 1-D
+    sort order under which ANY 2-D range predicate touches contiguous-ish
+    runs, so per-file min/max zone maps prune both dimensions at once.
+    The emitted rows are exactly those zone maps: per 1024-row-scale
+    z-bucket (top bits of the z-value), the count and the min/max of
+    z, custkey-low-bits and day-low-bits — the narrow (min_cust..max_cust
+    x min_day..max_day) boxes per bucket are the skipping property
+    itself, hash-gated. Bit surgery is pure div/mod/multiply integer
+    arithmetic (engine-portable, no UDF); one map-side projection + one
+    hash aggregate — at 100 TB this is the shuffle-free stats pass you
+    run after writing z-sorted files."""
+    orders = read_table(spark, sf_dir, "orders")
+    k = orders.selectExpr(
+        f"(o_custkey % {1 << _Z_BITS}) AS xk",
+        f"((unix_micros(o_orderdate) div 86400000000) % {1 << _Z_BITS}) AS yk",
+    )
+    z = k.selectExpr(
+        "xk", "yk", f"({_interleave_terms('xk', 'yk', _Z_BITS)}) AS zval"
+    )
+    return z.groupBy(
+        (F.col("zval") / F.lit(1 << _Z_BITS)).cast("long").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("zval").cast("long").alias("min_z"),
+        F.max("zval").cast("long").alias("max_z"),
+        F.min("xk").cast("long").alias("min_cust"),
+        F.max("xk").cast("long").alias("max_cust"),
+        F.min("yk").cast("long").alias("min_day"),
+        F.max("yk").cast("long").alias("max_day"),
+    )

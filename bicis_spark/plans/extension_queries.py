@@ -2882,3 +2882,49 @@ def dedup_edit_distance_names_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = read_table(spark, sf_dir, "customer")
     return edit_distance_pairs(cust, "c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (round 6): the vector-compression step before
+# IVF/PQ — 4x memory at serving time, exact integer summaries under the gate
+# ---------------------------------------------------------------------------
+
+_INT8_SQL = """
+WITH ex AS (
+    SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+    FROM embeddings, range(64) t(i)
+),
+sc AS (
+    SELECT pos,
+           CASE WHEN max(abs(x)) > 0 THEN 127.0 / max(abs(x)) ELSE 0.0 END AS s
+    FROM ex GROUP BY pos
+),
+q AS (
+    SELECT vec_id,
+           LEAST(127, GREATEST(-127, floor(x * s + 0.5)))::BIGINT AS q,
+           CASE WHEN floor(x * s + 0.5) > 127 OR floor(x * s + 0.5) < -127
+                THEN 1 ELSE 0 END AS clip
+    FROM ex JOIN sc USING (pos)
+)
+SELECT vec_id,
+       sum(abs(q))::BIGINT AS l1,
+       sum(q)::BIGINT AS sum_q,
+       sum(q * q)::BIGINT AS l2,
+       sum(clip)::BIGINT AS n_clipped
+FROM q GROUP BY vec_id
+"""
+
+
+@register("embedding_int8_quantize", _INT8_SQL)
+def embedding_int8_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embeddings table
+    (extensions/similarity.int8_quantize_stats): corpus max|x| per
+    dimension -> scale 127/max -> clamp(floor(x*s+0.5)). Integer l1 /
+    sum / l2 / clip summaries per vector make the whole compression step
+    hash-gated; floor(x+0.5) is used instead of round() because the
+    engines' round-tie conventions differ while this float tree is
+    IEEE-identical."""
+    from bicis_spark.extensions.similarity import int8_quantize_stats
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return int8_quantize_stats(emb, "vec_id", "embedding", dims=64)

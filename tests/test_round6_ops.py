@@ -1,0 +1,76 @@
+"""Round-6 operator unit tests: int8 scalar quantization edge cases, the
+Morton interleave against a Python bit-twiddling reference, and the
+one-IRLS-step GLM surface living in test_ols.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_int8_quantize_zero_dim_and_extremes(spark):
+    """A dimension that is identically zero gets scale 0 (all q=0, no
+    division blowup); the max-magnitude element of each dimension lands
+    exactly on ±127; nothing clips under corpus-derived symmetric
+    scales."""
+    from bicis_spark.extensions.similarity import int8_quantize_stats
+
+    rows = [
+        (1, [1.0, 0.0, -2.0]),
+        (2, [-0.5, 0.0, 4.0]),
+        (3, [0.25, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in int8_quantize_stats(df, "vec_id", "embedding", dims=3).collect()
+    }
+    # dim scales: 127/1.0, 0, 127/4.0
+    # vec 1: q = [127, 0, floor(-63.5+0.5)=-63]  -> l1 190, sum 64, l2 20098
+    assert (out[1]["l1"], out[1]["sum_q"], out[1]["l2"]) == (190, 64, 16129 + 3969)
+    # vec 2: q = [floor(-63.5+0.5)=-63, 0, 127]
+    assert (out[2]["l1"], out[2]["sum_q"]) == (190, 64)
+    # vec 3: q = [floor(31.75+0.5)=32, 0, 0]
+    assert (out[3]["l1"], out[3]["sum_q"], out[3]["l2"]) == (32, 32, 1024)
+    assert all(r["n_clipped"] == 0 for r in out.values())
+
+
+def test_morton_interleave_matches_python(spark):
+    """The arithmetic-only interleave SQL equals the classic bit-twiddled
+    Morton code for every (x, y) in a 32x32 grid."""
+    from bicis_spark.plans.analytics_queries import _interleave_terms
+
+    def morton(x, y, bits=10):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "xk long, yk long")
+    got = {
+        (r["xk"], r["yk"]): r["z"]
+        for r in df.selectExpr(
+            "xk", "yk", f"({_interleave_terms('xk', 'yk', 10)}) AS z"
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == morton(x, y)
+
+
+def test_zorder_buckets_are_tight_boxes(spark, sf_dir):
+    """Every z-bucket's (cust, day) bounds form a box no wider than the
+    bucket's bit budget allows: the top 10 interleaved bits fix 5 high
+    bits of each key, so each range spans < 2^5 = 32 values... per the
+    z-curve recursion. This is the data-skipping property the layout
+    exists for (a random layout gives full-width boxes)."""
+    from bicis_spark.plans.analytics_queries import zorder_layout_orders_q
+
+    rows = zorder_layout_orders_q(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["min_z"] <= r["max_z"]
+        assert r["max_z"] - r["min_z"] < 1 << 10  # within-bucket z span
+        assert r["max_cust"] - r["min_cust"] < 32
+        assert r["max_day"] - r["min_day"] < 32
+        assert r["n"] >= 1
