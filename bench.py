@@ -108,6 +108,8 @@ HEADLINE = [
     "holt_winters_forecast_capped",  # skew-bounded HW fold (prefix cap)
     "embedding_int8_quantize",    # per-dim int8 scalar quantization
     "zorder_layout_orders",       # Morton-interleave layout zone maps
+    "skipgram_pairs",             # word2vec +-2-window pair generation
+    "cuped_adjusted_ab",          # variance-reduced experiment readout
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -168,6 +170,8 @@ _R6 = [
     "holt_winters_forecast_capped",
     "embedding_int8_quantize",
     "zorder_layout_orders",
+    "skipgram_pairs",
+    "cuped_adjusted_ab",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

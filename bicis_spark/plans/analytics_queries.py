@@ -5009,3 +5009,202 @@ def zorder_layout_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yk").cast("long").alias("min_day"),
         F.max("yk").cast("long").alias("max_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout (round 6): the pre-period
+# covariate adjustment every large experimentation platform applies
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+WITH cust AS (
+    SELECT o_custkey,
+           CASE WHEN ascii(substr(md5(o_custkey::VARCHAR || ':ab'), 1, 1)) % 2 = 0
+                THEN 'A' ELSE 'B' END AS arm,
+           sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+           sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+    FROM orders GROUP BY 1, 2
+),
+arms AS (
+    SELECT arm, count(*)::BIGINT AS n,
+           CAST(floor(sum(x)) AS BIGINT) AS sx,
+           CAST(floor(sum(y)) AS BIGINT) AS sy,
+           CAST(floor(sum(x * y)) AS BIGINT) AS sxy,
+           CAST(floor(sum(x * x)) AS BIGINT) AS sxx,
+           CAST(floor(sum(y * y)) AS BIGINT) AS syy
+    FROM cust GROUP BY arm
+),
+w AS (
+    SELECT
+        max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        max(CASE WHEN arm = 'A' THEN CAST(sx AS DOUBLE) END) AS sx_a,
+        max(CASE WHEN arm = 'B' THEN CAST(sx AS DOUBLE) END) AS sx_b,
+        max(CASE WHEN arm = 'A' THEN CAST(sy AS DOUBLE) END) AS sy_a,
+        max(CASE WHEN arm = 'B' THEN CAST(sy AS DOUBLE) END) AS sy_b,
+        max(CASE WHEN arm = 'A' THEN CAST(sxy AS DOUBLE) END) AS sxy_a,
+        max(CASE WHEN arm = 'B' THEN CAST(sxy AS DOUBLE) END) AS sxy_b,
+        max(CASE WHEN arm = 'A' THEN CAST(sxx AS DOUBLE) END) AS sxx_a,
+        max(CASE WHEN arm = 'B' THEN CAST(sxx AS DOUBLE) END) AS sxx_b,
+        max(CASE WHEN arm = 'A' THEN CAST(syy AS DOUBLE) END) AS syy_a,
+        max(CASE WHEN arm = 'B' THEN CAST(syy AS DOUBLE) END) AS syy_b
+    FROM arms
+),
+c1 AS (
+    SELECT *,
+           (sx_a + sx_b) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS m
+    FROM w
+),
+c2 AS (
+    SELECT *,
+           ((sxy_a + sxy_b) - m * (sy_a + sy_b))
+           / ((sxx_a + sxx_b) - m * (sx_a + sx_b)) AS theta
+    FROM c1
+),
+c3 AS (
+    SELECT *,
+           (sy_a - theta * (sx_a - CAST(n_a AS DOUBLE) * m)) / CAST(n_a AS DOUBLE) AS mean_adj_a,
+           (sy_b - theta * (sx_b - CAST(n_b AS DOUBLE) * m)) / CAST(n_b AS DOUBLE) AS mean_adj_b,
+           syy_a - 2 * theta * (sxy_a - m * sy_a)
+               + theta * theta * (sxx_a - 2 * m * sx_a + CAST(n_a AS DOUBLE) * m * m) AS q_a,
+           syy_b - 2 * theta * (sxy_b - m * sy_b)
+               + theta * theta * (sxx_b - 2 * m * sx_b + CAST(n_b AS DOUBLE) * m * m) AS q_b
+    FROM c2
+),
+c4 AS (
+    SELECT *,
+           (q_a - CAST(n_a AS DOUBLE) * mean_adj_a * mean_adj_a) / (CAST(n_a AS DOUBLE) - 1) AS var_adj_a,
+           (q_b - CAST(n_b AS DOUBLE) * mean_adj_b * mean_adj_b) / (CAST(n_b AS DOUBLE) - 1) AS var_adj_b,
+           (syy_a - sy_a * sy_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1) AS var_raw_a,
+           (syy_b - sy_b * sy_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1) AS var_raw_b
+    FROM c3
+)
+SELECT n_a, n_b, theta, mean_adj_a, mean_adj_b,
+       (mean_adj_a - mean_adj_b)
+       / sqrt(var_adj_a / CAST(n_a AS DOUBLE) + var_adj_b / CAST(n_b AS DOUBLE)) AS z_cuped,
+       (var_adj_a + var_adj_b) / (var_raw_a + var_raw_b) AS var_ratio
+FROM c4
+"""
+
+
+@register("cuped_adjusted_ab", _CUPED_SQL)
+def cuped_adjusted_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) on the hash-
+    assigned spend experiment: pre-period spend (orders before 1998) is
+    the covariate x, experiment-period spend the metric y, theta =
+    cov(x,y)/var(x) pooled, and every adjusted statistic — per-arm
+    adjusted means, adjusted variances, the z-stat, and the achieved
+    variance ratio — is expanded ALGEBRAICALLY into a fixed float tree
+    over exact per-arm integer sums (n, Σx, Σy, Σxy, Σx², Σy², decimal-
+    accumulated, floored to int64 — the ab_spend_ztest discipline). No
+    per-row adjusted values ever materialize, so there is no float
+    accumulation anywhere and the oracle replays the readout bitwise.
+    Scale shape: one custkey-keyed aggregate, one 2-row arm aggregate, a
+    1-row report — at 100 TB the adjustment costs nothing beyond the
+    unadjusted readout. var_ratio < 1 is the methodology's entire point,
+    pinned by test."""
+    orders = read_table(spark, sf_dir, "orders")
+    arm = F.when(
+        F.ascii(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_custkey"), F.lit("ab"))), 1, 1
+            )
+        )
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    split = F.lit("1998-01-01").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    cust = orders.groupBy(F.col("o_custkey"), arm.alias("arm")).agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < split, price).otherwise(zero)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= split, price).otherwise(zero)
+        ).alias("y"),
+    )
+    arms = cust.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(F.sum("x")).cast("long").alias("sx"),
+        F.floor(F.sum("y")).cast("long").alias("sy"),
+        F.floor(F.sum(F.col("x") * F.col("y"))).cast("long").alias("sxy"),
+        F.floor(F.sum(F.col("x") * F.col("x"))).cast("long").alias("sxx"),
+        F.floor(F.sum(F.col("y") * F.col("y"))).cast("long").alias("syy"),
+    )
+
+    def pick(a: str, col: str, cast: str):
+        return F.max(F.when(F.col("arm") == a, F.col(col).cast(cast)))
+
+    w = arms.agg(
+        pick("A", "n", "long").alias("n_a"),
+        pick("B", "n", "long").alias("n_b"),
+        *[
+            pick(a, c, "double").alias(f"{c}_{a.lower()}")
+            for c in ("sx", "sy", "sxy", "sxx", "syy")
+            for a in ("A", "B")
+        ],
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    c1 = w.withColumn(
+        "m", (F.col("sx_a") + F.col("sx_b")) / (n_a + n_b)
+    )
+    m = F.col("m")
+    c2 = c1.withColumn(
+        "theta",
+        ((F.col("sxy_a") + F.col("sxy_b")) - m * (F.col("sy_a") + F.col("sy_b")))
+        / ((F.col("sxx_a") + F.col("sxx_b")) - m * (F.col("sx_a") + F.col("sx_b"))),
+    )
+    th = F.col("theta")
+    c3 = c2.withColumn(
+        "mean_adj_a",
+        (F.col("sy_a") - th * (F.col("sx_a") - n_a * m)) / n_a,
+    ).withColumn(
+        "mean_adj_b",
+        (F.col("sy_b") - th * (F.col("sx_b") - n_b * m)) / n_b,
+    ).withColumn(
+        "q_a",
+        F.col("syy_a")
+        - F.lit(2) * th * (F.col("sxy_a") - m * F.col("sy_a"))
+        + th * th * (F.col("sxx_a") - F.lit(2) * m * F.col("sx_a") + n_a * m * m),
+    ).withColumn(
+        "q_b",
+        F.col("syy_b")
+        - F.lit(2) * th * (F.col("sxy_b") - m * F.col("sy_b"))
+        + th * th * (F.col("sxx_b") - F.lit(2) * m * F.col("sx_b") + n_b * m * m),
+    )
+    c4 = c3.withColumn(
+        "var_adj_a",
+        (F.col("q_a") - n_a * F.col("mean_adj_a") * F.col("mean_adj_a"))
+        / (n_a - F.lit(1)),
+    ).withColumn(
+        "var_adj_b",
+        (F.col("q_b") - n_b * F.col("mean_adj_b") * F.col("mean_adj_b"))
+        / (n_b - F.lit(1)),
+    ).withColumn(
+        "var_raw_a",
+        (F.col("syy_a") - F.col("sy_a") * F.col("sy_a") / n_a) / (n_a - F.lit(1)),
+    ).withColumn(
+        "var_raw_b",
+        (F.col("syy_b") - F.col("sy_b") * F.col("sy_b") / n_b) / (n_b - F.lit(1)),
+    )
+    return c4.select(
+        "n_a",
+        "n_b",
+        "theta",
+        "mean_adj_a",
+        "mean_adj_b",
+        (
+            (F.col("mean_adj_a") - F.col("mean_adj_b"))
+            / F.sqrt(F.col("var_adj_a") / n_a + F.col("var_adj_b") / n_b)
+        ).alias("z_cuped"),
+        (
+            (F.col("var_adj_a") + F.col("var_adj_b"))
+            / (F.col("var_raw_a") + F.col("var_raw_b"))
+        ).alias("var_ratio"),
+    )

@@ -2928,3 +2928,69 @@ def embedding_int8_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return int8_quantize_stats(emb, "vec_id", "embedding", dims=64)
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram pair generation (round 6): the word2vec/fastText training-data
+# prep — (center, context) pairs within a ±2 window, array-native
+# ---------------------------------------------------------------------------
+
+_SKIPGRAM_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+tok AS (
+    -- two unnests in one SELECT zip positionally in DuckDB
+    SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS tok FROM d
+),
+p AS (
+    SELECT a.tok AS w, b.tok AS c
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND (b.pos - a.pos) BETWEEN 1 AND 2
+)
+SELECT w, c, count(*)::BIGINT AS n
+FROM (SELECT w, c FROM p UNION ALL SELECT c AS w, w AS c FROM p)
+GROUP BY w, c HAVING count(*) >= 2
+"""
+
+
+@register("skipgram_pairs", _SKIPGRAM_SQL)
+def skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style skip-gram training pairs: for every token, its
+    neighbors within a symmetric ±2 window, counted corpus-wide (pairs
+    seen < 2 times dropped — the min_count floor). Spark side is
+    ARRAY-NATIVE: per-document pairs come from two zip_with'd
+    slice-offsets of the token array (no self-join, no window function),
+    so everything before the final (w, c) count is map-side — the
+    shuffle carries (pair, partial count), never positions. The oracle
+    is the positional-self-join DEFINITION, so a MATCH also proves the
+    slice algebra emits exactly the in-window pairs. At 100 TB this is
+    the prep pass whose output feeds embedding training; the quadratic
+    join formulation the oracle uses is precisely what it avoids."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " ", -1), lambda x: x != F.lit("")
+    )
+    d = docs.where(F.col("text").isNotNull()).select(toks.alias("t"))
+    n = F.size("t")
+
+    def off_pairs(off: int):
+        ln = F.greatest(n - F.lit(off), F.lit(0))
+        return F.zip_with(
+            F.slice("t", 1, ln),
+            F.slice("t", off + 1, ln),
+            lambda a, b: F.struct(a.alias("w"), b.alias("c")),
+        )
+
+    ex = (
+        d.select(F.explode(F.concat(off_pairs(1), off_pairs(2))).alias("p"))
+        .select("p.w", "p.c")
+    )
+    sym = ex.union(ex.select(F.col("c").alias("w"), F.col("w").alias("c")))
+    return (
+        sym.groupBy("w", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= 2)
+    )

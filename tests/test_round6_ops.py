@@ -74,3 +74,54 @@ def test_zorder_buckets_are_tight_boxes(spark, sf_dir):
         assert r["max_cust"] - r["min_cust"] < 32
         assert r["max_day"] - r["min_day"] < 32
         assert r["n"] >= 1
+
+
+def test_cuped_reduces_variance(spark, sf_dir):
+    """CUPED's reason to exist: with a covariate correlated to the metric
+    (same customers' spend in the two periods), the adjusted pooled
+    variance must come out below the raw pooled variance, and the
+    adjusted means stay means (between the per-arm min/max of the raw
+    metric scale)."""
+    from bicis_spark.plans.analytics_queries import cuped_adjusted_ab_q
+
+    r = cuped_adjusted_ab_q(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert 0.0 < r["var_ratio"] < 1.0
+    assert r["theta"] != 0.0
+    assert abs(r["z_cuped"]) < 50  # a null A/B split must not "detect" anything huge
+
+
+def test_skipgram_pairs_small_doc(spark, tmp_path):
+    """A 4-token doc yields exactly the +-2-window pairs, symmetric, with
+    the min_count=2 floor applied after symmetrization."""
+    import pandas as pd
+
+    from bicis_spark.plans.extension_queries import skipgram_pairs_q
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b a b", "a b c d"],
+            "n_chars": [7, 7],
+            "lang": ["en", "en"],
+            "url": ["u0", "u1"],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        (r["w"], r["c"]): r["n"]
+        for r in skipgram_pairs_q(spark, d).collect()
+    }
+    # doc0 fwd pairs: (a,b)x2 (b,a) (a,a) (b,b); doc1 fwd: (a,b)(b,c)(c,d)(a,c)(b,d)
+    # symmetrized: (a,b)=(b,a)=4, (a,a)=(b,b)=2; every doc1-only pair
+    # symmetrizes to 1 and the min_count=2 floor drops it
+    assert got == {
+        ("a", "b"): 4,
+        ("b", "a"): 4,
+        ("a", "a"): 2,
+        ("b", "b"): 2,
+    }
+    assert ("a", "d") not in got  # distance 3: outside the window
