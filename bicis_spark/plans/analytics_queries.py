@@ -4185,7 +4185,7 @@ def _hw_fold(ev: DataFrame, cap: int | None = None) -> DataFrame:
     )
 
 
-_HW_CAP = 96
+_HW_CAP = 64
 
 _HW_CAPPED_SQL = _HW_SQL.replace(
     "list(value ORDER BY ts, event_id) AS xs",
@@ -4200,8 +4200,10 @@ def holt_winters_forecast_capped_q(
 ) -> DataFrame:
     """The hot-user skew bound for the Holt-Winters fold (r5 verdict
     item #3): identical smoothing, but each user's sorted series is
-    prefix-capped to the first 96 values (4 seasons: 2m to seed + 2m to
-    fold) BEFORE the state fold, so one user owning the stream can never
+    prefix-capped to the first 64 values (the 2m=48 seed plus 16 fold
+    steps; 64 BINDS on most users of every test SF — per-user counts run
+    49-88 — so the capped path, not the degenerate equal-to-uncapped
+    case, is what the oracle gates) BEFORE the state fold, so one user owning the stream can never
     make a single row's array the whole task — the same
     bound-the-per-key-state discipline as `next_window_count_bucketed`
     (operators/targets.py:56). The cap is a deterministic slice of the

@@ -998,6 +998,10 @@ def test_hw_capped_equals_python_replay_of_prefix(spark):
     series = {
         1: [float((i * 13) % 37) - 11.0 for i in range(150)],
         2: [float(i % 9) for i in range(30)],
+        # exactly 2m events: the n >= 2m gate boundary (mutation-harness
+        # blind spot at driver SFs — per-user counts there are 49-88, so
+        # no natural user sits on 48) — seed-only fold, non-NULL forecast
+        3: [float((i * 7) % 23) for i in range(48)],
     }
     rows = []
     eid = 0
@@ -1038,5 +1042,7 @@ def test_hw_capped_equals_python_replay_of_prefix(spark):
         assert out[1]["hw_forecast"] == _hw_py(series[1][:_HW_CAP])
         assert out[2]["n_events"] == 30
         assert out[2]["hw_forecast"] is None  # below the 2m seed gate
+        assert out[3]["n_events"] == 48
+        assert out[3]["hw_forecast"] == _hw_py(series[3])  # == boundary seeds
     finally:
         shutil.rmtree(d, ignore_errors=True)
