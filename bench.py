@@ -110,6 +110,8 @@ HEADLINE = [
     "zorder_layout_orders",       # Morton-interleave layout zone maps
     "skipgram_pairs",             # word2vec +-2-window pair generation
     "cuped_adjusted_ab",          # variance-reduced experiment readout
+    "bom_subtree_rollup",         # closed-form hierarchy subtree agg
+    "embedding_covariance_ints",  # integer-exact PCA covariance pass
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -172,6 +174,8 @@ _R6 = [
     "zorder_layout_orders",
     "skipgram_pairs",
     "cuped_adjusted_ab",
+    "bom_subtree_rollup",
+    "embedding_covariance_ints",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

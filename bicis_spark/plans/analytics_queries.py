@@ -5210,3 +5210,72 @@ def cuped_adjusted_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("var_raw_a") + F.col("var_raw_b"))
         ).alias("var_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy subtree rollup (round 6): the BOM/org-chart aggregate without
+# recursion — closed-form ancestor enumeration
+# ---------------------------------------------------------------------------
+
+_BOM_DEPTH = 8
+
+_BOM_SQL = f"""
+WITH n AS (
+    SELECT p_partkey AS id,
+           CAST(floor(CAST(p_retailprice AS DECIMAL(18,2))) AS BIGINT) AS val
+    FROM part
+),
+anc AS (
+    SELECT (id // CAST(power(10, k) AS BIGINT)) AS anode, val
+    FROM n, range({_BOM_DEPTH}) r(k)
+    WHERE (id // CAST(power(10, k) AS BIGINT)) > 0
+)
+SELECT a.anode AS id,
+       count(*)::BIGINT AS n_subtree,
+       sum(a.val)::BIGINT AS subtree_value
+FROM anc a JOIN n ON n.id = a.anode
+GROUP BY a.anode
+"""
+
+
+@register("bom_subtree_rollup", _BOM_SQL)
+def bom_subtree_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (bill-of-materials / org-chart) subtree aggregation
+    over the implicit decimal-radix part tree (parent(p) = p div 10):
+    per existing node, the count and summed floor-int retail value of its
+    ENTIRE subtree, self included. The recursive-CTE formulation every
+    SQL engine reaches for is O(depth) self-joins with a growing
+    frontier; because the ancestor chain here is a closed form
+    (ancestor_k = id div 10^k), the Spark plan instead EXPLODES each row
+    into its <= 8 ancestors map-side and runs ONE hash aggregate + one
+    join back to existing nodes — the scale-correct shape for fixed-depth
+    hierarchies (no iteration, no driver loop, shuffle carries (ancestor,
+    partial sum)). Integer values throughout -> hash-gated."""
+    part = read_table(spark, sf_dir, "part")
+    n = part.select(
+        F.col("p_partkey").alias("id"),
+        F.floor(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("long")
+        .alias("val"),
+    )
+    # integer `div`, not float division + truncate: a double quotient one
+    # ulp below an integer would mis-floor for ids beyond ~2^52/10^k
+    anc = (
+        n.select(
+            F.explode(
+                F.array(
+                    *[F.expr(f"id div {10 ** k}") for k in range(_BOM_DEPTH)]
+                )
+            ).alias("anode"),
+            "val",
+        )
+        .where(F.col("anode") > 0)
+    )
+    return (
+        anc.join(n.select(F.col("id")), anc["anode"] == F.col("id"))
+        .groupBy(F.col("anode").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subtree"),
+            F.sum("val").cast("long").alias("subtree_value"),
+        )
+    )

@@ -2994,3 +2994,99 @@ def skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .where(F.col("n") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact embedding covariance (round 6): the PCA/whitening prep —
+# the Gram/covariance pass over the corpus, order-independent by
+# construction
+# ---------------------------------------------------------------------------
+
+_COV_Q = 1 << 20
+
+_COV_SQL = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * {_COV_Q}) AS BIGINT)) AS xq
+    FROM embeddings
+),
+pairs AS (
+    SELECT i.di, j.dj, xq[i.di + 1] * xq[j.dj + 1] AS p,
+           xq[i.di + 1] AS xi, xq[j.dj + 1] AS xj
+    FROM q, range(64) i(di), range(64) j(dj)
+    WHERE i.di <= j.dj
+)
+SELECT di::BIGINT AS i, dj::BIGINT AS j,
+       count(*)::BIGINT AS n,
+       sum(xi)::BIGINT AS si, sum(xj)::BIGINT AS sj,
+       (count(*) * sum(p) - sum(xi) * sum(xj))::BIGINT AS cov_num
+FROM pairs GROUP BY di, dj
+"""
+
+
+@register("embedding_covariance_ints", _COV_SQL)
+def embedding_covariance_ints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The covariance pass PCA/whitening starts from, integer-exact: each
+    embedding is quantized to xq = floor(x·2^20) and the upper-triangle
+    covariance numerators n·Σxᵢxⱼ − Σxᵢ·Σxⱼ accumulate as exact int64
+    sums — order-independent under any partitioning, so the full 64×64/2
+    matrix is hash-gated (2080 rows of integers; divide by n·(n−1)·Q²
+    driver-side for the float matrix when feeding an eigensolver).
+
+    Plan: ONE scan, map-side explode into the 2080 (i<=j) dim pairs per
+    vector, one hash aggregate on (i, j) with map-side combine — the
+    shuffle carries 2080 keys × partial sums regardless of corpus size,
+    which is why this formulation (not a driver collect, not a float
+    treeAggregate) is the 100 TB shape. Per-row work is d²/2; for
+    d >> 64, block the pair space the way PQ blocks subspaces. Numeric
+    bound: |cov_num| < n²·Q² for unit-scale inputs, int64-safe to
+    n ≈ 3e6 vectors at Q=2^20 — shrink Q with corpus growth (Q=2^12
+    holds to n ≈ 1e9; the gate only needs both engines to agree)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(_COV_Q)).cast("long"),
+    )
+    q = emb.select(xq.alias("xq"))
+    idx = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda j: F.struct(i.alias("i"), j.alias("j")),
+                ),
+            )
+        ),
+        lambda s: s["i"] <= s["j"],
+    )
+    pairs = q.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda s: F.struct(
+                    s["i"].alias("i"),
+                    s["j"].alias("j"),
+                    F.element_at("xq", s["i"] + 1).alias("xi"),
+                    F.element_at("xq", s["j"] + 1).alias("xj"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xi", "p.xj")
+    g = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("si"),
+        F.sum("xj").cast("long").alias("sj"),
+        F.sum(F.col("xi") * F.col("xj")).alias("_sp"),
+    )
+    return g.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        "si",
+        "sj",
+        (F.col("n") * F.col("_sp") - F.col("si") * F.col("sj"))
+        .cast("long")
+        .alias("cov_num"),
+    )

@@ -125,3 +125,96 @@ def test_skipgram_pairs_small_doc(spark, tmp_path):
         ("b", "b"): 2,
     }
     assert ("a", "d") not in got  # distance 3: outside the window
+
+
+def test_bom_rollup_matches_python_tree_walk(spark, tmp_path):
+    """Subtree sums over the decimal-radix hierarchy equal a literal
+    recursive tree walk in Python — pinning that ancestor_k = id div 10^k
+    enumerates exactly the ancestor chain (and that nodes absent from the
+    table contribute children but receive no row)."""
+    import pandas as pd
+
+    from bicis_spark.plans.analytics_queries import bom_subtree_rollup_q
+
+    ids = [1, 2, 3, 12, 13, 25, 123, 124, 256, 1234]
+    pdf = pd.DataFrame(
+        {
+            "p_partkey": ids,
+            "p_name": [f"p{i}" for i in ids],
+            "p_brand": ["b"] * len(ids),
+            "p_type": ["t"] * len(ids),
+            "p_size": [1] * len(ids),
+            "p_container": ["c"] * len(ids),
+            "p_retailprice": [float(i) + 0.75 for i in ids],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/part.parquet"
+    )
+    got = {
+        r["id"]: (r["n_subtree"], r["subtree_value"])
+        for r in bom_subtree_rollup_q(spark, d).collect()
+    }
+
+    import math
+
+    def expect(node):
+        n = s = 0
+        for i in ids:
+            a = i
+            while a > 0:
+                if a == node:
+                    n += 1
+                    s += math.floor(i + 0.75)
+                    break
+                a //= 10
+        return (n, s)
+
+    assert set(got) == set(ids)  # only existing nodes get rows
+    for node in ids:
+        assert got[node] == expect(node), node
+    # spot meaning: node 12 owns {12, 123, 124, 1234}
+    assert got[12] == (4, 12 + 123 + 124 + 1234)
+
+
+def test_embedding_covariance_matches_numpy(spark, tmp_path):
+    """cov_num / (n^2 Q^2) reproduces numpy's biased covariance of the
+    quantized vectors (scaled by n/(n-1) ... we compare the raw integer
+    identity n*Sxy - Sx*Sy directly against exact Python ints)."""
+    import math
+
+    import pandas as pd
+
+    from bicis_spark.plans.extension_queries import (
+        _COV_Q,
+        embedding_covariance_ints_q,
+    )
+
+    import numpy as np
+
+    # pre-round to float32: that's what the parquet column stores and the
+    # engine quantizes, so the Python replay must start from the same bits
+    vecs = [
+        [float(np.float32(((i * 7 + j * 13) % 29) / 29.0 - 0.5)) for j in range(64)]
+        for i in range(10)
+    ]
+    d = str(tmp_path)
+    # match the driver layout: embedding is array<float> (read_table reads
+    # the EMBEDDINGS schema; a double array would type-mismatch the scan)
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = {
+        (r["i"], r["j"]): (r["n"], r["si"], r["sj"], r["cov_num"])
+        for r in embedding_covariance_ints_q(spark, d).collect()
+    }
+    assert len(got) == 64 * 65 // 2
+    q = [[math.floor(x * _COV_Q) for x in v] for v in vecs]
+    for (i, j) in [(0, 0), (0, 63), (5, 40), (63, 63)]:
+        n = len(q)
+        si = sum(r[i] for r in q)
+        sj = sum(r[j] for r in q)
+        sp = sum(r[i] * r[j] for r in q)
+        assert got[(i, j)] == (n, si, sj, n * sp - si * sj), (i, j)
