@@ -112,6 +112,8 @@ HEADLINE = [
     "cuped_adjusted_ab",          # variance-reduced experiment readout
     "bom_subtree_rollup",         # closed-form hierarchy subtree agg
     "embedding_covariance_ints",  # integer-exact PCA covariance pass
+    "incremental_join_view",      # delta-decomposed join-view maintenance
+    "golden_record_customers",    # linkage -> clusters -> survivorship
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -176,6 +178,8 @@ _R6 = [
     "cuped_adjusted_ab",
     "bom_subtree_rollup",
     "embedding_covariance_ints",
+    "incremental_join_view",
+    "golden_record_customers",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

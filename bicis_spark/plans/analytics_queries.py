@@ -5279,3 +5279,76 @@ def bom_subtree_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val").cast("long").alias("subtree_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (round 6): the delta algebra behind
+# streaming materialized views — A'⋈B' = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+# ---------------------------------------------------------------------------
+
+_IJV_SQL = """
+WITH j AS (
+    SELECT o.o_orderpriority AS pri,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) AS rev
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT pri, count(*)::BIGINT AS n_lines,
+       CAST(floor(sum(rev)) AS BIGINT) AS revenue_int
+FROM j GROUP BY pri
+"""
+
+
+@register("incremental_join_view", _IJV_SQL)
+def incremental_join_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized JOIN-view maintenance by the delta decomposition —
+    the algebra a streaming/lakehouse system applies instead of
+    recomputing a view when new data lands:
+
+        A'⋈B' = (A⋈B) ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB)
+
+    Here A = orders, B = lineitem, split into base/delta on
+    o_orderdate / l_shipdate < 1998-07-01 (deltas land on BOTH sides, so
+    all three delta terms are non-trivially exercised; the ΔA⋈ΔB term is
+    what naive \"join delta against old snapshot\" implementations drop).
+    The ENGINE computes the view through the four-term decomposition and
+    merges partial aggregates; the ORACLE is the direct full-join
+    definition — a hash MATCH is the maintenance law itself, per
+    aggregate cell (count + exact-decimal revenue, floored to int64).
+    Scale shape: each delta term joins a small delta side against a
+    base side (broadcast when the delta is small), and partial aggregates
+    merge by key — the view is never recomputed from scratch, which is
+    the entire point at 100 TB."""
+    split = F.lit("1998-07-01").cast("timestamp")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    a = orders.where(F.col("o_orderdate") < split)
+    da = orders.where(F.col("o_orderdate") >= split)
+    b = li.where(F.col("l_shipdate") < split)
+    db = li.where(F.col("l_shipdate") >= split)
+
+    def term(o, l):  # noqa: E741
+        return o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("rev"),
+        )
+
+    def partial(t):
+        return t.groupBy("pri").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rev").alias("s"),
+        )
+
+    merged = (
+        partial(term(a, b))
+        .unionByName(partial(term(da, b)))
+        .unionByName(partial(term(a, db)))
+        .unionByName(partial(term(da, db)))
+    )
+    return merged.groupBy("pri").agg(
+        F.sum("n").cast("long").alias("n_lines"),
+        F.floor(F.sum("s")).cast("long").alias("revenue_int"),
+    )

@@ -3090,3 +3090,111 @@ def embedding_covariance_ints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cov_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship (round 6): linkage pairs → entity clusters →
+# one canonical record per entity with rule-based attribute survivorship
+# ---------------------------------------------------------------------------
+
+_GOLDEN_SQL = f"""
+WITH RECURSIVE ep AS ({_EDIT1_SQL.strip()}),
+edges2 AS (
+    SELECT id_a AS a, id_b AS b FROM ep
+    UNION
+    SELECT id_b AS a, id_a AS b FROM ep
+),
+nodes AS (SELECT DISTINCT a AS v FROM edges2),
+reach(src, dst) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges2 e ON e.a = r.dst
+),
+comp AS (SELECT src AS id, min(dst) AS cid FROM reach GROUP BY src),
+mem AS (
+    SELECT c.c_custkey, coalesce(comp.cid, c.c_custkey) AS cid,
+           c.c_mktsegment,
+           CAST(round(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS bal_c
+    FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+),
+segcnt AS (
+    SELECT cid, c_mktsegment, count(*)::BIGINT AS n FROM mem GROUP BY cid, c_mktsegment
+),
+segpick AS (
+    SELECT cid, c_mktsegment AS seg_mode FROM (
+        SELECT cid, c_mktsegment,
+               row_number() OVER (PARTITION BY cid ORDER BY n DESC, c_mktsegment) AS rn
+        FROM segcnt
+    ) WHERE rn = 1
+)
+SELECT m.cid AS cluster_id,
+       count(*)::BIGINT AS n_members,
+       min(m.c_custkey)::BIGINT AS canonical_custkey,
+       max(m.bal_c)::BIGINT AS acctbal_max_cents,
+       min(p.seg_mode) AS seg_mode
+FROM mem m JOIN segpick p ON p.cid = m.cid
+GROUP BY m.cid
+"""
+
+
+@register("golden_record_customers", _GOLDEN_SQL)
+def golden_record_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-data golden record: edit-distance<=1 name-linkage pairs →
+    connected components (entity clusters; unmatched customers are their
+    own singleton entity) → rule-based survivorship per entity — smallest
+    key is canonical, account balance survives by MAX (exact cents),
+    market segment by deterministic MODE (count desc, value asc: the
+    mode_impute tie discipline). This is the MDM consolidation step after
+    record linkage; every rule is integer/argmax arithmetic so the whole
+    entity table is hash-gated against a recursive-CTE replay. Scale
+    shape: the pair graph is linkage-output-sized (sparse), components
+    run on pairs only, and survivorship is one (cluster, attr) count + a
+    cluster-keyed aggregate over the full dimension."""
+    from pyspark.sql import Window
+
+    from bicis_spark.extensions.dedup import (
+        connected_components_min_label,
+        edit_distance_pairs,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = edit_distance_pairs(cust, "c_custkey", "c_name").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = connected_components_min_label(pairs)
+    mem = (
+        cust.join(
+            comp.select(
+                F.col("doc_id").alias("c_custkey"), F.col("cluster_id").alias("_cid")
+            ),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            F.col("c_custkey"),
+            F.coalesce(F.col("_cid"), F.col("c_custkey")).alias("cid"),
+            "c_mktsegment",
+            F.round(F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("bal_c"),
+        )
+    )
+    segcnt = mem.groupBy("cid", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("c_mktsegment"))
+    segpick = (
+        segcnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cid", F.col("c_mktsegment").alias("seg_mode"))
+    )
+    return (
+        mem.join(segpick, "cid")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("c_custkey").cast("long").alias("canonical_custkey"),
+            F.max("bal_c").cast("long").alias("acctbal_max_cents"),
+            F.min("seg_mode").alias("seg_mode"),
+        )
+    )

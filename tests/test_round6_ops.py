@@ -218,3 +218,66 @@ def test_embedding_covariance_matches_numpy(spark, tmp_path):
         sj = sum(r[j] for r in q)
         sp = sum(r[i] * r[j] for r in q)
         assert got[(i, j)] == (n, si, sj, n * sp - si * sj), (i, j)
+
+
+def test_incremental_join_view_exercises_all_delta_terms(spark, sf_dir):
+    """The maintenance law is only meaningful if every delta term carries
+    rows: base⋈base, Δorders⋈base, base⋈Δlineitem, Δorders⋈Δlineitem must
+    each be non-empty at the chosen split (otherwise the decomposition
+    degenerates to a plain recompute and the oracle MATCH proves
+    nothing)."""
+    from bicis_spark.sources.io import read_table
+
+    split = F.lit("1998-07-01").cast("timestamp")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    a = o.where(F.col("o_orderdate") < split)
+    da = o.where(F.col("o_orderdate") >= split)
+    b = l.where(F.col("l_shipdate") < split)
+    db = l.where(F.col("l_shipdate") >= split)
+    for left, right in ((a, b), (da, b), (a, db), (da, db)):
+        assert (
+            left.join(right, left["o_orderkey"] == right["l_orderkey"]).count() > 0
+        )
+
+
+def test_golden_record_singletons_and_merge(spark, tmp_path):
+    """Unlinked customers form singleton golden records carrying their own
+    attributes; a linked pair merges with max-balance survivorship and
+    smallest-key canonical."""
+    from bicis_spark.plans.extension_queries import golden_record_customers_q
+
+    rows = [
+        (1, "Customer#000000001", "BUILDING", 100.50),
+        (2, "Customer#000000002", "MACHINERY", 200.25),  # links to 3 (1 edit)
+        (3, "Customer#000000003", "AUTOMOBILE", 50.00),  # links to 2
+        (40, "Zed Unique Name", "FURNITURE", 10.10),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (k, nm, "addr", 0, "phone", bal, seg, "comment")
+            for k, nm, seg, bal in rows
+        ],
+        "c_custkey long, c_name string, c_address string, c_nationkey long, "
+        "c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    got = {
+        r["cluster_id"]: r for r in golden_record_customers_q(spark, d).collect()
+    }
+    # 1 links to 2 and 3 too (all one edit apart in the last digit) -> one
+    # cluster {1,2,3}; 40 is a singleton
+    assert set(got) == {1, 40}
+    g = got[1]
+    assert g["n_members"] == 3
+    assert g["canonical_custkey"] == 1
+    assert g["acctbal_max_cents"] == 20025
+    # mode over 3 distinct segments: tie -> smallest value
+    assert g["seg_mode"] == "AUTOMOBILE"
+    s = got[40]
+    assert (s["n_members"], s["canonical_custkey"], s["acctbal_max_cents"]) == (
+        1,
+        40,
+        1010,
+    )
+    assert s["seg_mode"] == "FURNITURE"
