@@ -510,6 +510,7 @@ def connected_components_min_label(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 30,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """[doc_id, cluster_id]: each node labeled with the minimum id reachable
     in the undirected pair graph — the canonical-representative step that
@@ -533,55 +534,82 @@ def connected_components_min_label(
     either way. At cluster scale swap localCheckpoint for a reliable
     checkpoint dir.
     """
+    # symmetrize in ONE scan: a self-union's two branches would each
+    # re-execute the upstream pair plan (FastSS blocking / LSH banding —
+    # the expensive part) inside the checkpoint job; the map-side explode
+    # reads it once
     edges = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
     )
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    # checkpoint the edge set FIRST: nodes/labels derive from it, so doing
+    # labels first would execute the (possibly expensive) upstream pair
+    # plan twice — measured 2x the FastSS blocking cost on
+    # golden_record_customers before this ordering
+    sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("v")).distinct()
     labels = nodes.withColumn("lbl", F.col("v")).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
 
     converged = False
     rounds_run = 0
+    # checkpointed label frames carry no stats, so Catalyst cannot elect a
+    # broadcast join on its own — callers whose vertex set is dimension-
+    # sized (doc corpus, customer dim) pass broadcast_labels=True and each
+    # round's three label joins go map-side, leaving the edge set
+    # unshuffled (the label_propagation precedent); leave False when
+    # vertices are fact-sized
+    _b = F.broadcast if broadcast_labels else (lambda df: df)
     for _round in range(max_iter):
         rounds_run = _round + 1
         nbr_min = (
-            sym.join(labels, sym["dst"] == labels["v"])
+            sym.join(_b(labels), sym["dst"] == labels["v"])
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        stepped = labels.join(nbr_min, labels["v"] == nbr_min["src"], "left").select(
+        stepped = labels.join(_b(nbr_min), labels["v"] == nbr_min["src"], "left").select(
             F.col("v"),
+            F.col("lbl").alias("_old"),
             F.least(
                 F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
             ).alias("lbl"),
         )
-        # pointer doubling: follow one label hop (l(l(v))) and take the min.
-        # lbl always names a node in v's component, so its own label is a
-        # valid (and often much smaller) label for v.
+        # pointer doubling, applied TWICE per round: follow a label hop
+        # (l(l(v))) and take the min. lbl always names a node in v's
+        # component, so its own label is a valid (and often much smaller)
+        # label for v. Two jumps collapse chains ~4x per round — on
+        # high-diameter graphs (e.g. digit-chain name linkage) the cost
+        # of one extra dimension-sized self-join buys a whole round of
+        # edge-join + checkpoint + probe fixed overhead.
         hop = labels.select(
             F.col("v").alias("_hv"), F.col("lbl").alias("_hlbl")
         )
-        new_labels = (
-            stepped.join(hop, stepped["lbl"] == hop["_hv"], "left")
-            .select(
-                F.col("v"),
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("_hlbl"), F.col("lbl"))
-                ).alias("lbl"),
+        for _ in range(2):
+            stepped = (
+                stepped.join(_b(hop), stepped["lbl"] == hop["_hv"], "left")
+                .select(
+                    F.col("v"),
+                    F.col("_old"),
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("_hlbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # carry the old label through the checkpoint so convergence is a
+        # filter probe on the materialized frame — no extra join+count
+        # job per round (was: a second action joining new vs old)
+        new_labels = stepped.localCheckpoint(eager=True)
+        changed_any = not new_labels.where(
+            F.col("lbl") != F.col("_old")
+        ).isEmpty()
+        labels = new_labels.select("v", "lbl")
+        if not changed_any:
             converged = True
             break
     if not converged:

@@ -1167,7 +1167,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="poly"
     )
-    return connected_components_min_label(pairs)
+    return connected_components_min_label(pairs, broadcast_labels=True)
 
 
 @register(
@@ -1514,7 +1514,7 @@ def neardup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="poly"
     )
-    clusters = connected_components_min_label(pairs)
+    clusters = connected_components_min_label(pairs, broadcast_labels=True)
     return (
         docs.select("doc_id")
         .join(clusters.withColumnRenamed("cluster_id", "_cid"), "doc_id", "left")
@@ -3049,31 +3049,20 @@ def embedding_covariance_ints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.floor(x.cast("double") * F.lit(_COV_Q)).cast("long"),
     )
     q = emb.select(xq.alias("xq"))
-    idx = F.filter(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda j: F.struct(i.alias("i"), j.alias("j")),
-                ),
-            )
-        ),
-        lambda s: s["i"] <= s["j"],
+    # the (i, j) pair space rides as a BROADCAST 2080-row dim table (a
+    # bounded-build BNLJ, the benign class) and each output row is two
+    # element_at picks — measured 3.8x faster at sf0.1 than exploding a
+    # per-row constant 2080-struct array, which Catalyst does not
+    # constant-fold out of the interpreted HOF pipeline
+    pairs_dim = spark.createDataFrame(
+        [(i, j) for i in range(64) for j in range(i, 64)], "i int, j int"
     )
-    pairs = q.select(
-        F.explode(
-            F.transform(
-                idx,
-                lambda s: F.struct(
-                    s["i"].alias("i"),
-                    s["j"].alias("j"),
-                    F.element_at("xq", s["i"] + 1).alias("xi"),
-                    F.element_at("xq", s["j"] + 1).alias("xj"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.xi", "p.xj")
+    pairs = q.crossJoin(F.broadcast(pairs_dim)).select(
+        "i",
+        "j",
+        F.element_at("xq", F.col("i") + 1).alias("xi"),
+        F.element_at("xq", F.col("j") + 1).alias("xj"),
+    )
     g = pairs.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("xi").cast("long").alias("si"),
@@ -3161,7 +3150,7 @@ def golden_record_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = edit_distance_pairs(cust, "c_custkey", "c_name").select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    comp = connected_components_min_label(pairs)
+    comp = connected_components_min_label(pairs, broadcast_labels=True)
     mem = (
         cust.join(
             comp.select(
