@@ -114,6 +114,7 @@ HEADLINE = [
     "embedding_covariance_ints",  # integer-exact PCA covariance pass
     "incremental_join_view",      # delta-decomposed join-view maintenance
     "golden_record_customers",    # linkage -> clusters -> survivorship
+    "zipf_fit_tokens",            # log-log token distribution diagnostic
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -180,6 +181,7 @@ _R6 = [
     "embedding_covariance_ints",
     "incremental_join_view",
     "golden_record_customers",
+    "zipf_fit_tokens",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

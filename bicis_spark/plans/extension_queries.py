@@ -3187,3 +3187,125 @@ def golden_record_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("seg_mode").alias("seg_mode"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the token frequency distribution (round 6): the corpus
+# health diagnostic — log-log slope of freq vs rank, fully hash-gated
+# ---------------------------------------------------------------------------
+
+_ZIPF_S = 1_000_000
+
+_ZIPF_SQL = f"""
+WITH tok AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+    FROM documents WHERE text IS NOT NULL
+),
+freq AS (SELECT w, count(*)::BIGINT AS f FROM tok GROUP BY w),
+ranked AS (
+    SELECT w, f,
+           row_number() OVER (ORDER BY f DESC, w) AS r
+    FROM freq
+),
+q AS (
+    SELECT CAST(floor(log2(CAST(r AS DOUBLE)) * {_ZIPF_S}) AS BIGINT) AS x,
+           CAST(floor(log2(CAST(f AS DOUBLE)) * {_ZIPF_S}) AS BIGINT) AS y
+    FROM ranked
+),
+s AS (
+    SELECT count(*)::BIGINT AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx
+    FROM q
+)
+SELECT n AS n_vocab,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS zipf_intercept
+FROM s
+"""
+
+
+@register("zipf_fit_tokens", _ZIPF_SQL)
+def zipf_fit_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic over the corpus token distribution: OLS
+    slope of log2(freq) on log2(rank) — the log-log linearity check a
+    data-quality pipeline runs to spot template spam (slope flattens) or
+    truncated vocabularies (slope steepens); healthy natural text sits
+    near −1. Determinism: ranks are a total order (freq DESC, token ASC);
+    both logs are quantized floor(log2·1e6) through a CPython-libm table
+    over the DISTINCT ranks and frequencies (vocabulary-bounded — the MI
+    feature-ranking discipline, featurize.py:271), so the OLS sufficient
+    statistics are exact integer sums and the slope/intercept a fixed
+    float tree. The rank window is a single global window over the
+    VOCABULARY (not the corpus) — dimension-sized by Heaps' law; the
+    corpus-sized work is one token-count hash aggregate."""
+    import math
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("text")), " ", -1), lambda x: x != F.lit("")
+        )
+    ).alias("w")
+    freq = (
+        docs.where(F.col("text").isNotNull())
+        .select(toks)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w")))
+    )
+    ks = set()
+    for row in ranked.select("f").distinct().collect():
+        ks.add(int(row[0]))
+    n_vocab = ranked.count()
+    ks.update(range(1, n_vocab + 1))
+    qlog = spark.createDataFrame(
+        [(int(k), int(math.floor(math.log2(k) * _ZIPF_S))) for k in sorted(ks)],
+        "k long, q long",
+    )
+    q = (
+        ranked.join(F.broadcast(qlog.withColumnRenamed("q", "x")), ranked["r"] == qlog["k"])
+        .drop("k")
+        .join(
+            F.broadcast(
+                qlog.withColumnRenamed("q", "y").withColumnRenamed("k", "k2")
+            ),
+            F.col("f") == F.col("k2"),
+        )
+        .select("x", "y")
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    slope = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        slope.alias("zipf_slope"),
+        ((sy_d - slope * sx_d) / n_d).alias("zipf_intercept"),
+    )

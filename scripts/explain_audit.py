@@ -36,6 +36,11 @@ from bicis_spark.session import get_spark
 _BOUNDED_BUILD = re.compile(
     r"HashAggregate|ObjectHashAggregate|SortAggregate|TakeOrderedAndProject"
     r"|OneRowRelation"
+    # a literal local relation (createDataFrame of constants — e.g. the
+    # 2080-row (i,j) dim-pair table of embedding_covariance_ints) is
+    # bounded by construction: its row count is fixed in the program
+    # text, independent of any input table
+    r"|LocalTableScan"
 )
 
 

@@ -281,3 +281,37 @@ def test_golden_record_singletons_and_merge(spark, tmp_path):
         1010,
     )
     assert s["seg_mode"] == "FURNITURE"
+
+
+def test_zipf_fit_negative_slope_and_replay(spark, tmp_path):
+    """On a corpus with a strict frequency hierarchy the fitted log-log
+    slope is negative, and (n_vocab, slope) match an exact Python replay
+    of the quantized OLS."""
+    import math
+
+    from bicis_spark.plans.extension_queries import _ZIPF_S, zipf_fit_tokens_q
+
+    # freq: a=8, b=4, c=2, d=1
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, text, len(text), "en", "u")],
+        "doc_id long, text string, n_chars long, lang string, url string",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = zipf_fit_tokens_q(spark, d).collect()[0]
+    assert r["n_vocab"] == 4
+    assert r["zipf_slope"] < 0
+
+    pts = [(1, 8), (2, 4), (3, 2), (4, 1)]
+    ql = lambda k: math.floor(math.log2(k) * _ZIPF_S)  # noqa: E731
+    xs = [ql(rk) for rk, _ in pts]
+    ys = [ql(f) for _, f in pts]
+    n = float(len(pts))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sxx = float(sum(x * x for x in xs))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["zipf_slope"] == slope
+    assert r["zipf_intercept"] == (sy - slope * sx) / n
+    # halving frequencies fall faster than 1/rank -> slope steeper than -1
+    assert -2.0 < slope < -1.0
