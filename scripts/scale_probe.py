@@ -26,6 +26,11 @@ PROBES = [
     "dedup_minhash_lsh_fast",  # LSH self-join on documents
     "ann_topk_lsh",          # bucketed ANN on embeddings
     "sequence_packing",      # per-shard window on documents
+    # round-6 additions
+    "embedding_covariance_ints",  # broadcast-dim pair agg on embeddings
+    "skipgram_pairs",        # array-native pair gen on documents
+    "zorder_layout_orders",  # map-side z-value + one agg on orders
+    "incremental_join_view",  # 4-term delta join decomposition
 ]
 
 TABLE_OF = {
@@ -35,6 +40,10 @@ TABLE_OF = {
     "dedup_minhash_lsh_fast": "documents",
     "ann_topk_lsh": "embeddings",
     "sequence_packing": "documents",
+    "embedding_covariance_ints": "embeddings",
+    "skipgram_pairs": "documents",
+    "zorder_layout_orders": "orders",
+    "incremental_join_view": "lineitem",
 }
 
 
