@@ -52,102 +52,67 @@ _LOADED = False
 # CORRECTNESS_r01-r04 keys == queries() positions 1-50 in insertion order).
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
 #
-# Round-5 rotation (r4 verdict item #1): all 50 round-4 window members came
-# back green, so every slot moves to the never-driver-checked queue — the
-# 18 TPC-H shapes lead (per the verdict), then the round-4 dedup/ANN scale
-# paths (SemDeDup, PQ-ADC + its recall contract, span dedup), the round-4
-# sink/model/runner/streaming hash gates, and the LLM-data-pipeline
-# curation/quality/sampling family; the 50th slot goes to this round's new
-# multimodal_bmp_wav_decode (real byte-level BMP/WAV codec, r4 verdict
-# item #4 asked for a hash-green row on a real decoder).
-#
-# ROUND-6 QUEUE — the 20 names still without a driver row after this
-# window (all oracle-MATCH locally at sf0.001+sf0.01; recompute with
-# scripts/next_window.py after CORRECTNESS_r05.json lands):
-#   part_copurchase_triangles, purchase_attribution, winsorized_value_stats,
-#   session_cooccurrence_lift, session_conversion_funnel, twap_user_value,
-#   customer_revenue_pareto, peak_event_rate, path_trigrams_top10,
-#   event_gap_percentiles, rfm_segments, order_value_drift, ab_spend_ztest,
-#   equidepth_quantity_buckets, pit_status_at_ship, ewma_user_value,
-#   variant_props_stats, unpivot_status_counts, holt_forecast_user_value,
-#   holt_winters_forecast_user_value
-# plus the queries registered during round 5 itself (these queue behind
-# the 20 above; all oracle-MATCH at sf0.001+sf0.01 and covered by the
-# local suite): cluster_balanced_sample, ngram_novelty_scores,
-# incremental_agg_maintenance, packing_efficiency,
-# label_propagation_communities, kaplan_meier_user_lifetimes,
-# cusum_hourly_drift, bm25_query_scores, frequent_itemsets_parts,
-# seasonal_decompose_hourly, event_transition_matrix,
-# record_linkage_customers, semantic_dedup_two_level_flags,
-# ols_per_brand_models, ols_conformal_intervals, part_price_size_skyline,
-# domain_cap_sample, rrf_fusion_topk, kmv_distinct_contract,
-# benford_digit_audit, dedup_prefix_filter_jaccard,
-# mutual_information_features, naive_bayes_confusion, decision_stump_gains,
-# bootstrap_mean_ci, kmv_merge_law, phrase_search_positional,
-# weighted_quantiles_price, bfs_part_supplier_hops,
-# brand_weighted_median_price, dedup_edit_distance_names,
-# interval_union_coverage_users, table_checksum_orders_monthly,
-# mode_impute_event_types. Everything
-# previously green stays covered
-# by tests/test_oracle_queries.py locally.
+# ROUND-6 ROTATION (mechanical, scripts/next_window.py against
+# CORRECTNESS_r01-r05): all 50 round-5 window members came back green, so
+# every slot moves to the never-driver-checked queue — round-5
+# registrations first (in registration order), then the long-queued
+# analytics rows, then this round's new operators (GLM IRLS contract,
+# int8 quantize, skipgram, covariance, golden record, zipf). The 15-name
+# leftover queue below goes next round; all stay green in the local
+# oracle sweep + EMULATION_latest.json meanwhile.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # TPC-H battery (the 18 shapes never driver-checked; 1/3/5/10 green r4)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_census",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    # round-4 dedup/ANN scale paths
-    "semantic_dedup_flags",
-    "ann_topk_pq",
-    "ann_pq_recall",
-    "span_dedup_rebuild",
-    # round-4 sink / model / runner / streaming hash gates
-    "csv_sink_roundtrip",
-    "json_sink_roundtrip",
-    "partitioned_sink_day_counts",
-    "bucketed_join_order_revenue",
-    "ols_model_reload_predictions",
-    "pipeline_runner_hour_profile",
-    "vector_assembly_roundtrip",
-    "streaming_view_purchase_left_join",
-    "streaming_upsert_user_state",
-    # LLM-data-pipeline curation / quality / sampling
-    "gopher_quality_flags",
-    "c4_line_clean",
-    "unigram_surprisal_quality",
-    "bigram_surprisal_quality",
-    "dsir_importance_resample",
-    "dedup_incremental_batch",
-    "quality_classifier_flags",
-    "split_leakage_audit",
-    "hll_overlap_contract",
-    "k_anonymity_customer",
-    "target_encode_priority",
-    "hard_negative_candidates",
-    # remaining round-4 additions
-    "temperature_mix_weights",
-    "token_budget_allocation",
-    "next_event_training_examples",
-    "string_normalize_stations",
-    "row_validity_filter",
-    "ols_calibration_deciles",
-    # round-5 addition: REAL BMP/WAV byte-level codec (hash-gated)
-    "multimodal_bmp_wav_decode",
+    "ols_conformal_intervals",
+    "ols_per_brand_models",
+    "glm_poisson_irls_contract",
+    "semantic_dedup_two_level_flags",
+    "cluster_balanced_sample",
+    "bm25_query_scores",
+    "packing_efficiency",
+    "incremental_agg_maintenance",
+    "ngram_novelty_scores",
+    "domain_cap_sample",
+    "rrf_fusion_topk",
+    "dedup_prefix_filter_jaccard",
+    "phrase_search_positional",
+    "dedup_edit_distance_names",
+    "embedding_int8_quantize",
+    "skipgram_pairs",
+    "embedding_covariance_ints",
+    "golden_record_customers",
+    "zipf_fit_tokens",
+    "label_propagation_communities",
+    "part_price_size_skyline",
+    "record_linkage_customers",
+    "event_transition_matrix",
+    "seasonal_decompose_hourly",
+    "frequent_itemsets_parts",
+    "cusum_hourly_drift",
+    "kaplan_meier_user_lifetimes",
+    "part_copurchase_triangles",
+    "purchase_attribution",
+    "winsorized_value_stats",
+    "session_cooccurrence_lift",
+    "session_conversion_funnel",
+    "twap_user_value",
+    "customer_revenue_pareto",
+    "peak_event_rate",
+    "path_trigrams_top10",
+    "event_gap_percentiles",
+    "rfm_segments",
+    "order_value_drift",
+    "ab_spend_ztest",
+    "equidepth_quantity_buckets",
+    "pit_status_at_ship",
+    "ewma_user_value",
+    "variant_props_stats",
+    "unpivot_status_counts",
+    "holt_forecast_user_value",
+    "holt_winters_forecast_user_value",
+    "holt_winters_forecast_capped",
+    "kmv_distinct_contract",
+    "benford_digit_audit",
 )
+# leftover queue for the round after (15): mutual_information_features, naive_bayes_confusion, decision_stump_gains, bootstrap_mean_ci, kmv_merge_law, weighted_quantiles_price, bfs_part_supplier_hops, brand_weighted_median_price, interval_union_coverage_users, table_checksum_orders_monthly, mode_impute_event_types, zorder_layout_orders, cuped_adjusted_ab, bom_subtree_rollup, incremental_join_view
 
 
 def _load_all() -> None:
