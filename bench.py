@@ -115,6 +115,7 @@ HEADLINE = [
     "incremental_join_view",      # delta-decomposed join-view maintenance
     "golden_record_customers",    # linkage -> clusters -> survivorship
     "zipf_fit_tokens",            # log-log token distribution diagnostic
+    "chisq_independence_cells",   # per-cell Pearson chi-square screen
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -182,6 +183,7 @@ _R6 = [
     "incremental_join_view",
     "golden_record_customers",
     "zipf_fit_tokens",
+    "chisq_independence_cells",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

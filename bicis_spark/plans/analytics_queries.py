@@ -5352,3 +5352,71 @@ def incremental_join_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_lines"),
         F.floor(F.sum("s")).cast("long").alias("revenue_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (round 6): the classical categorical
+# dependence screen — per-cell contributions, every operand an exact count
+# ---------------------------------------------------------------------------
+
+_CHISQ_SQL = """
+WITH base AS (
+    SELECT o_orderpriority AS x, o_orderstatus AS y FROM orders
+),
+cells AS (SELECT x, y, count(*)::BIGINT AS n_xy FROM base GROUP BY x, y),
+mx AS (SELECT x, count(*)::BIGINT AS n_x FROM base GROUP BY x),
+my AS (SELECT y, count(*)::BIGINT AS n_y FROM base GROUP BY y),
+tot AS (SELECT count(*)::BIGINT AS n FROM base)
+SELECT c.x, c.y, c.n_xy, mx.n_x, my.n_y, tot.n,
+       (CAST(tot.n AS DOUBLE) * CAST(c.n_xy AS DOUBLE)
+        - CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))
+       * (CAST(tot.n AS DOUBLE) * CAST(c.n_xy AS DOUBLE)
+          - CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE))
+       / (CAST(tot.n AS DOUBLE) * CAST(mx.n_x AS DOUBLE)
+          * CAST(my.n_y AS DOUBLE)) AS chisq_contrib
+FROM cells c JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y CROSS JOIN tot
+"""
+
+
+@register("chisq_independence_cells", _CHISQ_SQL)
+def chisq_independence_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence screen over the (order priority,
+    order status) contingency table — the classical-test twin of
+    `mutual_information_features`. Emitted per CELL: the exact counts and
+    the cell's chi-square contribution (N·n_xy − n_x·n_y)²/(N·n_x·n_y) as
+    one fixed float tree over correctly-rounded int64→double casts — so
+    every row hash-matches, and the statistic is the (bounded,
+    cells-count-sized) sum the consumer takes driver-side, avoiding a
+    float-accumulation order dependence inside the engines. Plan: one
+    scan feeding three hash aggregates, marginals broadcast back onto the
+    cells-sized frame — contingency tables are dimension-bounded, so
+    nothing here scales with the fact table except the first aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    )
+    cells = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    mx = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    my = base.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("n_y"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_d = F.col("n").cast("double")
+    nxy_d = F.col("n_xy").cast("double")
+    nx_d = F.col("n_x").cast("double")
+    ny_d = F.col("n_y").cast("double")
+    dev = n_d * nxy_d - nx_d * ny_d
+    return j.select(
+        "x",
+        "y",
+        "n_xy",
+        "n_x",
+        "n_y",
+        "n",
+        (dev * dev / (n_d * nx_d * ny_d)).alias("chisq_contrib"),
+    )

@@ -315,3 +315,38 @@ def test_zipf_fit_negative_slope_and_replay(spark, tmp_path):
     assert r["zipf_intercept"] == (sy - slope * sx) / n
     # halving frequencies fall faster than 1/rank -> slope steeper than -1
     assert -2.0 < slope < -1.0
+
+
+def test_chisq_cells_match_scipy_free_replay(spark, tmp_path):
+    """Cell contributions equal the Pearson formula computed from exact
+    Python counts on a staged 2x2 table, and a perfectly independent
+    table contributes ~0 everywhere."""
+    from bicis_spark.plans.analytics_queries import chisq_independence_cells_q
+
+    # 2x2: x=a rows: (y=p 30, y=q 10); x=b rows: (y=p 30, y=q 10) ->
+    # independent by construction
+    rows = []
+    k = 0
+    for x, y, cnt in (("a", "p", 30), ("a", "q", 10), ("b", "p", 30), ("b", "q", 10)):
+        for _ in range(cnt):
+            rows.append((k, 1, x, y, float(k), None))
+            k += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (i, None, None, x, y, None, None, None, None)
+            for i, _, x, y, _, _ in rows
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderpriority string, o_orderstatus string, o_orderdate timestamp, "
+        "o_clerk string, o_shippriority long, o_comment string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {
+        (r["x"], r["y"]): r for r in chisq_independence_cells_q(spark, d).collect()
+    }
+    assert len(got) == 4
+    for (x, y), r in got.items():
+        n, nx, ny, nxy = r["n"], r["n_x"], r["n_y"], r["n_xy"]
+        expect = (n * nxy - nx * ny) ** 2 / (n * nx * ny)
+        assert r["chisq_contrib"] == float(expect)
+        assert abs(r["chisq_contrib"]) < 1e-12  # independence -> 0
