@@ -116,6 +116,8 @@ HEADLINE = [
     "golden_record_customers",    # linkage -> clusters -> survivorship
     "zipf_fit_tokens",            # log-log token distribution diagnostic
     "chisq_independence_cells",   # per-cell Pearson chi-square screen
+    "user_activity_streaks",      # gaps-and-islands longest streaks
+    "acf_hourly_counts",          # Box-Jenkins lag screen, join-based
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -184,6 +186,8 @@ _R6 = [
     "golden_record_customers",
     "zipf_fit_tokens",
     "chisq_independence_cells",
+    "user_activity_streaks",
+    "acf_hourly_counts",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

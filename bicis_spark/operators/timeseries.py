@@ -202,3 +202,137 @@ def seasonal_decompose_additive(
             "residual"
         ),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-group longest consecutive-calendar-day activity streak — the
+    classical gaps-and-islands analysis (engagement streaks, sensor
+    uptime runs). Reference analog: the notebook-side per-station daily
+    activity inspection (bicis/etl/basic_features.py groups by day);
+    this is the distributed generalization.
+
+    Island construction is the standard rank trick: over each group's
+    DISTINCT active days ordered ascending, ``day − row_number()`` is
+    constant exactly within a run of consecutive days, so grouping by
+    that anchor date yields one row per streak. All arithmetic is
+    date/int exact; tie-breaks are total (longest streak, then earliest
+    start), so the result is deterministic and hash-replayable.
+
+    Scale: the distinct collapses (group, day) map-side before any
+    shuffle; the window partitions by group over AT MOST one row per
+    calendar day per group — bounded by the time range (a 10-year
+    feed is ≤3.7k rows per group regardless of event volume), so no
+    hot-key problem survives the distinct. Two hash aggregates after
+    that, both on streak-sized frames."""
+    days = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.to_date(F.col(ts_col)).alias("_d"),
+        )
+        .where(F.col("_d").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("_g").orderBy("_d")
+    anchored = days.withColumn(
+        "_anchor", F.date_sub(F.col("_d"), F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("_g", "_anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("_len"),
+        F.min("_d").alias("_start"),
+        F.max("_d").alias("_end"),
+    )
+    pick = Window.partitionBy("_g").orderBy(
+        F.col("_len").desc(), F.col("_start").asc()
+    )
+    ranked = streaks.select(
+        "_g",
+        "_len",
+        "_start",
+        "_end",
+        F.row_number().over(pick).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_n_streaks"),
+        F.sum("_len").over(Window.partitionBy("_g")).alias("_active"),
+    )
+    return ranked.where(F.col("_rk") == 1).select(
+        F.col("_g").alias(group_col),
+        F.col("_active").cast("long").alias("active_days"),
+        F.col("_n_streaks").cast("long").alias("n_streaks"),
+        F.col("_len").alias("longest_streak"),
+        F.col("_start").alias("longest_start"),
+        F.col("_end").alias("longest_end"),
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 24,
+) -> DataFrame:
+    """Sample autocorrelation of an integer-valued series at lags
+    1..``max_lag`` — the Box-Jenkins identification diagnostic that
+    decides AR/MA orders before a forecast fit (the model-selection
+    step ahead of the Holt/Holt-Winters operators in this module).
+
+    ``series`` must be one row per integer time key ``time_col`` (e.g.
+    epoch-hours) with an integer ``value_col`` (e.g. event counts).
+    Pairing is a self-equi-join on ``t = t' + lag`` after an
+    explode(sequence(1, max_lag)) fan-out — NOT a single-partition
+    global window, so the plan distributes even though the series is
+    dimension-sized, and NOT a cross join, so no nested-loop appears.
+    Per lag the operator emits exact BIGINT sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy² over the paired rows) and the Pearson r
+    computed as one fixed float tree over int64→double casts — every
+    operand correctly rounded, so the double hashes bitwise. Gaps in the
+    series simply drop pairs (both engines agree by construction).
+
+    Scale: the series is a pre-aggregated dimension (hours of history —
+    ~88k rows for a decade), so the lag cross is max_lag×|series| and
+    the join is hash-partitioned on the shifted key; the fact table was
+    already collapsed by the caller's aggregate. Nothing here scales
+    with raw event volume."""
+    x = series.select(
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    # lag fan-out as a GENERATOR, not a cross join — explode(sequence)
+    # keeps the plan join-free until the single hash join on the shifted
+    # key (a crossJoin with a 24-row dimension would plan as a BNLJ)
+    y = x.select(
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(max_lag).cast("long"))
+        ).alias("lag"),
+        F.col("_t").alias("_ty"),
+        F.col("_x").alias("_y"),
+    ).select("lag", (F.col("_ty") + F.col("lag")).alias("_t"), "_y")
+    pairs = x.join(y, "_t")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sx2"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("sy2"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sx2 - sx * sx
+    vy = n * sy2 - sy * sy
+    return s.select(
+        "lag",
+        "n_pairs",
+        "sx",
+        "sy",
+        "sxy",
+        "sx2",
+        "sy2",
+        # NULL where either side has no variance (ANSI mode: 0/0 throws)
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("acf"),
+    )

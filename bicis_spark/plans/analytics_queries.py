@@ -5420,3 +5420,131 @@ def chisq_independence_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (dev * dev / (n_d * nx_d * ny_d)).alias("chisq_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands activity streaks (round 6): the classical consecutive-run
+# analysis via the rank trick — date/int exact end to end
+# ---------------------------------------------------------------------------
+
+_STREAKS_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+    FROM events WHERE ts IS NOT NULL
+),
+isl AS (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                    AS INTEGER) AS anchor
+    FROM days
+),
+streaks AS (
+    SELECT user_id, anchor, count(*)::BIGINT AS len,
+           min(d) AS s, max(d) AS e
+    FROM isl GROUP BY user_id, anchor
+),
+ranked AS (
+    SELECT user_id, len, s, e,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY len DESC, s ASC) AS rk,
+           count(*) OVER (PARTITION BY user_id) AS n_streaks,
+           sum(len) OVER (PARTITION BY user_id) AS active
+    FROM streaks
+)
+SELECT user_id,
+       CAST(active AS BIGINT) AS active_days,
+       CAST(n_streaks AS BIGINT) AS n_streaks,
+       len AS longest_streak,
+       CAST(s AS TIMESTAMP) AS longest_start,
+       CAST(e AS TIMESTAMP) AS longest_end
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("user_activity_streaks", _STREAKS_SQL)
+def user_activity_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user longest consecutive-calendar-day streak over events —
+    gaps-and-islands by the ``day − row_number()`` anchor trick. The
+    distinct collapses (user, day) map-side before the window, so the
+    per-user window sees at most one row per calendar day no matter how
+    hot the user — the same skew bound the W1 bucketed target uses.
+    Tie-break is total (longest, then earliest start): deterministic."""
+    from bicis_spark.operators.timeseries import activity_streaks
+
+    events = read_table(spark, sf_dir, "events")
+    out = activity_streaks(events, "user_id", "ts")
+    # DATE comes back as python objects from Spark but datetime64 from
+    # DuckDB; timestamps compare cleanly on both sides (suite-wide rule)
+    return out.withColumn(
+        "longest_start", F.col("longest_start").cast("timestamp")
+    ).withColumn("longest_end", F.col("longest_end").cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation diagnostic (round 6): Box-Jenkins lag screen over the
+# hourly count series — distributed lag JOIN, not a global window
+# ---------------------------------------------------------------------------
+
+_ACF_SQL = """
+WITH series AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+           count(*)::BIGINT AS x
+    FROM events GROUP BY 1
+),
+lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 25)),
+pairs AS (
+    SELECT lg.lag, a.x AS xv, b.x AS yv
+    FROM series a
+    JOIN lags lg ON true
+    JOIN series b ON b.t + lg.lag = a.t
+),
+s AS (
+    SELECT lag,
+           count(*)::BIGINT AS n_pairs,
+           CAST(sum(xv) AS BIGINT) AS sx,
+           CAST(sum(yv) AS BIGINT) AS sy,
+           CAST(sum(xv * yv) AS BIGINT) AS sxy,
+           CAST(sum(xv * xv) AS BIGINT) AS sx2,
+           CAST(sum(yv * yv) AS BIGINT) AS sy2
+    FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs, sx, sy, sxy, sx2, sy2,
+       CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS acf
+FROM s
+"""
+
+
+@register("acf_hourly_counts", _ACF_SQL)
+def acf_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-count series at lags
+    1..24 — the identification diagnostic that precedes the Holt /
+    Holt-Winters fits (is there daily seasonality worth a 24-slot
+    model?). Pairing is a self-join on ``t = t' + lag`` after an
+    explode(sequence) lag fan-out — the plan distributes by the shifted
+    key instead of funnelling the series through one global-window
+    partition, and plans join-free until that single hash join. Per-lag sufficient statistics are exact BIGINTs; the
+    Pearson r is one fixed float tree over int64→double casts (sqrt is
+    IEEE correctly-rounded on both engines), NULL where a lag has no
+    variance to correlate."""
+    from bicis_spark.operators.timeseries import autocorrelation
+
+    events = read_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        (
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            / F.lit(3600)
+        )
+        .cast("long")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return autocorrelation(series, "t", "x", max_lag=24)

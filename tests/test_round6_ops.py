@@ -350,3 +350,78 @@ def test_chisq_cells_match_scipy_free_replay(spark, tmp_path):
         expect = (n * nxy - nx * ny) ** 2 / (n * nx * ny)
         assert r["chisq_contrib"] == float(expect)
         assert abs(r["chisq_contrib"]) < 1e-12  # independence -> 0
+
+
+def test_activity_streaks_islands_and_tiebreak(spark):
+    """Hand-built calendar: user 1 has runs [Jan 1-3] and [Jan 10-11]
+    (longest=3); user 2 has two equal 2-day runs — the EARLIER one must
+    win the tie; duplicate events on one day collapse; a lone day is a
+    streak of 1."""
+    from bicis_spark.operators.timeseries import activity_streaks
+
+    rows = [
+        # user 1: 3-day run, gap, 2-day run; two events on Jan 2
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 01:00:00"),
+        (1, "2024-01-02 23:00:00"), (1, "2024-01-03 12:00:00"),
+        (1, "2024-01-10 09:00:00"), (1, "2024-01-11 09:00:00"),
+        # user 2: [Feb 1-2] and [Feb 10-11], both length 2
+        (2, "2024-02-10 08:00:00"), (2, "2024-02-11 08:00:00"),
+        (2, "2024-02-01 08:00:00"), (2, "2024-02-02 08:00:00"),
+        # user 3: single day
+        (3, "2024-03-05 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["user_id"]: r for r in activity_streaks(df, "user_id", "ts").collect()}
+    r1 = out[1]
+    assert (r1["active_days"], r1["n_streaks"], r1["longest_streak"]) == (5, 2, 3)
+    assert str(r1["longest_start"]) == "2024-01-01"
+    assert str(r1["longest_end"]) == "2024-01-03"
+    r2 = out[2]
+    assert (r2["n_streaks"], r2["longest_streak"]) == (2, 2)
+    assert str(r2["longest_start"]) == "2024-02-01"  # earliest-start tiebreak
+    r3 = out[3]
+    assert (r3["active_days"], r3["n_streaks"], r3["longest_streak"]) == (1, 1, 1)
+    assert str(r3["longest_start"]) == str(r3["longest_end"]) == "2024-03-05"
+
+
+def test_autocorrelation_matches_numpy(spark):
+    """ACF of a deterministic integer series with gaps: sufficient stats
+    and Pearson r at each lag equal a NumPy replay over the same pairs;
+    a constant sub-series (zero variance) yields NULL acf."""
+    import numpy as np
+
+    from bicis_spark.operators.timeseries import autocorrelation
+
+    # series with a hole at t=5 and an irregular tail
+    ts = [0, 1, 2, 3, 4, 6, 7, 8, 11]
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5]
+    series = spark.createDataFrame(list(zip(ts, xs)), "t long, x long")
+    out = {r["lag"]: r for r in autocorrelation(series, "t", "x", max_lag=4).collect()}
+    lookup = dict(zip(ts, xs))
+    for lag in (1, 2, 3, 4):
+        pairs = [(lookup[t], lookup[t - lag]) for t in ts if (t - lag) in lookup]
+        if not pairs:
+            assert lag not in out
+            continue
+        x = np.array([p[0] for p in pairs], dtype=np.int64)
+        y = np.array([p[1] for p in pairs], dtype=np.int64)
+        r = out[lag]
+        assert r["n_pairs"] == len(pairs)
+        assert (r["sx"], r["sy"]) == (int(x.sum()), int(y.sum()))
+        assert (r["sxy"], r["sx2"], r["sy2"]) == (
+            int((x * y).sum()), int((x * x).sum()), int((y * y).sum()))
+        n = float(len(pairs))
+        cov = n * float((x * y).sum()) - float(x.sum()) * float(y.sum())
+        vx = n * float((x * x).sum()) - float(x.sum()) ** 2
+        vy = n * float((y * y).sum()) - float(y.sum()) ** 2
+        if vx > 0 and vy > 0:
+            assert r["acf"] == cov / np.sqrt(vx * vy)
+        else:
+            assert r["acf"] is None
+
+    # constant series -> zero variance -> NULL acf at every lag
+    const = spark.createDataFrame([(t, 7) for t in range(6)], "t long, x long")
+    for r in autocorrelation(const, "t", "x", max_lag=2).collect():
+        assert r["acf"] is None
