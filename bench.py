@@ -118,6 +118,7 @@ HEADLINE = [
     "chisq_independence_cells",   # per-cell Pearson chi-square screen
     "user_activity_streaks",      # gaps-and-islands longest streaks
     "acf_hourly_counts",          # Box-Jenkins lag screen, join-based
+    "corpus_kl_divergence",       # per-source drift screen, grid-free KL
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -188,6 +189,7 @@ _R6 = [
     "chisq_independence_cells",
     "user_activity_streaks",
     "acf_hourly_counts",
+    "corpus_kl_divergence",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

@@ -858,3 +858,147 @@ def phrase_search(
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )
+
+
+def corpus_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-slice corpus drift screen: KL(P_slice || P_rest) in bits over
+    add-1-smoothed unigram distributions, one row per ``group_col`` value
+    (source, domain, snapshot...). The domain-shift diagnostic a training
+    mix needs before weighting sources (DoReMi-style reweighting reads
+    exactly these divergences): a slice whose language diverges from the
+    rest of the corpus gets a large KL; boilerplate-identical slices sit
+    near 0.
+
+    Determinism: the same driver-built libm-log2 quantization as
+    ``unigram_surprisal`` — every log2 argument is an INTEGER (smoothed
+    counts c+1, smoothed totals N+V), so both engines read identical
+    doubles and the per-slice numerator is an exact int64 sum; the only
+    float ops are the final fixed division tree.
+
+    Scale: the grid over (slice x vocab) is NEVER materialized. Absent
+    tokens (c_st = 0) contribute a closed form — per slice,
+    V*A_s - S_global with A_s = qlog(N_rest+V) - qlog(N_s+V) and
+    S_global = sum_t qlog(c_t+1) — so the engine only aggregates over
+    (slice, token) pairs that EXIST, plus one vocab-sized aggregate for
+    S_global. Driver state is bounded: per-slice totals (|slices| rows)
+    and the distinct smoothed-count values for the qlog table (the
+    Zipf-compressed count range, same class as unigram_surprisal). The
+    oracle replays the definition as the explicit cross-join grid, so a
+    hash MATCH also proves the absent-token decomposition identity."""
+    import math
+
+    t = F.col(text_col)
+    base = df.where(t.isNotNull() & (F.length(t) > 0))
+    toks = base.select(
+        F.col(group_col).alias("_g"), F.explode(tokens(t)).alias("_tok")
+    )
+    spark = df.sparkSession
+    with persisted(
+        toks.groupBy("_g", "_tok").agg(
+            F.count(F.lit(1)).cast("long").alias("_cst")
+        )
+    ) as (sc,):
+        with persisted(
+            sc.groupBy("_tok").agg(F.sum("_cst").cast("long").alias("_ct"))
+        ) as (vocab,):
+            g = vocab.agg(
+                F.count(F.lit(1)).cast("long").alias("v"),
+                F.sum("_ct").cast("long").alias("n"),
+            ).first()
+            v_size, n_total = g["v"], g["n"]
+
+            # per-slice totals: bounded model state (|slices| rows)
+            per_slice = {
+                r["_g"]: (r["ns"], r["ntypes"])
+                for r in sc.groupBy("_g")
+                .agg(
+                    F.sum("_cst").cast("long").alias("ns"),
+                    F.count(F.lit(1)).cast("long").alias("ntypes"),
+                )
+                .collect()
+            }
+
+            def qlog(k: int) -> int:
+                return math.floor(math.log2(k) * scale)
+
+            slice_rows = []
+            for gval, (ns, ntypes) in per_slice.items():
+                a_s = qlog(n_total - ns + v_size) - qlog(ns + v_size)
+                slice_rows.append(
+                    (gval, ns, ntypes, qlog(ns + v_size), a_s)
+                )
+            sdim = spark.createDataFrame(
+                slice_rows, "_g string, ns long, ntypes long, qns long, a_s long"
+            )
+
+            joined = sc.join(vocab, "_tok").select(
+                "_g",
+                "_cst",
+                (F.col("_cst") + 1).alias("_k1"),
+                (F.col("_ct") - F.col("_cst") + 1).alias("_k2"),
+                (F.col("_ct") + 1).alias("_k3"),
+            )
+            with persisted(joined) as (jp,):
+                ks = set()
+                for col in ("_k1", "_k2", "_k3"):
+                    ks.update(
+                        r[0] for r in jp.select(col).distinct().collect()
+                    )
+                qtab = spark.createDataFrame(
+                    [(k, qlog(k)) for k in sorted(ks)], "k long, q long"
+                )
+
+                def q_of(col: str, alias: str) -> DataFrame:
+                    return qtab.select(
+                        F.col("k").alias(col), F.col("q").alias(alias)
+                    )
+
+                enriched = (
+                    jp.join(F.broadcast(q_of("_k1", "_q1")), "_k1")
+                    .join(F.broadcast(q_of("_k2", "_q2")), "_k2")
+                    .join(F.broadcast(q_of("_k3", "_q3")), "_k3")
+                    .join(F.broadcast(sdim), "_g")
+                )
+                # present-token term minus the absent-form it replaces
+                a_s = F.col("a_s")
+                qnr = a_s + F.col("qns")  # qlog(N_rest+V)
+                term = (F.col("_cst") + 1) * (
+                    F.col("_q1") - F.col("qns") - F.col("_q2") + qnr
+                ) - (a_s - F.col("_q3"))
+                partial = enriched.groupBy("_g").agg(
+                    F.sum(term).cast("long").alias("partial")
+                )
+                s_global = vocab.select(
+                    (F.col("_ct") + 1).alias("_k3")
+                ).join(F.broadcast(q_of("_k3", "_q3")), "_k3").agg(
+                    F.sum("_q3").cast("long")
+                ).first()[0]
+
+                out = partial.join(F.broadcast(sdim), "_g").select(
+                    F.col("_g").alias(group_col),
+                    F.col("ns").alias("n_tokens"),
+                    F.col("ntypes").alias("n_types"),
+                    F.lit(v_size).cast("long").alias("vocab_size"),
+                    (
+                        F.col("partial")
+                        + F.lit(v_size) * F.col("a_s")
+                        - F.lit(s_global)
+                    )
+                    .cast("long")
+                    .alias("kl_num"),
+                )
+                result = out.withColumn(
+                    "kl_bits",
+                    F.col("kl_num").cast("double")
+                    / (
+                        F.lit(float(scale))
+                        * (F.col("n_tokens") + F.lit(v_size)).cast("double")
+                    ),
+                )
+                return result.localCheckpoint(eager=True)

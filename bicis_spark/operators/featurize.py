@@ -664,3 +664,27 @@ def mode_impute(
         for c in df.columns
     ]
     return df.join(F.broadcast(mode), on=key_col, how="left").select(*out_cols)
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,  # noqa: E741 - the literature's name for the parameter
+) -> DataFrame:
+    """Privacy audit companion to ``k_anonymity_audit``: within each
+    quasi-identifier equivalence class, count DISTINCT values of the
+    sensitive attribute and flag classes with fewer than ``l``
+    (Machanavajjhala et al. 2007 — k-anonymity alone fails when a class
+    is sensitive-homogeneous: group size k with one diagnosis value
+    still discloses the diagnosis). One hash aggregate with a distinct
+    sub-aggregate — Spark plans it as the standard two-phase expand
+    (partial per (class, sensitive) then merge), shuffle bounded by
+    distinct (quasi, sensitive) combinations, never raw rows."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(F.col(sensitive_col)).cast("long").alias(
+            "sensitive_diversity"
+        ),
+        (F.countDistinct(F.col(sensitive_col)) >= l).alias("is_l_diverse"),
+    )

@@ -3309,3 +3309,99 @@ def zipf_fit_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("zipf_slope"),
         ((sy_d - slope * sx_d) / n_d).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift screen (round 6): per-source KL divergence vs the rest of
+# the corpus — the training-mix diagnostic ahead of source reweighting
+# ---------------------------------------------------------------------------
+
+_KL_SQL = """
+WITH t AS (
+    SELECT source, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+vocab AS (SELECT token, count(*)::BIGINT AS ct FROM t GROUP BY token),
+vv AS (SELECT count(*)::BIGINT AS v, CAST(sum(ct) AS BIGINT) AS n FROM vocab),
+sc AS (
+    SELECT source, token, count(*)::BIGINT AS cst
+    FROM t GROUP BY source, token
+),
+ns AS (
+    SELECT source, CAST(sum(cst) AS BIGINT) AS nsrc,
+           count(*)::BIGINT AS ntypes
+    FROM sc GROUP BY source
+),
+grid AS (
+    SELECT ns.source, v2.token, v2.ct, coalesce(sc.cst, 0) AS cst, ns.nsrc
+    FROM ns CROSS JOIN vocab v2
+    LEFT JOIN sc ON sc.source = ns.source AND sc.token = v2.token
+),
+terms AS (
+    SELECT source, CAST(sum(
+        (cst + 1) * (
+            CAST(floor(log2(cst + 1) * 1000000.0) AS BIGINT)
+          - CAST(floor(log2(nsrc + (SELECT v FROM vv)) * 1000000.0) AS BIGINT)
+          - CAST(floor(log2(ct - cst + 1) * 1000000.0) AS BIGINT)
+          + CAST(floor(log2((SELECT n FROM vv) - nsrc
+                            + (SELECT v FROM vv)) * 1000000.0) AS BIGINT)
+        )) AS BIGINT) AS kl_num
+    FROM grid GROUP BY source
+)
+SELECT ns.source, ns.nsrc AS n_tokens, ns.ntypes AS n_types,
+       (SELECT v FROM vv) AS vocab_size, terms.kl_num,
+       CAST(terms.kl_num AS DOUBLE)
+       / (1000000.0 * CAST(ns.nsrc + (SELECT v FROM vv) AS DOUBLE)) AS kl_bits
+FROM terms JOIN ns USING (source)
+"""
+
+
+@register("corpus_kl_divergence", _KL_SQL)
+def corpus_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift: KL(P_source || P_rest) in bits over add-1
+    smoothed unigram LMs — the domain-shift screen a training mix reads
+    before reweighting sources. The ENGINE never materializes the
+    (source x vocab) grid: absent-token mass is folded into a closed
+    form (V*A_s - S_global), so it aggregates only over existing
+    (source, token) pairs; the ORACLE is the explicit cross-join grid
+    definition — a hash MATCH proves the decomposition identity. All
+    log2 arguments are integers through the shared libm qlog discipline;
+    kl_num is an exact int64."""
+    from bicis_spark.extensions.text import corpus_kl_divergence
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_kl_divergence(docs, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (round 6): the homogeneity-attack companion to the
+# k-anonymity group-size audit
+# ---------------------------------------------------------------------------
+
+_LDIV_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+       count(*)::BIGINT AS group_size,
+       count(DISTINCT o_orderstatus)::BIGINT AS sensitive_diversity,
+       count(DISTINCT o_orderstatus) >= 3 AS is_l_diverse
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register("l_diversity_orders", _LDIV_SQL)
+def l_diversity_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over (order year, priority) quasi-identifier
+    classes with order status as the sensitive attribute — k-anonymity's
+    homogeneity-attack fix: a large class whose sensitive values are all
+    identical still discloses them. Distinct counting is exact (the
+    two-phase partial-distinct expand), shuffle bounded by distinct
+    (class, status) combinations."""
+    from bicis_spark.operators.featurize import l_diversity_audit
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    return l_diversity_audit(
+        orders, ["order_year", "o_orderpriority"], "o_orderstatus", l=3
+    )

@@ -425,3 +425,77 @@ def test_autocorrelation_matches_numpy(spark):
     const = spark.createDataFrame([(t, 7) for t in range(6)], "t long, x long")
     for r in autocorrelation(const, "t", "x", max_lag=2).collect():
         assert r["acf"] is None
+
+
+def test_corpus_kl_divergence_matches_python_grid(spark):
+    """kl_num equals a pure-Python replay of the quantized GRID definition
+    (sum over source x full vocab with add-1 smoothing) — proving the
+    engine's absent-token closed form against the textbook formula."""
+    import math
+    from collections import Counter
+
+    from bicis_spark.extensions.text import corpus_kl_divergence
+
+    docs = [
+        (1, "a", "the cat sat on the mat"),
+        (2, "a", "the dog sat"),
+        (3, "b", "quantum flux capacitors hum loudly"),
+        (4, "b", "the flux hums"),
+        (5, "c", "the cat sat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r
+        for r in corpus_kl_divergence(df, "source", "text", "doc_id").collect()
+    }
+
+    scale = 1_000_000
+    toks = {(s, w) for _, s, txt in docs for w in txt.split(" ")}
+    per = Counter()
+    for _, s, txt in docs:
+        for w in txt.split(" "):
+            per[(s, w)] += 1
+    glob = Counter()
+    for (s, w), c in per.items():
+        glob[w] += c
+    vocab = sorted(glob)
+    v, n = len(vocab), sum(glob.values())
+
+    def qlog(k):
+        return math.floor(math.log2(k) * scale)
+
+    for s in ("a", "b", "c"):
+        ns = sum(c for (s2, _), c in per.items() if s2 == s)
+        expect = 0
+        for w in vocab:
+            cst = per.get((s, w), 0)
+            crt = glob[w] - cst
+            expect += (cst + 1) * (
+                qlog(cst + 1) - qlog(ns + v) - qlog(crt + 1) + qlog(n - ns + v)
+            )
+        r = out[s]
+        assert r["kl_num"] == expect
+        assert r["n_tokens"] == ns
+        assert r["vocab_size"] == v
+        assert r["kl_bits"] == expect / (float(scale) * float(ns + v))
+    # the distribution-divergent source must out-diverge the mimic
+    assert out["b"]["kl_bits"] > out["c"]["kl_bits"]
+    assert toks  # silence lints
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    """A class with one sensitive value is flagged regardless of size; a
+    small class with >= l distinct values passes."""
+    from bicis_spark.operators.featurize import l_diversity_audit
+
+    rows = (
+        [("g1", f"v{i % 3}") for i in range(9)]   # 3 distinct -> diverse
+        + [("g2", "same")] * 50                    # big but homogeneous
+        + [("g3", "x"), ("g3", "y")]               # 2 distinct < l=3
+    )
+    df = spark.createDataFrame(rows, "qi string, sens string")
+    out = {r["qi"]: r for r in l_diversity_audit(df, ["qi"], "sens", l=3).collect()}
+    assert out["g1"]["is_l_diverse"] and out["g1"]["sensitive_diversity"] == 3
+    assert not out["g2"]["is_l_diverse"]
+    assert out["g2"]["group_size"] == 50 and out["g2"]["sensitive_diversity"] == 1
+    assert not out["g3"]["is_l_diverse"] and out["g3"]["sensitive_diversity"] == 2
