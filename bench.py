@@ -119,6 +119,9 @@ HEADLINE = [
     "user_activity_streaks",      # gaps-and-islands longest streaks
     "acf_hourly_counts",          # Box-Jenkins lag screen, join-based
     "corpus_kl_divergence",       # per-source drift screen, grid-free KL
+    "changepoint_hourly_split",   # binary-segmentation SSE cost curve
+    "clustering_coefficient_parts",  # per-vertex triangle density
+    "kcore_parts",                # fixed-round degeneracy peel
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -190,6 +193,9 @@ _R6 = [
     "user_activity_streaks",
     "acf_hourly_counts",
     "corpus_kl_divergence",
+    "changepoint_hourly_split",
+    "clustering_coefficient_parts",
+    "kcore_parts",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

@@ -350,3 +350,153 @@ def bfs_hops(
         ).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Per-vertex local clustering coefficient of an undirected graph:
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the neighborhood-density
+    score under every triangle census (how clique-like is each part's
+    co-purchase neighborhood). Triangles enumerate once per (a<b<c)
+    via the same compact-forward wedge join as ``triangle_count``; each
+    closed triangle then credits its three corners through ONE explode +
+    hash aggregate (the per-vertex shuffle carries (vertex, partial
+    count), never triangle tuples). Degrees are one aggregate over the
+    normalized edge set. Both operands are exact BIGINTs; the
+    coefficient is a single guarded IEEE division (NULL when deg < 2,
+    matching the undefined case)."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = (
+        edges.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    with persisted(e) as (ep,):
+        tri = (
+            ep.alias("e1")
+            .join(ep.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
+            .join(
+                ep.alias("e3"),
+                (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+            )
+            .select("x", "y", "z")
+        )
+        per_vertex_tri = (
+            tri.select(
+                F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias(
+                    "v"
+                )
+            )
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
+        degrees = (
+            ep.select(F.col("a").alias("v"))
+            .unionAll(ep.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        deg = F.col("degree").cast("double")
+        out = (
+            degrees.join(per_vertex_tri, "v", "left")
+            .select(
+                F.col("v").alias("vertex"),
+                "degree",
+                F.coalesce(F.col("n_triangles"), F.lit(0))
+                .cast("long")
+                .alias("n_triangles"),
+            )
+            .withColumn(
+                "lcc",
+                F.when(
+                    F.col("degree") >= 2,
+                    F.lit(2.0)
+                    * F.col("n_triangles").cast("double")
+                    / (deg * (deg - F.lit(1.0))),
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int = 3,
+    rounds: int = 4,
+    broadcast_keep: bool = False,
+) -> DataFrame:
+    """Fixed-round k-core peeling of an undirected graph: ``rounds``
+    synchronous iterations of "drop every vertex with degree < k, then
+    drop edges touching a dropped vertex" — the degeneracy-ordering
+    primitive behind dense-subgraph mining and graph sampling. Returns
+    the surviving vertices with their residual degree.
+
+    FIXED-ROUND semantics (not run-to-convergence): the peel count is a
+    call-site constant, so the oracle unrolls the identical rounds as
+    chained CTEs and the result is hash-replayable; a converged graph
+    peels as a no-op, so when the graph stabilizes earlier the fixed
+    and converged results coincide (the engine still executes all
+    rounds — determinism over cleverness; at true 100 TB scale you'd
+    add a driver-side emptiness check between rounds, which cannot
+    change the result, only skip no-op jobs).
+
+    Scale: each round is one degree aggregate + two semi-joins keyed on
+    the vertex id — the same delta-iteration shape as ``bfs_hops``; the
+    edge set only shrinks. The surviving edge set is eagerly
+    localCheckpoint-ed per round: a round reads its predecessor THREE
+    times (degree aggregate + both semi-join probes), so lazy lineage
+    re-executes the whole prefix 3^rounds times — the checkpoint keeps
+    each round's work linear in the current edge count (measured: the
+    unchecked first cut ran 44s at sf0.001; checkpointed, sub-second
+    per round).
+
+    ``broadcast_keep=True`` broadcasts the surviving-vertex set into
+    both semi-joins, removing the two per-round edge shuffles — correct
+    ONLY when the vertex universe is dimension-bounded at the call site
+    (e.g. parts), the same contract as ``label_propagation``'s
+    ``broadcast_labels``; leave False for graphs whose vertex set scales
+    with the data."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    e = (
+        edges.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    cur = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        degrees = (
+            cur.select(
+                F.explode(F.array(F.col("a"), F.col("b"))).alias("v")
+            )
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = degrees.where(F.col("d") >= k).select("v")
+        ka = keep.select(F.col("v").alias("a"))
+        kb = keep.select(F.col("v").alias("b"))
+        if broadcast_keep:
+            ka, kb = F.broadcast(ka), F.broadcast(kb)
+        cur = (
+            cur.join(ka, "a", "left_semi")
+            .join(kb, "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        cur.select(F.col("a").alias("vertex"))
+        .unionAll(cur.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("residual_degree"))
+    )
+    return final_deg.where(F.col("residual_degree") >= k)

@@ -5548,3 +5548,239 @@ def acf_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t")
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
     return autocorrelation(series, "t", "x", max_lag=24)
+
+
+# ---------------------------------------------------------------------------
+# Per-vertex clustering coefficient + fixed-round k-core peel (round 6):
+# the neighborhood-density and degeneracy primitives over the co-purchase
+# graph the triangle census already defined
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_PAIRS_CTE = """
+pairs AS (
+    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+)
+"""
+
+_LCC_SQL = f"""
+WITH {_COPURCHASE_PAIRS_CTE},
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM pairs e1
+    JOIN pairs e2 ON e1.b = e2.a
+    JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pvt AS (
+    SELECT v, count(*)::BIGINT AS n_triangles FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY v
+),
+deg AS (
+    SELECT v, count(*)::BIGINT AS degree FROM (
+        SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs
+    ) GROUP BY v
+)
+SELECT deg.v AS vertex, deg.degree,
+       coalesce(pvt.n_triangles, 0)::BIGINT AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN 2.0 * CAST(coalesce(pvt.n_triangles, 0) AS DOUBLE)
+                 / (CAST(deg.degree AS DOUBLE)
+                    * (CAST(deg.degree AS DOUBLE) - 1.0))
+       END AS lcc
+FROM deg LEFT JOIN pvt ON pvt.v = deg.v
+"""
+
+
+@register("clustering_coefficient_parts", _LCC_SQL)
+def clustering_coefficient_parts_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering coefficient per part over the co-purchase graph —
+    the per-vertex refinement of `part_copurchase_triangles`: triangles
+    enumerate once via the compact-forward wedge join, then credit their
+    three corners through one explode + hash aggregate; lcc is a single
+    guarded IEEE division of exact BIGINTs (NULL when degree < 2)."""
+    from bicis_spark.operators.graph import local_clustering_coefficient
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = li.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")),
+    ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    return local_clustering_coefficient(pairs, "src", "dst")
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unroll the fixed-round peel as chained CTEs — the oracle replays
+    the engine loop literally, one (degree, keep, refilter) triple per
+    round."""
+    ctes = [_COPURCHASE_PAIRS_CTE.strip(), "e0 AS (SELECT a, b FROM pairs)"]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"d{r} AS (SELECT v, count(*)::BIGINT AS d FROM ("
+            f"SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev}"
+            f") GROUP BY v)"
+        )
+        ctes.append(f"k{r} AS (SELECT v FROM d{r} WHERE d >= {k})")
+        # hash-join form, not IN-subqueries: DuckDB's planner spilled to
+        # disk on the chained IN filters at sf0.1
+        ctes.append(
+            f"e{r} AS (SELECT e.a, e.b FROM {prev} e "
+            f"JOIN k{r} ka ON e.a = ka.v "
+            f"JOIN k{r} kb ON e.b = kb.v)"
+        )
+    last = f"e{rounds}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vertex, residual_degree FROM (
+    SELECT v AS vertex, count(*)::BIGINT AS residual_degree FROM (
+        SELECT a AS v FROM {last} UNION ALL SELECT b FROM {last}
+    ) GROUP BY v
+) WHERE residual_degree >= {k}
+"""
+    )
+
+
+@register("kcore_parts", _kcore_sql(k=3, rounds=4))
+def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round 3-core peel of the part co-purchase graph (4 rounds):
+    vertices surviving repeated drop-degree-below-3 passes, with their
+    residual degree — the degeneracy primitive behind dense-subgraph
+    mining. The oracle unrolls the identical rounds as chained CTEs, so
+    MATCH pins every round's degree/keep/refilter semantics."""
+    from bicis_spark.operators.graph import kcore_peel
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = li.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")),
+    ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    return kcore_peel(
+        pairs, "src", "dst", k=3, rounds=4, broadcast_keep=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Change-point screen (round 6): single binary-segmentation split over the
+# hourly count series — per-boundary SSE costs, every operand exact
+# ---------------------------------------------------------------------------
+
+_CHANGEPOINT_SQL = """
+WITH series AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+           count(*)::BIGINT AS x
+    FROM events GROUP BY 1
+),
+pref AS (
+    SELECT t,
+           count(*) OVER w AS n_l,
+           CAST(sum(x) OVER w AS BIGINT) AS sx_l,
+           CAST(sum(x * x) OVER w AS BIGINT) AS sx2_l
+    FROM series
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+),
+tot AS (
+    SELECT count(*)::BIGINT AS n_t, CAST(sum(x) AS BIGINT) AS sx_t,
+           CAST(sum(x * x) AS BIGINT) AS sx2_t
+    FROM series
+)
+SELECT t AS boundary_t,
+       CAST(n_l AS BIGINT) AS n_l, sx_l, sx2_l,
+       CAST(n_t - n_l AS BIGINT) AS n_r,
+       CAST(sx_t - sx_l AS BIGINT) AS sx_r,
+       CAST(sx2_t - sx2_l AS BIGINT) AS sx2_r,
+       (CAST(sx2_l AS DOUBLE)
+        - CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+       + (CAST(sx2_t - sx2_l AS DOUBLE)
+          - CAST(sx_t - sx_l AS DOUBLE) * CAST(sx_t - sx_l AS DOUBLE)
+            / CAST(n_t - n_l AS DOUBLE)) AS split_cost,
+       (CAST(sx2_t AS DOUBLE)
+        - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+       - ((CAST(sx2_l AS DOUBLE)
+           - CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE)
+             / CAST(n_l AS DOUBLE))
+          + (CAST(sx2_t - sx2_l AS DOUBLE)
+             - CAST(sx_t - sx_l AS DOUBLE) * CAST(sx_t - sx_l AS DOUBLE)
+               / CAST(n_t - n_l AS DOUBLE))) AS sse_reduction
+FROM pref CROSS JOIN tot
+WHERE n_t - n_l >= 1
+"""
+
+
+@register("changepoint_hourly_split", _CHANGEPOINT_SQL)
+def changepoint_hourly_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point screen over the hourly event-count
+    series: for every candidate boundary, the two-segment SSE cost and
+    the reduction vs the unsplit series — the level-shift detector that
+    complements the drift-direction CUSUM monitor (`cusum_hourly_drift`
+    finds sustained drift vs a reference; this finds WHERE the mean
+    shifts). The argmin row is the classical single change point; the
+    full cost curve is emitted so every operand is gated. Prefix sums
+    ride one cumulative window over the hours-of-history-sized series
+    (dimension-bounded, like the ACF series — the fact table collapses
+    first); right-segment stats derive from the 1-row total attach, and
+    both SSE terms are fixed float trees over exact BIGINTs."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+        .cast("long")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = series.select(
+        "t",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_l"),
+        F.sum("x").over(w).cast("long").alias("sx_l"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sx2_l"),
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+        F.sum("x").cast("long").alias("sx_t"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2_t"),
+    )
+    j = pref.crossJoin(F.broadcast(tot)).where(
+        (F.col("n_t") - F.col("n_l")) >= 1
+    )
+    nl = F.col("n_l").cast("double")
+    sxl = F.col("sx_l").cast("double")
+    sx2l = F.col("sx2_l").cast("double")
+    nr = (F.col("n_t") - F.col("n_l")).cast("double")
+    sxr = (F.col("sx_t") - F.col("sx_l")).cast("double")
+    sx2r = (F.col("sx2_t") - F.col("sx2_l")).cast("double")
+    nt = F.col("n_t").cast("double")
+    sxt = F.col("sx_t").cast("double")
+    sx2t = F.col("sx2_t").cast("double")
+    cost_l = sx2l - sxl * sxl / nl
+    cost_r = sx2r - sxr * sxr / nr
+    cost_t = sx2t - sxt * sxt / nt
+    return j.select(
+        F.col("t").alias("boundary_t"),
+        "n_l",
+        "sx_l",
+        "sx2_l",
+        (F.col("n_t") - F.col("n_l")).cast("long").alias("n_r"),
+        (F.col("sx_t") - F.col("sx_l")).cast("long").alias("sx_r"),
+        (F.col("sx2_t") - F.col("sx2_l")).cast("long").alias("sx2_r"),
+        (cost_l + cost_r).alias("split_cost"),
+        (cost_t - (cost_l + cost_r)).alias("sse_reduction"),
+    )

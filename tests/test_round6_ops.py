@@ -499,3 +499,91 @@ def test_l_diversity_flags_homogeneous_groups(spark):
     assert not out["g2"]["is_l_diverse"]
     assert out["g2"]["group_size"] == 50 and out["g2"]["sensitive_diversity"] == 1
     assert not out["g3"]["is_l_diverse"] and out["g3"]["sensitive_diversity"] == 2
+
+
+def test_local_clustering_coefficient_known_graph(spark):
+    """Kite graph: K4 on {1,2,3,4} plus pendant 5-1. Hand-checked lcc:
+    vertices 2,3,4 have deg 3 and are in 3 triangles... (K4: each vertex
+    in C(3,2)=3 triangles, lcc=1); vertex 1 has deg 4, still 3 triangles
+    -> lcc = 6/12 = 0.5; pendant 5 has deg 1 -> NULL."""
+    from bicis_spark.operators.graph import local_clustering_coefficient
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
+    # feed unnormalized directions + a duplicate to exercise the distinct
+    edges = spark.createDataFrame(
+        [(b, a) for a, b in k4] + [(1, 2)], "src long, dst long"
+    )
+    out = {
+        r["vertex"]: r
+        for r in local_clustering_coefficient(edges, "src", "dst").collect()
+    }
+    assert (out[1]["degree"], out[1]["n_triangles"], out[1]["lcc"]) == (4, 3, 0.5)
+    for v in (2, 3, 4):
+        assert (out[v]["degree"], out[v]["n_triangles"], out[v]["lcc"]) == (3, 3, 1.0)
+    assert out[5]["degree"] == 1 and out[5]["n_triangles"] == 0
+    assert out[5]["lcc"] is None
+
+
+def test_kcore_peel_cascade(spark):
+    """Chain-of-triangles graph where peeling cascades: a path 10-11-12
+    hangs off a K4 {1,2,3,4}. k=3: round 1 drops 12 (deg 1) and 10? No:
+    10-11-12 all deg<=2, all dropped round 1; K4 survives with residual
+    degree 3 each. Also: k=3 on a pure 6-cycle (all deg 2) empties the
+    graph."""
+    from bicis_spark.operators.graph import kcore_peel
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(k4 + tail, "src long, dst long")
+    out = {r["vertex"]: r["residual_degree"]
+           for r in kcore_peel(edges, "src", "dst", k=3, rounds=4).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    edges2 = spark.createDataFrame(cyc, "src long, dst long")
+    assert kcore_peel(edges2, "src", "dst", k=3, rounds=2).count() == 0
+
+    # cascade needing multiple rounds: path 20-21-22-23 attached pairwise
+    # (21-23, 20-22) makes degrees 2..3; k=2 keeps the diamond, k=3 kills
+    diamond = [(20, 21), (21, 22), (22, 23), (21, 23), (20, 22)]
+    edges3 = spark.createDataFrame(diamond, "src long, dst long")
+    got = {r["vertex"] for r in kcore_peel(edges3, "src", "dst", k=2, rounds=3).collect()}
+    assert got == {20, 21, 22, 23}
+
+
+def test_changepoint_finds_planted_level_shift(spark, sf_dir):
+    """On a series with a planted mean shift (5,5,5,5,20,20,20,20) the
+    max-reduction boundary is exactly the shift point, and the reduction
+    equals the closed form n_l*n_r/(n_l+n_r) * (mean_l - mean_r)^2."""
+    from bicis_spark.plans.analytics_queries import changepoint_hourly_split_q
+
+    # unit-level check against a hand series through the same math
+    import numpy as np
+
+    xs = [5, 5, 5, 5, 20, 20, 20, 20]
+
+    def sse(a):
+        a = np.asarray(a, dtype=float)
+        return float((a * a).sum() - a.sum() ** 2 / len(a))
+
+    best = max(
+        range(1, len(xs)),
+        key=lambda i: sse(xs) - (sse(xs[:i]) + sse(xs[i:])),
+    )
+    assert best == 4  # boundary after index 4 rows (n_l = 4)
+
+    # engine-level: run on real data, then replay the argmin row's
+    # reduction from its own emitted sufficient statistics
+    rows = changepoint_hourly_split_q(spark, sf_dir).collect()
+    assert rows
+    top = max(rows, key=lambda r: (r["sse_reduction"], -r["boundary_t"]))
+    n_l, n_r = top["n_l"], top["n_r"]
+    sx_l, sx_r = top["sx_l"], top["sx_r"]
+    sx2_l, sx2_r = top["sx2_l"], top["sx2_r"]
+    cost_l = sx2_l - sx_l * float(sx_l) / n_l
+    cost_r = sx2_r - sx_r * float(sx_r) / n_r
+    n_t, sx_t, sx2_t = n_l + n_r, sx_l + sx_r, sx2_l + sx2_r
+    cost_t = sx2_t - sx_t * float(sx_t) / n_t
+    assert abs(top["split_cost"] - (cost_l + cost_r)) < 1e-6
+    assert abs(top["sse_reduction"] - (cost_t - (cost_l + cost_r))) < 1e-6
+    assert top["sse_reduction"] >= max(r["sse_reduction"] for r in rows) - 1e-12
