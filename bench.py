@@ -122,6 +122,8 @@ HEADLINE = [
     "changepoint_hourly_split",   # binary-segmentation SSE cost curve
     "clustering_coefficient_parts",  # per-vertex triangle density
     "kcore_parts",                # fixed-round degeneracy peel
+    "interp_purchase_rate_at_errors",  # linear-interpolation join
+    "ccf_view_purchase",          # lead-lag cross-correlation screen
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -196,6 +198,8 @@ _R6 = [
     "changepoint_hourly_split",
     "clustering_coefficient_parts",
     "kcore_parts",
+    "interp_purchase_rate_at_errors",
+    "ccf_view_purchase",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

@@ -336,3 +336,167 @@ def autocorrelation(
         # NULL where either side has no variance (ANSI mode: 0/0 throws)
         F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("acf"),
     )
+
+
+def interpolate_series_at(
+    targets: DataFrame,
+    series: DataFrame,
+    target_ts: str,
+    target_id: str,
+    series_ts: str,
+    series_val: str,
+    step: str = "hour",
+) -> DataFrame:
+    """Linear-interpolation join: for each target timestamp, the series
+    value linearly interpolated between the surrounding series points —
+    the sensor-fusion / curve-lookup primitive (mark a trade against an
+    interpolated reference curve; score an incident against the ambient
+    traffic rate). ``series`` must be keyed on ``step``-truncated
+    timestamps (one row per populated step), as produced by a
+    group-by-date_trunc aggregate.
+
+    Exact-hit semantics: a target sitting exactly on a populated series
+    point takes that point's value (t0 = t1); otherwise
+    ``x0 + (x1 − x0)·(t − t0)/(t1 − t0)`` over microsecond deltas, NULL
+    when either neighbor is missing. Every operand is exact
+    (BIGINT micros, BIGINT values); the one float tree is fixed and
+    mirrored by the oracle, which replays the semantics through DuckDB's
+    native ASOF JOIN in both directions — an independent implementation
+    of the same definition.
+
+    Scale: the series is dimension-bounded (populated steps), so the
+    dense step GRID built over its span (sequence + explode) is too;
+    ffill/bfill ride one global window over that bounded grid — never
+    over targets — and the fact-sized target table joins the grid on
+    step-truncated equality: one broadcast-able hash join, no range
+    join, no per-target search."""
+    s = series.select(
+        F.col(series_ts).alias("_h"), F.col(series_val).cast("long").alias("_x")
+    )
+    bounds = s.agg(
+        F.min("_h").alias("lo"), F.max("_h").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return targets.select(
+            F.col(target_id),
+            F.col(target_ts).alias("t"),
+            F.lit(None).cast("timestamp").alias("t0"),
+            F.lit(None).cast("long").alias("x0"),
+            F.lit(None).cast("timestamp").alias("t1"),
+            F.lit(None).cast("long").alias("x1"),
+            F.lit(None).cast("double").alias("interp_value"),
+        )
+    spark = targets.sparkSession
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(bounds["lo"]).cast("timestamp"),
+                F.lit(bounds["hi"]).cast("timestamp"),
+                F.expr(f"INTERVAL 1 {step}"),
+            )
+        ).alias("_h")
+    )
+    w_ff = Window.orderBy("_h").rowsBetween(Window.unboundedPreceding, 0)
+    w_bf = Window.orderBy("_h").rowsBetween(1, Window.unboundedFollowing)
+    g = (
+        grid.join(s, "_h", "left")
+        .select(
+            "_h",
+            F.when(F.col("_x").isNotNull(), F.col("_h")).alias("_pt_raw"),
+            "_x",
+        )
+        .select(
+            "_h",
+            F.last("_pt_raw", ignorenulls=True).over(w_ff).alias("_pt"),
+            F.last("_x", ignorenulls=True).over(w_ff).alias("_px"),
+            F.first("_pt_raw", ignorenulls=True).over(w_bf).alias("_nt"),
+            F.first("_x", ignorenulls=True).over(w_bf).alias("_nx"),
+        )
+    )
+    t = F.col(target_ts)
+    tgt = targets.select(
+        F.col(target_id), t.alias("t"), F.date_trunc(step, t).alias("_h")
+    )
+    j = tgt.join(F.broadcast(g), "_h", "left")
+    exact = F.col("_pt") == F.col("t")
+    t0, x0 = F.col("_pt"), F.col("_px")
+    t1 = F.when(exact, F.col("_pt")).otherwise(F.col("_nt"))
+    x1 = F.when(exact, F.col("_px")).otherwise(F.col("_nx"))
+    num = (F.unix_micros(F.col("t")) - F.unix_micros(t0)).cast("double")
+    den = (F.unix_micros(t1) - F.unix_micros(t0)).cast("double")
+    interp = F.when(
+        t0.isNotNull() & t1.isNotNull(),
+        F.when(t1 == t0, x0.cast("double")).otherwise(
+            x0.cast("double")
+            + (x1.cast("double") - x0.cast("double")) * (num / den)
+        ),
+    )
+    return j.select(
+        target_id,
+        "t",
+        t0.alias("t0"),
+        x0.cast("long").alias("x0"),
+        t1.alias("t1"),
+        x1.cast("long").alias("x1"),
+        interp.alias("interp_value"),
+    )
+
+
+def cross_correlation(
+    series_x: DataFrame,
+    series_y: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Sample cross-correlation between two integer-valued series at lags
+    −``max_lag``..+``max_lag``: pairs x_t with y_{t−lag}, so POSITIVE
+    lags measure "y leads x by lag steps" — the lead-lag screen behind
+    causal-direction hypotheses (do views lead purchases?). Lag 0 is the
+    instantaneous correlation.
+
+    Same contract and plan shape as ``autocorrelation``: both inputs are
+    pre-aggregated dimension-sized series keyed on an integer time
+    column; the lag fan-out is explode(sequence) on the y side (a
+    generator, no cross join) and pairing is ONE hash join on the
+    shifted key. Exact BIGINT sufficient statistics per lag; Pearson r
+    is one fixed float tree, NULL where either side lacks variance."""
+    x = series_x.select(
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    y = series_y.select(
+        F.explode(
+            F.sequence(
+                F.lit(-max_lag).cast("long"), F.lit(max_lag).cast("long")
+            )
+        ).alias("lag"),
+        F.col(time_col).cast("long").alias("_ty"),
+        F.col(value_col).cast("long").alias("_y"),
+    ).select("lag", (F.col("_ty") + F.col("lag")).alias("_t"), "_y")
+    pairs = x.join(y, "_t")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sx2"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("sy2"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sx2 - sx * sx
+    vy = n * sy2 - sy * sy
+    return s.select(
+        "lag",
+        "n_pairs",
+        "sx",
+        "sy",
+        "sxy",
+        "sx2",
+        "sy2",
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)).alias("ccf"),
+    )

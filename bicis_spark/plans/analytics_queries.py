@@ -5784,3 +5784,141 @@ def changepoint_hourly_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cost_l + cost_r).alias("split_cost"),
         (cost_t - (cost_l + cost_r)).alias("sse_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation join (round 6): score each incident against the
+# ambient rate curve — engine = dense-grid ffill/bfill + one hash join;
+# oracle = DuckDB native ASOF JOIN both directions (independent impl)
+# ---------------------------------------------------------------------------
+
+_INTERP_SQL = """
+WITH series AS (
+    SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+tgt AS (
+    SELECT event_id, ts AS t FROM events WHERE event_type = 'error'
+),
+p AS (
+    SELECT tgt.event_id, s.h AS t0, s.x AS x0
+    FROM tgt ASOF LEFT JOIN series s ON s.h <= tgt.t
+),
+n AS (
+    SELECT tgt.event_id, s.h AS t1, s.x AS x1
+    FROM tgt ASOF LEFT JOIN series s ON s.h >= tgt.t
+)
+SELECT tgt.event_id, tgt.t, p.t0, p.x0, n.t1, n.x1,
+       CASE WHEN p.t0 IS NOT NULL AND n.t1 IS NOT NULL THEN
+           CASE WHEN n.t1 = p.t0 THEN CAST(p.x0 AS DOUBLE)
+                ELSE CAST(p.x0 AS DOUBLE)
+                     + (CAST(n.x1 AS DOUBLE) - CAST(p.x0 AS DOUBLE))
+                       * (CAST(epoch_us(tgt.t) - epoch_us(p.t0) AS DOUBLE)
+                          / CAST(epoch_us(n.t1) - epoch_us(p.t0) AS DOUBLE))
+           END
+       END AS interp_value
+FROM tgt
+JOIN p USING (event_id)
+JOIN n USING (event_id)
+"""
+
+
+@register("interp_purchase_rate_at_errors", _INTERP_SQL)
+def interp_purchase_rate_at_errors_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear-interpolation join: every error event scored against the
+    hourly purchase-count curve interpolated at the error's exact
+    timestamp (was the incident during a traffic peak?). The engine
+    builds a dense hour grid over the series span (dimension-bounded),
+    ffill/bfills the surrounding points, and hash-joins targets on their
+    truncated hour — no range join, no per-target search; the oracle
+    replays the same semantics through DuckDB's native ASOF JOIN in both
+    directions, an independent implementation of the definition."""
+    from bicis_spark.operators.timeseries import interpolate_series_at
+
+    events = read_table(spark, sf_dir, "events")
+    series = events.where(F.col("event_type") == "purchase").groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    targets = events.where(F.col("event_type") == "error").select(
+        "event_id", "ts"
+    )
+    return interpolate_series_at(
+        targets, series, "ts", "event_id", "h", "x", step="hour"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation lead-lag screen (round 6): do views lead purchases?
+# ---------------------------------------------------------------------------
+
+_CCF_SQL = """
+WITH sx AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+           count(*)::BIGINT AS x
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+sy AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+           count(*)::BIGINT AS y
+    FROM events WHERE event_type = 'view' GROUP BY 1
+),
+lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-12, 13)),
+pairs AS (
+    SELECT lg.lag, a.x AS xv, b.y AS yv
+    FROM sx a
+    JOIN lags lg ON true
+    JOIN sy b ON b.t + lg.lag = a.t
+),
+s AS (
+    SELECT lag,
+           count(*)::BIGINT AS n_pairs,
+           CAST(sum(xv) AS BIGINT) AS sx,
+           CAST(sum(yv) AS BIGINT) AS sy,
+           CAST(sum(xv * yv) AS BIGINT) AS sxy,
+           CAST(sum(xv * xv) AS BIGINT) AS sx2,
+           CAST(sum(yv * yv) AS BIGINT) AS sy2
+    FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs, sx, sy, sxy, sx2, sy2,
+       CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS ccf
+FROM s
+"""
+
+
+@register("ccf_view_purchase", _CCF_SQL)
+def ccf_view_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly view series and the hourly
+    purchase series at lags −12..+12 (positive lag = views lead
+    purchases) — the lead-lag identification screen that pairs with the
+    ACF diagnostic. Same distributed shape: explode(sequence) lag
+    fan-out on the leading side, one hash join on the shifted hour key,
+    exact BIGINT sufficient statistics, NULL-guarded Pearson r."""
+    from bicis_spark.operators.timeseries import cross_correlation
+
+    events = read_table(spark, sf_dir, "events")
+
+    def hourly(etype: str) -> DataFrame:
+        return events.where(F.col("event_type") == etype).groupBy(
+            (
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3600)
+            )
+            .cast("long")
+            .alias("t")
+        ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+    return cross_correlation(
+        hourly("purchase"), hourly("view"), "t", "x", max_lag=12
+    )

@@ -587,3 +587,57 @@ def test_changepoint_finds_planted_level_shift(spark, sf_dir):
     assert abs(top["split_cost"] - (cost_l + cost_r)) < 1e-6
     assert abs(top["sse_reduction"] - (cost_t - (cost_l + cost_r))) < 1e-6
     assert top["sse_reduction"] >= max(r["sse_reduction"] for r in rows) - 1e-12
+
+
+def test_interpolate_series_at_cases(spark):
+    """Midpoint target gets the arithmetic mean; exact-hit takes the
+    point value; before-first and after-last get NULL; a target in an
+    hour with no series point interpolates across the gap."""
+    from bicis_spark.operators.timeseries import interpolate_series_at
+
+    series = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 10), ("2024-01-01 12:00:00", 30)],
+        "h string, x long",
+    ).select(F.col("h").cast("timestamp").alias("h"), "x")
+    targets = spark.createDataFrame(
+        [
+            (1, "2024-01-01 11:00:00"),   # midpoint across the 11:00 gap
+            (2, "2024-01-01 10:00:00"),   # exact hit
+            (3, "2024-01-01 09:30:00"),   # before first point
+            (4, "2024-01-01 12:30:00"),   # after last point
+            (5, "2024-01-01 10:30:00"),   # quarter of the way
+        ],
+        "event_id long, ts string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {
+        r["event_id"]: r
+        for r in interpolate_series_at(
+            targets, series, "ts", "event_id", "h", "x"
+        ).collect()
+    }
+    assert out[1]["interp_value"] == 20.0
+    assert out[2]["interp_value"] == 10.0 and out[2]["t0"] == out[2]["t1"]
+    assert out[3]["interp_value"] is None and out[3]["x0"] is None
+    assert out[4]["interp_value"] is None and out[4]["x1"] is None
+    assert out[5]["interp_value"] == 10.0 + 20.0 * (1800.0 / 7200.0)
+
+
+def test_cross_correlation_detects_planted_lead(spark):
+    """y is x shifted forward by 2 steps (y_t = x_{t-2} exactly): the
+    r = 1 peak must sit at lag +2 (y leads x... wait: x_t pairs with
+    y_{t-lag}; y_t = x_{t-2} means x_t = y_{t+2}, pairing x_t with
+    y_{t-lag} = x_{t-lag-2} is perfect when lag = -2)."""
+    from bicis_spark.operators.timeseries import cross_correlation
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    x = spark.createDataFrame(list(enumerate(xs)), "t long, x long")
+    y = spark.createDataFrame(
+        [(t + 2, v) for t, v in enumerate(xs)], "t long, x long"
+    )
+    out = {r["lag"]: r for r in cross_correlation(x, y, "t", "x", max_lag=3).collect()}
+    assert out[-2]["ccf"] == 1.0
+    assert out[-2]["n_pairs"] == len(xs)
+    assert all(
+        out[lag]["ccf"] is None or out[lag]["ccf"] < 1.0
+        for lag in out if lag != -2
+    )
