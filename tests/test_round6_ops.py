@@ -509,19 +509,31 @@ def test_local_clustering_coefficient_known_graph(spark):
     from bicis_spark.operators.graph import local_clustering_coefficient
 
     k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
-    # feed unnormalized directions + a duplicate to exercise the distinct
+    # feed unnormalized directions + a duplicate to exercise the distinct;
+    # 6-5-1 closes a triangle through the pendant, giving 5 EXACTLY degree
+    # 2 (pins the deg >= 2 definedness boundary the sf0.001 graph never
+    # exercises — mutation-sweep blind spot, classified in SCALE.md)
     edges = spark.createDataFrame(
-        [(b, a) for a, b in k4] + [(1, 2)], "src long, dst long"
+        [(b, a) for a, b in k4] + [(1, 2), (5, 6), (6, 1)], "src long, dst long"
     )
     out = {
         r["vertex"]: r
         for r in local_clustering_coefficient(edges, "src", "dst").collect()
     }
-    assert (out[1]["degree"], out[1]["n_triangles"], out[1]["lcc"]) == (4, 3, 0.5)
+    assert (out[1]["degree"], out[1]["n_triangles"], out[1]["lcc"]) == (
+        5, 4, 0.4)
     for v in (2, 3, 4):
         assert (out[v]["degree"], out[v]["n_triangles"], out[v]["lcc"]) == (3, 3, 1.0)
-    assert out[5]["degree"] == 1 and out[5]["n_triangles"] == 0
-    assert out[5]["lcc"] is None
+    assert (out[5]["degree"], out[5]["n_triangles"], out[5]["lcc"]) == (2, 1, 1.0)
+    assert (out[6]["degree"], out[6]["n_triangles"], out[6]["lcc"]) == (2, 1, 1.0)
+    # lone pendant: degree 1 -> lcc undefined (NULL)
+    edges2 = spark.createDataFrame([(7, 8), (8, 9), (8, 7)], "src long, dst long")
+    out2 = {
+        r["vertex"]: r
+        for r in local_clustering_coefficient(edges2, "src", "dst").collect()
+    }
+    assert out2[7]["lcc"] is None and out2[7]["n_triangles"] == 0
+    assert out2[8]["degree"] == 2 and out2[8]["lcc"] == 0.0
 
 
 def test_kcore_peel_cascade(spark):
