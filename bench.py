@@ -124,6 +124,7 @@ HEADLINE = [
     "kcore_parts",                # fixed-round degeneracy peel
     "interp_purchase_rate_at_errors",  # linear-interpolation join
     "ccf_view_purchase",          # lead-lag cross-correlation screen
+    "ols_isotonic_calibration",   # PAVA-equivalent monotone calibrator
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -200,6 +201,7 @@ _R6 = [
     "kcore_parts",
     "interp_purchase_rate_at_errors",
     "ccf_view_purchase",
+    "ols_isotonic_calibration",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

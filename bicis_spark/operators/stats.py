@@ -571,3 +571,83 @@ def grouped_weighted_quantile(
         F.col("_v").alias("value_cents"),
         F.col("_tot").alias("total_weight"),
     )
+
+
+def isotonic_fit_bins(
+    bins: DataFrame,
+    ord_col: str,
+    n_col: str,
+    sum_col: str,
+) -> DataFrame:
+    """Weighted isotonic regression over ORDERED BINS via the minimax
+    closed form — the calibration step that turns a raw per-decile
+    reliability report into a monotone calibrator (Zadrozny & Elkan
+    2002; what sklearn's IsotonicRegression fits with PAVA):
+
+        iso(i) = max_{j<=i} min_{k>=i} weightedAvg(bins j..k)
+
+    PAVA is a sequential pooling loop; the minimax form is its closed
+    (loop-free) equivalent, and over B bins it needs only the B(B+1)/2
+    interval averages — all derivable from inclusive prefix sums. Bins
+    are bounded (deciles: B=10 → 55 intervals, ≤550 join rows), so every
+    frame here is constant-size regardless of the fact table that
+    produced the bins.
+
+    Determinism: interval sums/counts are exact (DECIMAL/BIGINT prefix
+    arithmetic); each average is ONE IEEE division, and min/max over
+    bitwise-identical doubles is order-free — the oracle replays the
+    identical construction.
+
+    Input: one row per bin with an ordering column, a BIGINT count and
+    an exact (DECIMAL) label sum. Output: [ord_col, n, mean_raw, iso]
+    where iso is non-decreasing in ``ord_col`` and preserves each pooled
+    block's weighted mean."""
+    w = Window.orderBy(ord_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        F.col(ord_col).alias("_i"),
+        F.col(n_col).cast("long").alias("_n"),
+        F.col(sum_col).alias("_s"),
+        F.sum(n_col).over(w).cast("long").alias("_cn"),
+        F.sum(sum_col).over(w).alias("_cs"),
+    )
+    j = cum.select(
+        F.col("_i").alias("j"),
+        F.col("_n").alias("nj"),
+        F.col("_s").alias("sj"),
+        F.col("_cn").alias("cnj"),
+        F.col("_cs").alias("csj"),
+    )
+    k = cum.select(
+        F.col("_i").alias("k"),
+        F.col("_cn").alias("cnk"),
+        F.col("_cs").alias("csk"),
+    )
+    intervals = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("csk") - F.col("csj") + F.col("sj")).cast("double")
+            / (F.col("cnk") - F.col("cnj") + F.col("nj")).cast("double")
+        ).alias("avg_jk"),
+    )
+    idim = cum.select(F.col("_i").alias("i"), "_n", "_s")
+    inner = (
+        idim.join(
+            intervals,
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = inner.groupBy("i").agg(F.max("m").alias("iso"))
+    return (
+        idim.join(iso, "i")
+        .select(
+            F.col("i").alias(ord_col),
+            F.col("_n").alias("n"),
+            (F.col("_s").cast("double") / F.col("_n").cast("double")).alias(
+                "mean_raw"
+            ),
+            "iso",
+        )
+    )

@@ -1377,3 +1377,80 @@ def vector_assembly_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(arr, 2).alias("f1"),
         F.element_at(arr, 3).alias("f2"),
     )
+
+
+@register(
+    "ols_isotonic_calibration",
+    f"""
+    WITH {_OLS_SUMS_SQL.strip()},
+    pred AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS label,
+               c2.intercept + c2.slope
+                   * CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)
+                   AS prediction
+        FROM lineitem, c2
+    ),
+    d AS (
+        SELECT *, ntile(10) OVER (ORDER BY prediction, l_orderkey, l_linenumber)
+                      AS decile
+        FROM pred
+    ),
+    bins AS (
+        SELECT CAST(decile AS BIGINT) AS decile,
+               count(*)::BIGINT AS n,
+               sum(CAST(label AS DECIMAL(18,2))) AS s
+        FROM d GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, n, s,
+               CAST(sum(n) OVER w AS BIGINT) AS cn,
+               sum(s) OVER w AS cs
+        FROM bins
+        WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    intervals AS (
+        SELECT j.decile AS j, k.decile AS k,
+               CAST(k.cs - j.cs + j.s AS DOUBLE)
+               / CAST(k.cn - j.cn + j.n AS DOUBLE) AS avg_jk
+        FROM cum j JOIN cum k ON j.decile <= k.decile
+    ),
+    inner_min AS (
+        SELECT i.decile AS i, iv.j, min(iv.avg_jk) AS m
+        FROM cum i
+        JOIN intervals iv ON iv.j <= i.decile AND iv.k >= i.decile
+        GROUP BY 1, 2
+    ),
+    iso_t AS (SELECT i, max(m) AS iso FROM inner_min GROUP BY i)
+    SELECT c.decile, c.n,
+           CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) AS mean_raw,
+           iso_t.iso
+    FROM cum c JOIN iso_t ON iso_t.i = c.decile
+    """,
+)
+def ols_isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the OLS predictor's decile reliability
+    curve — the monotone-calibrator fit (Zadrozny-Elkan) via the minimax
+    closed form over the 10 prediction-ordered bins: iso(i) =
+    max_{{j<=i}} min_{{k>=i}} weightedAvg(bins j..k), PAVA's loop-free
+    equivalent. Bins are bounded, so every frame after the decile
+    aggregate is constant-size; interval averages derive from exact
+    DECIMAL/BIGINT prefix sums, one IEEE division each, and min/max over
+    identical doubles is order-free — fully hash-gated."""
+    from pyspark.sql import Window
+
+    from bicis_spark.operators.model import ols_predict_exact
+    from bicis_spark.operators.stats import isotonic_fit_bins
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    pred = ols_predict_exact(
+        lineitem, "l_quantity", "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+    w = Window.orderBy("prediction", "l_orderkey", "l_linenumber")
+    d = pred.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    bins = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("label").cast("decimal(18,2)")).alias("s"),
+    )
+    return isotonic_fit_bins(bins, "decile", "n", "s")

@@ -653,3 +653,57 @@ def test_cross_correlation_detects_planted_lead(spark):
         out[lag]["ccf"] is None or out[lag]["ccf"] < 1.0
         for lag in out if lag != -2
     )
+
+
+def test_isotonic_fit_matches_pava(spark):
+    """The minimax closed form equals a hand-rolled sequential PAVA on a
+    bin sequence with two violations; the fit is non-decreasing and
+    preserves pooled-block weighted means."""
+    from decimal import Decimal
+
+    from bicis_spark.operators.stats import isotonic_fit_bins
+
+    # (bin, n, sum): raw means 1.0, 3.0, 2.0, 2.5, 5.0, 4.0 — two dips
+    raw = [(1, 2, 2), (2, 1, 3), (3, 2, 4), (4, 2, 5), (5, 1, 5), (6, 3, 12)]
+
+    def pava(bins):
+        blocks = [[n, s] for _, n, s in bins]
+        merged = True
+        while merged:
+            merged = False
+            for i in range(len(blocks) - 1):
+                if blocks[i][1] / blocks[i][0] > blocks[i + 1][1] / blocks[i + 1][0]:
+                    blocks[i][0] += blocks[i + 1][0]
+                    blocks[i][1] += blocks[i + 1][1]
+                    del blocks[i + 1]
+                    merged = True
+                    break
+        out = []
+        for n, s in blocks:
+            out.extend([s / n] * 0 or [])
+        # expand per original bin
+        vals = []
+        for n, s in blocks:
+            fitted = s / n
+            total = 0
+            for _, bn, _ in bins[len(vals):]:
+                vals.append(fitted)
+                total += bn
+                if total >= n:
+                    break
+        return vals
+
+    expect = pava(raw)
+    df = spark.createDataFrame(
+        [(b, n, Decimal(s)) for b, n, s in raw],
+        "decile long, n long, s decimal(18,2)",
+    )
+    got = {
+        r["decile"]: r
+        for r in isotonic_fit_bins(df, "decile", "n", "s").collect()
+    }
+    fitted = [got[b]["iso"] for b, _, _ in raw]
+    assert fitted == expect
+    assert all(a <= b for a, b in zip(fitted, fitted[1:]))  # monotone
+    # pooled blocks preserve weighted means: total weighted sum preserved
+    assert sum(got[b]["iso"] * n for b, n, _ in raw) == sum(s for _, _, s in raw)
