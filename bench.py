@@ -125,6 +125,8 @@ HEADLINE = [
     "interp_purchase_rate_at_errors",  # linear-interpolation join
     "ccf_view_purchase",          # lead-lag cross-correlation screen
     "ols_isotonic_calibration",   # PAVA-equivalent monotone calibrator
+    "forecast_mase_baselines",    # scale-free forecast-eval contract
+    "haar_energy_hourly",         # multi-resolution variance location
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -202,6 +204,8 @@ _R6 = [
     "interp_purchase_rate_at_errors",
     "ccf_view_purchase",
     "ols_isotonic_calibration",
+    "forecast_mase_baselines",
+    "haar_energy_hourly",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

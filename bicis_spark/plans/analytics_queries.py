@@ -5922,3 +5922,196 @@ def ccf_view_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_correlation(
         hourly("purchase"), hourly("view"), "t", "x", max_lag=12
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast-baseline evaluation (round 6): MASE — every numerator exact
+# ---------------------------------------------------------------------------
+
+_MASE_SQL = """
+WITH series AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+           count(*)::BIGINT AS x
+    FROM events GROUP BY 1
+),
+cut AS (
+    SELECT CAST(epoch(TIMESTAMP '2024-01-24 00:00:00') AS BIGINT) // 3600
+           AS c
+),
+train AS (
+    SELECT count(*)::BIGINT AS n_train, CAST(sum(x) AS BIGINT) AS s_train
+    FROM series, cut WHERE t < c
+),
+naive AS (
+    SELECT a.t, a.x, b.x AS x_lag
+    FROM series a JOIN series b ON b.t = a.t - 24
+    CROSS JOIN cut WHERE a.t >= c
+),
+test_mean AS (
+    SELECT count(*)::BIGINT AS n_test_mean,
+           CAST(sum(abs(tr.n_train * s.x - tr.s_train)) AS BIGINT)
+               AS mean_err_scaled
+    FROM series s CROSS JOIN cut CROSS JOIN train tr WHERE s.t >= c
+),
+test_naive AS (
+    SELECT count(*)::BIGINT AS n_test_naive,
+           CAST(sum(abs(x - x_lag)) AS BIGINT) AS naive_err
+    FROM naive
+)
+SELECT tr.n_train, tr.s_train,
+       tm.n_test_mean, tm.mean_err_scaled,
+       tn.n_test_naive, tn.naive_err,
+       CAST(tm.mean_err_scaled AS DOUBLE)
+           / (CAST(tr.n_train AS DOUBLE) * CAST(tm.n_test_mean AS DOUBLE))
+           AS mae_mean,
+       CAST(tn.naive_err AS DOUBLE) / CAST(tn.n_test_naive AS DOUBLE)
+           AS mae_naive,
+       (CAST(tm.mean_err_scaled AS DOUBLE)
+        / (CAST(tr.n_train AS DOUBLE) * CAST(tm.n_test_mean AS DOUBLE)))
+       / (CAST(tn.naive_err AS DOUBLE) / CAST(tn.n_test_naive AS DOUBLE))
+           AS mase_mean_vs_naive
+FROM train tr CROSS JOIN test_mean tm CROSS JOIN test_naive tn
+"""
+
+
+@register("forecast_mase_baselines", _MASE_SQL)
+def forecast_mase_baselines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation contract: MASE of the train-mean forecaster
+    against the seasonal-naive (lag-24) baseline over a fixed time split
+    of the hourly series — the Hyndman-Koehler scale-free metric every
+    forecasting bake-off reports (MASE > 1 ⇒ the model loses to naive).
+    The mean-forecast error stays integer through the n·y − S scaling
+    trick (no float mean enters the sum); the naive errors are integer
+    differences via the same shifted-key join as the ACF screen. One
+    fixed float tree at the end. Scale: everything after the hourly
+    aggregate is dimension-bounded."""
+    events = read_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+        .cast("long")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    cut = (
+        F.unix_timestamp(F.lit("2024-01-24 00:00:00").cast("timestamp"))
+        / F.lit(3600)
+    ).cast("long")
+    series = series.withColumn("c", cut)
+    train = series.where(F.col("t") < F.col("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum("x").cast("long").alias("s_train"),
+    )
+    lagged = series.select(
+        (F.col("t") + 24).alias("t"), F.col("x").alias("x_lag")
+    )
+    naive = (
+        series.where(F.col("t") >= F.col("c"))
+        .join(lagged, "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_naive"),
+            F.sum(F.abs(F.col("x") - F.col("x_lag")))
+            .cast("long")
+            .alias("naive_err"),
+        )
+    )
+    test_mean = (
+        series.where(F.col("t") >= F.col("c"))
+        .crossJoin(F.broadcast(train))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_mean"),
+            F.sum(
+                F.abs(F.col("n_train") * F.col("x") - F.col("s_train"))
+            )
+            .cast("long")
+            .alias("mean_err_scaled"),
+        )
+    )
+    j = (
+        train.crossJoin(F.broadcast(test_mean))
+        .crossJoin(F.broadcast(naive))
+    )
+    mae_mean = F.col("mean_err_scaled").cast("double") / (
+        F.col("n_train").cast("double") * F.col("n_test_mean").cast("double")
+    )
+    mae_naive = (
+        F.col("naive_err").cast("double")
+        / F.col("n_test_naive").cast("double")
+    )
+    return j.select(
+        "n_train",
+        "s_train",
+        "n_test_mean",
+        "mean_err_scaled",
+        "n_test_naive",
+        "naive_err",
+        mae_mean.alias("mae_mean"),
+        mae_naive.alias("mae_naive"),
+        (mae_mean / mae_naive).alias("mase_mean_vs_naive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy (round 6): which timescale owns the variance?
+# ---------------------------------------------------------------------------
+
+_HAAR_SQL = """
+WITH series AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+           count(*)::BIGINT AS x
+    FROM events GROUP BY 1
+),
+l0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY t) - 1 AS BIGINT) AS i,
+           x AS v
+    FROM series
+),
+p1 AS (
+    SELECT i // 2 AS j, count(*)::BIGINT AS c,
+           CAST(sum(v) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+    FROM l0 GROUP BY 1
+),
+l1 AS (SELECT j AS i, a AS v FROM p1 WHERE c = 2),
+p2 AS (
+    SELECT i // 2 AS j, count(*)::BIGINT AS c,
+           CAST(sum(v) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+    FROM l1 GROUP BY 1
+),
+l2 AS (SELECT j AS i, a AS v FROM p2 WHERE c = 2),
+p3 AS (
+    SELECT i // 2 AS j, count(*)::BIGINT AS c,
+           CAST(sum(v) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+    FROM l2 GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS level, count(*)::BIGINT AS n_pairs,
+       CAST(sum(d * d) AS BIGINT) AS energy_detail,
+       CAST(sum(a * a) AS BIGINT) AS energy_approx
+FROM p1 WHERE c = 2
+UNION ALL
+SELECT CAST(2 AS BIGINT), count(*)::BIGINT,
+       CAST(sum(d * d) AS BIGINT), CAST(sum(a * a) AS BIGINT)
+FROM p2 WHERE c = 2
+UNION ALL
+SELECT CAST(3 AS BIGINT), count(*)::BIGINT,
+       CAST(sum(d * d) AS BIGINT), CAST(sum(a * a) AS BIGINT)
+FROM p3 WHERE c = 2
+"""
+
+
+@register("haar_energy_hourly", _HAAR_SQL)
+def haar_energy_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level unnormalized Haar energy decomposition of the hourly count
+    series: per level, the exact BIGINT detail/approximation energies —
+    which timescale (1h jitter vs 8h regimes) owns the variance. The
+    integer-closed transform needs no floats at all; each level is one
+    hash aggregate on the pair index over the dimension-bounded series."""
+    from bicis_spark.operators.timeseries import haar_energy
+
+    events = read_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+        .cast("long")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return haar_energy(series, "t", "x", levels=3)

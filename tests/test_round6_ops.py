@@ -707,3 +707,44 @@ def test_isotonic_fit_matches_pava(spark):
     assert all(a <= b for a, b in zip(fitted, fitted[1:]))  # monotone
     # pooled blocks preserve weighted means: total weighted sum preserved
     assert sum(got[b]["iso"] * n for b, n, _ in raw) == sum(s for _, _, s in raw)
+
+
+def test_haar_energy_matches_pywavelet_free_reference(spark):
+    """3-level unnormalized Haar on a hand series equals a pure-Python
+    recursive transform, including dyadic truncation of odd tails; a
+    constant series has zero detail energy at every level."""
+    from bicis_spark.operators.timeseries import haar_energy
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]  # length 11: tails drop
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, x long")
+    got = {r["level"]: r for r in haar_energy(df, "t", "x", levels=3).collect()}
+
+    cur = xs
+    for lvl in (1, 2, 3):
+        pairs = [(cur[2 * j], cur[2 * j + 1]) for j in range(len(cur) // 2)]
+        a = [p + q for p, q in pairs]
+        d = [p - q for p, q in pairs]
+        r = got[lvl]
+        assert r["n_pairs"] == len(pairs)
+        assert r["energy_detail"] == sum(v * v for v in d)
+        assert r["energy_approx"] == sum(v * v for v in a)
+        cur = a
+
+    const = spark.createDataFrame([(t, 7) for t in range(8)], "t long, x long")
+    for r in haar_energy(const, "t", "x", levels=3).collect():
+        assert r["energy_detail"] == 0 and r["n_pairs"] == 8 >> r["level"]
+
+
+def test_forecast_mase_identities(spark, sf_dir):
+    """The emitted MASE reproduces exactly from its own integer
+    numerators, and a perfectly seasonal series would give naive_err 0 —
+    sanity: on real data naive_err > 0 and all counts positive."""
+    from bicis_spark.plans.analytics_queries import forecast_mase_baselines_q
+
+    r = forecast_mase_baselines_q(spark, sf_dir).collect()[0]
+    assert r["n_train"] > 0 and r["n_test_naive"] > 0 and r["naive_err"] > 0
+    mae_mean = r["mean_err_scaled"] / (float(r["n_train"]) * r["n_test_mean"])
+    mae_naive = r["naive_err"] / float(r["n_test_naive"])
+    assert r["mae_mean"] == mae_mean
+    assert r["mae_naive"] == mae_naive
+    assert r["mase_mean_vs_naive"] == mae_mean / mae_naive
