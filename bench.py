@@ -128,6 +128,7 @@ HEADLINE = [
     "forecast_mase_baselines",    # scale-free forecast-eval contract
     "haar_energy_hourly",         # multi-resolution variance location
     "join_size_by_key_stats",     # CBO sizing identity, join-free plan
+    "ecdf_dkw_bands_totalprice",  # distribution-free CDF bands
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -208,6 +209,7 @@ _R6 = [
     "forecast_mase_baselines",
     "haar_energy_hourly",
     "join_size_by_key_stats",
+    "ecdf_dkw_bands_totalprice",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

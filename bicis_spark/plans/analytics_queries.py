@@ -6204,3 +6204,106 @@ def join_size_by_key_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = df.select(F.lit(name).alias("pair"), "join_size")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DKW confidence bands (round 6): distribution-free ECDF uncertainty —
+# engine = one integer histogram + cumsum; oracle = direct per-probe counts
+# ---------------------------------------------------------------------------
+
+# ln(2/alpha) for alpha = 0.05, as the exact CPython-libm double literal;
+# repr() round-trips and DuckDB's strtod is correctly rounded, so both
+# engines read the identical IEEE value.
+_DKW_LN_2_OVER_ALPHA = "3.6888794541139363"
+
+_DKW_SQL = f"""
+WITH cents AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+),
+bounds AS (
+    SELECT min(x) AS lo, max(x) AS hi, count(*)::BIGINT AS n FROM cents
+),
+probes AS (
+    SELECT CAST(range AS BIGINT) AS j,
+           b.lo + CAST(range AS BIGINT) * (b.hi - b.lo) // 10 AS v,
+           b.lo, b.hi, b.n
+    FROM range(1, 10), bounds b
+),
+counts AS (
+    SELECT p.j, p.v, p.n,
+           (SELECT count(*)::BIGINT FROM cents c
+            WHERE (c.x - p.lo) * 10 <= p.j * (p.hi - p.lo)) AS n_le
+    FROM probes p
+)
+SELECT j AS probe, v AS probe_cents, n_le, n,
+       CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE) AS ecdf,
+       sqrt({_DKW_LN_2_OVER_ALPHA} / (2.0 * CAST(n AS DOUBLE))) AS dkw_eps,
+       greatest(0.0, CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE)
+                - sqrt({_DKW_LN_2_OVER_ALPHA} / (2.0 * CAST(n AS DOUBLE))))
+           AS lo_band,
+       least(1.0, CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE)
+                + sqrt({_DKW_LN_2_OVER_ALPHA} / (2.0 * CAST(n AS DOUBLE))))
+           AS hi_band
+FROM counts
+"""
+
+
+@register("ecdf_dkw_bands_totalprice", _DKW_SQL)
+def ecdf_dkw_bands_totalprice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free ECDF confidence bands at 9 equi-width value
+    probes over order totals — the Dvoretzky-Kiefer-Wolfowitz envelope
+    (sup-norm band ε = √(ln(2/α)/2n), α=0.05) that bounds the TRUE CDF
+    with no distributional assumption; the nonparametric companion to
+    the bootstrap CI. The ENGINE never rescans per probe: one integer
+    ceil-bucket histogram + a 10-row cumulative sum gives every
+    n_le(probe) (the boundary x·10 = j·(hi−lo) cases land inclusively
+    by the ceil identity); the ORACLE counts each probe directly from
+    the definition — MATCH proves the bucketing. ln(2/α) rides as the
+    shared exact libm double literal; bands are fixed float trees."""
+    import math
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
+    )
+    b = cents.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).first()
+    lo, hi, n = b["lo"], b["hi"], b["n"]
+    den = hi - lo
+    # ceil((x-lo)*10 / den): key k means x <= probe j for all j >= k
+    key = F.floor(
+        ((F.col("x") - F.lit(lo)) * 10 + F.lit(den - 1)) / F.lit(den)
+    ).cast("long")
+    hist = cents.groupBy(key.alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("k", F.sum("c").over(w).cast("long").alias("n_le"))
+    probes = cents.sparkSession.range(1, 10).select(
+        F.col("id").cast("long").alias("probe")
+    )
+    # n_le(probe) = cum at the largest k <= probe present in the histogram
+    joined = (
+        probes.join(F.broadcast(cum), F.col("k") <= F.col("probe"), "left")
+        .groupBy("probe")
+        .agg(F.max(F.struct("k", "n_le"))["n_le"].alias("n_le"))
+        .select("probe", F.coalesce("n_le", F.lit(0)).cast("long").alias("n_le"))
+    )
+    ln_term = float(math.log(40.0))
+    n_d = F.lit(float(n))
+    ecdf = F.col("n_le").cast("double") / n_d
+    eps = F.sqrt(F.lit(ln_term) / (F.lit(2.0) * n_d))
+    return joined.select(
+        "probe",
+        (F.lit(lo) + F.expr(f"probe * CAST({den} AS BIGINT) div 10"))
+        .cast("long")
+        .alias("probe_cents"),
+        "n_le",
+        F.lit(n).cast("long").alias("n"),
+        ecdf.alias("ecdf"),
+        eps.alias("dkw_eps"),
+        F.greatest(F.lit(0.0), ecdf - eps).alias("lo_band"),
+        F.least(F.lit(1.0), ecdf + eps).alias("hi_band"),
+    )

@@ -770,3 +770,34 @@ def test_join_size_identity_no_join_in_plan(spark, sf_dir):
         p.join(p.withColumnRenamed("user_id", "u2"),
                F.col("user_id") == F.col("u2")).count()
     )
+
+
+def test_dkw_bands_match_direct_counting(spark, sf_dir):
+    """The histogram+cumsum n_le equals a direct per-probe filter count
+    (including the boundary-inclusive ceil identity), the band width is
+    sqrt(ln40/2n), and bands clamp to [0, 1]."""
+    import math
+
+    from bicis_spark.plans.analytics_queries import (
+        ecdf_dkw_bands_totalprice_q,
+    )
+
+    rows = {r["probe"]: r
+            for r in ecdf_dkw_bands_totalprice_q(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 10))
+
+    cents = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("x"))
+    )
+    b = cents.agg(F.min("x"), F.max("x"), F.count("x")).first()
+    lo, hi, n = b
+    for j, r in rows.items():
+        direct = cents.where((F.col("x") - lo) * 10 <= j * (hi - lo)).count()
+        assert r["n_le"] == direct, j
+        assert r["n"] == n
+        assert r["ecdf"] == direct / float(n)
+        assert r["dkw_eps"] == math.sqrt(math.log(40.0) / (2.0 * n))
+        assert 0.0 <= r["lo_band"] <= r["ecdf"] <= r["hi_band"] <= 1.0
+    ecdfs = [rows[j]["ecdf"] for j in range(1, 10)]
+    assert all(a <= b2 for a, b2 in zip(ecdfs, ecdfs[1:]))  # monotone CDF
