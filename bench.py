@@ -129,6 +129,7 @@ HEADLINE = [
     "haar_energy_hourly",         # multi-resolution variance location
     "join_size_by_key_stats",     # CBO sizing identity, join-free plan
     "ecdf_dkw_bands_totalprice",  # distribution-free CDF bands
+    "mann_whitney_ab_spend",      # histogram-rank nonparametric A/B test
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -210,6 +211,7 @@ _R6 = [
     "haar_energy_hourly",
     "join_size_by_key_stats",
     "ecdf_dkw_bands_totalprice",
+    "mann_whitney_ab_spend",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

@@ -6307,3 +6307,126 @@ def ecdf_dkw_bands_totalprice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.lit(0.0), ecdf - eps).alias("lo_band"),
         F.least(F.lit(1.0), ecdf + eps).alias("hi_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (round 6): the nonparametric A/B companion to the Welch
+# z-test — rank sums from the VALUE HISTOGRAM, never a per-row ranking
+# ---------------------------------------------------------------------------
+
+_MWU_SQL = """
+WITH spend AS (
+    SELECT o_custkey,
+           CASE WHEN ascii(substring(md5(o_custkey || ':ab'), 1, 1)) % 2 = 0
+                THEN 'A' ELSE 'B' END AS arm,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS x
+    FROM orders GROUP BY 1, 2
+),
+hist AS (
+    SELECT x,
+           count(*)::BIGINT AS c,
+           CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a
+    FROM spend GROUP BY x
+),
+cum AS (
+    SELECT x, c, a,
+           CAST(coalesce(sum(c) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS before
+    FROM hist
+),
+agg AS (
+    SELECT CAST(sum(a) AS BIGINT) AS n_a,
+           CAST(sum(c - a) AS BIGINT) AS n_b,
+           CAST(sum(a * (2 * before + c + 1)) AS BIGINT) AS rank_sum_2x_a,
+           CAST(sum(c * c * c - c) AS BIGINT) AS tie_term
+    FROM cum
+)
+SELECT n_a, n_b, rank_sum_2x_a, tie_term,
+       rank_sum_2x_a - n_a * (n_a + 1) AS u2_a,
+       1.0 - CAST(rank_sum_2x_a - n_a * (n_a + 1) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS rank_biserial,
+       ((CAST(rank_sum_2x_a - n_a * (n_a + 1) AS DOUBLE)
+         - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0)
+       / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+              * (CAST(n_a + n_b + 1 AS DOUBLE)
+                 - CAST(tie_term AS DOUBLE)
+                   / (CAST(n_a + n_b AS DOUBLE)
+                      * CAST(n_a + n_b - 1 AS DOUBLE)))) AS z
+FROM agg
+"""
+
+
+@register("mann_whitney_ab_spend", _MWU_SQL)
+def mann_whitney_ab_spend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test on per-customer spend between the same
+    deterministic md5 A/B arms as `ab_spend_ztest` — the nonparametric
+    companion (detects distributional shift the mean-based z-test
+    misses; immune to the heavy tail). NO per-row ranking: midranks come
+    from the VALUE HISTOGRAM — midrank·2 = 2·(count below) + ties + 1,
+    an integer — so the rank sum is one cumsum over distinct spend
+    values plus one aggregate, and every statistic (doubled rank sum,
+    doubled U, the t³−t tie correction) is an exact BIGINT. The
+    tie-corrected normal approximation z is one fixed float tree. At
+    extreme scale the distinct-value cumsum swaps for the two-pass
+    bucketed rank (the weighted-quantiles machinery), same outputs."""
+    orders = read_table(spark, sf_dir, "orders")
+    arm = F.when(
+        F.ascii(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_custkey"), F.lit("ab"))), 1, 1
+            )
+        )
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    spend = orders.groupBy(F.col("o_custkey"), arm.alias("arm")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("x")
+    )
+    hist = spend.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "x",
+        "c",
+        "a",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("before"),
+    )
+    agg = cum.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("a")).cast("long").alias("n_b"),
+        F.sum(F.col("a") * (2 * F.col("before") + F.col("c") + 1))
+        .cast("long")
+        .alias("rank_sum_2x_a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    u2 = F.col("rank_sum_2x_a") - na * (na + 1)
+    na_d, nb_d = na.cast("double"), nb.cast("double")
+    u2_d = u2.cast("double")
+    n1_d = (na + nb + 1).cast("double")
+    n_d = (na + nb).cast("double")
+    nm1_d = (na + nb - 1).cast("double")
+    tie_d = F.col("tie_term").cast("double")
+    z = ((u2_d - na_d * nb_d) / F.lit(2.0)) / F.sqrt(
+        (na_d * nb_d / F.lit(12.0)) * (n1_d - tie_d / (n_d * nm1_d))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "rank_sum_2x_a",
+        "tie_term",
+        u2.alias("u2_a"),
+        (F.lit(1.0) - u2_d / (na_d * nb_d)).alias("rank_biserial"),
+        z.alias("z"),
+    )

@@ -801,3 +801,54 @@ def test_dkw_bands_match_direct_counting(spark, sf_dir):
         assert 0.0 <= r["lo_band"] <= r["ecdf"] <= r["hi_band"] <= 1.0
     ecdfs = [rows[j]["ecdf"] for j in range(1, 10)]
     assert all(a <= b2 for a, b2 in zip(ecdfs, ecdfs[1:]))  # monotone CDF
+
+
+def test_mann_whitney_histogram_ranks_match_naive(spark, sf_dir):
+    """The histogram-derived doubled rank sum equals a naive midrank
+    computation over the same per-customer spends (with ties), and the
+    emitted U/effect/z reproduce from the integer statistics."""
+    import math
+
+    from bicis_spark.plans.analytics_queries import mann_whitney_ab_spend_q
+
+    r = mann_whitney_ab_spend_q(spark, sf_dir).collect()[0]
+
+    spends = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            "o_custkey",
+            F.when(
+                F.ascii(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("o_custkey"), F.lit("ab"))),
+                        1, 1,
+                    )
+                ) % 2 == 0, "A",
+            ).otherwise("B").alias("arm"),
+        )
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("long").alias("x"))
+        .collect()
+    )
+    vals = sorted((row["x"], row["arm"]) for row in spends)
+    # naive midranks (1-based, average over ties), doubled to stay integer
+    from collections import Counter
+    cnt = Counter(v for v, _ in vals)
+    before, rank2 = 0, {}
+    for v in sorted(cnt):
+        rank2[v] = 2 * before + cnt[v] + 1
+        before += cnt[v]
+    rs2 = sum(rank2[v] for v, arm in vals if arm == "A")
+    n_a = sum(1 for _, arm in vals if arm == "A")
+    n_b = len(vals) - n_a
+    assert (r["n_a"], r["n_b"], r["rank_sum_2x_a"]) == (n_a, n_b, rs2)
+    u2 = rs2 - n_a * (n_a + 1)
+    assert r["u2_a"] == u2
+    assert r["rank_biserial"] == 1.0 - u2 / (float(n_a) * float(n_b))
+    tie = sum(c ** 3 - c for c in cnt.values())
+    assert r["tie_term"] == tie
+    n = n_a + n_b
+    sig2 = (float(n_a) * float(n_b) / 12.0) * (
+        float(n + 1) - float(tie) / (float(n) * float(n - 1)))
+    assert abs(r["z"] - ((u2 - float(n_a) * float(n_b)) / 2.0) / math.sqrt(sig2)) < 1e-12
+    assert abs(r["z"]) < 6  # a null split must not scream
