@@ -1,6 +1,11 @@
 """Round-6 operator unit tests: int8 scalar quantization edge cases, the
-Morton interleave against a Python bit-twiddling reference, and the
-one-IRLS-step GLM surface living in test_ols.py."""
+Morton interleave against a Python bit-twiddling reference, the
+one-IRLS-step GLM surface living in test_ols.py, and the late-round-6
+batch — chi-square cells, activity streaks, ACF/CCF, corpus KL
+divergence, l-diversity, change-point, clustering coefficient, k-core
+peel, interpolation join, isotonic-vs-PAVA, Haar energy, MASE, the
+join-size identity, DKW bands, and histogram-rank Mann-Whitney — each
+replayed against a pure-Python reference."""
 
 from __future__ import annotations
 
