@@ -130,6 +130,9 @@ HEADLINE = [
     "join_size_by_key_stats",     # CBO sizing identity, join-free plan
     "ecdf_dkw_bands_totalprice",  # distribution-free CDF bands
     "mann_whitney_ab_spend",      # histogram-rank nonparametric A/B test
+    "event_type_runs",            # value-change run-length encoding
+    "sorted_neighborhood_pairs",  # sliding-window linkage blocking
+    "shortest_path_copurchase",   # fixed-round weighted Bellman-Ford
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -212,6 +215,9 @@ _R6 = [
     "join_size_by_key_stats",
     "ecdf_dkw_bands_totalprice",
     "mann_whitney_ab_spend",
+    "event_type_runs",
+    "sorted_neighborhood_pairs",
+    "shortest_path_copurchase",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

@@ -6430,3 +6430,247 @@ def mann_whitney_ab_spend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) - u2_d / (na_d * nb_d)).alias("rank_biserial"),
         z.alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Run-length encoding of per-user event-type sequences (round 6): the
+# state-change compression primitive (gaps-and-islands on VALUE changes)
+# ---------------------------------------------------------------------------
+
+_RLE_SQL = """
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_id
+    FROM seq
+)
+SELECT user_id, run_id, event_type,
+       count(*)::BIGINT AS run_len,
+       min(ts) AS run_start,
+       max(ts) AS run_end,
+       CAST(min(event_id) AS BIGINT) AS first_event_id
+FROM runs GROUP BY user_id, run_id, event_type
+"""
+
+
+@register("event_type_runs", _RLE_SQL)
+def event_type_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event-type sequence: collapse
+    consecutive repeats into (run, length, span) rows — the state-change
+    compression primitive behind SCD-style storage and behavioral
+    pattern mining (a user emitting 40 consecutive errors is one fact,
+    not 40). Gaps-and-islands on VALUE change (lag ≠ current ⇒ run
+    start; running sum of starts ⇒ run id) — the value-change twin of
+    `user_activity_streaks`' calendar islands. Two per-user windows
+    share one exchange; the aggregate collapses to runs, so output
+    is bounded by state CHANGES, not events. Total order (ts, event_id)
+    makes run boundaries deterministic; NULL-safe comparison keeps a
+    leading NULL type in its own run."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    runs = seq.withColumn(
+        "run_id", F.sum("is_start").over(wc).cast("long")
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("ts").alias("run_start"),
+        F.max("ts").alias("run_end"),
+        F.min("event_id").cast("long").alias("first_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (round 6): the sliding-window candidate
+# generator for record linkage — engine = one window of leads, oracle =
+# rank self-join (independent formulation of the same definition)
+# ---------------------------------------------------------------------------
+
+_SNM_SQL = """
+WITH c AS (
+    SELECT c_custkey, c_name, substring(c_name, 1, 10) AS blk
+    FROM customer
+),
+ranked AS (
+    SELECT c_custkey, c_name, blk,
+           CAST(row_number() OVER (PARTITION BY blk
+                ORDER BY c_name, c_custkey) AS BIGINT) AS rk
+    FROM c
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(b.rk - a.rk AS BIGINT) AS neighbor_dist,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev,
+       levenshtein(a.c_name, b.c_name) <= 2 AS is_match
+FROM ranked a
+JOIN ranked b ON b.blk = a.blk AND b.rk - a.rk BETWEEN 1 AND 3
+"""
+
+
+@register("sorted_neighborhood_pairs", _SNM_SQL)
+def sorted_neighborhood_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández-Stolfo): sort
+    records within a blocking prefix, compare each record only against
+    its next w=3 neighbors in sort order — the linear-candidate
+    alternative to the Fellegi-Sunter equi-blocks of
+    `record_linkage_customers` (catches near-misses that share a sort
+    prefix but land in different attribute blocks). The ENGINE generates
+    neighbors with ONE window pass of lead(1..3) (no self-join — the
+    plan's only exchange is the block-partitioned sort); the ORACLE
+    formulates the same definition as a rank self-join. Blocked-SN
+    keeps the window per-prefix and bounded (the method's standard
+    boundary tradeoff, explicit here); candidates are 3n rows, exact
+    Levenshtein verifies."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 10).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
+    # window exprs are not allowed inside a generator: compute the lead
+    # columns first, THEN explode the assembled array
+    with_leads = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        *[
+            c
+            for d in (1, 2, 3)
+            for c in (
+                F.lead("c_custkey", d).over(w).alias(f"id_{d}"),
+                F.lead("c_name", d).over(w).alias(f"name_{d}"),
+            )
+        ],
+    )
+    leads = with_leads.select(
+        "id_a",
+        "name_a",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"id_{d}").alias("id_b"),
+                        F.col(f"name_{d}").alias("name_b"),
+                    )
+                    for d in (1, 2, 3)
+                ]
+            )
+        ).alias("pos", "nb"),
+    )
+    out = leads.where(F.col("nb.id_b").isNotNull()).select(
+        "id_a",
+        F.col("nb.id_b").alias("id_b"),
+        (F.col("pos") + 1).cast("long").alias("neighbor_dist"),
+        F.levenshtein(F.col("name_a"), F.col("nb.name_b"))
+        .cast("long")
+        .alias("lev"),
+        (F.levenshtein(F.col("name_a"), F.col("nb.name_b")) <= 2).alias(
+            "is_match"
+        ),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (round 6): fixed-round Bellman-Ford over the
+# price-weighted co-purchase graph — the weighted twin of the BFS hops
+# ---------------------------------------------------------------------------
+
+
+def _bellman_sql(rounds: int) -> str:
+    ctes = [
+        """pw AS (
+    SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+           CAST(min(abs(CAST(round(l1.l_extendedprice * 100) AS BIGINT)
+                        - CAST(round(l2.l_extendedprice * 100) AS BIGINT)))
+                AS BIGINT) AS w
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    GROUP BY 1, 2
+)""",
+        "esym AS (SELECT a AS u, b AS v, w FROM pw"
+        " UNION ALL SELECT b, a, w FROM pw)",
+        "seed AS (SELECT min(l_partkey) AS v FROM lineitem)",
+        "d0 AS (SELECT v, CAST(0 AS BIGINT) AS d FROM seed)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"d{r - 1}"
+        ctes.append(
+            f"d{r} AS (SELECT v, CAST(min(d) AS BIGINT) AS d FROM ("
+            f"SELECT v, d FROM {prev} "
+            f"UNION ALL "
+            f"SELECT e.v, {prev}.d + e.w AS d FROM {prev} "
+            f"JOIN esym e ON e.u = {prev}.v"
+            f") GROUP BY v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS vertex, d AS dist FROM d{rounds}"
+    )
+
+
+@register("shortest_path_copurchase", _bellman_sql(4))
+def shortest_path_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round (4) Bellman-Ford shortest paths from the smallest part
+    key over the co-purchase graph weighted by minimum co-order price
+    difference in cents — the weighted generalization of
+    `bfs_part_supplier_hops` (unit weights make it min-hops). Exact
+    integer distances; the oracle unrolls the identical relaxation
+    rounds as chained CTEs, so MATCH pins every round's min-relax
+    semantics. Per-round eager checkpoint keeps lineage flat (the
+    kcore_peel discipline)."""
+    from bicis_spark.operators.graph import bellman_ford_rounds
+
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"),
+        F.col("l_partkey").alias("p2"),
+        F.col("l_extendedprice").alias("e2"),
+    )
+    pw = (
+        li.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("a"), F.col("p2").alias("b")
+        )
+        .agg(
+            F.min(
+                F.abs(
+                    cents("l_extendedprice") - F.round(F.col("e2") * 100).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("w")
+        )
+    )
+    esym = pw.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionByName(
+        pw.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    seed = li.agg(F.min("l_partkey").alias("v"))
+    return bellman_ford_rounds(esym, seed, "u", "v", "w", rounds=4)

@@ -857,3 +857,85 @@ def test_mann_whitney_histogram_ranks_match_naive(spark, sf_dir):
         float(n + 1) - float(tie) / (float(n) * float(n - 1)))
     assert abs(r["z"] - ((u2 - float(n_a) * float(n_b)) / 2.0) / math.sqrt(sig2)) < 1e-12
     assert abs(r["z"]) < 6  # a null split must not scream
+
+
+def test_event_type_runs_collapses_and_splits(spark):
+    """Hand sequence a a b a: three runs with correct spans; a repeated
+    value after a gap starts a NEW run (value change, not time)."""
+    from bicis_spark.plans.analytics_queries import event_type_runs_q
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:05",
+            "2024-01-01 10:10", "2024-01-01 10:15"]),
+        "user_id": [7, 7, 7, 7],
+        "event_type": ["a", "a", "b", "a"],
+        "value": [1.0] * 4,
+        "props": ["{}"] * 4,
+    })
+    import os
+    import tempfile
+    d = tempfile.mkdtemp()
+    # match the driver layout: MICROS, not Spark's INT96 writer default
+    prior = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet"))
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+    rows = sorted(
+        event_type_runs_q(spark, d).collect(), key=lambda r: r["run_id"]
+    )
+    assert [(r["event_type"], r["run_len"]) for r in rows] == [
+        ("a", 2), ("b", 1), ("a", 1)]
+    assert rows[0]["first_event_id"] == 1 and rows[2]["first_event_id"] == 4
+
+
+def test_sorted_neighborhood_window_semantics(spark, sf_dir):
+    """Every emitted pair is within w=3 in the per-prefix sort order, and
+    the candidate count equals sum over blocks of max(0, n_b - d) per
+    distance d."""
+    from collections import Counter
+
+    from bicis_spark.plans.analytics_queries import sorted_neighborhood_pairs_q
+
+    rows = sorted_neighborhood_pairs_q(spark, sf_dir).collect()
+    assert rows and all(1 <= r["neighbor_dist"] <= 3 for r in rows)
+    names = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_name").collect()
+    )
+    blocks = Counter(r["c_name"][:10] for r in names)
+    expect = sum(
+        max(0, n - d) for n in blocks.values() for d in (1, 2, 3))
+    assert len(rows) == expect
+    for r in rows:
+        assert (r["lev"] <= 2) == r["is_match"]
+
+
+def test_bellman_ford_matches_networkx_free_dijkstra(spark):
+    """On a hand graph with a tempting-but-worse direct edge, the 4-round
+    relaxation finds the cheaper 2-hop route; unreachable vertices get no
+    row; a vertex exactly rounds+1 hops away keeps its partial-path cost
+    semantics (documented fixed-round contract)."""
+    from bicis_spark.operators.graph import bellman_ford_rounds
+
+    edges = [
+        (1, 2, 10), (2, 1, 10),
+        (1, 3, 100), (3, 1, 100),   # direct but expensive
+        (2, 3, 10), (3, 2, 10),     # 1-2-3 costs 20 < 100
+        (3, 4, 1), (4, 3, 1),
+        (9, 10, 1), (10, 9, 1),     # disconnected component
+    ]
+    e = spark.createDataFrame(edges, "u long, v long, w long")
+    seeds = spark.createDataFrame([(1,)], "v long")
+    out = {r["vertex"]: r["dist"]
+           for r in bellman_ford_rounds(e, seeds, "u", "v", "w", rounds=4).collect()}
+    assert out == {1: 0, 2: 10, 3: 20, 4: 21}
+    assert 9 not in out and 10 not in out
