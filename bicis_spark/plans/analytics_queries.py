@@ -6674,3 +6674,109 @@ def shortest_path_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed = li.agg(F.min("l_partkey").alias("v"))
     return bellman_ford_rounds(esym, seed, "u", "v", "w", rounds=4)
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (round 6): cumulative revenue per cohort-age — the
+# monetization companion to the retention matrix
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = """
+WITH first AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_bucket
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+rev AS (
+    SELECT e.user_id, date_trunc('week', e.ts) AS wk,
+           CAST(round(e.value * 100) AS BIGINT) AS cents
+    FROM events e WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+),
+j AS (
+    SELECT f.cohort_bucket,
+           (date_diff('day', f.cohort_bucket, r.wk) / 7)::BIGINT AS age_weeks,
+           r.user_id, r.cents
+    FROM rev r JOIN first f ON r.user_id = f.user_id
+    WHERE r.wk >= f.cohort_bucket
+),
+cell AS (
+    SELECT cohort_bucket, age_weeks,
+           count(DISTINCT user_id)::BIGINT AS n_paying,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM j GROUP BY 1, 2
+),
+sz AS (
+    SELECT cohort_bucket, count(*)::BIGINT AS n_cohort
+    FROM first GROUP BY cohort_bucket
+)
+SELECT c.cohort_bucket, c.age_weeks, c.n_paying, c.revenue_cents,
+       s.n_cohort,
+       CAST(sum(c.revenue_cents) OVER (PARTITION BY c.cohort_bucket
+            ORDER BY c.age_weeks ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents,
+       CAST(sum(c.revenue_cents) OVER (PARTITION BY c.cohort_bucket
+            ORDER BY c.age_weeks ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS DOUBLE)
+       / (100.0 * CAST(s.n_cohort AS DOUBLE)) AS ltv_per_user
+FROM cell c JOIN sz s ON s.cohort_bucket = c.cohort_bucket
+"""
+
+
+@register("cohort_ltv_curve", _LTV_SQL)
+def cohort_ltv_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    signup-week cohort by weeks-since-signup, per-user-normalized — the
+    monetization companion to `cohort_retention_weekly` (retention says
+    who comes back; LTV says what they're worth by age). Revenue stays
+    in integer cents; the cumulative sum runs over the (cohort × age)
+    matrix — a dimension-bounded frame — never over raw purchases, and
+    the per-user LTV is one fixed float tree."""
+    events = read_table(spark, sf_dir, "events")
+    first = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_bucket"))
+    )
+    rev = events.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = rev.join(first, "user_id").where(
+        F.col("wk") >= F.col("cohort_bucket")
+    ).select(
+        "cohort_bucket",
+        (F.datediff(F.col("wk"), F.col("cohort_bucket")) / 7)
+        .cast("long")
+        .alias("age_weeks"),
+        "user_id",
+        "cents",
+    )
+    cell = j.groupBy("cohort_bucket", "age_weeks").agg(
+        F.countDistinct("user_id").cast("long").alias("n_paying"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    sz = first.groupBy("cohort_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    w = (
+        Window.partitionBy("cohort_bucket")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = cell.join(F.broadcast(sz), "cohort_bucket").select(
+        "cohort_bucket",
+        "age_weeks",
+        "n_paying",
+        "revenue_cents",
+        "n_cohort",
+        F.sum("revenue_cents").over(w).cast("long").alias(
+            "cum_revenue_cents"
+        ),
+        (
+            F.sum("revenue_cents").over(w).cast("double")
+            / (F.lit(100.0) * F.col("n_cohort").cast("double"))
+        ).alias("ltv_per_user"),
+    )
+    return out

@@ -939,3 +939,28 @@ def test_bellman_ford_matches_networkx_free_dijkstra(spark):
            for r in bellman_ford_rounds(e, seeds, "u", "v", "w", rounds=4).collect()}
     assert out == {1: 0, 2: 10, 3: 20, 4: 21}
     assert 9 not in out and 10 not in out
+
+
+def test_cohort_ltv_cumulative_identities(spark, sf_dir):
+    """Per cohort: cum_revenue reconstructs from the sorted per-age
+    revenues, ltv_per_user = cum / (100 * n_cohort), and the curve is
+    non-decreasing in age."""
+    from collections import defaultdict
+
+    from bicis_spark.plans.analytics_queries import cohort_ltv_curve_q
+
+    rows = cohort_ltv_curve_q(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_bucket"]].append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r["age_weeks"])
+        run = 0
+        for r in rs:
+            run += r["revenue_cents"]
+            assert r["cum_revenue_cents"] == run
+            assert r["ltv_per_user"] == run / (100.0 * r["n_cohort"])
+            assert 0 < r["n_paying"] <= r["n_cohort"]
+        curve = [r["cum_revenue_cents"] for r in rs]
+        assert curve == sorted(curve)
