@@ -134,6 +134,7 @@ HEADLINE = [
     "sorted_neighborhood_pairs",  # sliding-window linkage blocking
     "shortest_path_copurchase",   # fixed-round weighted Bellman-Ford
     "cohort_ltv_curve",           # cumulative monetization by cohort age
+    "ucb1_event_type_arms",       # optimism-under-uncertainty allocation
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -220,6 +221,7 @@ _R6 = [
     "sorted_neighborhood_pairs",
     "shortest_path_copurchase",
     "cohort_ltv_curve",
+    "ucb1_event_type_arms",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6)):

@@ -6780,3 +6780,76 @@ def cohort_ltv_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ltv_per_user"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# UCB1 bandit readout (round 6): exploration bonuses from exact counts —
+# the decision layer on top of the A/B statistics family
+# ---------------------------------------------------------------------------
+
+_UCB_SQL = """
+WITH arms AS (
+    SELECT event_type AS arm,
+           count(*)::BIGINT AS n_i,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS s_cents
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n FROM arms),
+q AS (
+    SELECT CAST(floor(ln((SELECT n FROM tot)) * 1000000.0) AS BIGINT)
+        AS qln_n
+)
+SELECT arm, n_i, s_cents, (SELECT n FROM tot) AS n_total,
+       (SELECT qln_n FROM q) AS qln_n,
+       CAST(s_cents AS DOUBLE) / (100.0 * CAST(n_i AS DOUBLE)) AS mean_value,
+       sqrt(2.0 * (CAST((SELECT qln_n FROM q) AS DOUBLE) / 1000000.0)
+            / CAST(n_i AS DOUBLE)) AS ucb_bonus,
+       CAST(s_cents AS DOUBLE) / (100.0 * CAST(n_i AS DOUBLE))
+       + sqrt(2.0 * (CAST((SELECT qln_n FROM q) AS DOUBLE) / 1000000.0)
+              / CAST(n_i AS DOUBLE)) AS ucb_score
+FROM arms
+"""
+
+
+@register("ucb1_event_type_arms", _UCB_SQL)
+def ucb1_event_type_arms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit readout over event types as arms (mean observed value
+    + √(2·ln N / n_i) exploration bonus — Auer et al. 2002, the
+    optimism-under-uncertainty allocation rule a serving layer applies
+    on top of the experiment statistics this engine already reports).
+    Means come from exact DECIMAL cent sums; ln N is quantized through
+    the shared floor(ln·10⁶) discipline over the INTEGER total count
+    (bounded driver scalar), so the bonus is one fixed float tree. One
+    hash aggregate; arms are dimension-bounded."""
+    import math
+
+    events = read_table(spark, sf_dir, "events")
+    arms = events.where(F.col("value").isNotNull()).groupBy(
+        F.col("event_type").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("s_cents"),
+    )
+    n_total = events.where(F.col("value").isNotNull()).count()
+    qln_n = math.floor(math.log(n_total) * 1_000_000)
+    mean = F.col("s_cents").cast("double") / (
+        F.lit(100.0) * F.col("n_i").cast("double")
+    )
+    bonus = F.sqrt(
+        F.lit(2.0)
+        * (F.lit(qln_n).cast("double") / F.lit(1_000_000.0))
+        / F.col("n_i").cast("double")
+    )
+    return arms.select(
+        "arm",
+        "n_i",
+        "s_cents",
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.lit(qln_n).cast("long").alias("qln_n"),
+        mean.alias("mean_value"),
+        bonus.alias("ucb_bonus"),
+        (mean + bonus).alias("ucb_score"),
+    )

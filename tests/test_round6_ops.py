@@ -964,3 +964,27 @@ def test_cohort_ltv_cumulative_identities(spark, sf_dir):
             assert 0 < r["n_paying"] <= r["n_cohort"]
         curve = [r["cum_revenue_cents"] for r in rs]
         assert curve == sorted(curve)
+
+
+def test_ucb1_score_algebra_and_ordering(spark, sf_dir):
+    """Scores reproduce from the integer statistics; the bonus shrinks
+    with n_i (a rarely-pulled arm gets more optimism at equal mean)."""
+    import math
+
+    from bicis_spark.plans.analytics_queries import ucb1_event_type_arms_q
+
+    rows = ucb1_event_type_arms_q(spark, sf_dir).collect()
+    assert rows
+    n_total = rows[0]["n_total"]
+    assert sum(r["n_i"] for r in rows) == n_total
+    qln = math.floor(math.log(n_total) * 1_000_000)
+    for r in rows:
+        assert r["qln_n"] == qln
+        mean = r["s_cents"] / (100.0 * r["n_i"])
+        bonus = math.sqrt(2.0 * (qln / 1_000_000.0) / r["n_i"])
+        assert r["mean_value"] == mean
+        assert r["ucb_bonus"] == bonus
+        assert r["ucb_score"] == mean + bonus
+    by_n = sorted(rows, key=lambda r: r["n_i"])
+    bonuses = [r["ucb_bonus"] for r in by_n]
+    assert bonuses == sorted(bonuses, reverse=True)
