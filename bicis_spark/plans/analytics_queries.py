@@ -4995,7 +4995,11 @@ def zorder_layout_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     k = orders.selectExpr(
         f"(o_custkey % {1 << _Z_BITS}) AS xk",
-        f"((unix_micros(o_orderdate) div 86400000000) % {1 << _Z_BITS}) AS yk",
+        # pmod-then-div == FLOOR division (matches the oracle's `//`) for
+        # pre-1970 dates too; bare `div` truncates toward zero (ADVICE r6)
+        "((unix_micros(o_orderdate)"
+        " - pmod(unix_micros(o_orderdate), 86400000000))"
+        f" div 86400000000) % {1 << _Z_BITS} AS yk",
     )
     z = k.selectExpr(
         "xk", "yk", f"({_interleave_terms('xk', 'yk', _Z_BITS)}) AS zval"
@@ -5035,9 +5039,9 @@ arms AS (
     SELECT arm, count(*)::BIGINT AS n,
            CAST(floor(sum(x)) AS BIGINT) AS sx,
            CAST(floor(sum(y)) AS BIGINT) AS sy,
-           CAST(floor(sum(x * y)) AS BIGINT) AS sxy,
-           CAST(floor(sum(x * x)) AS BIGINT) AS sxx,
-           CAST(floor(sum(y * y)) AS BIGINT) AS syy
+           CAST(floor(sum(x * y)) AS DECIMAL(38,0)) AS sxy,
+           CAST(floor(sum(x * x)) AS DECIMAL(38,0)) AS sxx,
+           CAST(floor(sum(y * y)) AS DECIMAL(38,0)) AS syy
     FROM cust GROUP BY arm
 ),
 w AS (
@@ -5102,7 +5106,8 @@ def cuped_adjusted_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjusted means, adjusted variances, the z-stat, and the achieved
     variance ratio — is expanded ALGEBRAICALLY into a fixed float tree
     over exact per-arm integer sums (n, Σx, Σy, Σxy, Σx², Σy², decimal-
-    accumulated, floored to int64 — the ab_spend_ztest discipline). No
+    accumulated; first moments floored to int64, second moments kept
+    DECIMAL(38,0) because Σx² nears 2^63 by ~sf100 — ADVICE r6). No
     per-row adjusted values ever materialize, so there is no float
     accumulation anywhere and the oracle replays the readout bitwise.
     Scale shape: one custkey-keyed aggregate, one 2-row arm aggregate, a
@@ -5131,13 +5136,24 @@ def cuped_adjusted_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderdate") >= split, price).otherwise(zero)
         ).alias("y"),
     )
+    # First moments fit int64 at any plausible SF (Σ|x| ≈ 1e13 at sf100);
+    # SECOND moments do not — Σx² approaches 2^63 near sf100 (ADVICE r6) —
+    # so sxy/sxx/syy stay DECIMAL(38,0) (exact to ~1e38, the
+    # fit_poisson_irls_step D/E discipline) until the one cast to double
+    # that feeds the float tree, which the oracle replays identically.
     arms = cust.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.floor(F.sum("x")).cast("long").alias("sx"),
         F.floor(F.sum("y")).cast("long").alias("sy"),
-        F.floor(F.sum(F.col("x") * F.col("y"))).cast("long").alias("sxy"),
-        F.floor(F.sum(F.col("x") * F.col("x"))).cast("long").alias("sxx"),
-        F.floor(F.sum(F.col("y") * F.col("y"))).cast("long").alias("syy"),
+        F.floor(F.sum(F.col("x") * F.col("y")))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.floor(F.sum(F.col("x") * F.col("x")))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.floor(F.sum(F.col("y") * F.col("y")))
+        .cast("decimal(38,0)")
+        .alias("syy"),
     )
 
     def pick(a: str, col: str, cast: str):
@@ -5480,6 +5496,22 @@ def user_activity_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("longest_end", F.col("longest_end").cast("timestamp"))
 
 
+def _epoch_hour_t(col: str = "ts"):
+    """Epoch-hour series key with FLOOR-division semantics for all inputs
+    (ADVICE r6: the former double-divide + cast-to-long truncated toward
+    zero, matching the oracle's `//` only because the data is post-1970).
+    date_trunc('hour') pins epoch-seconds to an exact multiple of 3600
+    (any sign), and subtracting pmod before the divide makes the quotient
+    an exact representable integer, so the cast is exact floor division
+    even for pre-1970 timestamps."""
+    secs = F.unix_timestamp(F.date_trunc("hour", F.col(col)))
+    return (
+        ((secs - F.pmod(secs, F.lit(3600))) / F.lit(3600))
+        .cast("long")
+        .alias("t")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Autocorrelation diagnostic (round 6): Box-Jenkins lag screen over the
 # hourly count series — distributed lag JOIN, not a global window
@@ -5539,14 +5571,9 @@ def acf_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bicis_spark.operators.timeseries import autocorrelation
 
     events = read_table(spark, sf_dir, "events")
-    series = events.groupBy(
-        (
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
-            / F.lit(3600)
-        )
-        .cast("long")
-        .alias("t")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    series = events.groupBy(_epoch_hour_t()).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
     return autocorrelation(series, "t", "x", max_lag=24)
 
 
@@ -5738,11 +5765,9 @@ def changepoint_hourly_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     events = read_table(spark, sf_dir, "events")
-    series = events.groupBy(
-        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
-        .cast("long")
-        .alias("t")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    series = events.groupBy(_epoch_hour_t()).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
     w = (
         Window.orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -5911,12 +5936,7 @@ def ccf_view_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def hourly(etype: str) -> DataFrame:
         return events.where(F.col("event_type") == etype).groupBy(
-            (
-                F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
-                / F.lit(3600)
-            )
-            .cast("long")
-            .alias("t")
+            _epoch_hour_t()
         ).agg(F.count(F.lit(1)).cast("long").alias("x"))
 
     return cross_correlation(
@@ -5986,11 +6006,9 @@ def forecast_mase_baselines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed float tree at the end. Scale: everything after the hourly
     aggregate is dimension-bounded."""
     events = read_table(spark, sf_dir, "events")
-    series = events.groupBy(
-        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
-        .cast("long")
-        .alias("t")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    series = events.groupBy(_epoch_hour_t()).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
     cut = (
         F.unix_timestamp(F.lit("2024-01-24 00:00:00").cast("timestamp"))
         / F.lit(3600)
@@ -6109,11 +6127,9 @@ def haar_energy_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bicis_spark.operators.timeseries import haar_energy
 
     events = read_table(spark, sf_dir, "events")
-    series = events.groupBy(
-        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
-        .cast("long")
-        .alias("t")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    series = events.groupBy(_epoch_hour_t()).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
     return haar_energy(series, "t", "x", levels=3)
 
 

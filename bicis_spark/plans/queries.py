@@ -52,67 +52,68 @@ _LOADED = False
 # CORRECTNESS_r01-r04 keys == queries() positions 1-50 in insertion order).
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
 #
-# ROUND-6 ROTATION (mechanical, scripts/next_window.py against
-# CORRECTNESS_r01-r05): all 50 round-5 window members came back green, so
-# every slot moves to the never-driver-checked queue — round-5
-# registrations first (in registration order), then the long-queued
-# analytics rows, then this round's new operators (GLM IRLS contract,
-# int8 quantize, skipgram, covariance, golden record, zipf). The 15-name
-# leftover queue below goes next round; all stay green in the local
-# oracle sweep + EMULATION_latest.json meanwhile.
+# ROUND-7 ROTATION (mechanical, scripts/next_window.py against
+# CORRECTNESS_r01-r06): all 50 round-6 window members came back green. The
+# r6 verdict task #2 asks for exactly this window: the 36 names the driver
+# has never hash-checked (the 15-name r6 leftover queue, the judge-listed
+# never-sampled analytics/graph rows, and `ucb1_event_type_arms` which
+# landed after the final r6 emulation sweep). With every registered query
+# then driver-checked at least once, the remaining 14 slots re-verify the
+# 14 oldest round-1 queries (first checked 6 rounds ago).
 DRIVER_WINDOW: tuple[str, ...] = (
-    "ols_conformal_intervals",
-    "ols_per_brand_models",
-    "glm_poisson_irls_contract",
-    "semantic_dedup_two_level_flags",
-    "cluster_balanced_sample",
-    "bm25_query_scores",
-    "packing_efficiency",
-    "incremental_agg_maintenance",
-    "ngram_novelty_scores",
-    "domain_cap_sample",
-    "rrf_fusion_topk",
-    "dedup_prefix_filter_jaccard",
-    "phrase_search_positional",
-    "dedup_edit_distance_names",
-    "embedding_int8_quantize",
-    "skipgram_pairs",
-    "embedding_covariance_ints",
-    "golden_record_customers",
-    "zipf_fit_tokens",
-    "label_propagation_communities",
-    "part_price_size_skyline",
-    "record_linkage_customers",
-    "event_transition_matrix",
-    "seasonal_decompose_hourly",
-    "frequent_itemsets_parts",
-    "cusum_hourly_drift",
-    "kaplan_meier_user_lifetimes",
-    "part_copurchase_triangles",
-    "purchase_attribution",
-    "winsorized_value_stats",
-    "session_cooccurrence_lift",
-    "session_conversion_funnel",
-    "twap_user_value",
-    "customer_revenue_pareto",
-    "peak_event_rate",
-    "path_trigrams_top10",
-    "event_gap_percentiles",
-    "rfm_segments",
-    "order_value_drift",
-    "ab_spend_ztest",
-    "equidepth_quantity_buckets",
-    "pit_status_at_ship",
-    "ewma_user_value",
-    "variant_props_stats",
-    "unpivot_status_counts",
-    "holt_forecast_user_value",
-    "holt_winters_forecast_user_value",
-    "holt_winters_forecast_capped",
-    "kmv_distinct_contract",
-    "benford_digit_audit",
+    # -- 36 never-driver-checked --
+    "ols_isotonic_calibration",
+    "corpus_kl_divergence",
+    "l_diversity_orders",
+    "mutual_information_features",
+    "naive_bayes_confusion",
+    "decision_stump_gains",
+    "bootstrap_mean_ci",
+    "kmv_merge_law",
+    "weighted_quantiles_price",
+    "bfs_part_supplier_hops",
+    "brand_weighted_median_price",
+    "interval_union_coverage_users",
+    "table_checksum_orders_monthly",
+    "mode_impute_event_types",
+    "zorder_layout_orders",
+    "cuped_adjusted_ab",
+    "bom_subtree_rollup",
+    "incremental_join_view",
+    "chisq_independence_cells",
+    "user_activity_streaks",
+    "acf_hourly_counts",
+    "clustering_coefficient_parts",
+    "kcore_parts",
+    "changepoint_hourly_split",
+    "interp_purchase_rate_at_errors",
+    "ccf_view_purchase",
+    "forecast_mase_baselines",
+    "haar_energy_hourly",
+    "join_size_by_key_stats",
+    "ecdf_dkw_bands_totalprice",
+    "mann_whitney_ab_spend",
+    "event_type_runs",
+    "sorted_neighborhood_pairs",
+    "shortest_path_copurchase",
+    "cohort_ltv_curve",
+    "ucb1_event_type_arms",
+    # -- 14 oldest (round-1) re-verification slots --
+    "hour_profile",
+    "weekday_profile",
+    "count_rows",
+    "boolean_or_filter",
+    "timestamp_range_filter",
+    "union_all_sources",
+    "multi_format_timestamp_parse",
+    "duration_parse",
+    "customers_per_region",
+    "revenue_per_brand",
+    "orders_events_expr_join",
+    "latest_events_top100",
+    "topk_orders_per_customer",
+    "hourly_event_counts",
 )
-# leftover queue for the round after (15): mutual_information_features, naive_bayes_confusion, decision_stump_gains, bootstrap_mean_ci, kmv_merge_law, weighted_quantiles_price, bfs_part_supplier_hops, brand_weighted_median_price, interval_union_coverage_users, table_checksum_orders_monthly, mode_impute_event_types, zorder_layout_orders, cuped_adjusted_ab, bom_subtree_rollup, incremental_join_view
 
 
 def _load_all() -> None:

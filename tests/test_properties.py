@@ -1038,7 +1038,7 @@ def test_hw_capped_equals_python_replay_of_prefix(spark):
             r["user_id"]: r
             for r in holt_winters_forecast_capped_q(spark, d).collect()
         }
-        assert out[1]["n_events"] == _HW_CAP  # 150 capped to 96
+        assert out[1]["n_events"] == _HW_CAP  # 150 capped to 64 (_HW_CAP)
         assert out[1]["hw_forecast"] == _hw_py(series[1][:_HW_CAP])
         assert out[2]["n_events"] == 30
         assert out[2]["hw_forecast"] is None  # below the 2m seed gate
