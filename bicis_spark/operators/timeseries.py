@@ -358,7 +358,11 @@ def interpolate_series_at(
     Exact-hit semantics: a target sitting exactly on a populated series
     point takes that point's value (t0 = t1); otherwise
     ``x0 + (x1 − x0)·(t − t0)/(t1 − t0)`` over microsecond deltas, NULL
-    when either neighbor is missing. Every operand is exact
+    when either neighbor is missing. Neighbors are INDEPENDENT
+    two-direction lookups (t0 = latest point ≤ t, t1 = earliest point
+    ≥ t): an out-of-span target still reports its one-sided neighbor
+    (t1 = first series point before the span, t0 = last point after it)
+    with interp_value NULL. Every operand is exact
     (BIGINT micros, BIGINT values); the one float tree is fixed and
     mirrored by the oracle, which replays the semantics through DuckDB's
     native ASOF JOIN in both directions — an independent implementation
@@ -374,7 +378,10 @@ def interpolate_series_at(
         F.col(series_ts).alias("_h"), F.col(series_val).cast("long").alias("_x")
     )
     bounds = s.agg(
-        F.min("_h").alias("lo"), F.max("_h").alias("hi")
+        F.min("_h").alias("lo"),
+        F.max("_h").alias("hi"),
+        F.min_by("_x", "_h").alias("lo_x"),
+        F.max_by("_x", "_h").alias("hi_x"),
     ).first()
     if bounds["lo"] is None:
         return targets.select(
@@ -419,9 +426,27 @@ def interpolate_series_at(
     )
     j = tgt.join(F.broadcast(g), "_h", "left")
     exact = F.col("_pt") == F.col("t")
-    t0, x0 = F.col("_pt"), F.col("_px")
-    t1 = F.when(exact, F.col("_pt")).otherwise(F.col("_nt"))
-    x1 = F.when(exact, F.col("_px")).otherwise(F.col("_nx"))
+    # Out-of-span targets miss the grid left-join; emit the ONE-SIDED
+    # neighbor there (first series point for a before-span target, last
+    # point for after-span) so t0/t1 are the independent
+    # latest-point-<=-t / earliest-point->=-t of the oracle's
+    # two-direction ASOF — not NULL-both-sides (ADVICE r6: the gated
+    # query's hash was data-dependent on targets staying in-span).
+    # interp_value stays NULL for them: one neighbor is still missing.
+    lo_ts = F.lit(bounds["lo"]).cast("timestamp")
+    hi_ts = F.lit(bounds["hi"]).cast("timestamp")
+    before = F.col("_h") < lo_ts
+    after = F.col("_h") > hi_ts
+    t0 = F.when(after, hi_ts).otherwise(F.col("_pt"))
+    x0 = F.when(after, F.lit(bounds["hi_x"]).cast("long")).otherwise(
+        F.col("_px")
+    )
+    t1 = F.when(before, lo_ts).otherwise(
+        F.when(exact, F.col("_pt")).otherwise(F.col("_nt"))
+    )
+    x1 = F.when(before, F.lit(bounds["lo_x"]).cast("long")).otherwise(
+        F.when(exact, F.col("_px")).otherwise(F.col("_nx"))
+    )
     num = (F.unix_micros(F.col("t")) - F.unix_micros(t0)).cast("double")
     den = (F.unix_micros(t1) - F.unix_micros(t0)).cast("double")
     interp = F.when(

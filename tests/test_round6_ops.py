@@ -608,8 +608,10 @@ def test_changepoint_finds_planted_level_shift(spark, sf_dir):
 
 def test_interpolate_series_at_cases(spark):
     """Midpoint target gets the arithmetic mean; exact-hit takes the
-    point value; before-first and after-last get NULL; a target in an
-    hour with no series point interpolates across the gap."""
+    point value; before-first and after-last get NULL interp but the
+    ONE-SIDED neighbor populated (t0/t1 are independent ≤/≥ lookups —
+    the oracle's two-direction ASOF semantics, ADVICE r6); a target in
+    an hour with no series point interpolates across the gap."""
     from bicis_spark.operators.timeseries import interpolate_series_at
 
     series = spark.createDataFrame(
@@ -623,6 +625,8 @@ def test_interpolate_series_at_cases(spark):
             (3, "2024-01-01 09:30:00"),   # before first point
             (4, "2024-01-01 12:30:00"),   # after last point
             (5, "2024-01-01 10:30:00"),   # quarter of the way
+            (6, "2024-01-01 08:15:00"),   # >1 step before span (grid miss)
+            (7, "2024-01-01 14:45:00"),   # >1 step after span (grid miss)
         ],
         "event_id long, ts string",
     ).select("event_id", F.col("ts").cast("timestamp").alias("ts"))
@@ -634,9 +638,25 @@ def test_interpolate_series_at_cases(spark):
     }
     assert out[1]["interp_value"] == 20.0
     assert out[2]["interp_value"] == 10.0 and out[2]["t0"] == out[2]["t1"]
+    import datetime as _dt
+
+    first_pt = _dt.datetime(2024, 1, 1, 10, 0, 0)
+    last_pt = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    # before-span: no ≤-neighbor, but the ≥-neighbor is the FIRST point
     assert out[3]["interp_value"] is None and out[3]["x0"] is None
+    assert out[3]["t0"] is None
+    assert out[3]["t1"] == first_pt and out[3]["x1"] == 10
+    # after-span: no ≥-neighbor, but the ≤-neighbor is the LAST point
     assert out[4]["interp_value"] is None and out[4]["x1"] is None
+    assert out[4]["t1"] is None
+    assert out[4]["t0"] == last_pt and out[4]["x0"] == 30
     assert out[5]["interp_value"] == 10.0 + 20.0 * (1800.0 / 7200.0)
+    # grid-miss targets (truncated hour strictly outside [lo,hi]) take
+    # the same one-sided-neighbor contract as the edge-hour ones above
+    assert out[6]["interp_value"] is None and out[6]["t0"] is None
+    assert out[6]["t1"] == first_pt and out[6]["x1"] == 10
+    assert out[7]["interp_value"] is None and out[7]["t1"] is None
+    assert out[7]["t0"] == last_pt and out[7]["x0"] == 30
 
 
 def test_cross_correlation_detects_planted_lead(spark):
