@@ -321,6 +321,105 @@ def fit_poisson_irls_step(
     )
 
 
+def score_poisson_irls_step(
+    pts: DataFrame,
+    id_cols: list[str],
+    x_col: str,
+    y_col: str,
+    z_scale: int = 1_000_000,
+    err_scale: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """M2 + M3 — score the one-IRLS-step Poisson fit with COLLECTED
+    LITERAL coefficients (the r6 verdict's literal-coefficient trick):
+    β is bounded model state (2 doubles, the same fixed float tree the
+    oracle replays in ``fit_poisson_irls_step``), so collecting it is a
+    model-state collect, not a data collect. Scoring then runs through
+    CPython's libm over the BOUNDED distinct x (μ = exp(η), one entry
+    per distinct x — DuckDB's ``exp`` is the same C libm, verified
+    0/2000 ulp mismatches round 7; the JVM's ``Math.exp`` differs and
+    never enters the plan), broadcast-joined back to the fact-sized
+    points. Reference semantics: ``poisson_regression.py:35-48``
+    (predict) and ``evaluate_model.py:28-41`` (MSE).
+
+    Returns ``(predictions, mse)``:
+
+    * predictions — one row per input point: ``[*id_cols, x, label,
+      eta, prediction]`` with η = intercept + slope·x (IEEE mul+add,
+      bitwise identical in CPython and DuckDB) and prediction = exp(η).
+    * mse — 1 row ``[n_points, sse_q, mse]``. The squared errors are
+      quantized per DISTINCT (x, y) pair (bounded: |x|·|distinct
+      counts|) as eq = floor((y − μ)²·err_scale) int64 in CPython, then
+      integer-summed (DECIMAL(38,0) through the sum — Σ n·eq exceeds
+      2⁶³ past ~sf10 — cast to int64 at the end under the documented
+      |Σ| < 2⁶³ bound, which holds while n_points·(y−μ)²·err_scale
+      < 9.2e18). mse = Σ/(err_scale·n) is one fixed float tree over
+      correctly-rounded int64→double casts — order-independent, so the
+      oracle replays BOTH outputs bit-for-bit: the full fit→predict→
+      evaluate chain under the hash gate."""
+    import math
+
+    spark = pts.sparkSession
+    fit = fit_poisson_irls_step(pts, x_col, y_col, z_scale=z_scale)
+    coef = fit.select("slope", "intercept").first()
+    slope, intercept = float(coef["slope"]), float(coef["intercept"])
+
+    base = pts.select(
+        *id_cols,
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    xs = sorted(r[0] for r in base.select("_x").distinct().collect())
+    mu_rows = []
+    for xv in xs:
+        eta = intercept + slope * float(xv)
+        mu_rows.append((int(xv), eta, math.exp(eta)))
+    mutab = spark.createDataFrame(mu_rows, "_x long, eta double, mu double")
+    preds = base.join(F.broadcast(mutab), "_x").select(
+        *id_cols,
+        F.col("_x").alias(x_col),
+        F.col("_y").cast("long").alias("label"),
+        "eta",
+        F.col("mu").alias("prediction"),
+    )
+
+    pair_counts = base.groupBy("_x", "_y").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    mu_by_x = {int(xv): mu for xv, _, mu in mu_rows}
+    pairs = [
+        (int(r["_x"]), int(r["_y"]))
+        for r in pair_counts.select("_x", "_y").distinct().collect()
+    ]
+    def _eq(xv: int, yv: int) -> int:
+        d = float(yv) - mu_by_x[xv]
+        return int(math.floor(d * d * err_scale))
+
+    eqtab = spark.createDataFrame(
+        [(xv, yv, _eq(xv, yv)) for xv, yv in pairs],
+        "_x long, _y long, _eq long",
+    )
+    # decimal operands BEFORE the product: n·eq itself can pass 2⁶³ on a
+    # hot pair at scale, not just the sum
+    sums = pair_counts.join(F.broadcast(eqtab), ["_x", "_y"]).agg(
+        F.sum("_n").cast("long").alias("n_points"),
+        F.sum(
+            F.col("_n").cast("decimal(38,0)")
+            * F.col("_eq").cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("sse_q"),
+    )
+    mse = sums.select(
+        "n_points",
+        "sse_q",
+        (
+            F.col("sse_q").cast("double")
+            / (F.lit(float(err_scale)) * F.col("n_points").cast("double"))
+        ).alias("mse"),
+    )
+    return preds, mse
+
+
 def train_predict_evaluate(
     dataset: DataFrame, link: str = "log", max_iter: int = 1, id_col: str = "id"
 ) -> tuple[GeneralizedLinearRegressionModel, DataFrame, DataFrame]:

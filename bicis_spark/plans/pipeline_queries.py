@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from bicis_spark.operators.dataset import assemble_dataset, fails_report
 from bicis_spark.operators.features import circular_lag_features, hour_profile_pivot
-from bicis_spark.operators.model import train_predict_evaluate
 from bicis_spark.operators.profiles import event_profile_single_scan
 from bicis_spark.operators.split import SplitPeriods, split_bounds, with_split_label
 from bicis_spark.operators.targets import next_window_count_bucketed
@@ -615,33 +614,12 @@ def cv_rolling_folds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_origin_folds(events, "ts", n_folds=3, horizon_s=7 * 86400)
 
 
-@register("glm_poisson_predictions", None)
-def glm_poisson_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only BY DOCUMENTED IMPOSSIBILITY, not omission: MLlib's GLR
-    solve is a LAPACK/Cholesky factorization whose float rounding no SQL
-    expression replays, and the driver's oracle strings are static — the
-    fitted coefficients are data-dependent so they cannot be inlined as
-    literals ahead of time. The same one-IRLS-step math IS hash-gated by
-    ``glm_poisson_irls_contract`` below, which re-derives the fit as a
-    fixed float tree over exact integer sufficient statistics."""
-    dataset = ml_dataset_q(spark, sf_dir)
-    _, preds, _ = train_predict_evaluate(dataset, link="log", max_iter=1, id_col="event_id")
-    return preds
-
-
-@register("glm_poisson_mse", None)
-def glm_poisson_mse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only for the same documented reason as
-    ``glm_poisson_predictions`` (solver floats not statically replayable);
-    the gated twin is ``glm_poisson_irls_contract``."""
-    dataset = ml_dataset_q(spark, sf_dir)
-    _, _, mse = train_predict_evaluate(dataset, link="log", max_iter=1, id_col="event_id")
-    return mse
-
-
-_GLM_IRLS_SQL = """
-WITH pts AS (
-    SELECT hour(ts)::BIGINT AS x, count(*)::BIGINT AS y
+# Shared fit CTEs: the one-IRLS-step Poisson log-link solve as a fixed
+# float tree over exact integer sufficient statistics (see
+# fit_poisson_irls_step for the full determinism argument). Reused by the
+# contract, predictions, and MSE oracles so all three replay the SAME fit.
+_GLM_FIT_CTES = """pts AS (
+    SELECT user_id, hour(ts)::BIGINT AS x, count(*)::BIGINT AS y
     FROM events GROUP BY user_id, hour(ts)
 ),
 zt AS (
@@ -676,7 +654,83 @@ coef AS (
     SELECT slope,
            (d_d / 1000000.0 - slope * b_d) / a_d AS intercept
     FROM c1
+)"""
+
+_GLM_PRED_SQL = f"""
+WITH {_GLM_FIT_CTES}
+SELECT pts.user_id, pts.x AS hour, pts.y AS label,
+       coef.intercept + coef.slope * CAST(pts.x AS DOUBLE) AS eta,
+       exp(coef.intercept + coef.slope * CAST(pts.x AS DOUBLE)) AS prediction
+FROM pts CROSS JOIN coef
+"""
+
+
+def _glm_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+
+
+@register("glm_poisson_predictions", _GLM_PRED_SQL)
+def glm_poisson_predictions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 under the hash gate (r6 verdict item #3 — the literal-
+    coefficient scoring trick): predictions of the one-IRLS-step Poisson
+    fit (the reference's maxIter=1 semantics, poisson_regression.py:35-48)
+    scored as exp(η) with β collected as bounded model state and μ built
+    through a CPython-libm exp table over the bounded distinct x — DuckDB
+    shares that libm, the JVM's Math.exp does not and never enters the
+    plan. Fit math is the same fixed float tree the oracle's shared CTEs
+    replay (fit_poisson_irls_step). The MLlib GLR estimator remains the
+    operational fit path (train_predict_evaluate; pinned against this
+    closed form at convergence in test_ols.py) — its LAPACK solve is the
+    one float source no SQL replays, which kept this row rows-only
+    through round 6."""
+    from bicis_spark.operators.model import score_poisson_irls_step
+
+    preds, _ = score_poisson_irls_step(
+        _glm_pts(spark, sf_dir), ["user_id"], "hour", "y"
+    )
+    return preds
+
+
+_GLM_MSE_SQL = f"""
+WITH {_GLM_FIT_CTES},
+err AS (
+    SELECT CAST(pts.y AS DOUBLE)
+           - exp(coef.intercept + coef.slope * CAST(pts.x AS DOUBLE)) AS dv
+    FROM pts CROSS JOIN coef
+),
+q AS (
+    SELECT CAST(floor(dv * dv * 1000000.0) AS BIGINT) AS eq FROM err
 )
+SELECT count(*)::BIGINT AS n_points,
+       CAST(sum(CAST(eq AS HUGEINT)) AS BIGINT) AS sse_q,
+       CAST(CAST(sum(CAST(eq AS HUGEINT)) AS BIGINT) AS DOUBLE)
+       / (1000000.0 * CAST(count(*) AS DOUBLE)) AS mse
+FROM q
+"""
+
+
+@register("glm_poisson_mse", _GLM_MSE_SQL)
+def glm_poisson_mse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 under the hash gate (evaluate_model.py:28-41 semantics): MSE of
+    the gated predictions above, with squared errors quantized per
+    bounded distinct (x, y) pair and integer-summed (DECIMAL(38,0)
+    through the sum, int64 out under the documented
+    n·(y−μ)²·1e6 < 2⁶³ bound) so the reduction is order-independent and
+    the oracle replays it bit-for-bit — closing the last rows-only row
+    (283/283 oracle-backed)."""
+    from bicis_spark.operators.model import score_poisson_irls_step
+
+    _, mse = score_poisson_irls_step(
+        _glm_pts(spark, sf_dir), ["user_id"], "hour", "y"
+    )
+    return mse
+
+
+_GLM_IRLS_SQL = f"""
+WITH {_GLM_FIT_CTES}
 SELECT pts.x AS hour, count(*)::BIGINT AS n_pts,
        min(coef.slope) AS slope, min(coef.intercept) AS intercept,
        min(coef.intercept + coef.slope * CAST(pts.x AS DOUBLE)) AS eta
