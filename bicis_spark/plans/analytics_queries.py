@@ -2533,7 +2533,9 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2,
         (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")),
     ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-    return triangle_count(pairs, "src", "dst")
+    # parts are dimension-bounded: broadcast the degree ranks (the
+    # kcore_parts broadcast_keep contract)
+    return triangle_count(pairs, "src", "dst", broadcast_degrees=True)
 
 
 # ---------------------------------------------------------------------------
@@ -5642,7 +5644,11 @@ def clustering_coefficient_parts_q(
         l2,
         (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")),
     ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-    return local_clustering_coefficient(pairs, "src", "dst")
+    # parts are dimension-bounded: broadcast the degree ranks (the
+    # kcore_parts broadcast_keep contract)
+    return local_clustering_coefficient(
+        pairs, "src", "dst", broadcast_degrees=True
+    )
 
 
 def _kcore_sql(k: int, rounds: int) -> str:

@@ -541,6 +541,47 @@ def test_local_clustering_coefficient_known_graph(spark):
     assert out2[8]["degree"] == 2 and out2[8]["lcc"] == 0.0
 
 
+def test_degree_oriented_triangles_skewed_hub(spark):
+    """Orientation-exactness on the adversarial shape the r6 verdict
+    flagged: a mid-id hub (so id-ordering gives it both backward AND
+    forward edges — the Θ(deg²) wedge case) wired to every other vertex,
+    over a known ring. Degree-ordered orientation must (a) reproduce the
+    exact triangle counts and (b) generate ZERO wedges pivoted at the
+    hub (the hub is the highest rank, so its oriented forward degree is
+    0 — the O(√m)-forward-degree property that bounds wedge volume at
+    any skew)."""
+    from pyspark.sql import functions as F
+
+    from bicis_spark.operators.graph import (
+        _edge_degrees,
+        _normalize_edges,
+        _orient_by_degree,
+        local_clustering_coefficient,
+        triangle_count,
+    )
+
+    n, hub = 40, 20
+    ring = [(i, (i + 1) % n) for i in range(n) if i != hub and (i + 1) % n != hub]
+    spokes = [(hub, i) for i in range(n) if i != hub]
+    edges = spark.createDataFrame(ring + spokes, "src long, dst long")
+    # triangles: each surviving ring edge (i, i+1) closes with the hub.
+    # ring edges excluded: those touching the hub (i=19,20) — 38 remain.
+    tc = triangle_count(edges, "src", "dst").collect()[0]
+    assert tc["n_triangles"] == 38
+    lcc = {
+        r["vertex"]: r
+        for r in local_clustering_coefficient(edges, "src", "dst").collect()
+    }
+    assert lcc[hub]["degree"] == 39 and lcc[hub]["n_triangles"] == 38
+    # a mid-ring vertex: degree 3 (two ring + hub), 2 triangles
+    assert lcc[5]["degree"] == 3 and lcc[5]["n_triangles"] == 2
+    assert lcc[5]["lcc"] == 2 * 2.0 / (3.0 * 2.0)
+    # the skew bound itself: no wedge pivots at the hub
+    e = _normalize_edges(edges, "src", "dst")
+    eo = _orient_by_degree(e, _edge_degrees(e))
+    assert eo.where(F.col("u") == hub).count() == 0
+
+
 def test_kcore_peel_cascade(spark):
     """Chain-of-triangles graph where peeling cascades: a path 10-11-12
     hangs off a K4 {1,2,3,4}. k=3: round 1 drops 12 (deg 1) and 10? No:
