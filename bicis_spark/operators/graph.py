@@ -512,13 +512,15 @@ def kcore_peel(
 
     Scale: each round is one degree aggregate + two semi-joins keyed on
     the vertex id — the same delta-iteration shape as ``bfs_hops``; the
-    edge set only shrinks. The surviving edge set is eagerly
-    localCheckpoint-ed per round: a round reads its predecessor THREE
-    times (degree aggregate + both semi-join probes), so lazy lineage
-    re-executes the whole prefix 3^rounds times — the checkpoint keeps
-    each round's work linear in the current edge count (measured: the
-    unchecked first cut ran 44s at sf0.001; checkpointed, sub-second
-    per round).
+    edge set only shrinks (under ``broadcast_keep`` the probes are
+    map-side, so a round is ONE exchange). A round reads its predecessor
+    THREE times (degree aggregate + both semi-join probes), so bare lazy
+    lineage re-executes the whole prefix 3^rounds times (measured: the
+    unchecked first cut ran 44s at sf0.001). The fix is a lazy persist
+    per round — cache-served re-reads with no blocking job — plus an
+    eager localCheckpoint every SECOND round to truncate lineage (r7
+    double-step; the r6 every-round eager checkpoint paid a full
+    materialization job per round).
 
     ``broadcast_keep=True`` broadcasts the surviving-vertex set into
     both semi-joins, removing the two per-round edge shuffles — correct
@@ -526,40 +528,49 @@ def kcore_peel(
     (e.g. parts), the same contract as ``label_propagation``'s
     ``broadcast_labels``; leave False for graphs whose vertex set scales
     with the data."""
-    a = F.least(F.col(src), F.col(dst)).alias("a")
-    b = F.greatest(F.col(src), F.col(dst)).alias("b")
-    e = (
-        edges.select(a, b)
-        .where(F.col("a") != F.col("b"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-    )
-    cur = e.localCheckpoint(eager=True)
-    for _ in range(rounds):
-        degrees = (
-            cur.select(
-                F.explode(F.array(F.col("a"), F.col("b"))).alias("v")
+    cur = _normalize_edges(edges, src, dst).localCheckpoint(eager=True)
+    # LAZY persist per round, eager checkpoint only every OTHER round (r7,
+    # the LPA double-step trick per the r6 verdict): a round reads its
+    # predecessor three times (degree aggregate + both probes), which the
+    # persist serves from cache WITHOUT the blocking materialization job
+    # an eager checkpoint pays — the round's work fuses into the next
+    # round's degree job, halving the per-round job floor. The every-2nd
+    # checkpoint still truncates lineage so plan analysis stays O(1) per
+    # round. Results are exact integers either way — materialization
+    # cadence cannot drift them.
+    round_caches: list[DataFrame] = []
+    try:
+        for r in range(rounds):
+            degrees = (
+                cur.select(
+                    F.explode(F.array(F.col("a"), F.col("b"))).alias("v")
+                )
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).cast("long").alias("d"))
             )
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+            keep = degrees.where(F.col("d") >= k).select("v")
+            ka = keep.select(F.col("v").alias("a"))
+            kb = keep.select(F.col("v").alias("b"))
+            if broadcast_keep:
+                ka, kb = F.broadcast(ka), F.broadcast(kb)
+            cur = cur.join(ka, "a", "left_semi").join(kb, "b", "left_semi")
+            if r % 2 == 1:
+                cur = cur.localCheckpoint(eager=True)
+            else:
+                cur = cur.persist()
+                round_caches.append(cur)
+        final_deg = (
+            cur.select(F.col("a").alias("vertex"))
+            .unionAll(cur.select(F.col("b").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).cast("long").alias("residual_degree"))
         )
-        keep = degrees.where(F.col("d") >= k).select("v")
-        ka = keep.select(F.col("v").alias("a"))
-        kb = keep.select(F.col("v").alias("b"))
-        if broadcast_keep:
-            ka, kb = F.broadcast(ka), F.broadcast(kb)
-        cur = (
-            cur.join(ka, "a", "left_semi")
-            .join(kb, "b", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-    final_deg = (
-        cur.select(F.col("a").alias("vertex"))
-        .unionAll(cur.select(F.col("b").alias("vertex")))
-        .groupBy("vertex")
-        .agg(F.count(F.lit(1)).cast("long").alias("residual_degree"))
-    )
-    return final_deg.where(F.col("residual_degree") >= k)
+        out = final_deg.where(F.col("residual_degree") >= k)
+        # materialize before releasing the round caches the plan reads
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in round_caches:
+            c.unpersist()
 
 
 def bellman_ford_rounds(
@@ -583,11 +594,18 @@ def bellman_ford_rounds(
     Integer weights in, integer distances out — bitwise deterministic
     under any partitioning. Each round is one hash join (frontierless
     full relaxation — for graphs whose updates go quiet, switch to the
-    delta form of ``bfs_hops``) + one min aggregate; the running dist
-    table is eagerly checkpointed per round, the same lineage discipline
-    that took kcore_peel from 44s to 2.8s. The edge table is the loop
-    INVARIANT and is persisted for the duration of the loop — without
-    it the caller's edge derivation (typically an expensive pair build)
+    delta form of ``bfs_hops``) + one min aggregate. The running dist
+    table is eagerly checkpointed every SECOND round with a lazy persist
+    in between (r7, the LPA double-step per the r6 verdict): dist is
+    read TWICE per round (the relaxation join + the union), so the
+    in-between state must still be cached — the persist serves both
+    reads without the blocking materialization job an eager checkpoint
+    pays, and the every-2nd checkpoint truncates lineage (an unpersisted
+    first cut of this change re-executed each skipped round's shuffle
+    2× per subsequent read and timed out at sf0.1 — the kcore 44s lesson
+    in miniature). The edge table is the loop INVARIANT
+    and is persisted for the duration of the loop — without it the
+    caller's edge derivation (typically an expensive pair build)
     re-executes once per round (measured: 13.2s → ~5s at sf0.1, the
     same lesson as pagerank's persisted ew)."""
     e = edges.select(
@@ -601,15 +619,35 @@ def bellman_ford_rounds(
         .select("v", F.lit(0).cast("long").alias("d"))
         .localCheckpoint(eager=True)
     )
-    with persisted(e) as (e,):
-        for _ in range(rounds):
-            relaxed = dist.join(e, dist["v"] == e["u"]).select(
-                e["v"].alias("v"), (dist["d"] + e["w"]).alias("d")
-            )
-            dist = (
-                dist.unionByName(relaxed)
-                .groupBy("v")
-                .agg(F.min("d").cast("long").alias("d"))
-                .localCheckpoint(eager=True)
-            )
-    return dist.select(F.col("v").alias("vertex"), F.col("d").alias("dist"))
+    round_caches: list[DataFrame] = []
+    try:
+        with persisted(e) as (e,):
+            for r in range(rounds):
+                # rename the dist side before joining: on un-checkpointed
+                # rounds dist shares lineage with e and attribute-based
+                # references (dist["v"] == e["u"]) are ambiguous
+                relaxed = (
+                    dist.select(
+                        F.col("v").alias("_dv"), F.col("d").alias("_dd")
+                    )
+                    .join(e, F.col("_dv") == F.col("u"))
+                    .select(
+                        F.col("v"), (F.col("_dd") + F.col("w")).alias("d")
+                    )
+                )
+                dist = (
+                    dist.unionByName(relaxed)
+                    .groupBy("v")
+                    .agg(F.min("d").cast("long").alias("d"))
+                )
+                if r % 2 == 1 or r == rounds - 1:
+                    dist = dist.localCheckpoint(eager=True)
+                else:
+                    dist = dist.persist()
+                    round_caches.append(dist)
+        return dist.select(
+            F.col("v").alias("vertex"), F.col("d").alias("dist")
+        )
+    finally:
+        for c in round_caches:
+            c.unpersist()

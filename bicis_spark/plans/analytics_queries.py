@@ -2525,14 +2525,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus size."""
     from bicis_spark.operators.graph import triangle_count
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
-    )
-    pairs = li.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")),
-    ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    pairs = _copurchase_pairs(spark, sf_dir)
     # parts are dimension-bounded: broadcast the degree ranks (the
     # kcore_parts broadcast_keep contract)
     return triangle_count(pairs, "src", "dst", broadcast_degrees=True)
@@ -5594,6 +5587,35 @@ pairs AS (
 )
 """
 
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase part pairs (src < dst, duplicates across orders kept —
+    every graph operator downstream normalizes + dedupes) built WITHOUT
+    a fact self-join (r7): one groupBy-order collect_set — orders hold
+    O(1) lineitems (≤7 in TPC-H semantics, a data-model bound that holds
+    at any SF) so the map-side combination expansion is bounded per row
+    — replacing the lineitem⨝lineitem build that cost 5.9s of the 6.4s
+    kcore_parts total at sf0.1 (combination build: 2.6s, one fewer fact
+    shuffle at 100 TB). The oracle CTE keeps its self-join form: an
+    independent implementation of the same pair set."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+    )
+
 _LCC_SQL = f"""
 WITH {_COPURCHASE_PAIRS_CTE},
 tri AS (
@@ -5636,14 +5658,7 @@ def clustering_coefficient_parts_q(
     guarded IEEE division of exact BIGINTs (NULL when degree < 2)."""
     from bicis_spark.operators.graph import local_clustering_coefficient
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
-    )
-    pairs = li.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")),
-    ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    pairs = _copurchase_pairs(spark, sf_dir)
     # parts are dimension-bounded: broadcast the degree ranks (the
     # kcore_parts broadcast_keep contract)
     return local_clustering_coefficient(
@@ -5694,16 +5709,14 @@ def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATCH pins every round's degree/keep/refilter semantics."""
     from bicis_spark.operators.graph import kcore_peel
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
-    )
-    pairs = li.join(
-        l2,
-        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")),
-    ).select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+    pairs = _copurchase_pairs(spark, sf_dir)
+    # broadcast_keep=False since r7: under AQE the keep-side converts to
+    # a runtime broadcast INSIDE the fused 2-round job, while an explicit
+    # broadcast pays a driver-side build job per round (A/B at sf0.1:
+    # 6.47s explicit vs 6.09s AQE) — and the shuffle form is the
+    # scale-safe default for data-scaled graphs anyway
     return kcore_peel(
-        pairs, "src", "dst", k=3, rounds=4, broadcast_keep=True
+        pairs, "src", "dst", k=3, rounds=4, broadcast_keep=False
     )
 
 
@@ -6657,37 +6670,43 @@ def shortest_path_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     `bfs_part_supplier_hops` (unit weights make it min-hops). Exact
     integer distances; the oracle unrolls the identical relaxation
     rounds as chained CTEs, so MATCH pins every round's min-relax
-    semantics. Per-round eager checkpoint keeps lineage flat (the
-    kcore_peel discipline)."""
+    semantics. Every-2nd-round checkpoint with lazy persists in between
+    keeps lineage flat (the r7 double-step). The weighted pair build is
+    the _copurchase_pairs combination expansion carrying (partkey,
+    cents) structs — no lineitem self-join (r7; the oracle keeps its
+    self-join form as the independent implementation)."""
     from bicis_spark.operators.graph import bellman_ford_rounds
 
-    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
     li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_extendedprice"
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"),
-        F.col("l_partkey").alias("p2"),
-        F.col("l_extendedprice").alias("e2"),
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
     )
     pw = (
-        li.join(
-            l2,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_partkey") < F.col("p2")),
-        )
-        .groupBy(
-            F.col("l_partkey").alias("a"), F.col("p2").alias("b")
-        )
+        li.groupBy("l_orderkey")
         .agg(
-            F.min(
-                F.abs(
-                    cents("l_extendedprice") - F.round(F.col("e2") * 100).cast("long")
-                )
-            )
-            .cast("long")
-            .alias("w")
+            F.sort_array(
+                F.collect_set(F.struct("l_partkey", "cents"))
+            ).alias("ps")
         )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x.l_partkey AS a, y.l_partkey AS b, "
+                    "abs(x.cents - y.cents) AS w))))"
+                )
+            ).alias("p")
+        )
+        # struct-sorted order gives a <= b; equal partkeys (same part,
+        # two prices in one order) are excluded by the strict < of the
+        # reference semantics
+        .where(F.col("p.a") != F.col("p.b"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.min("p.w").cast("long").alias("w"))
     )
     esym = pw.select(
         F.col("a").alias("u"), F.col("b").alias("v"), "w"
