@@ -905,14 +905,19 @@ def streaming_view_purchase_join_q(spark: SparkSession, sf_dir: str) -> DataFram
         view_purchase_join_stream,
     )
 
+    from bicis_spark.streaming.statestore import rocksdb_state
+
     src = _staged_events_dir(spark, sf_dir, single_file=True)
     stream = read_events_stream(spark, src, EVENTS)
     views = stream.where(F.col("event_type") == "view")
     purchases = stream.where(F.col("event_type") == "purchase")
-    return run_append_to_completion(
-        view_purchase_join_stream(views, purchases),
-        "streaming_view_purchase_join_mem",
-    )
+    # RocksDB for the state-heavy two-sided join buffer (A/B r7: the
+    # HDFS heap store snapshots the full map per commit; see SCALE.md)
+    with rocksdb_state(spark):
+        return run_append_to_completion(
+            view_purchase_join_stream(views, purchases),
+            "streaming_view_purchase_join_mem",
+        )
 
 
 @register(
@@ -1134,16 +1139,20 @@ def streaming_view_purchase_left_join_q(spark: SparkSession, sf_dir: str) -> Dat
         view_purchase_left_join_stream,
     )
 
+    from bicis_spark.streaming.statestore import rocksdb_state
+
     src = _staged_events_dir(spark, sf_dir, single_file=True)
     stream = read_events_stream(spark, src, EVENTS)
     views = stream.where(F.col("event_type") == "view")
     purchases = stream.where(F.col("event_type") == "purchase")
-    return run_append_to_completion(
-        view_purchase_left_join_stream(
-            views, purchases, view_cutoff="2024-01-20 00:00:00"
-        ),
-        "streaming_view_purchase_left_join_mem",
-    )
+    # RocksDB for the state-heavy outer-join buffer (A/B r7; SCALE.md)
+    with rocksdb_state(spark):
+        return run_append_to_completion(
+            view_purchase_left_join_stream(
+                views, purchases, view_cutoff="2024-01-20 00:00:00"
+            ),
+            "streaming_view_purchase_left_join_mem",
+        )
 
 
 @register(

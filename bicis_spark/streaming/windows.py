@@ -71,14 +71,35 @@ def _drain_to_memory(
     """Drive a (finite file-source) streaming query to completion through
     the memory sink in the given output mode and return the result as a
     batch DataFrame (via ``sparkSession.table`` — query names need not be
-    bare SQL identifiers)."""
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+    bare SQL identifiers).
+
+    State-partition scoping (r7, verdict item #8): a stateful query's
+    shuffle-partition count is captured at start and every batch commits
+    one state store PER PARTITION — on a single node that per-store
+    commit overhead, not the data, was the drain floor (the stream-stream
+    outer join: 32 partitions 9.3s → 8 partitions 2.9s at sf0.1, A/B in
+    SCALE.md). The drain scopes partitions to max(4, cores/4) for the
+    query start and restores the session conf after; on a real cluster
+    the same knob goes UP with executor count — state partitions should
+    track parallelism, not the session's batch-shuffle width. Results are
+    partitioning-invariant (exact counts/joins), so this is pure
+    mechanics."""
+    spark = stream_df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(4, cores // 4))
     )
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     try:
         q.processAllAvailable()
     finally:
