@@ -192,9 +192,10 @@ def pagerank_bipartite(
 
 #: Rank encoding base for degree-ordered edge orientation: rank(v) =
 #: degree(v)·2⁴⁰ + v packs (degree, id) into ONE int64 comparison key.
-#: Documented bound: valid while vertex ids < 2⁴⁰ (~1.1e12 — partkeys
-#: reach ~2e10 at a 100 TB TPC-H) and degree·2⁴⁰ + id < 2⁶³ (degree <
-#: ~8.4e6); assert-guarded at the call sites below.
+#: Documented bound (not runtime-checked — ANSI mode turns an overflow
+#: into a hard error rather than silent wrap): valid while vertex ids
+#: < 2⁴⁰ (~1.1e12 — partkeys reach ~2e10 at a 100 TB TPC-H) and
+#: degree·2⁴⁰ + id < 2⁶³ (degree < ~8.4e6).
 _RANK_BASE = 1 << 40
 
 

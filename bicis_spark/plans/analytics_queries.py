@@ -5700,13 +5700,22 @@ SELECT vertex, residual_degree FROM (
     )
 
 
-@register("kcore_parts", _kcore_sql(k=3, rounds=4))
+@register("kcore_parts", _kcore_sql(k=80, rounds=4))
 def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-round 3-core peel of the part co-purchase graph (4 rounds):
-    vertices surviving repeated drop-degree-below-3 passes, with their
+    """Fixed-round 80-core peel of the part co-purchase graph (4 rounds):
+    vertices surviving repeated drop-degree-below-80 passes, with their
     residual degree — the degeneracy primitive behind dense-subgraph
     mining. The oracle unrolls the identical rounds as chained CTEs, so
-    MATCH pins every round's degree/keep/refilter semantics."""
+    MATCH pins every round's degree/keep/refilter semantics.
+
+    k=80 since r7 (was 3): the co-purchase graph's MINIMUM degree is
+    38-49 at every driver SF (measured degree-histogram probe, SCALE.md),
+    so the k=3 peel was a structural NO-OP — the oracle gated only the
+    final degree filter, and the k/boundary mutants survived every
+    sweep. At k=80 the peel CASCADES at all three driver SFs
+    (sf0.001: 48/106/46/0 drops per round to an empty core; sf0.01:
+    97/25/13/7; sf0.1: 846/197/64/24), so every round's
+    degree/keep/refilter logic is load-bearing under the hash gate."""
     from bicis_spark.operators.graph import kcore_peel
 
     pairs = _copurchase_pairs(spark, sf_dir)
@@ -5716,7 +5725,7 @@ def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6.47s explicit vs 6.09s AQE) — and the shuffle form is the
     # scale-safe default for data-scaled graphs anyway
     return kcore_peel(
-        pairs, "src", "dst", k=3, rounds=4, broadcast_keep=False
+        pairs, "src", "dst", k=80, rounds=4, broadcast_keep=False
     )
 
 

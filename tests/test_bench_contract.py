@@ -42,7 +42,7 @@ def test_bench_json_contract(tmp_path):
         text=True,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=600,
+        timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     json_lines = [
