@@ -720,7 +720,7 @@ def glm_poisson_mse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the sum, int64 out under the documented
     n·(y−μ)²·1e6 < 2⁶³ bound) so the reduction is order-independent and
     the oracle replays it bit-for-bit — closing the last rows-only row
-    (283/283 oracle-backed)."""
+    (every registered query oracle-backed since r7)."""
     from bicis_spark.operators.model import score_poisson_irls_step
 
     _, mse = score_poisson_irls_step(
