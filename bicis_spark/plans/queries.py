@@ -57,9 +57,10 @@ _LOADED = False
 # r6 verdict task #2 asks for exactly this window: the 36 names the driver
 # has never hash-checked (the 15-name r6 leftover queue, the judge-listed
 # never-sampled analytics/graph rows, and `ucb1_event_type_arms` which
-# landed after the final r6 emulation sweep). With every registered query
-# then driver-checked at least once, the remaining 14 slots re-verify the
-# 14 oldest round-1 queries (first checked 6 rounds ago).
+# landed after the final r6 emulation sweep) plus the r7-new
+# `ols_isotonic_calibration_ntile` contract twin. With every registered
+# query then driver-checked at least once, the remaining 13 slots
+# re-verify the oldest round-1 queries (first checked 6 rounds ago).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- 36 never-driver-checked --
     "ols_isotonic_calibration",
@@ -98,7 +99,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "shortest_path_copurchase",
     "cohort_ltv_curve",
     "ucb1_event_type_arms",
-    # -- 14 oldest (round-1) re-verification slots --
+    # -- the r7-new contract twin (also never checked) --
+    "ols_isotonic_calibration_ntile",
+    # -- 13 oldest (round-1) re-verification slots --
     "hour_profile",
     "weekday_profile",
     "count_rows",
@@ -112,7 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_events_expr_join",
     "latest_events_top100",
     "topk_orders_per_customer",
-    "hourly_event_counts",
 )
 
 

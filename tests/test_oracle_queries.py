@@ -61,11 +61,22 @@ def test_driver_window_spends_slots_on_unverified_queries():
     unverified = set(ALL) - ever_checked
     if not unverified:
         pytest.skip("every registered query already has a driver row")
-    wasted = [n for n in registry.DRIVER_WINDOW if n in ever_checked]
-    assert not wasted, (
-        f"{len(unverified)} queries have never had a driver row, but the "
-        f"window re-verifies already-checked names: {wasted}"
-    )
+    if len(unverified) >= len(registry.DRIVER_WINDOW):
+        # more unverified names than slots: every slot must go to one
+        wasted = [n for n in registry.DRIVER_WINDOW if n in ever_checked]
+        assert not wasted, (
+            f"{len(unverified)} queries have never had a driver row, but "
+            f"the window re-verifies already-checked names: {wasted}"
+        )
+    else:
+        # endgame (r7+): fewer unverified names than slots — all of them
+        # must hold a slot; the remaining slots legitimately re-verify
+        # (oldest-first by convention, not asserted)
+        missing = sorted(n for n in unverified
+                         if n not in registry.DRIVER_WINDOW)
+        assert not missing, (
+            f"unverified queries left out of the window: {missing}"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(ALL))
