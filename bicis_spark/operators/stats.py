@@ -622,7 +622,11 @@ def isotonic_fit_bins(
         F.col("_cn").alias("cnk"),
         F.col("_cs").alias("csk"),
     )
-    intervals = j.join(k, F.col("j") <= F.col("k")).select(
+    # both sides are bounded by this function's contract (B bins); the
+    # explicit broadcast keeps the non-equi join a bounded-build BNLJ —
+    # without it, a stats-free input (e.g. a checkpointed histogram)
+    # falls to CartesianProduct (r7 explain-audit finding)
+    intervals = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
         "j",
         "k",
         (
@@ -633,7 +637,7 @@ def isotonic_fit_bins(
     idim = cum.select(F.col("_i").alias("i"), "_n", "_s")
     inner = (
         idim.join(
-            intervals,
+            F.broadcast(intervals),
             (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
         )
         .groupBy("i", "j")

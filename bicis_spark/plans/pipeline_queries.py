@@ -1520,8 +1520,10 @@ def ols_isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictions the bucket populations differ from ntile's forced-equal
     fills — the honest equi-depth answer;
     ``ols_isotonic_calibration_ntile`` keeps the exact-ntile semantics
-    as the oracle-gated contract twin (4.1s → this plan at 1.1s,
-    sf0.1)."""
+    as the oracle-gated contract twin (4.1s r6 → 2.4s, sf0.1 — the last
+    +0.7s buys the bounded-broadcast hints that keep every non-equi
+    attach a bounded-build BNLJ instead of a CartesianProduct under the
+    stats-free checkpointed histogram)."""
     from bicis_spark.operators.model import _decimal_sum_double
     from bicis_spark.operators.stats import isotonic_fit_bins
 
@@ -1578,7 +1580,7 @@ def ols_isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n_d")
         ).alias("intercept"),
     )
-    pq = hist.crossJoin(coef).select(
+    pq = hist.crossJoin(F.broadcast(coef)).select(
         F.floor(
             (
                 F.col("intercept")
@@ -1597,7 +1599,7 @@ def ols_isotonic_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(predq, array({probes}), n)").alias("cs")
     )
     bins = (
-        pq.crossJoin(cuts)
+        pq.crossJoin(F.broadcast(cuts))
         .select(
             F.size(
                 F.filter(
