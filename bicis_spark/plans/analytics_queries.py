@@ -4956,7 +4956,16 @@ def _interleave_terms(xc: str, yc: str, bits: int) -> str:
 _ZORDER_SQL = f"""
 WITH k AS (
     SELECT (o_custkey % {1 << _Z_BITS}) AS xk,
-           ((epoch_us(o_orderdate) // 86400000000) % {1 << _Z_BITS}) AS yk
+           -- FLOOR day for pre-1970 too: DuckDB's integer `//` truncates
+           -- toward zero exactly like Spark's `div` (measured r7:
+           -- SELECT -7 // 2 = -3), so floor = subtract the non-negative
+           -- remainder first, then divide the exact multiple; the outer
+           -- pmod-form keeps the bucket key non-negative
+           (((((epoch_us(o_orderdate)
+                - (((epoch_us(o_orderdate) % 86400000000) + 86400000000)
+                   % 86400000000))
+               // 86400000000) % {1 << _Z_BITS})
+             + {1 << _Z_BITS}) % {1 << _Z_BITS}) AS yk
     FROM orders
 ),
 z AS (
@@ -4991,10 +5000,13 @@ def zorder_layout_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = orders.selectExpr(
         f"(o_custkey % {1 << _Z_BITS}) AS xk",
         # pmod-then-div == FLOOR division (matches the oracle's `//`) for
-        # pre-1970 dates too; bare `div` truncates toward zero (ADVICE r6)
-        "((unix_micros(o_orderdate)"
+        # pre-1970 dates too (bare `div` truncates toward zero — ADVICE
+        # r6), and the outer pmod keeps yk NON-NEGATIVE so the bit
+        # interleave's div/% chain stays floor-consistent cross-engine
+        # for pre-1970 days as well (oracle mirror: ((x % b) + b) % b)
+        "pmod((unix_micros(o_orderdate)"
         " - pmod(unix_micros(o_orderdate), 86400000000))"
-        f" div 86400000000) % {1 << _Z_BITS} AS yk",
+        f" div 86400000000, {1 << _Z_BITS}) AS yk",
     )
     z = k.selectExpr(
         "xk", "yk", f"({_interleave_terms('xk', 'yk', _Z_BITS)}) AS zval"

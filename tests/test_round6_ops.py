@@ -1049,3 +1049,78 @@ def test_ucb1_score_algebra_and_ordering(spark, sf_dir):
     by_n = sorted(rows, key=lambda r: r["n_i"])
     bonuses = [r["ucb_bonus"] for r in by_n]
     assert bonuses == sorted(bonuses, reverse=True)
+
+
+def test_floor_semantics_pre_1970(spark, tmp_path):
+    """ADVICE r6 regression pin: zorder's day key and the epoch-hour
+    series keys must agree with the DuckDB oracle's FLOOR `//` semantics
+    for PRE-1970 timestamps (Spark `div` / cast-to-long truncate toward
+    zero — equivalent on the synthetic data only because all epochs are
+    positive). Stages a tiny orders/events table straddling 1970 and
+    replays the oracle SQL on it."""
+    import duckdb
+
+    from bicis_spark.plans.analytics_queries import (
+        _ZORDER_SQL,
+        acf_hourly_counts_q,
+        zorder_layout_orders_q,
+    )
+    from tests.oracle_utils import assert_oracle_match
+
+    d = str(tmp_path / "pre1970")
+    prior = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    rows = [
+        # (orderkey, custkey, date) — days -400..+400 around the epoch
+        (i, 7 * i + 3, f"{1968 + (i % 5)}-0{1 + (i % 9)}-{10 + (i % 15)}"
+         " 0%d:30:00" % (i % 10))
+        for i in range(1, 120)
+    ]
+    sdf = spark.createDataFrame(
+        [(ok, ck, ts) for ok, ck, ts in rows],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "'F' AS o_orderstatus",
+        "CAST(100.0 AS DOUBLE) AS o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority",
+    )
+    sdf.coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    # events table with pre-1970 ts for the hour-key family
+    edf = spark.createDataFrame(
+        [(i, i % 7, "view", f"{1969 + (i % 3)}-01-{1 + (i % 27):02d}"
+          f" {i % 24:02d}:15:00") for i in range(1, 200)],
+        "event_id long, user_id long, event_type string, ts string",
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts AS TIMESTAMP) AS ts",
+        "CAST(1.0 AS DOUBLE) AS value",
+        "map('k', 'v') AS props",
+    )
+    edf.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    if prior is None:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    else:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+
+    con = duckdb.connect()
+    # Spark writes directories; point DuckDB at the part files
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet/*.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+
+    assert_oracle_match(
+        zorder_layout_orders_q(spark, d), con, _ZORDER_SQL,
+        "zorder_pre1970",
+    )
+    from bicis_spark.plans.queries import oracle_sql
+
+    assert_oracle_match(
+        acf_hourly_counts_q(spark, d), con,
+        oracle_sql()["acf_hourly_counts"], "acf_pre1970",
+    )
