@@ -5059,12 +5059,12 @@ w AS (
         max(CASE WHEN arm = 'B' THEN CAST(sx AS DOUBLE) END) AS sx_b,
         max(CASE WHEN arm = 'A' THEN CAST(sy AS DOUBLE) END) AS sy_a,
         max(CASE WHEN arm = 'B' THEN CAST(sy AS DOUBLE) END) AS sy_b,
-        max(CASE WHEN arm = 'A' THEN CAST(sxy AS DOUBLE) END) AS sxy_a,
-        max(CASE WHEN arm = 'B' THEN CAST(sxy AS DOUBLE) END) AS sxy_b,
-        max(CASE WHEN arm = 'A' THEN CAST(sxx AS DOUBLE) END) AS sxx_a,
-        max(CASE WHEN arm = 'B' THEN CAST(sxx AS DOUBLE) END) AS sxx_b,
-        max(CASE WHEN arm = 'A' THEN CAST(syy AS DOUBLE) END) AS syy_a,
-        max(CASE WHEN arm = 'B' THEN CAST(syy AS DOUBLE) END) AS syy_b
+        max(CASE WHEN arm = 'A' THEN CAST(CAST(sxy AS BIGINT) AS DOUBLE) END) AS sxy_a,
+        max(CASE WHEN arm = 'B' THEN CAST(CAST(sxy AS BIGINT) AS DOUBLE) END) AS sxy_b,
+        max(CASE WHEN arm = 'A' THEN CAST(CAST(sxx AS BIGINT) AS DOUBLE) END) AS sxx_a,
+        max(CASE WHEN arm = 'B' THEN CAST(CAST(sxx AS BIGINT) AS DOUBLE) END) AS sxx_b,
+        max(CASE WHEN arm = 'A' THEN CAST(CAST(syy AS BIGINT) AS DOUBLE) END) AS syy_a,
+        max(CASE WHEN arm = 'B' THEN CAST(CAST(syy AS BIGINT) AS DOUBLE) END) AS syy_b
     FROM arms
 ),
 c1 AS (
@@ -5113,8 +5113,12 @@ def cuped_adjusted_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjusted means, adjusted variances, the z-stat, and the achieved
     variance ratio — is expanded ALGEBRAICALLY into a fixed float tree
     over exact per-arm integer sums (n, Σx, Σy, Σxy, Σx², Σy², decimal-
-    accumulated; first moments floored to int64, second moments kept
-    DECIMAL(38,0) because Σx² nears 2^63 by ~sf100 — ADVICE r6). No
+    accumulated; first moments floored to int64, second moments
+    DECIMAL(38,0) through the SUM — Σx² nears 2^63 by ~sf100, where the
+    old in-aggregate int64 would wrap silently; the one terminal
+    DECIMAL→BIGINT→DOUBLE cast is the fit_poisson_irls_step D/E
+    discipline and errors loudly under ANSI past the bound instead —
+    ADVICE r6). No
     per-row adjusted values ever materialize, so there is no float
     accumulation anywhere and the oracle replays the readout bitwise.
     Scale shape: one custkey-keyed aggregate, one 2-row arm aggregate, a
@@ -5163,14 +5167,22 @@ def cuped_adjusted_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("syy"),
     )
 
-    def pick(a: str, col: str, cast: str):
-        return F.max(F.when(F.col("arm") == a, F.col(col).cast(cast)))
+    def pick(a: str, col: str):
+        # decimal moments go DECIMAL(38,0) -> BIGINT -> DOUBLE (the
+        # fit_poisson_irls_step D/E discipline, |value| < 2^63 bound
+        # documented above): int64->double is IEEE-correctly-rounded in
+        # both engines, while a direct wide-decimal->double cast is
+        # engine-divergent in the last ulp past ~16 digits (measured r6)
+        v = F.col(col)
+        if col in ("sxy", "sxx", "syy"):
+            v = v.cast("long")
+        return F.max(F.when(F.col("arm") == a, v.cast("double")))
 
     w = arms.agg(
-        pick("A", "n", "long").alias("n_a"),
-        pick("B", "n", "long").alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
         *[
-            pick(a, c, "double").alias(f"{c}_{a.lower()}")
+            pick(a, c).alias(f"{c}_{a.lower()}")
             for c in ("sx", "sy", "sxy", "sxx", "syy")
             for a in ("A", "B")
         ],
