@@ -31,6 +31,10 @@ PROBES = [
     "skipgram_pairs",        # array-native pair gen on documents
     "zorder_layout_orders",  # map-side z-value + one agg on orders
     "incremental_join_view",  # 4-term delta join decomposition
+    # round-7 additions: the re-planned rows
+    "ols_isotonic_calibration",   # one-pass cents histogram + bounded frames
+    "kcore_parts",                # cascading k=80 peel, combination pair build
+    "clustering_coefficient_parts",  # degree-oriented wedge join
 ]
 
 TABLE_OF = {
@@ -44,6 +48,9 @@ TABLE_OF = {
     "skipgram_pairs": "documents",
     "zorder_layout_orders": "orders",
     "incremental_join_view": "lineitem",
+    "ols_isotonic_calibration": "lineitem",
+    "kcore_parts": "lineitem",
+    "clustering_coefficient_parts": "lineitem",
 }
 
 
