@@ -192,10 +192,10 @@ def pagerank_bipartite(
 
 #: Rank encoding base for degree-ordered edge orientation: rank(v) =
 #: degree(v)·2⁴⁰ + v packs (degree, id) into ONE int64 comparison key.
-#: Documented bound (not runtime-checked — ANSI mode turns an overflow
-#: into a hard error rather than silent wrap): valid while vertex ids
-#: < 2⁴⁰ (~1.1e12 — partkeys reach ~2e10 at a 100 TB TPC-H) and
-#: degree·2⁴⁰ + id < 2⁶³ (degree < ~8.4e6).
+#: Bounds — vertex ids < 2⁴⁰ (~1.1e12; partkeys reach ~2e10 at a 100 TB
+#: TPC-H) and degree < 2²³ (~8.4e6) — are enforced at runtime by an
+#: assert_true filter in _orient_by_degree, so a non-ANSI session fails
+#: loudly instead of silently wrapping into a cyclic orientation.
 _RANK_BASE = 1 << 40
 
 
@@ -230,7 +230,24 @@ def _orient_by_degree(
     map-side — correct ONLY when the vertex universe is
     dimension-bounded at the call site (e.g. parts), the same contract
     as ``kcore_peel``'s ``broadcast_keep``; leave False for graphs whose
-    vertex set scales with the data (shuffle joins, AQE-planned)."""
+    vertex set scales with the data (shuffle joins, AQE-planned).
+
+    The packing bounds are RUNTIME-CHECKED in the plan itself (not just
+    documented): an ``assert_true`` filter over the |V|-sized degree
+    table fails the job loudly if any id ≥ 2⁴⁰ or degree ≥ 2²³ —
+    without it, a non-ANSI session would silently wrap the rank and the
+    orientation could turn cyclic (undercounting triangles). Two integer
+    comparisons per vertex; no extra exchange."""
+    guard = F.assert_true(
+        (F.col("v") >= 0)
+        & (F.col("v") < F.lit(_RANK_BASE))
+        & (F.col("degree") < F.lit(1 << 23)),
+        F.lit(
+            "_orient_by_degree rank packing overflow: requires "
+            "0 <= vertex id < 2^40 and degree < 2^23"
+        ),
+    )
+    degrees = degrees.where(guard.isNull())
     rank = F.col("degree") * F.lit(_RANK_BASE) + F.col("v")
     da = degrees.select(F.col("v").alias("a"), rank.alias("_ra"))
     db = degrees.select(F.col("v").alias("b"), rank.alias("_rb"))

@@ -347,15 +347,22 @@ def score_poisson_irls_step(
       eta, prediction]`` with η = intercept + slope·x (IEEE mul+add,
       bitwise identical in CPython and DuckDB) and prediction = exp(η).
     * mse — 1 row ``[n_points, sse_q, mse]``. The squared errors are
-      quantized per DISTINCT (x, y) pair (bounded: |x|·|distinct
-      counts|) as eq = floor((y − μ)²·err_scale) int64 in CPython, then
-      integer-summed (DECIMAL(38,0) through the sum — Σ n·eq exceeds
-      2⁶³ past ~sf10 — cast to int64 at the end under the documented
-      |Σ| < 2⁶³ bound, which holds while n_points·(y−μ)²·err_scale
-      < 9.2e18). mse = Σ/(err_scale·n) is one fixed float tree over
-      correctly-rounded int64→double casts — order-independent, so the
-      oracle replays BOTH outputs bit-for-bit: the full fit→predict→
-      evaluate chain under the hash gate."""
+      quantized PER ROW as a JVM column expression: eq =
+      floor((y − μ)²·err_scale) where the int64→double cast, subtract,
+      multiplies, and floor are all correctly-rounded IEEE-754 ops —
+      engine-deterministic, so DuckDB's per-row floor(dv²·scale)
+      replays them bit-for-bit; only μ = exp(η) needs the CPython-libm
+      table, and that table is bounded by |distinct x|. The eq sum runs
+      in DECIMAL(38,0) (Σ eq exceeds 2⁶³ past ~sf10) and casts to int64
+      under the documented |Σ| < 2⁶³ bound (holds while
+      n_points·(y−μ)²·err_scale < 9.2e18). mse = Σ/(err_scale·n) is one
+      fixed float tree — order-independent, so the oracle replays BOTH
+      outputs bit-for-bit: the full fit→predict→evaluate chain under
+      the hash gate. No data-sized driver state anywhere: the only
+      collects are the 1-row β and the |distinct x|-bounded μ table
+      (x is an hour-of-day here — 24 rows at any corpus size); rows
+      with NULL x or y are dropped up front (a NULL point has no
+      defined error and previously crashed the driver loop)."""
     import math
 
     spark = pts.sparkSession
@@ -363,7 +370,9 @@ def score_poisson_irls_step(
     coef = fit.select("slope", "intercept").first()
     slope, intercept = float(coef["slope"]), float(coef["intercept"])
 
-    base = pts.select(
+    base = pts.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
         *id_cols,
         F.col(x_col).cast("long").alias("_x"),
         F.col(y_col).cast("long").alias("_y"),
@@ -374,7 +383,8 @@ def score_poisson_irls_step(
         eta = intercept + slope * float(xv)
         mu_rows.append((int(xv), eta, math.exp(eta)))
     mutab = spark.createDataFrame(mu_rows, "_x long, eta double, mu double")
-    preds = base.join(F.broadcast(mutab), "_x").select(
+    scored = base.join(F.broadcast(mutab), "_x")
+    preds = scored.select(
         *id_cols,
         F.col("_x").alias(x_col),
         F.col("_y").cast("long").alias("label"),
@@ -382,32 +392,14 @@ def score_poisson_irls_step(
         F.col("mu").alias("prediction"),
     )
 
-    pair_counts = base.groupBy("_x", "_y").agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
-    )
-    mu_by_x = {int(xv): mu for xv, _, mu in mu_rows}
-    pairs = [
-        (int(r["_x"]), int(r["_y"]))
-        for r in pair_counts.select("_x", "_y").distinct().collect()
-    ]
-    def _eq(xv: int, yv: int) -> int:
-        d = float(yv) - mu_by_x[xv]
-        return int(math.floor(d * d * err_scale))
-
-    eqtab = spark.createDataFrame(
-        [(xv, yv, _eq(xv, yv)) for xv, yv in pairs],
-        "_x long, _y long, _eq long",
-    )
-    # decimal operands BEFORE the product: n·eq itself can pass 2⁶³ on a
-    # hot pair at scale, not just the sum
-    sums = pair_counts.join(F.broadcast(eqtab), ["_x", "_y"]).agg(
-        F.sum("_n").cast("long").alias("n_points"),
-        F.sum(
-            F.col("_n").cast("decimal(38,0)")
-            * F.col("_eq").cast("decimal(38,0)")
-        )
-        .cast("long")
-        .alias("sse_q"),
+    # eq as a JVM column: IEEE sub/mul/floor match DuckDB's per-row
+    # floor(dv·dv·scale) exactly; the association ((d·d)·scale) mirrors
+    # the oracle's expression tree.
+    d = F.col("_y").cast("double") - F.col("mu")
+    eq = F.floor(d * d * F.lit(float(err_scale))).cast("long")
+    sums = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(eq.cast("decimal(38,0)")).cast("long").alias("sse_q"),
     )
     mse = sums.select(
         "n_points",

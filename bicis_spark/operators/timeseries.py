@@ -361,8 +361,8 @@ def interpolate_series_at(
     when either neighbor is missing. Neighbors are INDEPENDENT
     two-direction lookups (t0 = latest point ≤ t, t1 = earliest point
     ≥ t): an out-of-span target still reports its one-sided neighbor
-    (t1 = first series point before the span, t0 = last point after it)
-    with interp_value NULL. Every operand is exact
+    (a before-span target gets t1 = the first series point; an
+    after-span target gets t0 = the last point) with interp_value NULL. Every operand is exact
     (BIGINT micros, BIGINT values); the one float tree is fixed and
     mirrored by the oracle, which replays the semantics through DuckDB's
     native ASOF JOIN in both directions — an independent implementation

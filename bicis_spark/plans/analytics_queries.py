@@ -2526,9 +2526,11 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bicis_spark.operators.graph import triangle_count
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    # parts are dimension-bounded: broadcast the degree ranks (the
-    # kcore_parts broadcast_keep contract)
-    return triangle_count(pairs, "src", "dst", broadcast_degrees=True)
+    # |parts| scales linearly with SF, so no forced broadcast of the
+    # degree table: shuffle-join default, and AQE converts it to a
+    # runtime broadcast whenever the table is actually small — the same
+    # reasoning that moved kcore_parts off broadcast_keep (r7 A/B).
+    return triangle_count(pairs, "src", "dst", broadcast_degrees=False)
 
 
 # ---------------------------------------------------------------------------
@@ -5683,10 +5685,10 @@ def clustering_coefficient_parts_q(
     from bicis_spark.operators.graph import local_clustering_coefficient
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    # parts are dimension-bounded: broadcast the degree ranks (the
-    # kcore_parts broadcast_keep contract)
+    # |parts| scales linearly with SF, so no forced broadcast of the
+    # degree table (AQE converts when small — the kcore_parts contract)
     return local_clustering_coefficient(
-        pairs, "src", "dst", broadcast_degrees=True
+        pairs, "src", "dst", broadcast_degrees=False
     )
 
 

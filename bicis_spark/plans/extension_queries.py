@@ -3241,14 +3241,30 @@ def zipf_fit_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-quality pipeline runs to spot template spam (slope flattens) or
     truncated vocabularies (slope steepens); healthy natural text sits
     near −1. Determinism: ranks are a total order (freq DESC, token ASC);
-    both logs are quantized floor(log2·1e6) through a CPython-libm table
-    over the DISTINCT ranks and frequencies (vocabulary-bounded — the MI
-    feature-ranking discipline, featurize.py:271), so the OLS sufficient
-    statistics are exact integer sums and the slope/intercept a fixed
-    float tree. The rank window is a single global window over the
-    VOCABULARY (not the corpus) — dimension-sized by Heaps' law; the
-    corpus-sized work is one token-count hash aggregate."""
+    both logs are quantized floor(log2·1e6) EXECUTOR-SIDE in an
+    Arrow-batched pandas UDF that calls CPython's ``math.log2`` per
+    element — the executor Python is the same CPython libm DuckDB links
+    (the JVM's ``Math.log`` never enters the plan), so the OLS
+    sufficient statistics are exact integer sums and the slope/intercept
+    a fixed float tree. No driver-side structure scales with the
+    vocabulary (the r7 verdict's one scale hazard — a driver-built
+    ``range(1, n_vocab+1)`` rank table — is gone): the only non-columnar
+    work is the global rank window over the VOCABULARY (not the corpus),
+    dimension-sized by Heaps' law; the corpus-sized work is one
+    token-count hash aggregate."""
     import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _qlog2(s):
+        # (no annotations: PEP-563 stringified hints break pandas_udf's
+        # signature inference under `from __future__ import annotations`)
+        # CPython-libm log2 per element (NOT numpy.log2 — numpy may use
+        # SIMD polynomial paths that differ in the last ulp from libm).
+        return s.map(lambda k: math.floor(math.log2(k) * _ZIPF_S)).astype(
+            "int64"
+        )
 
     docs = read_table(spark, sf_dir, "documents")
     toks = F.explode(
@@ -3267,26 +3283,7 @@ def zipf_fit_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = freq.withColumn(
         "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w")))
     )
-    ks = set()
-    for row in ranked.select("f").distinct().collect():
-        ks.add(int(row[0]))
-    n_vocab = ranked.count()
-    ks.update(range(1, n_vocab + 1))
-    qlog = spark.createDataFrame(
-        [(int(k), int(math.floor(math.log2(k) * _ZIPF_S))) for k in sorted(ks)],
-        "k long, q long",
-    )
-    q = (
-        ranked.join(F.broadcast(qlog.withColumnRenamed("q", "x")), ranked["r"] == qlog["k"])
-        .drop("k")
-        .join(
-            F.broadcast(
-                qlog.withColumnRenamed("q", "y").withColumnRenamed("k", "k2")
-            ),
-            F.col("f") == F.col("k2"),
-        )
-        .select("x", "y")
-    )
+    q = ranked.select(_qlog2("r").alias("x"), _qlog2("f").alias("y"))
     s = q.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),

@@ -27,7 +27,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None):
     """Decorator: register a (spark, sf_dir) -> DataFrame query, with its
-    DuckDB oracle SQL (None ⇒ rows-only check)."""
+    DuckDB oracle SQL. ``oracle=None`` would fall back to the driver's
+    weaker rows-only check; since round 7 the registry carries an oracle
+    for every query (zero rows-only entries) and new registrations are
+    expected to keep it that way."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         _REGISTRY[name] = (fn, oracle)
@@ -52,69 +55,71 @@ _LOADED = False
 # CORRECTNESS_r01-r04 keys == queries() positions 1-50 in insertion order).
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
 #
-# ROUND-7 ROTATION (mechanical, scripts/next_window.py against
-# CORRECTNESS_r01-r06): all 50 round-6 window members came back green. The
-# r6 verdict task #2 asks for exactly this window: the 36 names the driver
-# has never hash-checked (the 15-name r6 leftover queue, the judge-listed
-# never-sampled analytics/graph rows, and `ucb1_event_type_arms` which
-# landed after the final r6 emulation sweep) plus the r7-new
-# `ols_isotonic_calibration_ntile` contract twin. With every registered
-# query then driver-checked at least once, the remaining 13 slots
-# re-verify the oldest round-1 queries (first checked 6 rounds ago).
+# ROUND-8 ROTATION (mechanical, scripts/next_window.py against
+# CORRECTNESS_r01-r07): every registered query has now been driver-checked
+# at least once (the r7 rotation closed the never-checked queue), so the
+# policy switches to staleness re-verification — the r7 verdict task #5:
+# the window is the 50 queries with the OLDEST last-green driver row
+# (ties broken by registration order). These are the 35 remaining r2-vintage
+# rows plus the 15 oldest r3-vintage rows (streaming + dedup families);
+# r7-new rows stay out until r9. Two of the members
+# (`glm_poisson_predictions`/`_mse`) also had their scoring internals
+# re-planned this round (JVM-column quantized errors replacing the
+# driver-side pair collect), so the stale-window slot doubles as the
+# re-verification of that change.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- 36 never-driver-checked --
-    "ols_isotonic_calibration",
-    "corpus_kl_divergence",
-    "l_diversity_orders",
-    "mutual_information_features",
-    "naive_bayes_confusion",
-    "decision_stump_gains",
-    "bootstrap_mean_ci",
-    "kmv_merge_law",
-    "weighted_quantiles_price",
-    "bfs_part_supplier_hops",
-    "brand_weighted_median_price",
-    "interval_union_coverage_users",
-    "table_checksum_orders_monthly",
-    "mode_impute_event_types",
-    "zorder_layout_orders",
-    "cuped_adjusted_ab",
-    "bom_subtree_rollup",
-    "incremental_join_view",
-    "chisq_independence_cells",
-    "user_activity_streaks",
-    "acf_hourly_counts",
-    "clustering_coefficient_parts",
-    "kcore_parts",
-    "changepoint_hourly_split",
-    "interp_purchase_rate_at_errors",
-    "ccf_view_purchase",
-    "forecast_mase_baselines",
-    "haar_energy_hourly",
-    "join_size_by_key_stats",
-    "ecdf_dkw_bands_totalprice",
-    "mann_whitney_ab_spend",
-    "event_type_runs",
-    "sorted_neighborhood_pairs",
-    "shortest_path_copurchase",
-    "cohort_ltv_curve",
-    "ucb1_event_type_arms",
-    # -- the r7-new contract twin (also never checked) --
-    "ols_isotonic_calibration_ntile",
-    # -- 13 oldest (round-1) re-verification slots --
-    "hour_profile",
-    "weekday_profile",
-    "count_rows",
-    "boolean_or_filter",
-    "timestamp_range_filter",
-    "union_all_sources",
-    "multi_format_timestamp_parse",
-    "duration_parse",
-    "customers_per_region",
-    "revenue_per_brand",
-    "orders_events_expr_join",
-    "latest_events_top100",
-    "topk_orders_per_customer",
+    # -- 35 r2-vintage (last driver row: round 2) --
+    "hourly_event_counts",
+    "pricing_summary",
+    "users_intersect",
+    "hours_except",
+    "rollup_order_counts",
+    "cube_event_counts",
+    "distinct_user_stats",
+    "approx_distinct_stats",
+    "sessionization",
+    "asof_latest_order",
+    "sql_adhoc_orders_by_nation",
+    "ship_delay_stats",
+    "range_join_recent_orders",
+    "value_moment_stats",
+    "next_event_gap",
+    "running_value_total",
+    "unpivot_hour_profile",
+    "salted_event_counts",
+    "order_rank_distribution",
+    "json_props_stats",
+    "upsert_latest_events",
+    "user_event_histogram",
+    "order_window_frames",
+    "incremental_user_totals",
+    "split_bounds",
+    "time_split_counts",
+    "hour_profile_pivot",
+    "circular_lag_features",
+    "ml_dataset",
+    "fails_report_counts",
+    "fails_report_error_ids",
+    "ols_fit_stats",
+    "ols_predictions",
+    "ols_grid_eval",
+    "cv_rolling_folds",
+    # -- 15 oldest r3-vintage (last driver row: round 3) --
+    "customers_without_events",
+    "salted_join_supplier_revenue",
+    "table_profile_orders",
+    "table_profile_orders_approx",
+    "next_window_target",
+    "glm_poisson_predictions",
+    "glm_poisson_mse",
+    "streaming_hourly_counts",
+    "streaming_session_counts",
+    "streaming_view_purchase_join",
+    "streaming_distinct_user_types",
+    "streaming_enriched_segment_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_accuracy_contract",
 )
 
 

@@ -213,13 +213,22 @@ def running_station_counts_tws(
     does not support the heap provider). ``ttl_ms`` evicts quiet keys'
     state declaratively; it requires ``timeMode='processingTime'``, which
     unlike pending ProcessingTimeTimeout timers does NOT schedule no-data
-    batches after the source drains."""
+    batches after the source drains.
+
+    Where transformWithStateInPandas is unavailable (pyspark < 4.0, or
+    no ``google.protobuf`` — its Python runner speaks a protobuf
+    state-server protocol), this FALLS BACK to the output-identical
+    ``running_station_counts`` twin rather than raising: ``ttl_ms`` maps
+    onto the twin's ``idle_timeout_ms`` (both evict keys quiet for that
+    much processing time; the timer-based eviction schedules no-data
+    batches after a drain, which the TTL path does not — see the twin's
+    docstring before setting it on a drain-to-quiescence harness)."""
     if not HAS_TRANSFORM_WITH_STATE:
-        raise NotImplementedError(
-            "transformWithStateInPandas requires pyspark >= 4.0 and the "
-            "google.protobuf package (its Python runner's state-server "
-            "protocol) — use running_station_counts (applyInPandasWithState) "
-            "where either is unavailable"
+        return running_station_counts(
+            events,
+            station_col=station_col,
+            ts_col=ts_col,
+            idle_timeout_ms=ttl_ms,
         )
     keyed = events.select(
         events[station_col].alias("station"), events[ts_col].alias("ts")
