@@ -135,6 +135,8 @@ HEADLINE = [
     "shortest_path_copurchase",   # fixed-round weighted Bellman-Ford
     "cohort_ltv_curve",           # cumulative monetization by cohort age
     "ucb1_event_type_arms",       # optimism-under-uncertainty allocation
+    # round-8 additions
+    "multimodal_jpeg_decode",     # real baseline-JPEG decode (Huffman+IDCT)
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -223,8 +225,11 @@ _R6 = [
     "cohort_ltv_curve",
     "ucb1_event_type_arms",
 ]
+_R8 = [
+    "multimodal_jpeg_decode",
+]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
-                       (6, _R6)):
+                       (6, _R6), (8, _R8)):
     for _n in _names:
         ROUND_OF[_n] = _round
 _unmapped = [q for q in HEADLINE if q not in ROUND_OF]

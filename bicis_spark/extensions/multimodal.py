@@ -1,8 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(deterministic fake features, or NotImplementedError when strict) — but the
-Spark-side plumbing is real and tested: binary columns, explicit schemas,
+The container has no codec libraries, so the decoders are pure Python —
+and REAL for BMP (24bpp struct layout), WAV (RIFF PCM16), and baseline
+JPEG (extensions/jpeg.py: marker walk, canonical Huffman, zigzag +
+dequant, fixed-point IDCT), each hash-gated by a SQL oracle that replays
+the expected features arithmetically. Only codec-bound audio formats
+(MP3) remain stubbed (NULL features, or raise when strict). The
+Spark-side plumbing is shared: binary columns, explicit schemas,
 Arrow-batched ``mapInPandas`` with bounded batch sizes, and metadata
 pushdown-friendly layout (metadata columns separate from payload so
 filters/projections never touch bytes).
@@ -60,21 +64,23 @@ def to_binary_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def decode_media(binary_df: DataFrame, strict: bool = False) -> DataFrame:
-    """The decode/feature-extract stage: ``mapInPandas`` over Arrow batches.
-
-    STUB: real decoders (PIL/libav/...) are not in this container. With
-    ``strict=True`` this raises NotImplementedError (the production wiring
-    point); otherwise it emits deterministic fake features (payload length,
-    first byte, sum of the first 16 bytes) so the batching, schema, and
-    partition behavior are real and testable.
+    """The GENERIC decode/feature-extract stage: ``mapInPandas`` over Arrow
+    batches, format-agnostic byte features (payload length, first byte,
+    sum of the first 16 bytes) — the plumbing demo for payloads with no
+    real decoder. For BMP/WAV/JPEG use ``decode_codec_features`` /
+    ``decode_jpeg_features``: those parse for real. With ``strict=True``
+    this raises NotImplementedError — the remaining codec gap is
+    DCT-audio (MP3); images go through the real JPEG/BMP decoders.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if strict:
                 raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this container; plug the real decoder in here"
+                    "no real decoder for this payload class in-container "
+                    "(remaining gap: MP3/DCT-audio); BMP/WAV/JPEG have real "
+                    "pure-Python decoders — see decode_codec_features and "
+                    "extensions/jpeg.py"
                 )
             payloads = pdf["content"]
             # NULL payloads (e.g. encode of a NULL text) surface as NULL
@@ -135,14 +141,17 @@ def frame_sample(binary_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real pure-Python codecs for uncompressed formats (round-5).
+# Real pure-Python codecs (BMP/WAV round-5; baseline JPEG round-8).
 #
 # The container has no PIL/libav, but BMP (BITMAPINFOHEADER, 24bpp) and WAV
-# (RIFF PCM16) are plain struct layouts a few dozen lines of stdlib parse.
-# The encode side synthesizes payloads deterministically from (doc_id) so a
-# SQL oracle can replay the expected features arithmetically — the hash gate
-# then proves the decoder truly inverts the byte layout (padding rows are
-# filled with 0xAA so a parser that naively sums the pixel area would fail).
+# (RIFF PCM16) are plain struct layouts a few dozen lines of stdlib parse,
+# and baseline JPEG (extensions/jpeg.py) is a marker walk + canonical
+# Huffman + zigzag/dequant + fixed-point IDCT implementable from the public
+# T.81 spec. The encode side synthesizes payloads deterministically from
+# (doc_id) so a SQL oracle can replay the expected features arithmetically —
+# the hash gate then proves the decoder truly inverts the byte layout
+# (BMP padding rows are poisoned 0xAA; JPEG coefficients ride variable-run
+# Huffman codes the oracle never sees, only their decoded consequences).
 #
 # At 100 TB the synthesize step disappears (payloads arrive in the binary
 # column); decode_codec_features is the production path: magic-dispatched,
@@ -290,10 +299,15 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_codec_features(binary_df: DataFrame, strict: bool = False) -> DataFrame:
-    """Production decode path: dispatch on payload magic bytes, parse with
-    the real pure-Python codec, emit typed features (NULL for the fields
-    of the other modality). Unknown/undecodable payloads become NULL-feature
-    rows (or raise when strict) — a bad object must not abort a 100 TB scan."""
+    """Production decode path: dispatch on payload magic bytes (BMP / RIFF
+    WAV / JPEG SOI), parse with the real pure-Python codec, emit typed
+    features (NULL for the fields of the other modality). Unknown or
+    undecodable payloads become NULL-feature rows (or raise when strict) —
+    a bad object must not abort a 100 TB scan. Remaining codec gap: MP3
+    (and other DCT-audio formats) stay NULL/strict-raise — entropy layers
+    there need a large tables-and-windowing port that has no oracle story
+    yet; JPEG became a real decoder in round 8 (extensions/jpeg.py)."""
+    from bicis_spark.extensions.jpeg import decode_jpeg
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CODEC_SCHEMA.fields]
@@ -315,6 +329,11 @@ def decode_codec_features(binary_df: DataFrame, strict: bool = False) -> DataFra
                         d = decode_wav(bytes(content))
                         d.pop("duration_us", None)
                         row.update(d)
+                    elif content[:2] == b"\xff\xd8":
+                        d = decode_jpeg(bytes(content))
+                        row["width"] = d["width"]
+                        row["height"] = d["height"]
+                        row["pixel_sum"] = d["pixel_sum"]
                     else:
                         raise ValueError("unknown magic")
                 except (ValueError, struct.error):
@@ -328,3 +347,76 @@ def decode_codec_features(binary_df: DataFrame, strict: bool = False) -> DataFra
             yield pdf_out
 
     return binary_df.mapInPandas(decode_batches, CODEC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG feature surface (round-8): full-feature decode of the synthetic
+# baseline-JPEG corpus — see extensions/jpeg.py for the codec and the
+# determinism contract that lets the SQL oracle replay pixel sums through
+# the fixed-point IDCT.
+# ---------------------------------------------------------------------------
+
+JPEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("dc_dequant_sum", LongType()),
+        StructField("coef_abs_sum", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def synth_media_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Binary media table of deterministic grayscale baseline JPEGs, one
+    per document (extensions/jpeg.py:synth_jpeg). Distributed synthesis;
+    at scale this stage is replaced by the arriving binary column."""
+    from bicis_spark.extensions.jpeg import synth_jpeg
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                content = synth_jpeg(d)
+                out.append((d, "image/jpeg", content, len(content)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_type", "content", "n_bytes"]
+            )
+
+    return ids.mapInPandas(synth_batches, BINARY_TABLE_SCHEMA)
+
+
+def decode_jpeg_features(binary_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Full JPEG feature extraction over a binary column: width/height
+    (SOF0), block count, integer-exact dequantized-coefficient sums
+    (proves the Huffman + zigzag + dequant inversion), and the decoded
+    first-component pixel sum through the fixed-point IDCT (proves the
+    transform + level shift + clamp). Undecodable payloads → NULL-feature
+    rows unless strict."""
+    from bicis_spark.extensions.jpeg import decode_jpeg
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in JPEG_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                row = {c: None for c in cols}
+                row["doc_id"] = int(doc_id)
+                try:
+                    if content is None:
+                        raise ValueError("NULL payload")
+                    row.update(decode_jpeg(bytes(content)))
+                except (ValueError, struct.error, IndexError):
+                    if strict:
+                        raise
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols).astype(
+                {c: "Int64" for c in cols}
+            )
+
+    return binary_df.mapInPandas(decode_batches, JPEG_SCHEMA)
