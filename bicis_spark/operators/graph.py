@@ -555,7 +555,12 @@ def kcore_peel(
     # round's degree job, halving the per-round job floor. The every-2nd
     # checkpoint still truncates lineage so plan analysis stays O(1) per
     # round. Results are exact integers either way — materialization
-    # cadence cannot drift them.
+    # cadence cannot drift them. r8 re-audit: both a cadence-4 and an
+    # all-lazy variant were A/B'd head-to-head at sf0.1 (identical
+    # results) and LOST to this double-step (median 6.7 / 6.5 vs 5.9s) —
+    # deeper uncheckpointed plans pay more in AQE replanning than they
+    # save in materialization; measured marginal cost: ~0.3s for a lazy
+    # round, ~1.1-1.5s for a checkpointed one (SCALE.md round-8).
     round_caches: list[DataFrame] = []
     try:
         for r in range(rounds):
