@@ -137,6 +137,7 @@ HEADLINE = [
     "ucb1_event_type_arms",       # optimism-under-uncertainty allocation
     # round-8 additions
     "multimodal_jpeg_decode",     # real baseline-JPEG decode (Huffman+IDCT)
+    "multimodal_mpeg1_audio_decode",  # real MPEG-1 Layer I bitstream decode
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -227,6 +228,7 @@ _R6 = [
 ]
 _R8 = [
     "multimodal_jpeg_decode",
+    "multimodal_mpeg1_audio_decode",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6), (8, _R8)):

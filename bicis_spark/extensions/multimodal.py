@@ -3,9 +3,12 @@
 The container has no codec libraries, so the decoders are pure Python —
 and REAL for BMP (24bpp struct layout), WAV (RIFF PCM16), and baseline
 JPEG (extensions/jpeg.py: marker walk, canonical Huffman, zigzag +
-dequant, fixed-point IDCT), each hash-gated by a SQL oracle that replays
-the expected features arithmetically. Only codec-bound audio formats
-(MP3) remain stubbed (NULL features, or raise when strict). The
+dequant, fixed-point IDCT), and MPEG-1 Layer I audio
+(extensions/mpeg_audio.py: frame walk, bit allocation, scalefactors,
+integer requantization lattice), each hash-gated by a SQL oracle that
+replays the expected features arithmetically. Only MP3 (MPEG-1 Layer
+III) remains stubbed (NULL features, or raise when strict) — its
+entropy layer needs spec-DATA Huffman tables with no oracle story. The
 Spark-side plumbing is shared: binary columns, explicit schemas,
 Arrow-batched ``mapInPandas`` with bounded batch sizes, and metadata
 pushdown-friendly layout (metadata columns separate from payload so
@@ -67,10 +70,12 @@ def decode_media(binary_df: DataFrame, strict: bool = False) -> DataFrame:
     """The GENERIC decode/feature-extract stage: ``mapInPandas`` over Arrow
     batches, format-agnostic byte features (payload length, first byte,
     sum of the first 16 bytes) — the plumbing demo for payloads with no
-    real decoder. For BMP/WAV/JPEG use ``decode_codec_features`` /
-    ``decode_jpeg_features``: those parse for real. With ``strict=True``
-    this raises NotImplementedError — the remaining codec gap is
-    DCT-audio (MP3); images go through the real JPEG/BMP decoders.
+    real decoder. For BMP/WAV/JPEG/MPEG-1-Layer-I use
+    ``decode_codec_features`` / ``decode_jpeg_features`` /
+    ``decode_mpeg1_features``: those parse for real. With ``strict=True``
+    this raises NotImplementedError — the remaining codec gap is MP3
+    (Layer III entropy coding: spec-data Huffman tables); images and
+    Layer I audio go through the real decoders.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,9 +83,10 @@ def decode_media(binary_df: DataFrame, strict: bool = False) -> DataFrame:
             if strict:
                 raise NotImplementedError(
                     "no real decoder for this payload class in-container "
-                    "(remaining gap: MP3/DCT-audio); BMP/WAV/JPEG have real "
-                    "pure-Python decoders — see decode_codec_features and "
-                    "extensions/jpeg.py"
+                    "(remaining gap: MP3/Layer III entropy coding); "
+                    "BMP/WAV/JPEG/MPEG-1-Layer-I have real pure-Python "
+                    "decoders — see decode_codec_features, extensions/"
+                    "jpeg.py and extensions/mpeg_audio.py"
                 )
             payloads = pdf["content"]
             # NULL payloads (e.g. encode of a NULL text) surface as NULL
@@ -304,10 +310,15 @@ def decode_codec_features(binary_df: DataFrame, strict: bool = False) -> DataFra
     features (NULL for the fields of the other modality). Unknown or
     undecodable payloads become NULL-feature rows (or raise when strict) —
     a bad object must not abort a 100 TB scan. Remaining codec gap: MP3
-    (and other DCT-audio formats) stay NULL/strict-raise — entropy layers
-    there need a large tables-and-windowing port that has no oracle story
-    yet; JPEG became a real decoder in round 8 (extensions/jpeg.py)."""
+    (MPEG-1 Layer III) stays NULL/strict-raise — its entropy layer needs
+    the spec-DATA Huffman tables and synthesis window, which have no
+    oracle story; Layers I (extensions/mpeg_audio.py, round 8) and the
+    image formats (BMP; JPEG via extensions/jpeg.py, round 8) decode for
+    real. MPEG audio rows map onto the audio feature columns:
+    n_samples = coded subband samples, sample_abs_sum = the integer
+    requantization-lattice |c| sum."""
     from bicis_spark.extensions.jpeg import decode_jpeg
+    from bicis_spark.extensions.mpeg_audio import decode_layer1
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CODEC_SCHEMA.fields]
@@ -334,6 +345,11 @@ def decode_codec_features(binary_df: DataFrame, strict: bool = False) -> DataFra
                         row["width"] = d["width"]
                         row["height"] = d["height"]
                         row["pixel_sum"] = d["pixel_sum"]
+                    elif content[0] == 0xFF and (content[1] & 0xF0) == 0xF0:
+                        d = decode_layer1(bytes(content))
+                        row["sample_rate"] = d["sample_rate"]
+                        row["n_samples"] = d["n_samples_coded"]
+                        row["sample_abs_sum"] = d["requant_abs_sum"]
                     else:
                         raise ValueError("unknown magic")
                 except (ValueError, struct.error):
@@ -420,3 +436,78 @@ def decode_jpeg_features(binary_df: DataFrame, strict: bool = False) -> DataFram
             )
 
     return binary_df.mapInPandas(decode_batches, JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer I audio surface (round-8): full-bitstream decode of the
+# synthetic Layer I corpus — see extensions/mpeg_audio.py for the codec
+# and the determinism contract (integer requantization lattice + pinned
+# 20-bit scalefactor table) that lets the SQL oracle replay every feature.
+# ---------------------------------------------------------------------------
+
+MPEG1_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bitrate_kbps", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_alloc", LongType()),
+        StructField("scf_sum", LongType()),
+        StructField("n_samples_coded", LongType()),
+        StructField("requant_abs_sum", LongType()),
+        StructField("pcm_fix_sum", LongType()),
+    ]
+)
+
+
+def synth_media_mpeg1(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Binary media table of deterministic MPEG-1 Layer I streams, one per
+    document (extensions/mpeg_audio.py:synth_layer1). Distributed
+    synthesis; at scale this stage is replaced by the arriving binary
+    column."""
+    from bicis_spark.extensions.mpeg_audio import synth_layer1
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                content = synth_layer1(d)
+                out.append((d, "audio/mpeg", content, len(content)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_type", "content", "n_bytes"]
+            )
+
+    return ids.mapInPandas(synth_batches, BINARY_TABLE_SCHEMA)
+
+
+def decode_mpeg1_features(binary_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Full MPEG-1 Layer I feature extraction over a binary column: frame
+    walk (sync + header-implied lengths), bit-allocation and scalefactor
+    parse, and the integer requantization lattice — every feature an
+    exact function of the bitstream. Undecodable payloads → NULL-feature
+    rows unless strict."""
+    from bicis_spark.extensions.mpeg_audio import decode_layer1
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MPEG1_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                row = {c: None for c in cols}
+                row["doc_id"] = int(doc_id)
+                try:
+                    if content is None:
+                        raise ValueError("NULL payload")
+                    row.update(decode_layer1(bytes(content)))
+                except (ValueError, struct.error, IndexError):
+                    if strict:
+                        raise
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols).astype(
+                {c: "Int64" for c in cols}
+            )
+
+    return binary_df.mapInPandas(decode_batches, MPEG1_SCHEMA)

@@ -826,6 +826,81 @@ def multimodal_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_features(synth_media_jpeg(docs), strict=True)
 
 
+def _sfq_literal() -> str:
+    """The pinned 20-bit Layer I scalefactor table as a SQL array literal
+    (extensions/mpeg_audio.py:SF_Q — floor(2^(1-i/3)·2^20+0.5), golden-
+    pinned by tests), inlined so the oracle shares the engine's exact
+    fixed-point constants without trusting any engine's pow()."""
+    from bicis_spark.extensions.mpeg_audio import SF_Q
+
+    return "[" + ",".join(str(v) for v in SF_Q) + "]"
+
+
+@register(
+    "multimodal_mpeg1_audio_decode",
+    f"""
+    WITH sbgrid AS (
+        SELECT d.doc_id, tf.f, tsb.sb,
+               (2 + (d.doc_id * 7 + tsb.sb * 5 + tf.f) % 14)::BIGINT AS nb,
+               ((d.doc_id * 11 + tsb.sb * 3 + tf.f * 17) % 63)::BIGINT AS scf
+        FROM documents d,
+             LATERAL unnest(range(0, 1 + d.doc_id % 3)) AS tf(f),
+             LATERAL unnest(range(0, 32)) AS tsb(sb)
+        WHERE (d.doc_id + tf.f + tsb.sb) % 3 = 0
+    ),
+    samp AS (
+        SELECT g.doc_id, g.f, g.sb, g.nb, g.scf,
+               ((g.doc_id * 13 + g.sb * 7 + ts.s * 3 + g.f * 19)
+                % (1::BIGINT << g.nb))
+                   + 1 - (1::BIGINT << (g.nb - 1)) AS c
+        FROM sbgrid g, LATERAL unnest(range(0, 12)) AS ts(s)
+    ),
+    persb AS (
+        SELECT doc_id, f, sb, nb, scf,
+               sum(abs(c))::BIGINT AS abs_c,
+               sum(CAST(floor(CAST(({_sfq_literal()})[scf + 1] AS DOUBLE)
+                              * 2.0 * CAST(c AS DOUBLE)
+                              / CAST((1::BIGINT << nb) - 1 AS DOUBLE))
+                        AS BIGINT))::BIGINT AS vsum
+        FROM samp GROUP BY doc_id, f, sb, nb, scf
+    )
+    SELECT doc_id,
+           32000::BIGINT AS sample_rate,
+           ([224,256,288,320,352,384,416,448])[doc_id % 8 + 1]::BIGINT
+               AS bitrate_kbps,
+           (1 + doc_id % 3)::BIGINT AS n_frames,
+           count(*)::BIGINT AS n_alloc,
+           sum(scf)::BIGINT AS scf_sum,
+           (12 * count(*))::BIGINT AS n_samples_coded,
+           sum(abs_c)::BIGINT AS requant_abs_sum,
+           sum(vsum)::BIGINT AS pcm_fix_sum
+    FROM persb GROUP BY doc_id
+    """,
+)
+def multimodal_mpeg1_audio_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer I audio decode (round-8, shrinking the
+    codec-bound-audio gap): synthesize a genuine Layer I stream per
+    document — sync/header walk, 4-bit-per-subband bit allocation, 6-bit
+    scalefactors, 12×nb-bit sample codes, zero-padded to the
+    header-implied slot length — then parse it back with the pure-Python
+    decoder in extensions/mpeg_audio.py. The oracle never sees the byte
+    stream: it replays the field FORMULAS and pushes them through the
+    same integer requantization lattice (c = raw + 1 − 2^(nb−1)) and the
+    pinned 20-bit scalefactor fixed-point tree, so a hash MATCH proves
+    the decoder inverts the frame walk, the allocation-driven field
+    widths, AND the requantizer — not that two stubs agree. The remaining
+    audio stub is Layer III's entropy layer (spec-data Huffman tables);
+    see extensions/mpeg_audio.py's module docstring for why that boundary
+    is where the oracle story ends."""
+    from bicis_spark.extensions.multimodal import (
+        decode_mpeg1_features,
+        synth_media_mpeg1,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_mpeg1_features(synth_media_mpeg1(docs), strict=True)
+
+
 @register(
     "token_counts_bpe",
     """

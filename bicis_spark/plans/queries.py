@@ -60,8 +60,13 @@ _LOADED = False
 # at least once (the r7 rotation closed the never-checked queue), so the
 # policy switches to staleness re-verification — the r7 verdict task #5:
 # the window is the 50 queries with the OLDEST last-green driver row
-# (ties broken by registration order). These are the 35 remaining r2-vintage
-# rows plus the 15 oldest r3-vintage rows (streaming + dedup families);
+# (ties broken by registration order), EXCEPT that never-checked queries
+# always take a slot first (test_driver_window_spends_slots_on_unverified_
+# queries): the round-8-new `multimodal_jpeg_decode` /
+# `multimodal_mpeg1_audio_decode` take two, displacing the two
+# boolean-contract rows (pinned-true booleans are the least informative
+# re-check). The rest are the 35 remaining r2-vintage rows plus the 13
+# oldest r3-vintage rows (streaming + dedup families);
 # r7-new rows stay out until r9. Two of the members
 # (`glm_poisson_predictions`/`_mse`) also had their scoring internals
 # re-planned this round (JVM-column quantized errors replacing the
@@ -104,11 +109,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ols_predictions",
     "ols_grid_eval",
     "cv_rolling_folds",
-    # -- 15 oldest r3-vintage (last driver row: round 3) --
+    # -- round-8-new queries (never driver-checked) --
+    "multimodal_jpeg_decode",
+    "multimodal_mpeg1_audio_decode",
+    # -- 13 oldest r3-vintage (last driver row: round 3) --
     "customers_without_events",
     "salted_join_supplier_revenue",
     "table_profile_orders",
-    "table_profile_orders_approx",
     "next_window_target",
     "glm_poisson_predictions",
     "glm_poisson_mse",
@@ -119,7 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_enriched_segment_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "minhash_accuracy_contract",
 )
 
 

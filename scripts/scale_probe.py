@@ -35,6 +35,20 @@ PROBES = [
     "ols_isotonic_calibration",   # one-pass cents histogram + bounded frames
     "kcore_parts",                # cascading k=80 peel, combination pair build
     "clustering_coefficient_parts",  # degree-oriented wedge join
+    # round-8 additions (r7 verdict task #6): remaining top-10 bench rows
+    # + the rest of the dedup/ANN family, probed one SF up (sf0.3/sf1 via
+    # scripts/gen_testdata.py into testdata_local/)
+    "golden_record_customers",    # FastSS linkage -> CC -> survivorship
+    "shortest_path_copurchase",   # Bellman-Ford fixed rounds
+    "pagerank_part_supplier",     # fixed-point iteration
+    "corpus_kl_divergence",       # closed-form absent-mass decomposition
+    "frequent_itemsets_parts",    # k=2/3 itemset self-joins
+    "dedup_exact",                # fingerprint shuffle
+    "dedup_simhash",              # 64-bit banded hamming blocks
+    "dedup_embedding_cosine_lsh",  # sign-bit banded blocking + exact verify
+    "semantic_dedup_two_level_flags",  # super->sub k-means shards
+    "ann_topk_ivf",               # IVF lists, n_probe=6
+    "ann_topk_pq",                # PQ/ADC + exact re-rank
 ]
 
 TABLE_OF = {
@@ -51,6 +65,17 @@ TABLE_OF = {
     "ols_isotonic_calibration": "lineitem",
     "kcore_parts": "lineitem",
     "clustering_coefficient_parts": "lineitem",
+    "golden_record_customers": "customer",
+    "shortest_path_copurchase": "lineitem",
+    "pagerank_part_supplier": "lineitem",
+    "corpus_kl_divergence": "documents",
+    "frequent_itemsets_parts": "lineitem",
+    "dedup_exact": "documents",
+    "dedup_simhash": "documents",
+    "dedup_embedding_cosine_lsh": "embeddings",
+    "semantic_dedup_two_level_flags": "embeddings",
+    "ann_topk_ivf": "embeddings",
+    "ann_topk_pq": "embeddings",
 }
 
 
