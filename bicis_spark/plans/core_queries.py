@@ -1675,7 +1675,7 @@ def csv_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate bit-identically to the source. timestampFormat is pinned to
     microseconds on BOTH sides — the writer default truncates to millis
     (sources/io.py TEXT_TS_FORMAT)."""
-    import tempfile
+    from bicis_spark.sources.io import staging_dir
 
     from bicis_spark.schemas import EVENTS
     from bicis_spark.sources.io import TEXT_TS_FORMAT, read_csv, write_csv
@@ -1683,7 +1683,7 @@ def csv_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     ev = read_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="bicis_spark_csv_rt_")
+    path = staging_dir("bicis_spark_csv_rt_")
     opts = {"timestampFormat": TEXT_TS_FORMAT}
     try:
         write_csv(ev, path, options=opts)
@@ -1699,7 +1699,7 @@ def csv_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (JSON sink): the JSON-lines roundtrip twin of the CSV law, same
     microsecond timestampFormat pin on write and read."""
-    import tempfile
+    from bicis_spark.sources.io import staging_dir
 
     from bicis_spark.schemas import EVENTS
     from bicis_spark.sources.io import TEXT_TS_FORMAT, read_jsonl, write_json
@@ -1707,7 +1707,7 @@ def json_sink_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     ev = read_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="bicis_spark_json_rt_")
+    path = staging_dir("bicis_spark_json_rt_")
     opts = {"timestampFormat": TEXT_TS_FORMAT}
     try:
         write_json(ev, path, options=opts)
@@ -1822,7 +1822,7 @@ def partitioned_sink_day_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame
     PartitionFilters carry it). The oracle filters the original table
     directly, so a row lost or duplicated by the partitioned write or
     the pruned read breaks the hash."""
-    import tempfile
+    from bicis_spark.sources.io import staging_dir
 
     from bicis_spark.sources.io import overwrite_partitions_dynamic
 
@@ -1831,7 +1831,7 @@ def partitioned_sink_day_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     import shutil
 
-    path = tempfile.mkdtemp(prefix="bicis_spark_part_sink_")
+    path = staging_dir("bicis_spark_part_sink_")
     try:
         overwrite_partitions_dynamic(ev, path, ["event_date"])
 

@@ -802,7 +802,10 @@ def _staged_events_dir(
         fp = (fp * 31 + 1) % (1 << 61)
     suffix = "_1f" if single_file else (f"_{n_files}f" if n_files else "")
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{fp:x}" + suffix
-    src = os.path.join(tempfile.gettempdir(), f"bicis_spark_stream_events_{tag}")
+    # cluster-honesty seam (see sources/io.py:staging_dir): honor the
+    # shared-storage root so the staged stream is executor-reachable
+    root = os.environ.get("BICIS_SPARK_STAGING_DIR") or tempfile.gettempdir()
+    src = os.path.join(root, f"bicis_spark_stream_events_{tag}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         df = read_table(spark, sf_dir, "events")
         if single_file:
@@ -1240,7 +1243,7 @@ def streaming_upsert_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame
     total order per key, so the final state equals the batch argmax
     regardless of how the stream was batched — which is exactly what the
     oracle replays."""
-    import tempfile
+    from bicis_spark.sources.io import staging_dir
 
     from bicis_spark.schemas import EVENTS
     from bicis_spark.streaming.sinks import run_upsert_stream
@@ -1250,7 +1253,7 @@ def streaming_upsert_user_state_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     src = _staged_events_dir(spark, sf_dir, n_files=4)
     stream = read_events_stream(spark, src, EVENTS)
-    target = tempfile.mkdtemp(prefix="bicis_spark_upsert_state_")
+    target = staging_dir("bicis_spark_upsert_state_")
     try:
         state = run_upsert_stream(
             stream,
@@ -1294,7 +1297,7 @@ def ols_model_reload_predictions_q(spark: SparkSession, sf_dir: str) -> DataFram
     formatting, schema drift) breaks the value hash — JSON doubles
     round-trip bitwise (shortest-representation printing on write, exact
     parse on read)."""
-    import tempfile
+    from bicis_spark.sources.io import staging_dir
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1307,7 +1310,7 @@ def ols_model_reload_predictions_q(spark: SparkSession, sf_dir: str) -> DataFram
     )
     import shutil
 
-    path = tempfile.mkdtemp(prefix="bicis_spark_ols_model_")
+    path = staging_dir("bicis_spark_ols_model_")
     try:
         write_json(coef, path)
         loaded = read_jsonl(
@@ -1353,7 +1356,7 @@ def pipeline_runner_hour_profile_q(
     the runner chain (resolution, param passing, materialize/reload)
     breaks the hash."""
     import os
-    import tempfile
+    from bicis_spark.sources.io import staging_dir
 
     from bicis_spark.plans.runner import Pipeline, load_experiment
 
@@ -1366,7 +1369,7 @@ def pipeline_runner_hour_profile_q(
     )
     builder, params = cfg["profile_builder"]
 
-    root = tempfile.mkdtemp(prefix="bicis_spark_runner_q_")
+    root = staging_dir("bicis_spark_runner_q_")
     p = Pipeline(spark, root)
 
     @p.stage("events_src")
