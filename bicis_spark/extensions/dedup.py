@@ -700,9 +700,20 @@ def embedding_neardup_pairs_lsh(
     cosine); across bands = 1 − (1 − p^r)^T — the OR over tables is what a
     single 2^planes bucket key can't give (measured on sf0.01: single
     4-plane table found 2 of 14 true pairs ≥ 0.45; 4 bands × 2 planes finds
-    all 14). At 100 TB each vector emits n_bands tiny (band, bits) keys —
-    the only shuffle — and candidates join back to vectors by id; no
-    broadcast, no cartesian.
+    all 14). The shuffle SHAPE is scale-safe (each vector emits n_bands
+    tiny (band, bits) keys; candidates join back by id; no broadcast, no
+    cartesian) — but the CANDIDATE VOLUME is ~T·n²/2^(r+1) on a
+    near-orthogonal background (per-plane background agreement 1/2), so
+    the default T=4, r=2 point evaluates ~ALL pairs, just partitioned
+    (measured: time exponent n^1.81 over sf0.1→sf1, SCALE.md round 8).
+    Banded sign-bit LSH is genuinely sub-quadratic only when the
+    threshold is HIGH enough to grow r with log₂ n at bounded T (e.g.
+    cosine ≥ 0.9 → p = 0.856, ρ = ln(1/p)/ln 2 = 0.22 → O(n^1.22)
+    candidates); at this query's 0.45 the LSH-optimal bound is already
+    O(n^1.62) (ρ = 0.625) and hitting it needs hundreds of tables — the
+    declared LOW-threshold scale path is ``semantic_dedup`` /
+    ``semantic_dedup_two_level`` (k-means blocks; measured near-linear,
+    7.6s at sf1 vs this operator's 45.5s).
     """
     from bicis_spark.extensions.similarity import (
         cosine_from_norms,

@@ -356,11 +356,18 @@ def _lsh_bucket_sql(rel: str, n_planes: int, dims: int = 64, plane_offset: int =
     """,
 )
 def dedup_embedding_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup: BANDED sign-bit LSH (4 tables ×
-    2 planes — OR over tables, the MinHash-bands construction) + exact
-    cosine verify. Single-table blocking measured 2/14 true pairs at
-    sf0.01; the banded form finds 14/14 while still avoiding the
-    all-pairs cartesian. The oracle replays bands and planes exactly."""
+    """Embedding near-dup via BANDED sign-bit LSH (4 tables × 2 planes —
+    OR over tables, the MinHash-bands construction) + exact cosine
+    verify. Single-table blocking measured 2/14 true pairs at sf0.01;
+    the banded form finds 14/14. The oracle replays bands and planes
+    exactly. Scale caveat (r8 probe, SCALE.md): at this low threshold
+    (0.45) the candidate volume is near-quadratic by LSH theory
+    (ρ = 0.625 → Ω(n^1.62) for ANY table count; this 4×2 point measured
+    n^1.81) — the construction partitions the pair space rather than
+    pruning it. For low-threshold dedup at 100 TB use the SemDeDup
+    path (`semantic_dedup_two_level_flags`, measured near-linear);
+    banded sign-bit LSH earns its name at high thresholds (cosine 0.9 →
+    O(n^1.22))."""
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs_lsh(
         emb, "vec_id", "embedding", threshold=0.45, n_bands=4, band_planes=2

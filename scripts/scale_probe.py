@@ -81,6 +81,10 @@ TABLE_OF = {
 
 def main() -> None:
     root = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata"
+    probes = PROBES
+    if len(sys.argv) > 2:  # optional comma-separated probe subset
+        wanted = set(sys.argv[2].split(","))
+        probes = [p for p in PROBES if p in wanted]
     sfs = sorted(
         d for d in os.listdir(root) if d.startswith("sf") and
         os.path.isdir(os.path.join(root, d))
@@ -100,7 +104,7 @@ def main() -> None:
             ).fetchone()[0]
 
     out: dict[str, dict[str, dict[str, float]]] = {}
-    for name in PROBES:
+    for name in probes:
         out[name] = {}
         for sf in sfs:
             sf_dir = os.path.join(root, sf)
