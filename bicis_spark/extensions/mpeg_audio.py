@@ -98,11 +98,13 @@ class _BitReader:
         end = self.pos + nbits
         if end > len(self.data) * 8:
             raise ValueError("truncated bitstream")
-        v = 0
-        for _ in range(nbits):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
+        # chunked big-endian extract (one int.from_bytes per field, not a
+        # per-bit loop — the bit walk dominated the sf0.1 decode at 4.5s)
+        first = self.pos >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[first:last], "big")
+        v = (chunk >> ((last << 3) - end)) & ((1 << nbits) - 1)
+        self.pos = end
         return v
 
 
