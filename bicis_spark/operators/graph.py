@@ -212,8 +212,15 @@ def _normalize_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+#: "auto" broadcast gate for the one-shot degree attach: a degree row is
+#: two int64s (~16 B serialized), so 4M vertices ≈ 64 MB — comfortably
+#: inside a single-executor broadcast budget at any cluster size. Above
+#: the gate the attach stays a shuffle join (AQE may still convert).
+AUTO_BROADCAST_MAX_VERTICES = 4_000_000
+
+
 def _orient_by_degree(
-    e: DataFrame, degrees: DataFrame, broadcast_degrees: bool = False
+    e: DataFrame, degrees: DataFrame, broadcast_degrees: bool | str = False
 ) -> DataFrame:
     """Degree-ordered orientation of a normalized edge set: each edge
     points from its lower-(degree, id) endpoint to the higher — [u, v,
@@ -229,8 +236,15 @@ def _orient_by_degree(
     table is |V|-sized: ``broadcast_degrees=True`` makes both attaches
     map-side — correct ONLY when the vertex universe is
     dimension-bounded at the call site (e.g. parts), the same contract
-    as ``kcore_peel``'s ``broadcast_keep``; leave False for graphs whose
-    vertex set scales with the data (shuffle joins, AQE-planned).
+    as ``kcore_peel``'s ``broadcast_keep``; False leaves shuffle joins
+    (AQE-planned). ``"auto"`` (r8) is the scale-SAFE middle: COUNT the
+    degree table at runtime and broadcast only under
+    ``AUTO_BROADCAST_MAX_VERTICES`` — the count is one cheap job against
+    the (caller-persisted) degree aggregate, and the decision is bounded
+    by measurement instead of a call-site promise (the r7 advice flagged
+    the forced-broadcast variant as inconsistent with kcore's
+    scale-safe default; this closes that gap without paying the full
+    1.5s shuffle price on dimension-small graphs — A/B in SCALE.md r8).
 
     The packing bounds are RUNTIME-CHECKED in the plan itself (not just
     documented): an ``assert_true`` filter over the |V|-sized degree
@@ -248,6 +262,8 @@ def _orient_by_degree(
         ),
     )
     degrees = degrees.where(guard.isNull())
+    if broadcast_degrees == "auto":
+        broadcast_degrees = degrees.count() <= AUTO_BROADCAST_MAX_VERTICES
     rank = F.col("degree") * F.lit(_RANK_BASE) + F.col("v")
     da = degrees.select(F.col("v").alias("a"), rank.alias("_ra"))
     db = degrees.select(F.col("v").alias("b"), rank.alias("_rb"))
@@ -297,7 +313,7 @@ def _oriented_triangles(eo: DataFrame) -> DataFrame:
 
 
 def triangle_count(
-    edges: DataFrame, src: str, dst: str, broadcast_degrees: bool = False
+    edges: DataFrame, src: str, dst: str, broadcast_degrees: bool | str = False
 ) -> DataFrame:
     """Global triangle census of an undirected graph: 1 row
     [n_vertices, n_edges, n_triangles].
@@ -313,11 +329,18 @@ def triangle_count(
     pagerank_fixed_point's bounded rounds).
     """
     e = _normalize_edges(edges, src, dst)
-    # persist BOTH the pair set and the oriented set: each is scanned 3×
-    # (wedge legs + closing leg / census aggregates), and the oriented
-    # build itself rides two broadcast-able rank joins
-    eo = _orient_by_degree(e, _edge_degrees(e), broadcast_degrees)
-    with persisted(e, eo) as (ep, eo):
+    # persist the pair set, the degree table AND the oriented set: each
+    # is scanned ≥2× (wedge legs + closing leg / census aggregates; the
+    # degree table twice by the rank attach — and once more by the
+    # "auto" count gate, which must hit the cache, not re-run the pair
+    # build)
+    with persisted(e, _edge_degrees(e)) as (ep, degrees):
+        eo = _orient_by_degree(ep, degrees, broadcast_degrees)
+        return _triangle_census(ep, eo)
+
+
+def _triangle_census(ep: DataFrame, eo: DataFrame) -> DataFrame:
+    with persisted(eo) as (eo,):
         closed = _oriented_triangles(eo)
         # three 1-row aggregates cross-joined (broadcast, free)
         n_vertices = (
@@ -448,7 +471,7 @@ def bfs_hops(
 
 
 def local_clustering_coefficient(
-    edges: DataFrame, src: str, dst: str, broadcast_degrees: bool = False
+    edges: DataFrame, src: str, dst: str, broadcast_degrees: bool | str = False
 ) -> DataFrame:
     """Per-vertex local clustering coefficient of an undirected graph:
     lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the neighborhood-density
@@ -469,9 +492,18 @@ def local_clustering_coefficient(
     # lazy tracked persists, not an eager checkpoint: degrees is read 3×
     # (two rank-attach sides + the output join) but an eager materialize
     # here would serialize a full pair-build job BEFORE the triangle job
-    # instead of fusing with it (measured +4s at sf0.1, round 7)
-    eo = _orient_by_degree(e, _edge_degrees(e), broadcast_degrees)
-    with persisted(e, _edge_degrees(e), eo) as (ep, degrees, eo):
+    # instead of fusing with it (measured +4s at sf0.1, round 7). The
+    # "auto" gate's count() DOES serialize that way — but it pays for
+    # itself by making both rank attaches map-side on dimension-small
+    # graphs (A/B in SCALE.md round 8), and the persisted degree cache
+    # it warms serves the three later reads.
+    with persisted(e, _edge_degrees(e)) as (ep, degrees):
+        eo = _orient_by_degree(ep, degrees, broadcast_degrees)
+        return _lcc_from_oriented(degrees, eo)
+
+
+def _lcc_from_oriented(degrees: DataFrame, eo: DataFrame) -> DataFrame:
+    with persisted(eo) as (eo,):
         tri = _oriented_triangles(eo)
         per_vertex_tri = (
             tri.select(

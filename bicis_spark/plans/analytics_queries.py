@@ -2526,11 +2526,12 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bicis_spark.operators.graph import triangle_count
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    # |parts| scales linearly with SF, so no forced broadcast of the
-    # degree table: shuffle-join default, and AQE converts it to a
-    # runtime broadcast whenever the table is actually small — the same
-    # reasoning that moved kcore_parts off broadcast_keep (r7 A/B).
-    return triangle_count(pairs, "src", "dst", broadcast_degrees=False)
+    # |parts| scales linearly with SF, so no UNCONDITIONAL broadcast of
+    # the degree table; "auto" (r8) counts it at runtime and broadcasts
+    # only under the 4M-vertex gate — measurement-bounded, so the
+    # dimension-small bench graph gets map-side rank attaches while a
+    # fact-scaled graph degrades to the shuffle default (SCALE.md r8 A/B)
+    return triangle_count(pairs, "src", "dst", broadcast_degrees="auto")
 
 
 # ---------------------------------------------------------------------------
@@ -5685,10 +5686,12 @@ def clustering_coefficient_parts_q(
     from bicis_spark.operators.graph import local_clustering_coefficient
 
     pairs = _copurchase_pairs(spark, sf_dir)
-    # |parts| scales linearly with SF, so no forced broadcast of the
-    # degree table (AQE converts when small — the kcore_parts contract)
+    # |parts| scales linearly with SF, so no UNCONDITIONAL broadcast of
+    # the degree table; "auto" (r8) = runtime count gate (4M vertices):
+    # map-side rank attaches when measured small, shuffle default
+    # otherwise (SCALE.md r8 A/B)
     return local_clustering_coefficient(
-        pairs, "src", "dst", broadcast_degrees=False
+        pairs, "src", "dst", broadcast_degrees="auto"
     )
 
 
