@@ -285,7 +285,20 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build a real binary media table from the corpus: even doc_ids get a
     BMP payload, odd get a WAV. mapInPandas keeps synthesis distributed —
     at scale this stage is replaced by the arriving binary column."""
-    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    # repartition the (tiny) id table before synthesis: the codec work is
+    # CPU-bound Python and the documents scan is typically ONE parquet
+    # split at test SFs — without the exchange the whole encode+decode
+    # chain runs on a single core (measured: the sf0.1 MPEG row ran
+    # single-threaded at 2.7s; spread across 32 cores it is job-overhead
+    # bound). At 100 TB real payloads arrive pre-partitioned and this
+    # stage is replaced by the binary column anyway.
+    # the partition count is pinned EXPLICITLY: AQE coalesces a 40 KB id
+    # shuffle to one partition (advisory size is byte-based) and cannot
+    # see the CPU-bound Python behind it
+    spark = docs.sparkSession
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -391,7 +404,20 @@ def synth_media_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     at scale this stage is replaced by the arriving binary column."""
     from bicis_spark.extensions.jpeg import synth_jpeg
 
-    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    # repartition the (tiny) id table before synthesis: the codec work is
+    # CPU-bound Python and the documents scan is typically ONE parquet
+    # split at test SFs — without the exchange the whole encode+decode
+    # chain runs on a single core (measured: the sf0.1 MPEG row ran
+    # single-threaded at 2.7s; spread across 32 cores it is job-overhead
+    # bound). At 100 TB real payloads arrive pre-partitioned and this
+    # stage is replaced by the binary column anyway.
+    # the partition count is pinned EXPLICITLY: AQE coalesces a 40 KB id
+    # shuffle to one partition (advisory size is byte-based) and cannot
+    # see the CPU-bound Python behind it
+    spark = docs.sparkSession
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -467,7 +493,20 @@ def synth_media_mpeg1(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     column."""
     from bicis_spark.extensions.mpeg_audio import synth_layer1
 
-    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    # repartition the (tiny) id table before synthesis: the codec work is
+    # CPU-bound Python and the documents scan is typically ONE parquet
+    # split at test SFs — without the exchange the whole encode+decode
+    # chain runs on a single core (measured: the sf0.1 MPEG row ran
+    # single-threaded at 2.7s; spread across 32 cores it is job-overhead
+    # bound). At 100 TB real payloads arrive pre-partitioned and this
+    # stage is replaced by the binary column anyway.
+    # the partition count is pinned EXPLICITLY: AQE coalesces a 40 KB id
+    # shuffle to one partition (advisory size is byte-based) and cannot
+    # see the CPU-bound Python behind it
+    spark = docs.sparkSession
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
