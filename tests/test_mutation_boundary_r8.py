@@ -189,3 +189,26 @@ def test_bom_rollup_depth_covers_eight_digit_ids(spark, tmp_path):
     assert got[99999999] == (1, 1)
     # and each intermediate counts its suffix chain
     assert got[9999] == (5, 5)
+
+
+def test_lcc_broadcast_modes_agree(spark):
+    """The r8 count-gated "auto" degree-attach mode is a PLAN-only
+    choice: False / True / "auto" must produce identical rows on the
+    same graph (the triangle set is orientation-invariant and the
+    attach mode cannot change any value)."""
+    from bicis_spark.operators.graph import local_clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 4)],
+        "src long, dst long",
+    )
+    results = []
+    for mode in (False, True, "auto"):
+        rows = sorted(
+            (r["vertex"], r["degree"], r["n_triangles"], r["lcc"])
+            for r in local_clustering_coefficient(
+                edges, "src", "dst", broadcast_degrees=mode
+            ).collect()
+        )
+        results.append(rows)
+    assert results[0] == results[1] == results[2]
