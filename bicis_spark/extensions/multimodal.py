@@ -170,6 +170,24 @@ import struct
 _BMP_PAD = 0xAA  # poison value: decoders must SKIP padding, not sum it
 
 
+def _parallel_ids(docs: DataFrame, id_col: str) -> DataFrame:
+    """Long-cast id column repartitioned to full parallelism for synthesis.
+
+    The codec work behind this table is CPU-bound Python and the documents
+    scan is typically ONE parquet split at test SFs — without the exchange
+    the whole encode+decode chain runs on a single core (measured on the
+    sf0.1 MPEG-1 row: 2.7s single-threaded; spread across 32 cores it is
+    job-overhead bound). At 100 TB real payloads arrive pre-partitioned and
+    the synth stage is replaced by the binary column anyway. The partition
+    count is pinned EXPLICITLY: AQE coalesces a ~40 KB id shuffle to one
+    partition (its advisory size is byte-based) and cannot see the
+    CPU-bound Python behind it."""
+    spark = docs.sparkSession
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+
+
 def synth_bmp(doc_id: int) -> bytes:
     """Deterministic 24bpp bottom-up BMP: width 1+id%7, height 1+id%5,
     pixel byte stream p_i = (id*31 + i) % 256 laid out row-major with
@@ -285,20 +303,7 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Build a real binary media table from the corpus: even doc_ids get a
     BMP payload, odd get a WAV. mapInPandas keeps synthesis distributed —
     at scale this stage is replaced by the arriving binary column."""
-    # repartition the (tiny) id table before synthesis: the codec work is
-    # CPU-bound Python and the documents scan is typically ONE parquet
-    # split at test SFs — without the exchange the whole encode+decode
-    # chain runs on a single core (measured: the sf0.1 MPEG row ran
-    # single-threaded at 2.7s; spread across 32 cores it is job-overhead
-    # bound). At 100 TB real payloads arrive pre-partitioned and this
-    # stage is replaced by the binary column anyway.
-    # the partition count is pinned EXPLICITLY: AQE coalesces a 40 KB id
-    # shuffle to one partition (advisory size is byte-based) and cannot
-    # see the CPU-bound Python behind it
-    spark = docs.sparkSession
-    ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    )
+    ids = _parallel_ids(docs, id_col)  # pinned exchange — see helper
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -358,14 +363,21 @@ def decode_codec_features(binary_df: DataFrame, strict: bool = False) -> DataFra
                         row["width"] = d["width"]
                         row["height"] = d["height"]
                         row["pixel_sum"] = d["pixel_sum"]
-                    elif content[0] == 0xFF and (content[1] & 0xF0) == 0xF0:
+                    elif (
+                        # length-safe: a 0- or 1-byte payload must fall
+                        # through to "unknown magic", not IndexError past
+                        # the strict=False contract (r8 advice)
+                        len(content) >= 4
+                        and content[0] == 0xFF
+                        and (content[1] & 0xF0) == 0xF0
+                    ):
                         d = decode_layer1(bytes(content))
                         row["sample_rate"] = d["sample_rate"]
                         row["n_samples"] = d["n_samples_coded"]
                         row["sample_abs_sum"] = d["requant_abs_sum"]
                     else:
                         raise ValueError("unknown magic")
-                except (ValueError, struct.error):
+                except (ValueError, struct.error, IndexError):
                     if strict:
                         raise
                 out.append(row)
@@ -404,20 +416,7 @@ def synth_media_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     at scale this stage is replaced by the arriving binary column."""
     from bicis_spark.extensions.jpeg import synth_jpeg
 
-    # repartition the (tiny) id table before synthesis: the codec work is
-    # CPU-bound Python and the documents scan is typically ONE parquet
-    # split at test SFs — without the exchange the whole encode+decode
-    # chain runs on a single core (measured: the sf0.1 MPEG row ran
-    # single-threaded at 2.7s; spread across 32 cores it is job-overhead
-    # bound). At 100 TB real payloads arrive pre-partitioned and this
-    # stage is replaced by the binary column anyway.
-    # the partition count is pinned EXPLICITLY: AQE coalesces a 40 KB id
-    # shuffle to one partition (advisory size is byte-based) and cannot
-    # see the CPU-bound Python behind it
-    spark = docs.sparkSession
-    ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    )
+    ids = _parallel_ids(docs, id_col)  # pinned exchange — see helper
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -493,20 +492,7 @@ def synth_media_mpeg1(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     column."""
     from bicis_spark.extensions.mpeg_audio import synth_layer1
 
-    # repartition the (tiny) id table before synthesis: the codec work is
-    # CPU-bound Python and the documents scan is typically ONE parquet
-    # split at test SFs — without the exchange the whole encode+decode
-    # chain runs on a single core (measured: the sf0.1 MPEG row ran
-    # single-threaded at 2.7s; spread across 32 cores it is job-overhead
-    # bound). At 100 TB real payloads arrive pre-partitioned and this
-    # stage is replaced by the binary column anyway.
-    # the partition count is pinned EXPLICITLY: AQE coalesces a 40 KB id
-    # shuffle to one partition (advisory size is byte-based) and cannot
-    # see the CPU-bound Python behind it
-    spark = docs.sparkSession
-    ids = docs.select(F.col(id_col).cast("long").alias("doc_id")).repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    )
+    ids = _parallel_ids(docs, id_col)  # pinned exchange — see helper
 
     def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

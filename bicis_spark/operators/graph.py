@@ -262,7 +262,15 @@ def _orient_by_degree(
         ),
     )
     degrees = degrees.where(guard.isNull())
-    if broadcast_degrees == "auto":
+    if isinstance(broadcast_degrees, str):
+        # reject typos ("Auto", "AUTO", ...) loudly: any non-"auto" string
+        # would otherwise be truthy and silently force the unconditional
+        # broadcast the count gate exists to prevent (r8 advice)
+        if broadcast_degrees != "auto":
+            raise ValueError(
+                "broadcast_degrees must be True, False, or 'auto'; got "
+                f"{broadcast_degrees!r}"
+            )
         broadcast_degrees = degrees.count() <= AUTO_BROADCAST_MAX_VERTICES
     rank = F.col("degree") * F.lit(_RANK_BASE) + F.col("v")
     da = degrees.select(F.col("v").alias("a"), rank.alias("_ra"))

@@ -261,6 +261,12 @@ def fit_poisson_irls_step(
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
     base = pts.select(x.alias("_x"), y.alias("_y"))
+    # Input contract: x and y must be non-NULL. Without the guard a NULL y
+    # crashes the driver-side sorted() (None vs int) and a NULL x silently
+    # drops out of the B/C/E sums, skewing the fit instead of failing —
+    # the score path (score_poisson_irls) already drops NULLs up front;
+    # this closes the same gap on the fit it calls first (r8 verdict #4).
+    base = base.where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     ys = sorted(r[0] for r in base.select("_y").distinct().collect())
     ztab = spark.createDataFrame(
         [
