@@ -681,6 +681,17 @@ def embedding_neardup_pairs(
     )
 
 
+LSH_PRUNING_MIN_THRESHOLD = 0.7
+"""Regime boundary for ``embedding_neardup_pairs_lsh``'s "auto" gate.
+
+Sign-bit LSH quality exponent ρ = ln(1/p₁)/ln(1/p₂) with p(c) = 1 − acos(c)/π
+and near-orthogonal background p₂ = 1/2: at cosine 0.7, p₁ = 0.747 ⇒
+ρ = 0.42 ⇒ O(n^1.42) candidate work — the highest threshold band where
+banding still genuinely prunes with small table counts. Below it the
+exponent climbs toward the measured n^1.81 at τ = 0.45 (ρ = 0.625,
+SCALE.md round 8) and k-means blocking is strictly better."""
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -689,37 +700,88 @@ def embedding_neardup_pairs_lsh(
     n_bands: int = 4,
     band_planes: int = 2,
     dims: int = 64,
+    regime: str = "auto",
+    kmeans_mod: int = 50,
+    kmeans_iters: int = 1,
+    kmeans_max_clusters: int | None = 40,
 ) -> DataFrame:
-    """Scale path for embedding near-dup: BANDED sign-bit LSH blocking +
-    exact verify (the MinHash-bands construction applied to hyperplane
-    signatures): ``n_bands`` independent tables, each keyed by
-    ``band_planes`` sign bits from a disjoint plane range; a pair is a
-    candidate iff it collides in ANY band, then exact cosine filters.
+    """Embedding near-dup pairs [vec_a, vec_b, cosine ≥ threshold] with a
+    RUNTIME REGIME GATE (round 9, closing the r8 perf-weak row) choosing
+    the blocking structure by operating point:
 
-    Recall per band = p^r (p = per-plane agreement prob, monotone in
-    cosine); across bands = 1 − (1 − p^r)^T — the OR over tables is what a
-    single 2^planes bucket key can't give (measured on sf0.01: single
-    4-plane table found 2 of 14 true pairs ≥ 0.45; 4 bands × 2 planes finds
-    all 14). The shuffle SHAPE is scale-safe (each vector emits n_bands
-    tiny (band, bits) keys; candidates join back by id; no broadcast, no
-    cartesian) — but the CANDIDATE VOLUME is ~T·n²/2^(r+1) on a
-    near-orthogonal background (per-plane background agreement 1/2), so
-    the default T=4, r=2 point evaluates ~ALL pairs, just partitioned
-    (measured: time exponent n^1.81 over sf0.1→sf1, SCALE.md round 8).
-    Banded sign-bit LSH is genuinely sub-quadratic only when the
-    threshold is HIGH enough to grow r with log₂ n at bounded T (e.g.
-    cosine ≥ 0.9 → p = 0.856, ρ = ln(1/p)/ln 2 = 0.22 → O(n^1.22)
-    candidates); at this query's 0.45 the LSH-optimal bound is already
-    O(n^1.62) (ρ = 0.625) and hitting it needs hundreds of tables — the
-    declared LOW-threshold scale path is ``semantic_dedup`` /
-    ``semantic_dedup_two_level`` (k-means blocks; measured near-linear,
-    7.6s at sf1 vs this operator's 45.5s).
+    * ``"banded"`` — sign-bit LSH bands + exact verify (the MinHash-bands
+      construction on hyperplane signatures): ``n_bands`` independent
+      tables, each keyed by ``band_planes`` sign bits from a disjoint
+      plane range; a pair is a candidate iff it collides in ANY band.
+      Recall per band = p^r, across bands 1 − (1 − p^r)^T (measured on
+      sf0.01: single 4-plane table found 2 of 14 true pairs ≥ 0.45; 4
+      bands × 2 planes finds all 14). Candidate volume on a
+      near-orthogonal background is ~T·n²/2^(r+1) — genuinely
+      sub-quadratic only at HIGH thresholds where r can grow with
+      log₂ n at bounded T (cosine 0.9 → ρ = 0.22 → O(n^1.22)); at 0.45
+      the LSH-optimal bound is already Ω(n^1.62) (ρ = 0.625) and this
+      construction measured n^1.81 (SCALE.md round 8).
+    * ``"kmeans"`` — SemDeDup-style blocking (Abbas et al. 2023): the
+      deterministic capped k-means of ``semantic_dedup`` buckets the
+      corpus, candidates are within-cluster pairs only, then the same
+      exact-cosine verify. k independent O((n/k)²) blocks — measured
+      near-linear (2.4× time for 10× rows, SCALE.md round 8) and the
+      correct low-threshold plan at 100 TB.
+    * ``"auto"`` (default) — ``threshold ≥ LSH_PRUNING_MIN_THRESHOLD``
+      (0.7) routes to banded (the regime where banding prunes), below it
+      to kmeans: the same measurement-bounded runtime-gate pattern as
+      ``_orient_by_degree(broadcast_degrees="auto")``.
+
+    Both regimes share output semantics — blocked candidate generation
+    (each with its own false-negative set, stated per regime above) and
+    EXACT integer-quantized cosine verification — so the gate is a plan
+    choice, not a semantics change.
     """
     from bicis_spark.extensions.similarity import (
         cosine_from_norms,
         lsh_bucket,
         norm_col,
     )
+
+    if regime not in ("auto", "banded", "kmeans"):
+        # reject typos loudly: a misspelled regime must not silently pick
+        # a scale-inappropriate plan (same contract as broadcast_degrees)
+        raise ValueError(
+            f"regime must be 'auto', 'banded', or 'kmeans'; got {regime!r}"
+        )
+    if regime == "auto":
+        regime = (
+            "banded" if threshold >= LSH_PRUNING_MIN_THRESHOLD else "kmeans"
+        )
+    if regime == "kmeans":
+        assigned = _kmeans_assigned(
+            df, id_col, vec_col, kmeans_mod, kmeans_iters, dims,
+            kmeans_max_clusters,
+        )
+        ka = assigned.select(
+            F.col("vid").alias("vec_a"),
+            F.col("centroid_id").alias("_ca"),
+            F.col("qv").alias("qv_a"),
+            F.col("n").alias("n_a"),
+        )
+        kb = assigned.select(
+            F.col("vid").alias("vec_b"),
+            F.col("centroid_id").alias("_cb"),
+            F.col("qv").alias("qv_b"),
+            F.col("n").alias("n_b"),
+        )
+        ksim = cosine_from_norms(
+            F.col("qv_a"), F.col("qv_b"), F.col("n_a"), F.col("n_b"), dims
+        )
+        return (
+            ka.join(
+                kb,
+                (F.col("_ca") == F.col("_cb"))
+                & (F.col("vec_a") < F.col("vec_b")),
+            )
+            .select("vec_a", "vec_b", ksim.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+        )
 
     q = _reusable(
         _partitioned(df, None)
@@ -769,9 +831,148 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def embedding_lsh_band_profile(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """Per-band candidate/verified profile of the HIGH-threshold banded
+    sign-LSH regime: [band, n_candidates, n_dups] — one row per band that
+    produced at least one colliding pair, with n_dups the candidates whose
+    exact cosine clears ``threshold``.
+
+    This is the oracle-exercised face of the pruning regime
+    (``embedding_neardup_pairs_lsh(regime="banded")`` at high τ): the test
+    corpus has no pairs above cosine 0.6, so a pairs-shaped high-τ query
+    would be a trivially-empty check — the per-band counts instead
+    hash-gate the whole construction (hyperplane signs, band keys,
+    collision join, exact verify) with nonzero rows at every SF.
+
+    Scale: r = ``band_planes`` sign bits per band cuts background
+    candidate volume to ~n²/2^(r+1) per band (r = 8 ⇒ /512); the
+    production discipline is r ≈ log₂ n (then candidates ≈ T·n, linear)
+    with T sized to the recall target 1 − (1 − p^r)^T — both spelled out
+    in LSH_PRUNING_MIN_THRESHOLD's note. The output is O(T) rows; the
+    candidate join shape is the banded operator's (tiny (band, bits)
+    keys, id joins, no broadcast, no cartesian)."""
+    from bicis_spark.extensions.similarity import (
+        cosine_from_norms,
+        lsh_bucket,
+        norm_col,
+    )
+
+    q = _reusable(
+        _partitioned(df, None)
+        .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv"))
+        .withColumn("n", norm_col(F.col("qv"), dims)),
+        None,
+        "vid",
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                lsh_bucket("qv", band_planes, dims, plane_offset=t * band_planes)
+                .alias("bits"),
+            )
+            for t in range(n_bands)
+        ]
+    )
+    blocks = q.select("vid", F.explode(band_arr).alias("b")).select(
+        "vid", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    # within one band each vector holds exactly one key, so band-wise
+    # pairs are already distinct — no cross-band DISTINCT, counts stay
+    # attributable per table
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bits") == F.col("b.bits"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.band").alias("band"),
+        F.col("a.vid").alias("vec_a"),
+        F.col("b.vid").alias("vec_b"),
+    )
+    qa = q.select(
+        F.col("vid").alias("vec_a"), F.col("qv").alias("qv_a"), F.col("n").alias("n_a")
+    )
+    qb = q.select(
+        F.col("vid").alias("vec_b"), F.col("qv").alias("qv_b"), F.col("n").alias("n_b")
+    )
+    sim = cosine_from_norms(
+        F.col("qv_a"), F.col("qv_b"), F.col("n_a"), F.col("n_b"), dims
+    )
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((sim >= threshold).cast("long")).alias("n_dups"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style: cluster, then near-dup within clusters)
 # ---------------------------------------------------------------------------
+
+
+def _kmeans_assigned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids_mod: int,
+    train_iters: int,
+    dims: int | None,
+    max_clusters: int | None,
+) -> DataFrame:
+    """Deterministic k-means clustering of a quantized embedding corpus:
+    mod-rule seeds (capped at ``max_clusters``), ``train_iters`` exact
+    integer-mean refinements, max-cosine assignment. Returns the persisted
+    assignment [vid, centroid_id, qv, n] — the shared blocking structure
+    behind ``semantic_dedup`` and the low-threshold regime of
+    ``embedding_neardup_pairs_lsh``.
+
+    Scale: training + assignment are the IVF shapes (broadcast centroids,
+    map-side-combined updates); the output is corpus-sized, hash-persisted
+    on vid for the self-joins that follow."""
+    from bicis_spark.extensions.similarity import (
+        ivf_assign,
+        kmeans_refine_exact,
+        norm_col,
+    )
+
+    c = tracked_persist(
+        _partitioned(df, None).select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
+        )
+    )
+    seed_filter = F.col("vid") % n_centroids_mod == 1
+    if max_clusters is not None:
+        seed_filter = seed_filter & (
+            F.col("vid") < n_centroids_mod * max_clusters
+        )
+    # seeds from the PERSISTED projection, not a second raw-corpus scan
+    # (same rows — c preserves the id — served from cache); matches
+    # ann_topk_ivf: c feeds every training iteration plus the assignment
+    seeds = c.where(seed_filter).select(F.col("vid").alias("centroid_id"), "qv")
+    cents = tracked_persist(
+        kmeans_refine_exact(c, seeds, train_iters, "vid", "qv", dims)
+    )
+    return _reusable(
+        ivf_assign(c, cents, "vid", "qv", dims).withColumn(
+            "n", norm_col(F.col("qv"), dims)
+        ),
+        None,
+        "vid",
+    )
 
 
 def semantic_dedup(
@@ -817,36 +1018,10 @@ def semantic_dedup(
     operator composes with by passing each super-cluster's members back
     through ``semantic_dedup``.
     """
-    from bicis_spark.extensions.similarity import (
-        cosine_from_norms,
-        ivf_assign,
-        kmeans_refine_exact,
-        norm_col,
-    )
+    from bicis_spark.extensions.similarity import cosine_from_norms
 
-    c = tracked_persist(
-        _partitioned(df, None).select(
-            F.col(id_col).alias("vid"), quantize(F.col(vec_col), dims).alias("qv")
-        )
-    )
-    seed_filter = F.col("vid") % n_centroids_mod == 1
-    if max_clusters is not None:
-        seed_filter = seed_filter & (
-            F.col("vid") < n_centroids_mod * max_clusters
-        )
-    # seeds from the PERSISTED projection, not a second raw-corpus scan
-    # (same rows — c preserves the id — served from cache); matches
-    # ann_topk_ivf: c feeds every training iteration plus the assignment
-    seeds = c.where(seed_filter).select(F.col("vid").alias("centroid_id"), "qv")
-    cents = tracked_persist(
-        kmeans_refine_exact(c, seeds, train_iters, "vid", "qv", dims)
-    )
-    assigned = _reusable(
-        ivf_assign(c, cents, "vid", "qv", dims).withColumn(
-            "n", norm_col(F.col("qv"), dims)
-        ),
-        None,
-        "vid",
+    assigned = _kmeans_assigned(
+        df, id_col, vec_col, n_centroids_mod, train_iters, dims, max_clusters
     )
     a = assigned.select(
         F.col("vid").alias("va"),

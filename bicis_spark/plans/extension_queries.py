@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from bicis_spark.extensions.dedup import (
     connected_components_min_label,
+    embedding_lsh_band_profile,
     embedding_neardup_pairs,
     embedding_neardup_pairs_lsh,
     exact_dedup,
@@ -76,6 +77,66 @@ _DOT = (
 _NORM = "sqrt(list_sum(list_transform(range(64), i -> {x}.qv[i+1] * {x}.qv[i+1]))::DOUBLE)"
 # nullif: zero-norm vectors get a NULL cosine (mirrors similarity._nonzero)
 _COS = f"{_DOT} / nullif({_NORM.format(x='{a}')} * {_NORM.format(x='{b}')}, 0)"
+
+
+# Capped-list constant shared by the IVF ANN family and the k-means
+# blocking oracles (defined here, ahead of its first registration use).
+_IVF_MAX_LISTS = 40
+
+
+def _kmeans_assign_prefix(
+    mod: int = 50,
+    train_iters: int = 1,
+    max_clusters: int | None = None,
+) -> str:
+    """Shared WITH-prefix replaying the deterministic k-means trainer
+    (seeds ``vec_id % mod == 1`` capped at ``max_clusters``, max-cosine
+    assignment with centroid-id tie-break, floor-of-mean integer update)
+    ending in an ``assign(vec_id, qv, centroid_id)`` CTE — used by the
+    SemDeDup and cluster-balanced-sample oracles."""
+    steps = []
+    for t in range(train_iters):
+        steps.append(
+            f"""
+    asg{t} AS (
+        SELECT vec_id, qv, centroid_id FROM (
+            SELECT v.vec_id, v.qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
+                                               c.centroid_id) AS rn
+            FROM q v CROSS JOIN cents{t} c
+        ) t WHERE rn = 1
+    ),
+    mean{t} AS (
+        SELECT centroid_id, i,
+               CAST(floor(CAST(sum(qv[i+1]) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        FROM asg{t}, range(64) t(i)
+        GROUP BY centroid_id, i
+    ),
+    cents{t + 1} AS (
+        SELECT c.centroid_id, coalesce(l.qv, c.qv) AS qv
+        FROM cents{t} c LEFT JOIN (
+            SELECT centroid_id, list(m ORDER BY i) AS qv
+            FROM mean{t} GROUP BY centroid_id
+        ) l USING (centroid_id)
+    )"""
+        )
+    trained = f"cents{train_iters}"
+    cap = "" if max_clusters is None else f" AND vec_id < {mod * max_clusters}"
+    return f"""
+    WITH {_QV_CTE.strip()},
+    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % {mod} = 1{cap}),{",".join(steps)},
+    assign AS (
+        SELECT vec_id, qv, centroid_id FROM (
+            SELECT v.vec_id, v.qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
+                                               c.centroid_id) AS rn
+            FROM q v CROSS JOIN {trained} c
+        ) t WHERE rn = 1
+    )"""
+
 
 
 # ---------------------------------------------------------------------------
@@ -333,44 +394,85 @@ def _lsh_bucket_sql(rel: str, n_planes: int, dims: int = 64, plane_offset: int =
     return " + ".join(terms)
 
 
+def _kmeans_pairs_oracle(
+    mod: int = 50,
+    train_iters: int = 1,
+    threshold: float = 0.45,
+    max_clusters: int | None = None,
+) -> str:
+    """Oracle for the kmeans regime of ``embedding_neardup_pairs_lsh``:
+    the shared deterministic-k-means prefix, then within-cluster pairs at
+    cosine ≥ threshold — ``_semdedup_oracle``'s blocking with pair-shaped
+    output."""
+    return f"""{_kmeans_assign_prefix(mod, train_iters, max_clusters)}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS.format(a='a', b='b')} AS cosine
+    FROM assign a JOIN assign b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a', b='b')} >= {threshold}
+    """
+
+
 @register(
     "dedup_embedding_cosine_lsh",
+    _kmeans_pairs_oracle(mod=50, train_iters=1, threshold=0.45,
+                         max_clusters=_IVF_MAX_LISTS),
+)
+def dedup_embedding_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-threshold embedding near-dup pairs through the r9 REGIME GATE:
+    at τ = 0.45 ``embedding_neardup_pairs_lsh(regime="auto")`` routes to
+    SemDeDup-style k-means blocking (within-cluster pairs + exact cosine
+    verify) — the measured near-linear plan (2.4× time per 10× rows,
+    SCALE.md) — instead of banded sign-bit LSH, whose candidate volume at
+    this threshold is Ω(n^1.62) by LSH theory (ρ = 0.625) and measured
+    n^1.81 (the r8 perf-weak row, now closed). The oracle replays the
+    whole k-means training + assignment + pair verify bit-for-bit. The
+    banded pruning regime stays oracle-exercised at its honest operating
+    point by ``dedup_embedding_lsh_band_profile`` (τ = 0.9, 8×8)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.45,
+        kmeans_mod=50, kmeans_iters=1, kmeans_max_clusters=_IVF_MAX_LISTS,
+    )
+
+
+@register(
+    "dedup_embedding_lsh_band_profile",
     f"""
     WITH {_QV_CTE.strip()},
     blocks AS (
         {" UNION ALL ".join(
-            f"SELECT vec_id, {t} AS band, ({_lsh_bucket_sql('q', 2, plane_offset=t * 2)}) AS bits FROM q"
-            for t in range(4)
+            f"SELECT vec_id, CAST({t} AS BIGINT) AS band, ({_lsh_bucket_sql('q', 8, plane_offset=t * 8)}) AS bits FROM q"
+            for t in range(8)
         )}
     ),
     cand AS (
-        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        SELECT x.band, x.vec_id AS vec_a, y.vec_id AS vec_b
         FROM blocks x JOIN blocks y
           ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id
     )
-    SELECT vec_a, vec_b, {_COS.format(a='a', b='c')} AS cosine
+    SELECT band, CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN {_COS.format(a='a', b='c')} >= 0.9
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
     FROM cand
     JOIN q a ON a.vec_id = vec_a
     JOIN q c ON c.vec_id = vec_b
-    WHERE {_COS.format(a='a', b='c')} >= 0.45
+    GROUP BY band
     """,
 )
-def dedup_embedding_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via BANDED sign-bit LSH (4 tables × 2 planes —
-    OR over tables, the MinHash-bands construction) + exact cosine
-    verify. Single-table blocking measured 2/14 true pairs at sf0.01;
-    the banded form finds 14/14. The oracle replays bands and planes
-    exactly. Scale caveat (r8 probe, SCALE.md): at this low threshold
-    (0.45) the candidate volume is near-quadratic by LSH theory
-    (ρ = 0.625 → Ω(n^1.62) for ANY table count; this 4×2 point measured
-    n^1.81) — the construction partitions the pair space rather than
-    pruning it. For low-threshold dedup at 100 TB use the SemDeDup
-    path (`semantic_dedup_two_level_flags`, measured near-linear);
-    banded sign-bit LSH earns its name at high thresholds (cosine 0.9 →
-    O(n^1.22))."""
+def dedup_embedding_lsh_band_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded sign-LSH PRUNING regime at its honest operating point
+    (τ = 0.9, 8 bands × 8 planes — ρ = 0.22 ⇒ O(n^1.22) candidate work;
+    8 sign bits per band cut background collisions to ~n²/512 per band):
+    per-band candidate and verified-pair counts, hash-gated by an oracle
+    replaying hyperplanes, band keys, the collision join, and the exact
+    cosine verify. Stats-shaped output because the test corpus has no
+    pairs above cosine 0.6 — a pairs query at τ = 0.9 would be an empty
+    (trivial) check, while the band counts pin the construction with
+    nonzero rows at every SF."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs_lsh(
-        emb, "vec_id", "embedding", threshold=0.45, n_bands=4, band_planes=2
+    return embedding_lsh_band_profile(
+        emb, "vec_id", "embedding", threshold=0.9, n_bands=8, band_planes=8
     )
 
 
@@ -1019,7 +1121,6 @@ _IVF_TRAIN_ITERS = 3
 #: is the full seed set at both sf0.01 (10 qualifying ids) and sf0.1 (40),
 #: so results are bit-identical to the uncapped rule at test scale while
 #: the contract stops the list count growing past 40 with the corpus.
-_IVF_MAX_LISTS = 40
 _IVF_ORACLE = _ivf_oracle(_IVF_PROBES, _IVF_TRAIN_ITERS, max_lists=_IVF_MAX_LISTS)
 
 
@@ -1816,60 +1917,6 @@ def training_mix_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Semantic dedup (round 4): cluster-then-dedup — SemDeDup shape
 # ---------------------------------------------------------------------------
-
-
-def _kmeans_assign_prefix(
-    mod: int = 50,
-    train_iters: int = 1,
-    max_clusters: int | None = None,
-) -> str:
-    """Shared WITH-prefix replaying the deterministic k-means trainer
-    (seeds ``vec_id % mod == 1`` capped at ``max_clusters``, max-cosine
-    assignment with centroid-id tie-break, floor-of-mean integer update)
-    ending in an ``assign(vec_id, qv, centroid_id)`` CTE — used by the
-    SemDeDup and cluster-balanced-sample oracles."""
-    steps = []
-    for t in range(train_iters):
-        steps.append(
-            f"""
-    asg{t} AS (
-        SELECT vec_id, qv, centroid_id FROM (
-            SELECT v.vec_id, v.qv, c.centroid_id,
-                   row_number() OVER (PARTITION BY v.vec_id
-                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
-                                               c.centroid_id) AS rn
-            FROM q v CROSS JOIN cents{t} c
-        ) t WHERE rn = 1
-    ),
-    mean{t} AS (
-        SELECT centroid_id, i,
-               CAST(floor(CAST(sum(qv[i+1]) AS DOUBLE)
-                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
-        FROM asg{t}, range(64) t(i)
-        GROUP BY centroid_id, i
-    ),
-    cents{t + 1} AS (
-        SELECT c.centroid_id, coalesce(l.qv, c.qv) AS qv
-        FROM cents{t} c LEFT JOIN (
-            SELECT centroid_id, list(m ORDER BY i) AS qv
-            FROM mean{t} GROUP BY centroid_id
-        ) l USING (centroid_id)
-    )"""
-        )
-    trained = f"cents{train_iters}"
-    cap = "" if max_clusters is None else f" AND vec_id < {mod * max_clusters}"
-    return f"""
-    WITH {_QV_CTE.strip()},
-    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % {mod} = 1{cap}),{",".join(steps)},
-    assign AS (
-        SELECT vec_id, qv, centroid_id FROM (
-            SELECT v.vec_id, v.qv, c.centroid_id,
-                   row_number() OVER (PARTITION BY v.vec_id
-                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
-                                               c.centroid_id) AS rn
-            FROM q v CROSS JOIN {trained} c
-        ) t WHERE rn = 1
-    )"""
 
 
 def _semdedup_oracle(

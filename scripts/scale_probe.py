@@ -49,6 +49,9 @@ PROBES = [
     "semantic_dedup_two_level_flags",  # super->sub k-means shards
     "ann_topk_ivf",               # IVF lists, n_probe=6
     "ann_topk_pq",                # PQ/ADC + exact re-rank
+    # round-9 additions: the regime-gated low-tau pairs row (now kmeans
+    # blocking) and the high-tau banded pruning profile
+    "dedup_embedding_lsh_band_profile",
 ]
 
 TABLE_OF = {
@@ -76,6 +79,7 @@ TABLE_OF = {
     "semantic_dedup_two_level_flags": "embeddings",
     "ann_topk_ivf": "embeddings",
     "ann_topk_pq": "embeddings",
+    "dedup_embedding_lsh_band_profile": "embeddings",
 }
 
 

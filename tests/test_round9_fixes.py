@@ -58,6 +58,63 @@ def test_codec_features_tiny_ff_payloads_are_lenient(spark):
         decode_codec_features(binary, strict=True).collect()
 
 
+def test_embedding_lsh_regime_gate(spark, sf_dir):
+    """The r9 regime gate is a PLAN choice at each operating point:
+    auto at τ = 0.45 must equal the forced kmeans rows, auto at τ = 0.9
+    the forced banded rows, and a typo regime raises instead of silently
+    picking a scale-inappropriate plan."""
+    from bicis_spark.extensions.dedup import embedding_neardup_pairs_lsh
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def rows(**kw):
+        return sorted(
+            tuple(r)
+            for r in embedding_neardup_pairs_lsh(
+                emb, "vec_id", "embedding", **kw
+            ).collect()
+        )
+
+    lo_auto = rows(threshold=0.45, kmeans_max_clusters=40)
+    lo_kmeans = rows(threshold=0.45, regime="kmeans", kmeans_max_clusters=40)
+    assert lo_auto == lo_kmeans and len(lo_auto) > 0
+
+    hi_auto = rows(threshold=0.9, n_bands=4, band_planes=2)
+    hi_banded = rows(
+        threshold=0.9, n_bands=4, band_planes=2, regime="banded"
+    )
+    assert hi_auto == hi_banded  # both empty on this corpus, same plan
+
+    with pytest.raises(ValueError, match="regime"):
+        embedding_neardup_pairs_lsh(emb, regime="Banded")
+
+
+def test_embedding_lsh_band_profile_consistency(spark, sf_dir):
+    """Band profile invariants: bands within range, candidate counts
+    positive, verified ≤ candidates — and at a threshold below every
+    cosine (−1.1) EVERY candidate verifies, pinning that n_dups counts
+    the same pair set n_candidates does."""
+    from bicis_spark.extensions.dedup import embedding_lsh_band_profile
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    prof = {
+        r["band"]: r
+        for r in embedding_lsh_band_profile(
+            emb, "vec_id", "embedding", threshold=0.9, n_bands=4, band_planes=8
+        ).collect()
+    }
+    assert prof and set(prof) <= set(range(4))
+    for r in prof.values():
+        assert 0 < r["n_candidates"] and 0 <= r["n_dups"] <= r["n_candidates"]
+
+    all_pass = embedding_lsh_band_profile(
+        emb, "vec_id", "embedding", threshold=-1.1, n_bands=4, band_planes=8
+    ).collect()
+    assert all(r["n_dups"] == r["n_candidates"] for r in all_pass)
+
+
 def test_orient_broadcast_degrees_rejects_typo_strings(spark):
     """broadcast_degrees='Auto' (or any non-'auto' string) must raise
     ValueError instead of silently forcing the scale-unsafe unconditional
