@@ -545,6 +545,16 @@ def _lcc_from_oriented(degrees: DataFrame, eo: DataFrame) -> DataFrame:
         return out.localCheckpoint(eager=True)
 
 
+#: Edge-count gate for ``kcore_peel(degree_mode="auto")``: below it the
+#: full per-round degree recompute wins (measured at sf0.1, SCALE.md r8 —
+#: the delta's extra peel-sized joins cost more than the small aggregate
+#: they avoid); above it the semi-naive delta wins, because the recompute
+#: aggregates the FULL surviving edge set every round (data-sized) while
+#: the delta's work is sized by the round's peel. 50M edges ≈ the point
+#: where one full-degree exchange stops fitting a single executor wave.
+KCORE_DELTA_MIN_EDGES = 50_000_000
+
+
 def kcore_peel(
     edges: DataFrame,
     src: str,
@@ -552,6 +562,7 @@ def kcore_peel(
     k: int = 3,
     rounds: int = 4,
     broadcast_keep: bool = False,
+    degree_mode: str = "auto",
 ) -> DataFrame:
     """Fixed-round k-core peeling of an undirected graph: ``rounds``
     synchronous iterations of "drop every vertex with degree < k, then
@@ -585,8 +596,39 @@ def kcore_peel(
     ONLY when the vertex universe is dimension-bounded at the call site
     (e.g. parts), the same contract as ``label_propagation``'s
     ``broadcast_labels``; leave False for graphs whose vertex set scales
-    with the data."""
+    with the data.
+
+    ``degree_mode`` (round 9, the r8 verdict's runtime-gate ask) selects
+    how each round's degrees are produced:
+
+    * ``"recompute"`` — full degree aggregate over the surviving edge
+      set every round (one data-sized exchange per round; wins at bench
+      SF, where the aggregate is tiny and the delta's extra joins are
+      pure overhead — the r8 A/B result).
+    * ``"delta"`` — semi-naive maintenance: keep the exact degree table
+      across rounds and SUBTRACT the contributions of edges incident to
+      the round's peeled vertices (two peel-sized semi-joins + a
+      peel-sized aggregate; wins at cluster scale, where the peel is a
+      sliver of the data the recompute would re-aggregate).
+    * ``"auto"`` — COUNT the normalized edge set once (it is eagerly
+      checkpointed anyway, the count is cache-served) and pick recompute
+      under ``KCORE_DELTA_MIN_EDGES`` — measurement-bounded, the exact
+      pattern of ``_orient_by_degree(broadcast_degrees="auto")``. The
+      gate stays open (recompute) at every local bench SF.
+
+    Both modes maintain the IDENTICAL degree table by induction (exact
+    integer counts; regression-guarded in tests), so the mode is a plan
+    choice, not a semantics change."""
+    if degree_mode not in ("auto", "recompute", "delta"):
+        raise ValueError(
+            f"degree_mode must be 'auto', 'recompute', or 'delta'; "
+            f"got {degree_mode!r}"
+        )
     cur = _normalize_edges(edges, src, dst).localCheckpoint(eager=True)
+    if degree_mode == "auto":
+        degree_mode = (
+            "delta" if cur.count() > KCORE_DELTA_MIN_EDGES else "recompute"
+        )
     # LAZY persist per round, eager checkpoint only every OTHER round (r7,
     # the LPA double-step trick per the r6 verdict): a round reads its
     # predecessor three times (degree aggregate + both probes), which the
@@ -601,17 +643,61 @@ def kcore_peel(
     # deeper uncheckpointed plans pay more in AQE replanning than they
     # save in materialization; measured marginal cost: ~0.3s for a lazy
     # round, ~1.1-1.5s for a checkpointed one (SCALE.md round-8).
+    if k < 1:
+        # the delta table tracks 0-degree survivors the recompute's
+        # edge-side aggregate never sees; k >= 1 keeps the modes identical
+        raise ValueError("kcore_peel requires k >= 1")
     round_caches: list[DataFrame] = []
     try:
+        degrees = None  # delta mode: the maintained exact degree table
         for r in range(rounds):
-            degrees = (
-                cur.select(
-                    F.explode(F.array(F.col("a"), F.col("b"))).alias("v")
+            if degree_mode == "recompute" or degrees is None:
+                degrees = (
+                    cur.select(
+                        F.explode(F.array(F.col("a"), F.col("b"))).alias("v")
+                    )
+                    .groupBy("v")
+                    .agg(F.count(F.lit(1)).cast("long").alias("d"))
                 )
-                .groupBy("v")
-                .agg(F.count(F.lit(1)).cast("long").alias("d"))
-            )
+                if degree_mode == "delta":
+                    # round 0 seeds the maintained table; it is read three
+                    # times per round (keep/peel splits + the subtract)
+                    degrees = degrees.persist()
+                    round_caches.append(degrees)
             keep = degrees.where(F.col("d") >= k).select("v")
+            if degree_mode == "delta":
+                # semi-naive subtract: degree loss of each SURVIVOR =
+                # its edges whose other endpoint was peeled this round
+                # (peel-sized joins — edges with both ends peeled
+                # attribute onto peeled vertices and drop out in the
+                # keep join below)
+                rm = degrees.where(F.col("d") < k)
+                dec = (
+                    cur.join(
+                        rm.select(F.col("v").alias("b")), "b", "left_semi"
+                    )
+                    .select(F.col("a").alias("v"))
+                    .unionAll(
+                        cur.join(
+                            rm.select(F.col("v").alias("a")), "a", "left_semi"
+                        ).select(F.col("b").alias("v"))
+                    )
+                    .groupBy("v")
+                    .agg(F.count(F.lit(1)).cast("long").alias("_dec"))
+                )
+                degrees = (
+                    degrees.where(F.col("d") >= k)
+                    .join(dec, "v", "left")
+                    .select(
+                        "v",
+                        (
+                            F.col("d")
+                            - F.coalesce(F.col("_dec"), F.lit(0).cast("long"))
+                        ).alias("d"),
+                    )
+                    .persist()
+                )
+                round_caches.append(degrees)
             ka = keep.select(F.col("v").alias("a"))
             kb = keep.select(F.col("v").alias("b"))
             if broadcast_keep:
@@ -622,13 +708,21 @@ def kcore_peel(
             else:
                 cur = cur.persist()
                 round_caches.append(cur)
-        final_deg = (
-            cur.select(F.col("a").alias("vertex"))
-            .unionAll(cur.select(F.col("b").alias("vertex")))
-            .groupBy("vertex")
-            .agg(F.count(F.lit(1)).cast("long").alias("residual_degree"))
-        )
-        out = final_deg.where(F.col("residual_degree") >= k)
+        if degree_mode == "delta":
+            # the maintained table IS the final edge set's exact degrees
+            # (kept vertices only) — no data-sized final aggregate
+            out = degrees.where(F.col("d") >= k).select(
+                F.col("v").alias("vertex"),
+                F.col("d").alias("residual_degree"),
+            )
+        else:
+            final_deg = (
+                cur.select(F.col("a").alias("vertex"))
+                .unionAll(cur.select(F.col("b").alias("vertex")))
+                .groupBy("vertex")
+                .agg(F.count(F.lit(1)).cast("long").alias("residual_degree"))
+            )
+            out = final_deg.where(F.col("residual_degree") >= k)
         # materialize before releasing the round caches the plan reads
         return out.localCheckpoint(eager=True)
     finally:

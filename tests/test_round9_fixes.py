@@ -115,6 +115,36 @@ def test_embedding_lsh_band_profile_consistency(spark, sf_dir):
     assert all(r["n_dups"] == r["n_candidates"] for r in all_pass)
 
 
+def test_kcore_degree_modes_agree(spark):
+    """The r9 semi-naive delta peel is a PLAN choice: 'recompute',
+    'delta', and 'auto' must produce identical rows on graphs that
+    exercise multi-round cascades (a K4 with a tail that peels over two
+    rounds) and total collapse (a 6-cycle at k=3). Typo modes raise."""
+    from bicis_spark.operators.graph import kcore_peel
+
+    k4_tail = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+               (4, 10), (10, 11), (11, 12)]
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    for edges_rows, k in ((k4_tail, 3), (cyc, 3), (k4_tail, 2)):
+        edges = spark.createDataFrame(edges_rows, "src long, dst long")
+        results = []
+        for mode in ("recompute", "delta", "auto"):
+            rows = sorted(
+                tuple(r)
+                for r in kcore_peel(
+                    edges, "src", "dst", k=k, rounds=4, degree_mode=mode
+                ).collect()
+            )
+            results.append(rows)
+        assert results[0] == results[1] == results[2], (edges_rows, k)
+
+    edges = spark.createDataFrame(k4_tail, "src long, dst long")
+    with pytest.raises(ValueError, match="degree_mode"):
+        kcore_peel(edges, "src", "dst", k=3, degree_mode="Delta")
+    with pytest.raises(ValueError, match="k >= 1"):
+        kcore_peel(edges, "src", "dst", k=0, degree_mode="delta")
+
+
 def test_orient_broadcast_degrees_rejects_typo_strings(spark):
     """broadcast_degrees='Auto' (or any non-'auto' string) must raise
     ValueError instead of silently forcing the scale-unsafe unconditional
