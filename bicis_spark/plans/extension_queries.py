@@ -29,7 +29,9 @@ from bicis_spark.caching import tracked_persist
 from bicis_spark.extensions.multimodal import (
     decode_codec_features,
     decode_jpeg_features,
+    decode_mp3_features,
     synth_media_jpeg,
+    synth_media_mp3,
     decode_media,
     frame_sample,
     synth_media,
@@ -1008,6 +1010,192 @@ def multimodal_mpeg1_audio_decode_q(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = read_table(spark, sf_dir, "documents")
     return decode_mpeg1_features(synth_media_mpeg1(docs), strict=True)
+
+
+def _mp3_oracle() -> str:
+    """Oracle for ``multimodal_mp3_decode``: replays the Layer III synth
+    FIELD FORMULAS (extensions/mpeg_layer3.py:synth_*) arithmetically —
+    granule side fields, scfsi-copied scalefactors, region/table-
+    dispatched pair values with linbits escapes and signs, count1
+    quadruples, reservoir begins — and pushes the values through the same
+    POW43_Q/GAIN_Q fixed-point requantization lattice (tables inlined as
+    literals, exact integer arithmetic). The oracle never sees the byte
+    stream or the Huffman codes: a hash MATCH proves decode∘encode is
+    the identity through the reservoir walk, the side-info layout, the
+    scfsi logic, and the entropy machinery."""
+    from bicis_spark.extensions.mpeg_layer3 import GAIN_Q, POW43_Q, SLEN
+
+    pow43 = "[" + ",".join(str(v) for v in POW43_Q[:32]) + "]"
+    gain = "[" + ",".join(str(v) for v in GAIN_Q) + "]"
+    slen1 = "[" + ",".join(str(a) for a, _ in SLEN) + "]"
+    slen2 = "[" + ",".join(str(b) for _, b in SLEN) + "]"
+    pw2 = "[1,2,4,8,16]"
+    # per-value fixed-point requant term: sign * ((POW43[|v|] * GAIN[gg]) >> 20)
+    xr = (
+        "CASE WHEN {v} = 0 THEN 0 ELSE {s} * "
+        f"(({pow43}[abs({{v}}) + 1] * {gain}[{{gg}} + 1]) // 1048576) END"
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents
+    ),
+    gr AS (
+        SELECT b.doc_id, b.nf, tf.f, tg.g,
+               8 + (b.doc_id * 3 + tf.f * 5 + tg.g * 7) % 16 AS bv,
+               140 + (b.doc_id * 11 + tf.f + tg.g * 29) % 116 AS gg,
+               (b.doc_id + tf.f * 3 + tg.g) % 16 AS sc,
+               (b.doc_id + tf.f) % 2 AS r0c,
+               (b.doc_id + tg.g) % 2 AS r1c,
+               (b.doc_id + tf.f) % 2 AS preflag,
+               (b.doc_id + tg.g) % 2 AS sfscale,
+               (b.doc_id + tf.f + tg.g) % 2 AS c1sel,
+               (b.doc_id + 2 * tf.f + 3 * tg.g) % 6 AS nq
+        FROM base b,
+             LATERAL unnest(range(0, b.nf)) AS tf(f),
+             LATERAL unnest(range(0, 2)) AS tg(g)
+    ),
+    sfs AS (
+        -- effective scalefactors: granule 1 copies granule 0 for bands in
+        -- set scfsi groups (group k of band b; scfsi_k = (doc+f+k)%4 = 0)
+        SELECT g.doc_id, g.f, g.g, tb.b,
+               CASE WHEN g.g = 1 AND
+                         (g.doc_id + g.f +
+                          (CASE WHEN tb.b < 6 THEN 0 WHEN tb.b < 11 THEN 1
+                                WHEN tb.b < 16 THEN 2 ELSE 3 END)) % 4 = 0
+               THEN
+                 CASE WHEN (CASE WHEN tb.b < 11
+                                 THEN {slen1}[(g.doc_id + g.f * 3) % 16 + 1]
+                                 ELSE {slen2}[(g.doc_id + g.f * 3) % 16 + 1] END) = 0
+                      THEN 0
+                      ELSE (g.doc_id * 5 + g.f * 7 + tb.b)
+                           % {pw2}[(CASE WHEN tb.b < 11
+                                         THEN {slen1}[(g.doc_id + g.f * 3) % 16 + 1]
+                                         ELSE {slen2}[(g.doc_id + g.f * 3) % 16 + 1] END) + 1]
+                 END
+               ELSE
+                 CASE WHEN (CASE WHEN tb.b < 11
+                                 THEN {slen1}[g.sc + 1]
+                                 ELSE {slen2}[g.sc + 1] END) = 0
+                      THEN 0
+                      ELSE (g.doc_id * 5 + g.f * 7 + g.g * 3 + tb.b)
+                           % {pw2}[(CASE WHEN tb.b < 11
+                                         THEN {slen1}[g.sc + 1]
+                                         ELSE {slen2}[g.sc + 1] END) + 1]
+                 END
+               END AS sf
+        FROM gr g, LATERAL unnest(range(0, 21)) AS tb(b)
+    ),
+    prs_abs AS (
+        SELECT p.doc_id, p.f, p.g, sum(abs(p.xv) + abs(p.yv)) AS habs,
+               sum({xr.format(v="p.xv", s="p.sx", gg="p.gg")}
+                   + {xr.format(v="p.yv", s="p.sy", gg="p.gg")}) AS xr_sum
+        FROM (
+            SELECT q.doc_id, q.f, q.g, q.gg AS gg,
+                   q.x0 + CASE WHEN q.t = 3 AND q.x0 = 15
+                               THEN (q.doc_id + q.p) % 16 ELSE 0 END AS xv,
+                   q.y0 + CASE WHEN q.t = 3 AND q.y0 = 15
+                               THEN (q.doc_id * 3 + q.p) % 16 ELSE 0 END AS yv,
+                   CASE WHEN (q.doc_id + q.f + q.p) % 2 = 1 THEN -1 ELSE 1 END AS sx,
+                   CASE WHEN (q.doc_id + q.g + q.p) % 2 = 1 THEN -1 ELSE 1 END AS sy
+            FROM (
+                SELECT g.doc_id, g.f, g.g, g.gg, tp.p, t.t,
+                       (g.doc_id * 7 + g.f * 3 + g.g * 11 + tp.p * 5)
+                           % (CASE t.t WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 16 END) AS x0,
+                       (g.doc_id * 13 + g.f + g.g * 5 + tp.p * 3)
+                           % (CASE t.t WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 16 END) AS y0
+                FROM gr g,
+                     LATERAL unnest(range(0, g.bv)) AS tp(p),
+                     LATERAL (SELECT 1 + (g.doc_id + g.f + g.g +
+                              (CASE WHEN tp.p < 2 * (g.r0c + 1) THEN 0
+                                    WHEN tp.p < 2 * (g.r0c + 1) + 2 * (g.r1c + 1) THEN 1
+                                    ELSE 2 END)) % 3 AS t) AS t
+            ) q
+        ) p GROUP BY p.doc_id, p.f, p.g
+    ),
+    qds AS (
+        SELECT q.doc_id, q.f, q.g, sum(q.v) AS habs,
+               sum({xr.format(v="q.v", s="q.s", gg="q.gg")}) AS xr_sum
+        FROM (
+            SELECT g.doc_id, g.f, g.g, g.gg,
+                   (g.doc_id + g.f + g.g + tj.j * 3 + tk.k) % 2 AS v,
+                   CASE WHEN (g.doc_id + tj.j + tk.k) % 2 = 1 THEN -1 ELSE 1 END AS s
+            FROM gr g,
+                 LATERAL unnest(range(0, g.nq)) AS tj(j),
+                 LATERAL unnest(range(0, 4)) AS tk(k)
+        ) q GROUP BY q.doc_id, q.f, q.g
+    ),
+    per_doc AS (
+        SELECT g.doc_id,
+               sum(g.bv) AS big_values_sum,
+               sum(g.nq) AS count1_sum,
+               sum(g.gg) AS global_gain_sum,
+               sum(6) AS table_select_sum,
+               sum(g.r0c + g.r1c) AS region_count_sum,
+               sum(4 * g.preflag + 2 * g.sfscale + g.c1sel) AS side_flags_sum,
+               count(*) AS n_granules
+        FROM gr g GROUP BY g.doc_id
+    ),
+    frame_level AS (
+        -- per-frame terms (scfsi bits, reservoir begin) counted once per
+        -- frame, not per granule
+        SELECT b.doc_id,
+               sum(CASE WHEN (b.doc_id + tf.f + tk.k) % 4 = 0 THEN 1 ELSE 0 END)
+                   AS scfsi_sum,
+               sum(CASE WHEN tk.k = 0 AND tf.f > 0
+                        THEN (b.doc_id * 7 + tf.f * 13) % 48 ELSE 0 END)
+                   AS main_begin_sum
+        FROM base b,
+             LATERAL unnest(range(0, b.nf)) AS tf(f),
+             LATERAL unnest(range(0, 4)) AS tk(k)
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           32000::BIGINT AS sample_rate,
+           ([128,160,192,224,256])[d.doc_id % 5 + 1]::BIGINT AS bitrate_kbps,
+           (1 + d.doc_id % 3)::BIGINT AS n_frames,
+           p.n_granules::BIGINT AS n_granules,
+           p.big_values_sum::BIGINT AS big_values_sum,
+           p.count1_sum::BIGINT AS count1_sum,
+           p.global_gain_sum::BIGINT AS global_gain_sum,
+           s.scalefac_sum::BIGINT AS scalefac_sum,
+           fl.scfsi_sum::BIGINT AS scfsi_sum,
+           p.table_select_sum::BIGINT AS table_select_sum,
+           p.region_count_sum::BIGINT AS region_count_sum,
+           p.side_flags_sum::BIGINT AS side_flags_sum,
+           fl.main_begin_sum::BIGINT AS main_begin_sum,
+           (coalesce(pa.habs, 0) + coalesce(qd.habs, 0))::BIGINT AS huff_abs_sum,
+           (coalesce(pa.xr_sum, 0) + coalesce(qd.xr_sum, 0))::BIGINT AS xr_fix_sum
+    FROM documents d
+    JOIN per_doc p USING (doc_id)
+    JOIN frame_level fl USING (doc_id)
+    JOIN (SELECT doc_id, sum(sf) AS scalefac_sum FROM sfs GROUP BY doc_id) s
+      USING (doc_id)
+    LEFT JOIN (SELECT doc_id, sum(habs) AS habs, sum(xr_sum) AS xr_sum
+               FROM prs_abs GROUP BY doc_id) pa USING (doc_id)
+    LEFT JOIN (SELECT doc_id, sum(habs) AS habs, sum(xr_sum) AS xr_sum
+               FROM qds GROUP BY doc_id) qd USING (doc_id)
+    """
+
+
+@register("multimodal_mp3_decode", _mp3_oracle())
+def multimodal_mp3_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III ("MP3") decode (round-9, the last codec
+    stub closed): synthesize a genuine multi-frame Layer III stream per
+    document — header walk, 17-byte side info, a real BIT RESERVOIR
+    (granule data flowing through the concatenated slot areas with
+    nonzero main_data_begin on follow-on frames), scfsi scalefactor
+    sharing, region/table-dispatched Huffman pairs with linbits escapes
+    and sign bits, count1 quadruples terminated purely by the
+    part2_3_length bit budget — then parse it back with the pure-Python
+    decoder in extensions/mpeg_layer3.py and emit integer-exact
+    features through the POW43_Q/GAIN_Q fixed-point requantization
+    lattice. The oracle never sees the byte stream: it replays the
+    field FORMULAS, so a hash MATCH proves the decoder inverts the
+    reservoir walk and the entire granule bit layout. The honest
+    residual vs wire MP3 is the entropy-codebook DATA seam (canonical
+    codes over spec shapes; ISO B.7 drop-in documented in the module)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_mp3_features(synth_media_mp3(docs), strict=True)
 
 
 @register(

@@ -55,77 +55,72 @@ _LOADED = False
 # CORRECTNESS_r01-r04 keys == queries() positions 1-50 in insertion order).
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
 #
-# ROUND-8 ROTATION (mechanical, scripts/next_window.py against
-# CORRECTNESS_r01-r07): every registered query has now been driver-checked
-# at least once (the r7 rotation closed the never-checked queue), so the
-# policy switches to staleness re-verification — the r7 verdict task #5:
-# the window is the 50 queries with the OLDEST last-green driver row
-# (ties broken by registration order), EXCEPT that never-checked queries
-# always take a slot first (test_driver_window_spends_slots_on_unverified_
-# queries): the round-8-new `multimodal_jpeg_decode` /
-# `multimodal_mpeg1_audio_decode` take two, displacing the two
-# boolean-contract rows (pinned-true booleans are the least informative
-# re-check). The rest are the 35 remaining r2-vintage rows plus the 13
-# oldest r3-vintage rows (streaming + dedup families);
-# r7-new rows stay out until r9. Two of the members
-# (`glm_poisson_predictions`/`_mse`) also had their scoring internals
-# re-planned this round (JVM-column quantized errors replacing the
-# driver-side pair collect), so the stale-window slot doubles as the
-# re-verification of that change.
+# ROUND-9 ROTATION (mechanical: last-hash-green round per query from
+# CORRECTNESS_r01–r08, oldest first, registration order on ties). The r8
+# verdict's task #3 leads the window: the only two registry rows whose
+# latest driver result is not a hash pass — `dedup_minhash_lsh_fast` and
+# `table_profile_orders_approx` (last driver-seen r3 as `no_oracle`,
+# pre-dating their oracles) — plus the two round-9-new queries
+# (`multimodal_mp3_decode`, `dedup_embedding_lsh_band_profile`), then the
+# 34 r3-vintage stalest rows and the 12 oldest r4-vintage. One member
+# (`dedup_embedding_cosine_lsh`) also had its PLAN and ORACLE re-pointed
+# this round (regime gate: k-means blocking at τ=0.45), so its stale slot
+# doubles as the re-verification of that change — the same pattern as
+# r8's glm re-checks.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- 35 r2-vintage (last driver row: round 2) --
-    "hourly_event_counts",
-    "pricing_summary",
-    "users_intersect",
-    "hours_except",
-    "rollup_order_counts",
-    "cube_event_counts",
-    "distinct_user_stats",
-    "approx_distinct_stats",
-    "sessionization",
-    "asof_latest_order",
-    "sql_adhoc_orders_by_nation",
-    "ship_delay_stats",
-    "range_join_recent_orders",
-    "value_moment_stats",
-    "next_event_gap",
-    "running_value_total",
-    "unpivot_hour_profile",
-    "salted_event_counts",
-    "order_rank_distribution",
-    "json_props_stats",
-    "upsert_latest_events",
-    "user_event_histogram",
-    "order_window_frames",
-    "incremental_user_totals",
-    "split_bounds",
-    "time_split_counts",
-    "hour_profile_pivot",
-    "circular_lag_features",
-    "ml_dataset",
-    "fails_report_counts",
-    "fails_report_error_ids",
-    "ols_fit_stats",
-    "ols_predictions",
-    "ols_grid_eval",
-    "cv_rolling_folds",
-    # -- round-8-new queries (never driver-checked) --
-    "multimodal_jpeg_decode",
-    "multimodal_mpeg1_audio_decode",
-    # -- 13 oldest r3-vintage (last driver row: round 3) --
-    "customers_without_events",
-    "salted_join_supplier_revenue",
-    "table_profile_orders",
-    "next_window_target",
-    "glm_poisson_predictions",
-    "glm_poisson_mse",
-    "streaming_hourly_counts",
-    "streaming_session_counts",
-    "streaming_view_purchase_join",
-    "streaming_distinct_user_types",
-    "streaming_enriched_segment_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    # -- never hash-green (r3 `no_oracle` rows + round-9-new) --
+    "table_profile_orders_approx",
+    "dedup_minhash_lsh_fast",
+    "multimodal_mp3_decode",
+    "dedup_embedding_lsh_band_profile",
+    # -- 34 r3-vintage (last hash-green driver row: round 3) --
+    "minhash_accuracy_contract",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "token_counts",
+    "text_quality",
+    "language_id",
+    "doc_fingerprints",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "token_counts_bpe",
+    "ann_topk_ivf",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "curation_pipeline",
+    "stratified_sample_by_lang",
+    "curation_quota_sample",
+    "top_shingles",
+    "dedup_clusters",
+    "vocab_stats",
+    "tfidf_top_terms",
+    "benchmark_decontamination",
+    "pii_scrub",
+    "doc_repetition",
+    "doc_chunks",
+    "sequence_packing",
+    "dedup_fuzzy_prefix",
+    "neardup_survivors",
+    "scd2_customer_status",
+    "char_entropy_quality",
+    "bpe_merge_table",
+    # -- 12 oldest r4-vintage (last hash-green driver row: round 4) --
+    "asof_forward_next_order",
+    "asof_nearest_order",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "streaming_topk_event_types",
+    "streaming_scd2_enrichment",
+    "training_mix_manifest",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "hourly_gap_fill_ffill",
+    "quality_expectations",
 )
 
 
