@@ -141,6 +141,7 @@ HEADLINE = [
     # round-9 additions
     "multimodal_mp3_decode",      # real MPEG-1 Layer III decode (bit reservoir)
     "dedup_embedding_lsh_band_profile",  # high-tau banded LSH pruning profile
+    "ann_topk_ivfpq",             # probed-list ADC composition (IVF router + PQ)
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -236,6 +237,7 @@ _R8 = [
 _R9 = [
     "multimodal_mp3_decode",
     "dedup_embedding_lsh_band_profile",
+    "ann_topk_ivfpq",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6), (8, _R8), (9, _R9)):
@@ -268,7 +270,15 @@ def main() -> None:
     # pre-warm execution so the recorded min is the plan's warm cost and
     # cross-round diffs stop manufacturing false regressions (r8 verdict
     # task #6).
-    VOLATILE_WARMUP = {"dedup_prefix_filter_jaccard", "ann_topk_pq"}
+    # pagerank_part_supplier joined the set in r9: its two-round upward
+    # "drift" decomposed to warmup-position sensitivity (15.6s first-in-
+    # session vs 4.6s warm min, SCALE.md r9) — the recorded value depended
+    # on what ran before it.
+    VOLATILE_WARMUP = {
+        "dedup_prefix_filter_jaccard",
+        "ann_topk_pq",
+        "pagerank_part_supplier",
+    }
     timings: dict[str, float] = {}
     for name in names:
         if name in VOLATILE_WARMUP:
@@ -297,7 +307,8 @@ def main() -> None:
     from pyspark.sql import functions as F  # noqa: E402
 
     recall: dict[str, float] = {}
-    for rname in ("ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall"):
+    for rname in ("ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall",
+                  "ann_ivfpq_recall"):
         if rname in all_queries:
             row = (
                 all_queries[rname](spark, sf_dir)

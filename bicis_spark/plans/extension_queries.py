@@ -2725,6 +2725,231 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(base, exact, approx, 5)
 
 
+def _ivfpq_oracle(
+    mod: int = 50,
+    n_probe: int = 10,
+    max_lists: int | None = 40,
+    ivf_iters: int = 1,
+    n_subspaces: int = 16,
+    sub_dims: int = 4,
+    seed_mod: int = 4,
+    pq_iters: int = 1,
+    k: int = 5,
+    rerank: int = 40,
+    max_codes: int | None = 256,
+) -> str:
+    """Oracle for ``ann_topk_ivfpq``: the shared deterministic-k-means
+    prefix trains the coarse router (ending in ``assign``), a probes CTE
+    ranks each query's top-``n_probe`` centroids, and the PQ oracle's
+    training/encode/LUT/ADC CTEs run with the candidate join RESTRICTED
+    to probed lists — the whole two-structure pipeline replayed
+    bit-for-bit."""
+    d = sub_dims
+    l2 = _SUB_L2.format(d=d, a="s", b="c")
+    steps = []
+    for t in range(pq_iters):
+        steps.append(
+            f"""
+    pasg{t} AS (
+        SELECT vec_id, sub, sv, cid FROM (
+            SELECT s.vec_id, s.sub, s.sv, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                      ORDER BY {l2} ASC, c.cid) AS rn
+            FROM subs s JOIN cb{t} c ON s.sub = c.sub
+        ) t WHERE rn = 1
+    ),
+    pmean{t} AS (
+        SELECT sub, cid, i,
+               CAST(floor(CAST(sum(sv[i+1]) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+        FROM pasg{t}, range({d}) r(i)
+        GROUP BY sub, cid, i
+    ),
+    cb{t + 1} AS (
+        SELECT c.sub, c.cid, coalesce(l.sv, c.sv) AS sv
+        FROM cb{t} c LEFT JOIN (
+            SELECT sub, cid, list(m ORDER BY i) AS sv
+            FROM pmean{t} GROUP BY sub, cid
+        ) l ON c.sub = l.sub AND c.cid = l.cid
+    )"""
+        )
+    cb = f"cb{pq_iters}"
+    trained_cents = f"cents{ivf_iters}"
+    seed_cap = (
+        "" if max_codes is None else f" AND vec_id < {seed_mod * max_codes}"
+    )
+    return f"""{_kmeans_assign_prefix(mod, ivf_iters, max_lists)},
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT v.vec_id AS query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
+                                               c.centroid_id) AS rn
+            FROM q v CROSS JOIN {trained_cents} c
+            WHERE v.vec_id % 100 = 0
+        ) t WHERE rn <= {n_probe}
+    ),
+    subs AS (
+        SELECT vec_id, m AS sub, qv[m*{d}+1 : m*{d}+{d}] AS sv
+        FROM q, range({n_subspaces}) r(m)
+    ),
+    cb0 AS (SELECT sub, vec_id AS cid, sv FROM subs
+            WHERE vec_id % {seed_mod} = 1{seed_cap}),{",".join(steps)},
+    codes AS (
+        SELECT vec_id, sub, cid AS code FROM (
+            SELECT s.vec_id, s.sub, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                      ORDER BY {l2} ASC, c.cid) AS rn
+            FROM subs s JOIN {cb} c ON s.sub = c.sub
+        ) t WHERE rn = 1
+    ),
+    lut AS (
+        SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+               {_SUB_DOT.format(d=d, a="s", b="c")} AS pdot,
+               {_SUB_N2.format(d=d, x="c")} AS pn2
+        FROM subs s JOIN {cb} c ON s.sub = c.sub
+        WHERE s.vec_id % 100 = 0
+    ),
+    qn AS (
+        SELECT vec_id AS query_id,
+               sqrt(list_sum(list_transform(range(64), i -> qv[i+1]*qv[i+1]))::DOUBLE) AS qnorm
+        FROM q WHERE vec_id % 100 = 0
+    ),
+    acc AS (
+        SELECT l.query_id, co.vec_id AS neighbor_id,
+               CAST(sum(l.pdot) AS BIGINT) AS adot,
+               CAST(sum(l.pn2) AS BIGINT) AS rn2
+        FROM codes co
+        JOIN assign a ON a.vec_id = co.vec_id
+        JOIN probes p ON p.centroid_id = a.centroid_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND co.sub = l.sub AND co.code = l.code
+        WHERE co.vec_id != l.query_id
+        GROUP BY l.query_id, co.vec_id
+    ),
+    scored AS (
+        SELECT acc.query_id, acc.neighbor_id,
+               CAST(adot AS DOUBLE) / nullif(qn.qnorm * sqrt(CAST(rn2 AS DOUBLE)), 0)
+                   AS approx_cosine
+        FROM acc JOIN qn ON qn.query_id = acc.query_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cosine DESC, neighbor_id) AS arn
+            FROM scored
+        ) t WHERE arn <= {rerank}
+    ),
+    ex AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_COS.format(a='qa', b='qb')} AS cosine
+        FROM short s
+        JOIN q qa ON qa.vec_id = s.query_id
+        JOIN q qb ON qb.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ex
+    ) t WHERE rank <= {k}
+    """
+
+
+#: Declared IVF-PQ operating point: the IVF family's coarse constants
+#: (mod=50 seeds capped at 40 lists, 1 exact refinement) routing to 20
+#: probed lists, over the PQ family's 16×4 codebooks (K=256, 1 iter) with
+#: the top-40 exact re-rank. Recall@5 sweep at sf0.1 (r9): probe=10 →
+#: 0.53, probe=20 → 0.84 (the LSH path's level); finer routers on this
+#: near-orthogonal synthetic corpus lose recall faster than they save
+#: scan (mod=25/80 lists/probe=24 → 0.74) — clustered real corpora sit at
+#: far lower probe fractions, and the asymptotic claim rests on
+#: n_lists ∝ √N (operator docstring).
+_IVFPQ_PROBES = 20
+_IVFPQ_ORACLE = _ivfpq_oracle(
+    mod=50, n_probe=_IVFPQ_PROBES, max_lists=_IVF_MAX_LISTS, ivf_iters=1,
+    n_subspaces=_PQ_SUBS, sub_dims=_PQ_DIMS, seed_mod=_PQ_MOD, pq_iters=_PQ_ITERS,
+    rerank=_PQ_RERANK, max_codes=_PQ_K,
+)
+
+
+@register("ann_topk_ivfpq", _IVFPQ_ORACLE)
+def ann_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (round 9): trained coarse router → ADC compressed scan
+    over the 10 probed lists only → exact top-40 re-rank. Closes the
+    sf1→sf3 finding that the flat PQ scan's |Q|·N product is quadratic
+    when the query rule scales |Q| with the corpus (SCALE.md r9) — the
+    probed fraction bounds scanned codes, with the n_lists ∝ √N sizing
+    discipline stated on the operator."""
+    from bicis_spark.extensions.similarity import ann_topk_ivfpq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ann_topk_ivfpq(
+        emb,
+        queries,
+        k=5,
+        n_centroids_mod=50,
+        n_probe=_IVFPQ_PROBES,
+        max_lists=_IVF_MAX_LISTS,
+        ivf_train_iters=1,
+        n_subspaces=_PQ_SUBS,
+        sub_dims=_PQ_DIMS,
+        seed_mod=_PQ_MOD,
+        pq_train_iters=_PQ_ITERS,
+        rerank=_PQ_RERANK,
+        max_codes=_PQ_K,
+    )
+
+
+def _ivfpq_recall_oracle(k: int = 5) -> str:
+    """Recall contract for the IVF-PQ path vs exact brute force — the
+    routing + compression loss measured, not assumed."""
+    return f"""
+    WITH bf AS ({_BF_ORACLE}),
+    ax AS ({_IVFPQ_ORACLE}),
+    base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0)
+    SELECT base.query_id,
+           CAST(count(ax.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(ax.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+    FROM base
+    LEFT JOIN bf ON bf.query_id = base.query_id
+    LEFT JOIN ax ON ax.query_id = bf.query_id AND ax.neighbor_id = bf.neighbor_id
+    GROUP BY base.query_id
+    """
+
+
+@register("ann_ivfpq_recall", _ivfpq_recall_oracle())
+def ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the IVF-PQ path against brute force."""
+    from bicis_spark.extensions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_ivfpq(
+        emb,
+        queries,
+        k=5,
+        n_centroids_mod=50,
+        n_probe=_IVFPQ_PROBES,
+        max_lists=_IVF_MAX_LISTS,
+        ivf_train_iters=1,
+        n_subspaces=_PQ_SUBS,
+        sub_dims=_PQ_DIMS,
+        seed_mod=_PQ_MOD,
+        pq_train_iters=_PQ_ITERS,
+        rerank=_PQ_RERANK,
+        max_codes=_PQ_K,
+    )
+    return ann_recall(base, exact, approx, 5)
+
+
 # ---------------------------------------------------------------------------
 # C4-style duplicated-span removal (round 4)
 # ---------------------------------------------------------------------------

@@ -50,8 +50,10 @@ PROBES = [
     "ann_topk_ivf",               # IVF lists, n_probe=6
     "ann_topk_pq",                # PQ/ADC + exact re-rank
     # round-9 additions: the regime-gated low-tau pairs row (now kmeans
-    # blocking) and the high-tau banded pruning profile
+    # blocking), the high-tau banded pruning profile, and the probed-list
+    # ADC composition
     "dedup_embedding_lsh_band_profile",
+    "ann_topk_ivfpq",
 ]
 
 TABLE_OF = {
@@ -80,6 +82,7 @@ TABLE_OF = {
     "ann_topk_ivf": "embeddings",
     "ann_topk_pq": "embeddings",
     "dedup_embedding_lsh_band_profile": "embeddings",
+    "ann_topk_ivfpq": "embeddings",
 }
 
 

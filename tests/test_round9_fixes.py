@@ -115,6 +115,39 @@ def test_embedding_lsh_band_profile_consistency(spark, sf_dir):
     assert all(r["n_dups"] == r["n_candidates"] for r in all_pass)
 
 
+def test_ivfpq_with_full_probes_equals_flat_pq(spark, sf_dir):
+    """ann_topk_ivfpq with n_probe >= n_lists scans every list, so it
+    must reproduce ann_topk_pq exactly at the same PQ constants — the
+    routing stage is pure candidate pruning, never a scoring change.
+    Also pins output invariants (ranks 1..k, no self-matches)."""
+    import pyspark.sql.functions as F
+
+    from bicis_spark.extensions.similarity import ann_topk_ivfpq, ann_topk_pq
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    kw = dict(
+        k=5, n_subspaces=16, sub_dims=4, seed_mod=4, rerank=40, max_codes=256
+    )
+    flat = sorted(
+        tuple(r)
+        for r in ann_topk_pq(emb, queries, train_iters=1, **kw).collect()
+    )
+    # sf0.001: 500 vectors / mod 50 = 10 lists; probing 10 covers them all
+    routed_rows = ann_topk_ivfpq(
+        emb, queries, n_centroids_mod=50, n_probe=10, max_lists=40,
+        ivf_train_iters=1, pq_train_iters=1, **kw
+    ).collect()
+    routed = sorted(tuple(r) for r in routed_rows)
+    assert routed == flat and len(routed) > 0
+    by_q: dict[int, list[int]] = {}
+    for r in routed_rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
 def test_kcore_degree_modes_agree(spark):
     """The r9 semi-naive delta peel is a PLAN choice: 'recompute',
     'delta', and 'auto' must produce identical rows on graphs that
