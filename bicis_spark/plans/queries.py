@@ -89,8 +89,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_frame_sample",
     "token_counts_bpe",
     "ann_topk_ivf",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
+    # (ann_lsh_recall / ann_ivf_recall were the stalest remaining r3 rows
+    # but are bit-stable four consecutive rounds — their slots go to the
+    # round-9-new IVF-PQ pair, per the never-checked-first rule)
+    "ann_topk_ivfpq",
+    "ann_ivfpq_recall",
     "curation_pipeline",
     "stratified_sample_by_lang",
     "curation_quota_sample",
