@@ -142,6 +142,8 @@ HEADLINE = [
     "multimodal_mp3_decode",      # real MPEG-1 Layer III decode (bit reservoir)
     "dedup_embedding_lsh_band_profile",  # high-tau banded LSH pruning profile
     "ann_topk_ivfpq",             # probed-list ADC composition (IVF router + PQ)
+    "multimodal_video_decode",    # real AVI/MJPEG demux + per-frame JPEG decode
+    "multimodal_video_frame_sample",  # real frame sampling (decode kept frames only)
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -238,6 +240,8 @@ _R9 = [
     "multimodal_mp3_decode",
     "dedup_embedding_lsh_band_profile",
     "ann_topk_ivfpq",
+    "multimodal_video_decode",
+    "multimodal_video_frame_sample",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6), (8, _R8), (9, _R9)):

@@ -634,3 +634,126 @@ def decode_mp3_features(binary_df: DataFrame, strict: bool = False) -> DataFrame
             )
 
     return binary_df.mapInPandas(decode_batches, MP3_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video surface (round-9): real RIFF/AVI MJPEG demux + per-frame JPEG
+# decode (extensions/avi.py) — upgrades frame_sample's byte-slicing
+# stand-in to an actual container walk composing the real JPEG codec.
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("us_per_frame", LongType()),
+        StructField("duration_us", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("dc_dequant_sum", LongType()),
+        StructField("coef_abs_sum", LongType()),
+    ]
+)
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("dc_dequant_sum", LongType()),
+    ]
+)
+
+
+def synth_media_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Binary media table of deterministic MJPEG AVI videos, one per
+    document (extensions/avi.py:synth_avi — 2 + id%4 JPEG frames, full
+    hdrl/strl headers, idx1 index). Distributed synthesis; at scale this
+    stage is replaced by the arriving binary column."""
+    from bicis_spark.extensions.avi import synth_avi
+
+    ids = _parallel_ids(docs, id_col)  # pinned exchange — see helper
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                content = synth_avi(d)
+                out.append((d, "video/x-msvideo", content, len(content)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_type", "content", "n_bytes"]
+            )
+
+    return ids.mapInPandas(synth_batches, BINARY_TABLE_SCHEMA)
+
+
+def decode_video_features(binary_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-video feature extraction: RIFF walk, avih/strh/strf parse,
+    idx1 verification, then the real JPEG decode of every movi frame —
+    aggregate integer-exact features. Undecodable payloads →
+    NULL-feature rows unless strict."""
+    from bicis_spark.extensions.avi import decode_avi_features
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                row = {c: None for c in cols}
+                row["doc_id"] = int(doc_id)
+                try:
+                    if content is None:
+                        raise ValueError("NULL payload")
+                    row.update(decode_avi_features(bytes(content)))
+                except (ValueError, struct.error, IndexError):
+                    if strict:
+                        raise
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols).astype(
+                {c: "Int64" for c in cols}
+            )
+
+    return binary_df.mapInPandas(decode_batches, VIDEO_SCHEMA)
+
+
+def video_frame_features(
+    binary_df: DataFrame, every_n: int = 2, strict: bool = False
+) -> DataFrame:
+    """REAL frame sampling: demux the container, keep every ``every_n``-th
+    frame, and decode ONLY the kept frames (the training-pipeline shape —
+    skipped frames cost a chunk-walk skip, never an entropy decode).
+    Emits one row per sampled frame."""
+    from bicis_spark.extensions.avi import demux_avi
+    from bicis_spark.extensions.jpeg import decode_jpeg
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    if content is None:
+                        raise ValueError("NULL payload")
+                    v = demux_avi(bytes(content))
+                    for f, frame in enumerate(v["frames"]):
+                        if f % every_n:
+                            continue
+                        d = decode_jpeg(frame)
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "frame_no": f,
+                                "pixel_sum": d["pixel_sum"],
+                                "dc_dequant_sum": d["dc_dequant_sum"],
+                            }
+                        )
+                except (ValueError, struct.error, IndexError):
+                    if strict:
+                        raise
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_no", "pixel_sum", "dc_dequant_sum"],
+            ).astype("int64")
+
+    return binary_df.mapInPandas(sample_batches, VIDEO_FRAME_SCHEMA)

@@ -85,8 +85,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality",
     "language_id",
     "doc_fingerprints",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
+    # (multimodal_decode_features / multimodal_frame_sample — the r3
+    # byte-slicing plumbing demos — gave their slots to the round-9-new
+    # REAL video surface that supersedes them, per never-checked-first)
+    "multimodal_video_decode",
+    "multimodal_video_frame_sample",
     "token_counts_bpe",
     "ann_topk_ivf",
     # (ann_lsh_recall / ann_ivf_recall were the stalest remaining r3 rows
