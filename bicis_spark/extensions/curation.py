@@ -547,3 +547,94 @@ def domain_cap_sample(
         F.col("rank_in_group").alias("sample_rank"),
         id_col,
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_span_tokens: int = 10,
+) -> DataFrame:
+    """Exact-substring duplicate spans, Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499) —
+    UNALIGNED maximal duplicated substrings, the cross-document exact
+    dedup their suffix-array ExactSubstr finds, re-expressed with the
+    standard k-gram-anchor construction instead of a distributed suffix
+    array: a token position is COVERED when its k-gram occurs ≥ 2 times
+    corpus-wide (multiplicity counted over all positions, same-document
+    repeats included); maximal runs of consecutive covered positions are
+    the duplicated spans (a true duplicated substring of length L ≥ k
+    covers all its L−k+1 anchors; a covered run can splice overlapping
+    duplicates with different partners — the documented, standard
+    approximation, upper-bounding ExactSubstr's spans).
+
+    Output: [doc_id, start_tok (0-based), n_span_tokens, span_text] for
+    spans of ≥ ``min_span_tokens`` tokens.
+
+    Unlike ``span_dedup`` (C4-style FIXED non-overlapping windows), the
+    spans here are unaligned and maximal — a duplicated paragraph
+    shifted by one token still matches in full.
+
+    Scale: gram anchors are built array-side (sequence + slice, no
+    per-token explode before hashing) and the shuffle carries (16-byte
+    gram fingerprint, doc, pos) rows — linear in corpus tokens; the
+    duplicate-gram aggregate is map-side combined (a boilerplate gram
+    repeated 10⁹ times collapses per task); islands are one per-document
+    window over covered positions only. The oracle groups by gram TEXT
+    where the engine groups by the 128-bit fingerprint — identical
+    partitions at any realistic corpus size (collision odds ~2⁻¹²⁸, the
+    ``exact_dedup`` precedent)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    base = df.where(
+        t.isNotNull() & (F.size(tokens(t)) >= F.lit(k))
+    ).select(F.col(id_col), toks.alias("_toks"))
+    gram_structs = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - k),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.xxhash64(F.lit(1), F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))).alias("_g1"),
+            F.xxhash64(F.lit(2), F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))).alias("_g2"),
+        ),
+    )
+    grams = base.select(id_col, F.explode(gram_structs).alias("_s")).select(
+        id_col,
+        F.col("_s.pos").alias("pos"),
+        F.col("_s._g1").alias("_g1"),
+        F.col("_s._g2").alias("_g2"),
+    )
+    dup = (
+        grams.groupBy("_g1", "_g2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("_g1", "_g2")
+    )
+    covered = grams.join(dup, ["_g1", "_g2"], "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        covered.withColumn("_rn", F.row_number().over(w))
+        .groupBy(id_col, (F.col("pos") - F.col("_rn")).alias("_isl"))
+        .agg(F.min("pos").alias("start_tok"), F.max("pos").alias("_end"))
+        .select(
+            id_col,
+            "start_tok",
+            (F.col("_end") - F.col("start_tok") + F.lit(k)).cast("long").alias(
+                "n_span_tokens"
+            ),
+        )
+        .where(F.col("n_span_tokens") >= min_span_tokens)
+    )
+    return islands.join(base, id_col).select(
+        id_col,
+        "start_tok",
+        "n_span_tokens",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_toks"),
+                (F.col("start_tok") + 1).cast("int"),
+                F.col("n_span_tokens").cast("int"),
+            ),
+        ).alias("span_text"),
+    )

@@ -3095,6 +3095,52 @@ FROM ranked GROUP BY doc_id
 """
 
 
+_EXACT_SUBSTR_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5
+),
+grams AS (
+    SELECT doc_id, pos, array_to_string(toks[pos+1 : pos+5], ' ') AS gram
+    FROM t, LATERAL unnest(range(len(toks) - 5 + 1)) u(pos)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+    SELECT g.doc_id, g.pos,
+           row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS rn
+    FROM grams g SEMI JOIN dup USING (gram)
+),
+isl AS (
+    SELECT doc_id, min(pos) AS start_tok,
+           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS n_span_tokens
+    FROM cov GROUP BY doc_id, pos - rn
+)
+SELECT i.doc_id, CAST(i.start_tok AS BIGINT) AS start_tok, i.n_span_tokens,
+       array_to_string(
+           t.toks[i.start_tok + 1 : i.start_tok + i.n_span_tokens], ' '
+       ) AS span_text
+FROM isl i JOIN t USING (doc_id)
+WHERE i.n_span_tokens >= 10
+"""
+
+
+@register("exact_substring_spans", _EXACT_SUBSTR_SQL)
+def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022 ExactSubstr,
+    k-gram-anchor construction): UNALIGNED maximal duplicated substrings
+    of ≥ 10 tokens — the cross-document exact dedup a suffix array
+    finds, as maximal runs of positions whose 5-gram repeats anywhere in
+    the corpus. Complements span_dedup's FIXED C4 windows: a duplicated
+    paragraph shifted by one token still matches in full here. The
+    oracle groups by gram text where the engine groups by the 128-bit
+    gram fingerprint (identical partitions — the exact_dedup precedent);
+    islands and span rebuilds replayed verbatim."""
+    from bicis_spark.extensions.curation import exact_substring_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, "text", "doc_id", k=5, min_span_tokens=10)
+
+
 @register("span_dedup_rebuild", _SPAN_DEDUP_SQL)
 def span_dedup_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span removal with document rebuild (the C4/RefinedWeb

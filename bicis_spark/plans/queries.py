@@ -74,7 +74,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_mp3_decode",
     "dedup_embedding_lsh_band_profile",
     # -- 34 r3-vintage (last hash-green driver row: round 3) --
-    "minhash_accuracy_contract",
+    # (minhash_accuracy_contract — a pinned-true boolean row, the least
+    # informative re-check class per the r8 precedent — gave its slot to
+    # the round-9-new exact_substring_spans)
+    "exact_substring_spans",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -54,6 +54,8 @@ PROBES = [
     # ADC composition
     "dedup_embedding_lsh_band_profile",
     "ann_topk_ivfpq",
+    "exact_substring_spans",
+    "multimodal_video_decode",
 ]
 
 TABLE_OF = {
@@ -83,6 +85,8 @@ TABLE_OF = {
     "ann_topk_pq": "embeddings",
     "dedup_embedding_lsh_band_profile": "embeddings",
     "ann_topk_ivfpq": "embeddings",
+    "exact_substring_spans": "documents",
+    "multimodal_video_decode": "documents",
 }
 
 

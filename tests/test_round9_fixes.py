@@ -115,6 +115,41 @@ def test_embedding_lsh_band_profile_consistency(spark, sf_dir):
     assert all(r["n_dups"] == r["n_candidates"] for r in all_pass)
 
 
+def test_exact_substring_spans_unaligned_maximal(spark):
+    """Lee-et-al-style exact-substring spans: a duplicated paragraph
+    SHIFTED by two tokens still matches in full (unlike fixed-window
+    span dedup); disjoint duplicated runs yield separate islands; docs
+    without a long-enough run yield nothing."""
+    from bicis_spark.extensions.curation import exact_substring_spans
+
+    para = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            (1, para + " tail1 tail2"),
+            (2, "pre1 pre2 " + para + " other words here"),
+            (3, "completely unrelated text with no repeats at all whatsoever"),
+            # two disjoint duplicated runs inside one doc
+            (4, para + " unique1 unique2 unique3 unique4 unique5 " + para),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_spans(docs, "text", "doc_id", k=5, min_span_tokens=10)
+    rows = {(r["doc_id"], r["start_tok"]): r for r in out.collect()}
+    n_para = len(para.split())
+    # doc 1: the paragraph starts at 0 and matches in full
+    assert rows[(1, 0)]["n_span_tokens"] == n_para
+    assert rows[(1, 0)]["span_text"] == para
+    # doc 2: shifted by two tokens — still the full paragraph
+    assert rows[(2, 2)]["span_text"] == para
+    # doc 3: nothing
+    assert not any(d == 3 for d, _ in rows)
+    # doc 4: both copies found as separate spans (plus nothing merged
+    # across the unique separator)
+    d4 = sorted(s for d, s in rows if d == 4)
+    assert d4 == [0, n_para + 5]
+    assert all(rows[(4, s)]["span_text"] == para for s in d4)
+
+
 def test_ivfpq_with_full_probes_equals_flat_pq(spark, sf_dir):
     """ann_topk_ivfpq with n_probe >= n_lists scans every list, so it
     must reproduce ann_topk_pq exactly at the same PQ constants — the
