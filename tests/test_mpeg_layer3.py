@@ -238,3 +238,110 @@ def test_codec_dispatch_routes_layer3(spark):
         )
         assert rows[i]["sample_abs_sum"] == exp["huff_abs_sum"]
         assert rows[i]["width"] is None
+
+
+# --- hypothesis property layer: random granule content beyond the synth
+# formulas (encoder edge cases: empty big-values region, zero quads,
+# all-scfsi-copied granule 1, escape-heavy tables, slen=0 bands) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bicis_spark.extensions.mpeg_layer3 import (
+    GranuleSpec,
+    decode_layer3 as _dec,
+    encode_layer3_stream,
+)
+
+
+def _granule_strategy():
+    def build(draw):
+        sc = draw(st.integers(0, 15))
+        slen1, slen2 = SLEN[sc]
+        r0c = draw(st.integers(0, 1))
+        r1c = draw(st.integers(0, 1))
+        bv = draw(st.integers(0, 24))
+        tsel = tuple(draw(st.integers(1, 3)) for _ in range(3))
+        pairs = []
+        for p in range(bv):
+            m, linbits = PAIR_TABLES[tsel[_region_of_pair(p, r0c, r1c)]]
+            hi = m + (((1 << linbits) - 1) if linbits else 0)
+            x = draw(st.integers(-hi, hi))
+            y = draw(st.integers(-hi, hi))
+            pairs.append((x, y))
+        quads = [
+            tuple(draw(st.sampled_from([-1, 0, 1])) for _ in range(4))
+            for _ in range(draw(st.integers(0, 5)))
+        ]
+        scalefacs = [
+            draw(st.integers(0, (1 << (slen1 if b < 11 else slen2)) - 1))
+            for b in range(21)
+        ]
+        return GranuleSpec(
+            bv, draw(st.integers(0, 255)), sc, tsel, r0c, r1c,
+            draw(st.integers(0, 1)), draw(st.integers(0, 1)),
+            draw(st.integers(0, 1)), scalefacs, pairs, quads,
+        )
+
+    return st.composite(lambda draw: build(draw))()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 1), min_size=4, max_size=4),
+            st.tuples(_granule_strategy(), _granule_strategy()),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    bidx=st.integers(9, 14),
+    begins=st.lists(st.integers(0, 48), min_size=3, max_size=3),
+)
+def test_random_granules_round_trip(frames, bidx, begins):
+    """encode→decode is the identity on ARBITRARY spec-valid granule
+    content, through the reservoir: every side field, effective
+    scalefactor, |value| sum, and the requant lattice must come back
+    exactly — not just for the synth formulas."""
+    spec_frames = []
+    for f, (scfsi, (g0, g1)) in enumerate(frames):
+        begin = 0 if f == 0 else begins[f]
+        spec_frames.append((begin, list(scfsi), [g0, g1]))
+    payload = encode_layer3_stream(bidx, 2, spec_frames)
+    feats = _dec(payload)
+
+    exp_bv = exp_gg = exp_sf = exp_habs = exp_xr = exp_quads = 0
+    for f, (scfsi, (g0, g1)) in enumerate(frames):
+        for gi, g in enumerate((g0, g1)):
+            exp_bv += g.big_values
+            exp_gg += g.global_gain
+            exp_quads += len(g.quads)
+            gq = GAIN_Q[g.global_gain]
+            for b in range(21):
+                src = g0 if (
+                    gi == 1
+                    and any(scfsi[k] and b in SCFSI_GROUPS[k] for k in range(4))
+                ) else g
+                exp_sf += src.scalefacs[b]
+            for X, Y in g.pairs:
+                exp_habs += abs(X) + abs(Y)
+                for v in (X, Y):
+                    if v:
+                        exp_xr += (1 if v > 0 else -1) * (
+                            (POW43_Q[abs(v)] * gq) >> 20
+                        )
+            for quad in g.quads:
+                for v in quad:
+                    exp_habs += abs(v)
+                    if v:
+                        exp_xr += (1 if v > 0 else -1) * (
+                            (POW43_Q[1] * gq) >> 20
+                        )
+    assert feats["n_frames"] == len(frames)
+    assert feats["big_values_sum"] == exp_bv
+    assert feats["count1_sum"] == exp_quads
+    assert feats["global_gain_sum"] == exp_gg
+    assert feats["scalefac_sum"] == exp_sf
+    assert feats["huff_abs_sum"] == exp_habs
+    assert feats["xr_fix_sum"] == exp_xr
