@@ -10,8 +10,12 @@ integer requantization lattice), and MPEG-1 Layer III / "MP3"
 scfsi scalefactors, region/table-dispatched Huffman pairs with linbits
 escapes, budget-terminated count1 quadruples, x^(4/3) fixed-point
 requantization — entropy codebooks canonical over spec shapes with the
-ISO-data drop-in seam documented there), each hash-gated by a SQL
-oracle that replays the expected features arithmetically. The
+ISO-data drop-in seam documented there), PNG (extensions/png.py,
+round 9: WIRE-FORMAT real — CRC-verified chunk walk, stdlib-zlib
+DEFLATE, all five scanline defilters), and MJPEG AVI video
+(extensions/avi.py: verified-idx1 demux + per-frame JPEG decode), each
+hash-gated by a SQL oracle that replays the expected features
+arithmetically. The
 Spark-side plumbing is shared: binary columns, explicit schemas,
 Arrow-batched ``mapInPandas`` with bounded batch sizes, and metadata
 pushdown-friendly layout (metadata columns separate from payload so
@@ -168,6 +172,7 @@ def frame_sample(binary_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 import struct
+import zlib
 
 _BMP_PAD = 0xAA  # poison value: decoders must SKIP padding, not sum it
 
@@ -367,6 +372,13 @@ def decode_codec_features(binary_df: DataFrame, strict: bool = False) -> DataFra
                         row["width"] = d["width"]
                         row["height"] = d["height"]
                         row["pixel_sum"] = d["pixel_sum"]
+                    elif content[:8] == b"\x89PNG\r\n\x1a\n":
+                        from bicis_spark.extensions.png import decode_png
+
+                        d = decode_png(bytes(content))
+                        row["width"] = d["width"]
+                        row["height"] = d["height"]
+                        row["pixel_sum"] = d["pixel_sum"]
                     elif (
                         # length-safe: a 0- or 1-byte payload must fall
                         # through to "unknown magic", not IndexError past
@@ -391,7 +403,9 @@ def decode_codec_features(binary_df: DataFrame, strict: bool = False) -> DataFra
                             row["sample_abs_sum"] = d["requant_abs_sum"]
                     else:
                         raise ValueError("unknown magic")
-                except (ValueError, struct.error, IndexError):
+                except (ValueError, struct.error, IndexError, zlib.error):
+                    # zlib.error: corrupt PNG IDAT must NULL out, not
+                    # abort the scan (same lenient contract as the rest)
                     if strict:
                         raise
                 out.append(row)
@@ -757,3 +771,76 @@ def video_frame_features(
             ).astype("int64")
 
     return binary_df.mapInPandas(sample_batches, VIDEO_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG surface (round-9): wire-format-real PNG via stdlib zlib DEFLATE —
+# chunk/CRC walk, inflate, all five scanline defilters (extensions/png.py).
+# ---------------------------------------------------------------------------
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("color_type", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("filter_type_sum", LongType()),
+    ]
+)
+
+
+def synth_media_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Binary media table of deterministic PNGs, one per document
+    (extensions/png.py:synth_png — grayscale/truecolor alternating, all
+    five scanline filters cycled). Distributed synthesis; at scale this
+    stage is replaced by the arriving binary column."""
+    from bicis_spark.extensions.png import synth_png
+
+    ids = _parallel_ids(docs, id_col)  # pinned exchange — see helper
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                content = synth_png(d)
+                out.append((d, "image/png", content, len(content)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_type", "content", "n_bytes"]
+            )
+
+    return ids.mapInPandas(synth_batches, BINARY_TABLE_SCHEMA)
+
+
+def decode_png_features(binary_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Full PNG feature extraction over a binary column: signature and
+    chunk walk with CRC32 verification, DEFLATE inflate, per-scanline
+    defiltering (None/Sub/Up/Average/Paeth) — features are functions of
+    the reconstructed pixels, never of the compressed bytes.
+    Undecodable payloads → NULL-feature rows unless strict."""
+    import zlib as _zlib
+
+    from bicis_spark.extensions.png import decode_png
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PNG_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                row = {c: None for c in cols}
+                row["doc_id"] = int(doc_id)
+                try:
+                    if content is None:
+                        raise ValueError("NULL payload")
+                    row.update(decode_png(bytes(content)))
+                except (ValueError, struct.error, IndexError, _zlib.error):
+                    if strict:
+                        raise
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols).astype(
+                {c: "Int64" for c in cols}
+            )
+
+    return binary_df.mapInPandas(decode_batches, PNG_SCHEMA)

@@ -937,6 +937,63 @@ def multimodal_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_features(synth_media_jpeg(docs), strict=True)
 
 
+@register(
+    "multimodal_png_decode",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS w,
+               3 + doc_id % 4 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch
+        FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id,
+               sum((g.doc_id * 31 + (ty.y * g.w + tx.x) * g.nch + tc.ch) % 256)
+                   AS ps
+        FROM g,
+             LATERAL unnest(range(g.h)) AS ty(y),
+             LATERAL unnest(range(g.w)) AS tx(x),
+             LATERAL unnest(range(g.nch)) AS tc(ch)
+        GROUP BY g.doc_id
+    ),
+    fs AS (
+        SELECT g.doc_id, sum((g.doc_id + ty.y) % 5) AS fsum
+        FROM g, LATERAL unnest(range(g.h)) AS ty(y)
+        GROUP BY g.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(g.w AS BIGINT) AS width,
+           CAST(g.h AS BIGINT) AS height,
+           CAST(CASE WHEN g.doc_id % 2 = 0 THEN 0 ELSE 2 END AS BIGINT)
+               AS color_type,
+           CAST(g.w * g.h AS BIGINT) AS n_pixels,
+           CAST(px.ps AS BIGINT) AS pixel_sum,
+           CAST(fs.fsum AS BIGINT) AS filter_type_sum
+    FROM g JOIN px USING (doc_id) JOIN fs USING (doc_id)
+    """,
+)
+def multimodal_png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIRE-FORMAT-REAL PNG decode (round-9): synthesize a genuine PNG
+    per document — signature, CRC32-framed chunks, DEFLATE via stdlib
+    zlib, all five scanline filters cycled across rows, grayscale and
+    truecolor alternating — then parse it back with extensions/png.py
+    (chunk walk with CRC VERIFICATION, inflate, per-scanline defilter)
+    and emit pixel-determined integer features. Unlike JPEG/MP3, PNG
+    needs zero table data (zlib is the public-spec entropy layer in the
+    stdlib), so these payloads open in any image viewer and any writer's
+    non-interlaced 8-bit PNG decodes here. The oracle replays the pixel
+    and filter formulas; the compressed bytes in between are what the
+    hash MATCH proves the decoder inverts."""
+    from bicis_spark.extensions.multimodal import (
+        decode_png_features,
+        synth_media_png,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_png_features(synth_media_png(docs), strict=True)
+
+
 def _video_frame_prefix() -> str:
     """Shared WITH-prefix for the AVI/MJPEG video oracles: the frame grid
     (video doc → 2 + id%4 frames at jid = doc_id + 6000·(f+1)) pushed

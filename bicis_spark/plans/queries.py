@@ -60,13 +60,15 @@ _LOADED = False
 # verdict's task #3 leads the window: the only two registry rows whose
 # latest driver result is not a hash pass — `dedup_minhash_lsh_fast` and
 # `table_profile_orders_approx` (last driver-seen r3 as `no_oracle`,
-# pre-dating their oracles) — plus the two round-9-new queries
-# (`multimodal_mp3_decode`, `dedup_embedding_lsh_band_profile`), then the
-# 34 r3-vintage stalest rows and the 12 oldest r4-vintage. One member
-# (`dedup_embedding_cosine_lsh`) also had its PLAN and ORACLE re-pointed
-# this round (regime gate: k-means blocking at τ=0.45), so its stale slot
-# doubles as the re-verification of that change — the same pattern as
-# r8's glm re-checks.
+# pre-dating their oracles) — then every round-9-NEW query (the
+# never-checked-first rule; eight in total as the round added
+# capabilities: MP3, band profile, IVF-PQ pair, video pair, substring
+# spans, PNG — each displacement annotated inline on the row it
+# replaced), then the r3-vintage stalest rows and the 12 oldest
+# r4-vintage. One member (`dedup_embedding_cosine_lsh`) also had its
+# PLAN and ORACLE re-pointed this round (regime gate: k-means blocking
+# at τ=0.45), so its stale slot doubles as the re-verification of that
+# change — the same pattern as r8's glm re-checks.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never hash-green (r3 `no_oracle` rows + round-9-new) --
     "table_profile_orders_approx",
@@ -103,7 +105,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curation_pipeline",
     "stratified_sample_by_lang",
     "curation_quota_sample",
-    "top_shingles",
+    # (top_shingles — its shingle machinery is exercised inside the
+    # dedup_ngram_jaccard family — gave its slot to the round-9-new
+    # multimodal_png_decode)
+    "multimodal_png_decode",
     "dedup_clusters",
     "vocab_stats",
     "tfidf_top_terms",
