@@ -146,6 +146,7 @@ HEADLINE = [
     "multimodal_video_frame_sample",  # real frame sampling (decode kept frames only)
     "exact_substring_spans",      # Lee-et-al unaligned maximal duplicate spans
     "multimodal_png_decode",      # wire-format-real PNG (zlib DEFLATE + defilter)
+    "multimodal_gif_decode",      # wire-format-real animated GIF (LZW from stream)
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -246,6 +247,7 @@ _R9 = [
     "multimodal_video_frame_sample",
     "exact_substring_spans",
     "multimodal_png_decode",
+    "multimodal_gif_decode",
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6), (8, _R8), (9, _R9)):

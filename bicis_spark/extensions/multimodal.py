@@ -844,3 +844,76 @@ def decode_png_features(binary_df: DataFrame, strict: bool = False) -> DataFrame
             )
 
     return binary_df.mapInPandas(decode_batches, PNG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF surface (round-9): wire-format-real GIF89a via from-the-stream LZW —
+# screen descriptor, global color table, graphic-control extensions,
+# variable-width code stream with KwKwK and clear resets (extensions/gif.py).
+# Animated GIFs are the second real animation container beside MJPEG AVI.
+# ---------------------------------------------------------------------------
+
+GIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_colors", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("delay_cs_sum", LongType()),
+        StructField("index_sum", LongType()),
+        StructField("rgb_sum", LongType()),
+    ]
+)
+
+
+def synth_media_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Binary media table of deterministic animated GIFs, one per
+    document (extensions/gif.py:synth_gif). Distributed synthesis; at
+    scale this stage is replaced by the arriving binary column."""
+    from bicis_spark.extensions.gif import synth_gif
+
+    ids = _parallel_ids(docs, id_col)  # pinned exchange — see helper
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                content = synth_gif(d)
+                out.append((d, "image/gif", content, len(content)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "media_type", "content", "n_bytes"]
+            )
+
+    return ids.mapInPandas(synth_batches, BINARY_TABLE_SCHEMA)
+
+
+def decode_gif_features(binary_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Full GIF feature extraction over a binary column: screen
+    descriptor, global color table, extension/sub-block walk, per-frame
+    variable-width LZW decode, and the index→palette mapping — features
+    are pixel/palette-determined, never compressed-length-determined.
+    Undecodable payloads → NULL-feature rows unless strict."""
+    from bicis_spark.extensions.gif import decode_gif
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in GIF_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                row = {c: None for c in cols}
+                row["doc_id"] = int(doc_id)
+                try:
+                    if content is None:
+                        raise ValueError("NULL payload")
+                    row.update(decode_gif(bytes(content)))
+                except (ValueError, struct.error, IndexError):
+                    if strict:
+                        raise
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols).astype(
+                {c: "Int64" for c in cols}
+            )
+
+    return binary_df.mapInPandas(decode_batches, GIF_SCHEMA)

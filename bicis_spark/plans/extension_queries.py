@@ -994,6 +994,66 @@ def multimodal_png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_features(synth_media_png(docs), strict=True)
 
 
+@register(
+    "multimodal_gif_decode",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               5 + doc_id % 4 AS w,
+               4 + doc_id % 3 AS h,
+               (2 << (1 + doc_id % 3)) AS nc,
+               1 + doc_id % 3 AS nf
+        FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id,
+               sum((g.doc_id * 31 + tf.f * 7 + ty.y * g.w + tx.x) % g.nc)
+                   AS isum,
+               sum(((g.doc_id + ((g.doc_id * 31 + tf.f * 7 + ty.y * g.w + tx.x) % g.nc) * 17) % 256)
+                   + ((g.doc_id * 3 + ((g.doc_id * 31 + tf.f * 7 + ty.y * g.w + tx.x) % g.nc) * 29) % 256)
+                   + ((g.doc_id * 7 + ((g.doc_id * 31 + tf.f * 7 + ty.y * g.w + tx.x) % g.nc) * 41) % 256))
+                   AS rsum
+        FROM g,
+             LATERAL unnest(range(g.nf)) AS tf(f),
+             LATERAL unnest(range(g.h)) AS ty(y),
+             LATERAL unnest(range(g.w)) AS tx(x)
+        GROUP BY g.doc_id
+    ),
+    dl AS (
+        SELECT g.doc_id, sum(3 + (g.doc_id + tf.f) % 7) AS dsum
+        FROM g, LATERAL unnest(range(g.nf)) AS tf(f)
+        GROUP BY g.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(g.w AS BIGINT) AS width,
+           CAST(g.h AS BIGINT) AS height,
+           CAST(g.nc AS BIGINT) AS n_colors,
+           CAST(g.nf AS BIGINT) AS n_frames,
+           CAST(dl.dsum AS BIGINT) AS delay_cs_sum,
+           CAST(px.isum AS BIGINT) AS index_sum,
+           CAST(px.rsum AS BIGINT) AS rgb_sum
+    FROM g JOIN px USING (doc_id) JOIN dl USING (doc_id)
+    """,
+)
+def multimodal_gif_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIRE-FORMAT-REAL animated-GIF decode (round-9): synthesize a
+    genuine GIF89a per document — screen descriptor, global color table,
+    per-frame graphic-control extensions and variable-width LZW streams
+    (clear resets, KwKwK, sub-block framing) — then parse it back with
+    extensions/gif.py and emit pixel/palette-determined features. Like
+    PNG, GIF needs zero table data (LZW's dictionary builds from the
+    stream), so these payloads open in any viewer. The oracle replays the
+    index and palette formulas; the hash MATCH proves the LZW round-trip
+    and the color-table mapping."""
+    from bicis_spark.extensions.multimodal import (
+        decode_gif_features,
+        synth_media_gif,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_gif_features(synth_media_gif(docs), strict=True)
+
+
 def _video_frame_prefix() -> str:
     """Shared WITH-prefix for the AVI/MJPEG video oracles: the frame grid
     (video doc → 2 + id%4 frames at jid = doc_id + 6000·(f+1)) pushed

@@ -61,9 +61,9 @@ _LOADED = False
 # latest driver result is not a hash pass — `dedup_minhash_lsh_fast` and
 # `table_profile_orders_approx` (last driver-seen r3 as `no_oracle`,
 # pre-dating their oracles) — then every round-9-NEW query (the
-# never-checked-first rule; eight in total as the round added
+# never-checked-first rule; nine in total as the round added
 # capabilities: MP3, band profile, IVF-PQ pair, video pair, substring
-# spans, PNG — each displacement annotated inline on the row it
+# spans, PNG, GIF — each displacement annotated inline on the row it
 # replaced), then the r3-vintage stalest rows and the 12 oldest
 # r4-vintage. One member (`dedup_embedding_cosine_lsh`) also had its
 # PLAN and ORACLE re-pointed this round (regime gate: k-means blocking
@@ -118,7 +118,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_chunks",
     "sequence_packing",
     "dedup_fuzzy_prefix",
-    "neardup_survivors",
+    # (neardup_survivors — the keep/drop view over the same CC machinery
+    # dedup_clusters re-checks two rows up — gave its slot to the
+    # round-9-new multimodal_gif_decode)
+    "multimodal_gif_decode",
     "scd2_customer_status",
     "char_entropy_quality",
     "bpe_merge_table",
