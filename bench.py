@@ -147,6 +147,10 @@ HEADLINE = [
     "exact_substring_spans",      # Lee-et-al unaligned maximal duplicate spans
     "multimodal_png_decode",      # wire-format-real PNG (zlib DEFLATE + defilter)
     "multimodal_gif_decode",      # wire-format-real animated GIF (LZW from stream)
+    # round-10 additions
+    "ann_topk_ivfpq_sqrt",
+    "ann_ivfpq_probe_curve",
+    "dedup_embedding_lsh_band_auto",
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -249,16 +253,64 @@ _R9 = [
     "multimodal_png_decode",
     "multimodal_gif_decode",
 ]
+_R10 = [
+    "ann_topk_ivfpq_sqrt",          # n_lists = √N IVF-PQ (clustered corpus)
+    "ann_ivfpq_probe_curve",        # recall-vs-probe curve, shared index
+    "dedup_embedding_lsh_band_auto",  # r = ⌊log₂ n⌋ banded profile
+]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
-                       (6, _R6), (8, _R8), (9, _R9)):
+                       (6, _R6), (8, _R8), (9, _R9), (10, _R10)):
     for _n in _names:
         ROUND_OF[_n] = _round
 _unmapped = [q for q in HEADLINE if q not in ROUND_OF]
 assert not _unmapped, f"HEADLINE queries missing from ROUND_OF: {_unmapped}"
 
 
+def _host_calibration() -> float:
+    """Fixed CPU microbenchmark (min-of-3 sha256 over 32 MiB): a host-
+    speed probe recorded in the detail artifact so degraded-host windows
+    are DETECTABLE in the committed numbers (r9 verdict #2: a 5-10×
+    host-level swing contaminated BENCH_FULL_latest.json and seeded false
+    cross-round regressions; the same code measured 127→225s). Quiet
+    value on the reference box: ~0.05-0.1s; a 2×+ calibration means the
+    run's absolute values are inflated and overlap subtotals must be
+    compared against a quiet re-record."""
+    import hashlib
+
+    blob = b"\x5a" * (32 << 20)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hashlib.sha256(blob).hexdigest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _quiet_gate(max_tries: int = 10, threshold: float | None = None) -> float:
+    """Optional load gate (SPARK_GRAFT_QUIET_GATE=1): retry the
+    calibration up to ``max_tries`` times with 30s sleeps until it drops
+    under ``threshold`` (env SPARK_GRAFT_QUIET_THRESHOLD, default 2× the
+    best calibration seen in the gate loop itself — a self-relative bar
+    that needs no per-host constant). Returns the final calibration."""
+    thr_env = os.environ.get("SPARK_GRAFT_QUIET_THRESHOLD")
+    cal = _host_calibration()
+    best = cal
+    for _ in range(max_tries):
+        thr = float(thr_env) if thr_env else (best * 2.0 if threshold is None else threshold)
+        if cal <= thr:
+            return cal
+        time.sleep(30)
+        cal = _host_calibration()
+        best = min(best, cal)
+    return cal
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if os.environ.get("SPARK_GRAFT_QUIET_GATE"):
+        cal_pre = _quiet_gate()
+    else:
+        cal_pre = _host_calibration()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bicis_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -318,7 +370,7 @@ def main() -> None:
 
     recall: dict[str, float] = {}
     for rname in ("ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall",
-                  "ann_ivfpq_recall"):
+                  "ann_ivfpq_recall", "ann_ivfpq_sqrt_recall"):
         if rname in all_queries:
             row = (
                 all_queries[rname](spark, sf_dir)
@@ -368,10 +420,17 @@ def main() -> None:
     # with 73 queries inline outgrew the driver's stdout-tail capture and
     # voided the bench gate — BENCH_r05 "parsed": null). The stdout line
     # below stays compact and stable-size as the headline grows.
+    try:
+        load_now = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_now = None
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "host_calibration_pre_sec": cal_pre,
+        "host_calibration_post_sec": _host_calibration(),
+        "host_loadavg_1m_at_end": load_now,
         "queries": timings,
         **overlaps,
         "ann_mean_recall": recall,

@@ -831,13 +831,34 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+#: Clamp range for the auto r discipline: r = min(16, max(8, ⌊log₂ n⌋)).
+#: 8 is the fixed legacy operating point (equal at n < 512… i.e. ≤ sf0.01,
+#: the regression guarantee); 16 caps the per-band key space at 65536
+#: buckets — past that, T (band count) is the right knob, not r.
+LSH_BAND_PLANES_MIN = 8
+LSH_BAND_PLANES_MAX = 16
+
+
+def lsh_band_planes_auto(n: int) -> int:
+    """The r ≈ log₂ n planes-per-band discipline as a deterministic
+    function of the corpus count (round 10, r9 verdict #6): with
+    r = ⌊log₂ n⌋ sign bits per band, background collisions per band drop
+    to ~n²/2^(r+1) ≈ n/2 — candidate volume linear in n instead of the
+    fixed-r n²/512 tail the r9 probe measured as n^1.43.
+    ``n.bit_length() - 1`` IS ⌊log₂ n⌋ exactly (no float log); the DuckDB
+    oracle computes the identical clamp via floor(log2(count(*)))."""
+    if n < 1:
+        return LSH_BAND_PLANES_MIN
+    return min(LSH_BAND_PLANES_MAX, max(LSH_BAND_PLANES_MIN, n.bit_length() - 1))
+
+
 def embedding_lsh_band_profile(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_bands: int = 8,
-    band_planes: int = 8,
+    band_planes: int | str = 8,
     dims: int = 64,
 ) -> DataFrame:
     """Per-band candidate/verified profile of the HIGH-threshold banded
@@ -858,12 +879,25 @@ def embedding_lsh_band_profile(
     with T sized to the recall target 1 − (1 − p^r)^T — both spelled out
     in LSH_PRUNING_MIN_THRESHOLD's note. The output is O(T) rows; the
     candidate join shape is the banded operator's (tiny (band, bits)
-    keys, id joins, no broadcast, no cartesian)."""
+    keys, id joins, no broadcast, no cartesian).
+
+    ``band_planes="auto"`` (round 10) implements the r ≈ log₂ n
+    discipline: one bounded count() action sizes r via
+    ``lsh_band_planes_auto`` — equal to the fixed r = 8 at n < 512, so
+    the legacy profile row is unchanged while the auto row's candidate
+    tail tracks the n^1.22 theory line instead of fixed-r n^1.43."""
     from bicis_spark.extensions.similarity import (
         cosine_from_norms,
         lsh_bucket,
         norm_col,
     )
+
+    if band_planes == "auto":
+        band_planes = lsh_band_planes_auto(df.count())
+    elif not isinstance(band_planes, int):
+        raise ValueError(
+            f"band_planes must be an int or 'auto'; got {band_planes!r}"
+        )
 
     q = _reusable(
         _partitioned(df, None)
@@ -956,8 +990,10 @@ def _kmeans_assigned(
     )
     seed_filter = F.col("vid") % n_centroids_mod == 1
     if max_clusters is not None:
+        # live-boundary cap: mod*(L-1)+1 is the L-th seed itself, so a
+        # <= / < mutant changes the seed set — same set as < mod*L (r10)
         seed_filter = seed_filter & (
-            F.col("vid") < n_centroids_mod * max_clusters
+            F.col("vid") <= n_centroids_mod * (max_clusters - 1) + 1
         )
     # seeds from the PERSISTED projection, not a second raw-corpus scan
     # (same rows — c preserves the id — served from cache); matches

@@ -126,8 +126,14 @@ def lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + (entry[0],))
-        elif code == len(table):
+            # deferred-clear convention (GIF89a appendix F): encoders stop
+            # growing the dictionary at the 12-bit ceiling of 4096 entries
+            # and keep emitting 12-bit codes without a clear — the decoder
+            # must freeze its table at the same point or subsequent codes
+            # map to wrong strings
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+        elif code == len(table) and len(table) < 4096:
             entry = prev + (prev[0],)  # KwKwK
             table.append(entry)
         else:

@@ -624,7 +624,14 @@ def kcore_peel(
             f"degree_mode must be 'auto', 'recompute', or 'delta'; "
             f"got {degree_mode!r}"
         )
-    cur = _normalize_edges(edges, src, dst).localCheckpoint(eager=True)
+    # auto mode: LAZY checkpoint + count — the gate's count() is then the
+    # job that materializes the checkpoint, so the gate costs zero extra
+    # jobs vs the ungated eager form (r9 verdict #4: the eager-checkpoint
+    # + separate-count pair paid one cache-served but still-scheduled job
+    # per call)
+    cur = _normalize_edges(edges, src, dst).localCheckpoint(
+        eager=(degree_mode != "auto")
+    )
     if degree_mode == "auto":
         degree_mode = (
             "delta" if cur.count() > KCORE_DELTA_MIN_EDGES else "recompute"
@@ -708,9 +715,11 @@ def kcore_peel(
             else:
                 cur = cur.persist()
                 round_caches.append(cur)
-        if degree_mode == "delta":
+        if degree_mode == "delta" and degrees is not None:
             # the maintained table IS the final edge set's exact degrees
             # (kept vertices only) — no data-sized final aggregate
+            # (degrees is None when rounds == 0: no peel ran, so fall
+            # through to the recompute aggregate over the intact edges)
             out = degrees.where(F.col("d") >= k).select(
                 F.col("v").alias("vertex"),
                 F.col("d").alias("residual_degree"),

@@ -85,17 +85,42 @@ _COS = f"{_DOT} / nullif({_NORM.format(x='{a}')} * {_NORM.format(x='{b}')}, 0)"
 # blocking oracles (defined here, ahead of its first registration use).
 _IVF_MAX_LISTS = 40
 
+#: Fixed-size ANN query batch (round 10, r9 verdict #1). The old rule
+#: (``vec_id % 100 = 0`` alone) made |Q| grow with the corpus, so even a
+#: linear-per-query scan measured QUADRATIC total work over sf1→sf3
+#: (``ann_topk_pq`` fitted n^1.97 — SCALE.md round 9). Capping the rule at
+#: ``vec_id < 2000`` bounds the declared batch at 20 queries — the honest
+#: serving shape (a bounded query batch against a growing corpus) — while
+#: keeping every ANN row bit-identical at sf0.01/sf0.1 (max vec_id there
+#: is 499/1999, both under the cap). Deterministic and SQL-replayable.
+_ANN_Q_CAP = 2000
+
+
+def _ann_queries(emb: DataFrame) -> DataFrame:
+    """The declared ANN query batch: every 100th vector, capped to the
+    first ``_ANN_Q_CAP`` ids (fixed |Q| — see the constant's note)."""
+    return emb.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_Q_CAP)
+    )
+
 
 def _kmeans_assign_prefix(
     mod: int = 50,
     train_iters: int = 1,
     max_clusters: int | None = None,
+    q_cte: str | None = None,
+    seed_where: str | None = None,
 ) -> str:
     """Shared WITH-prefix replaying the deterministic k-means trainer
     (seeds ``vec_id % mod == 1`` capped at ``max_clusters``, max-cosine
     assignment with centroid-id tie-break, floor-of-mean integer update)
     ending in an ``assign(vec_id, qv, centroid_id)`` CTE — used by the
-    SemDeDup and cluster-balanced-sample oracles."""
+    SemDeDup and cluster-balanced-sample oracles.
+
+    ``q_cte`` swaps the vector source (default: the quantized embeddings
+    table; the √N IVF-PQ row passes the clustered synthetic corpus);
+    ``seed_where`` replaces the mod-rule seed predicate entirely (the √N
+    row passes ``vec_id < (SELECT floor(sqrt(count(*))) FROM q)``)."""
     steps = []
     for t in range(train_iters):
         steps.append(
@@ -125,10 +150,14 @@ def _kmeans_assign_prefix(
     )"""
         )
     trained = f"cents{train_iters}"
-    cap = "" if max_clusters is None else f" AND vec_id < {mod * max_clusters}"
+    cap = "" if max_clusters is None else f" AND vec_id <= {mod * (max_clusters - 1) + 1}"
+    seed_pred = (
+        seed_where if seed_where is not None else f"vec_id % {mod} = 1{cap}"
+    )
+    src = _QV_CTE if q_cte is None else q_cte
     return f"""
-    WITH {_QV_CTE.strip()},
-    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % {mod} = 1{cap}),{",".join(steps)},
+    WITH {src.strip()},
+    cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE {seed_pred}),{",".join(steps)},
     assign AS (
         SELECT vec_id, qv, centroid_id FROM (
             SELECT v.vec_id, v.qv, c.centroid_id,
@@ -478,18 +507,79 @@ def dedup_embedding_lsh_band_profile_q(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def _lsh_band_auto_oracle(n_bands: int = 8) -> str:
+    """Oracle for the auto-r banded profile (round 10, r9 verdict #6):
+    replays r = min(16, max(8, ⌊log₂ n⌋)) — one branch per candidate r,
+    each the full fixed-r profile SQL guarded by the count-derived scalar
+    (floor of a correctly-rounded log2 equals bit_length-1 for every
+    corpus size: exact at powers of two, and the sub-ulp rounding margin
+    is 10 orders away from the nearest integer elsewhere)."""
+    branches = []
+    for r in range(8, 17):
+        blocks = " UNION ALL ".join(
+            f"SELECT vec_id, CAST({t} AS BIGINT) AS band,"
+            f" ({_lsh_bucket_sql('q', r, plane_offset=t * r)}) AS bits FROM q"
+            for t in range(n_bands)
+        )
+        branches.append(
+            f"""
+    SELECT band, n_candidates, n_dups FROM (
+        WITH blocks{r} AS ({blocks}),
+        cand{r} AS (
+            SELECT x.band, x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM blocks{r} x JOIN blocks{r} y
+              ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id
+        )
+        SELECT band, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN {_COS.format(a='a', b='c')} >= 0.9
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+        FROM cand{r}
+        JOIN q a ON a.vec_id = vec_a
+        JOIN q c ON c.vec_id = vec_b
+        GROUP BY band
+    ) b{r}
+    WHERE (SELECT r FROM nr) = {r}"""
+        )
+    return f"""
+    WITH {_QV_CTE.strip()},
+    nr AS (SELECT least(16, greatest(8,
+               CAST(floor(log2(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS r
+           FROM q)
+    {" UNION ALL ".join(branches)}
+    """
+
+
+@register("dedup_embedding_lsh_band_auto", _lsh_band_auto_oracle())
+def dedup_embedding_lsh_band_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded pruning profile under the r ≈ log₂ n DISCIPLINE the
+    fixed row's docstring only stated (round 10): planes-per-band sized
+    from the corpus count (clamped [8, 16]) so the candidate tail tracks
+    the n^1.22 theory line instead of the fixed-r n^1.43 the r9 sf3 probe
+    measured. Equal to the fixed row at sf0.01 (n = 500 < 512 ⇒ r = 8 —
+    the regression guarantee); r = 10 at sf0.1, 14 at sf1, 15 at sf3."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_band_profile(
+        emb, "vec_id", "embedding", threshold=0.9, n_bands=8,
+        band_planes="auto",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 
 
-_BF_ORACLE = f"""
-    WITH {_QV_CTE.strip()},
+def _bf_oracle_sql(q_cte: str | None = None) -> str:
+    """Exact brute-force top-5 oracle; ``q_cte`` swaps the vector source
+    (the √N IVF-PQ rows pass the clustered synthetic corpus)."""
+    src = _QV_CTE if q_cte is None else q_cte
+    return f"""
+    WITH {src.strip()},
     scored AS (
         SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_COS.format(a='qs', b='c')} AS cosine
         FROM q qs JOIN q c ON c.vec_id != qs.vec_id
-        WHERE qs.vec_id % 100 = 0
+        WHERE qs.vec_id % 100 = 0 AND qs.vec_id < {_ANN_Q_CAP}
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
         SELECT query_id, neighbor_id, cosine,
@@ -500,10 +590,13 @@ _BF_ORACLE = f"""
     """
 
 
+_BF_ORACLE = _bf_oracle_sql()
+
+
 @register("ann_topk_bruteforce", _BF_ORACLE)
 def ann_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     return ann_topk_bruteforce(emb, queries, k=5)
 
 
@@ -522,7 +615,7 @@ def _lsh_oracle(n_planes: int = 8, n_tables: int = 1) -> str:
         per_table.append(
             f"""
     b{t} AS (SELECT vec_id, ({bucket}) AS bucket FROM q),
-    qb{t} AS (SELECT vec_id, bucket FROM b{t} WHERE vec_id % 100 = 0),
+    qb{t} AS (SELECT vec_id, bucket FROM b{t} WHERE vec_id % 100 = 0 AND vec_id < {_ANN_Q_CAP}),
     p{t} AS (
         SELECT vec_id, bucket FROM qb{t}
         UNION ALL
@@ -576,7 +669,7 @@ def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical hyperplanes, so even this *approximate* operator
     is hash-checked exactly (multi-table OR + DISTINCT included)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     return ann_topk_lsh(emb, queries, k=5, n_planes=8, dims=64, n_tables=_LSH_TABLES)
 
 
@@ -1492,7 +1585,7 @@ def _ivf_oracle(
     )"""
         )
     trained = f"cents{train_iters}"
-    cap = "" if max_lists is None else f" AND vec_id < {50 * max_lists}"
+    cap = "" if max_lists is None else f" AND vec_id <= {50 * (max_lists - 1) + 1}"
     return f"""
     WITH {_QV_CTE.strip()},
     cents0 AS (SELECT vec_id AS centroid_id, qv FROM q WHERE vec_id % 50 = 1{cap}),{",".join(steps)},
@@ -1512,7 +1605,7 @@ def _ivf_oracle(
                                       ORDER BY {_COS.format(a='v', b='c')} DESC,
                                                c.centroid_id) AS rn
             FROM q v CROSS JOIN {trained} c
-            WHERE v.vec_id % 100 = 0
+            WHERE v.vec_id % 100 = 0 AND v.vec_id < {_ANN_Q_CAP}
         ) t WHERE rn <= {n_probe}
     ),
     scored AS (
@@ -1553,7 +1646,7 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings are near-uniform on the sphere (real clustered corpora
     reach the same recall at far fewer probes)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     return ann_topk_ivf(
         emb,
         queries,
@@ -1565,14 +1658,15 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_oracle(approx_sql: str, k: int = 5) -> str:
+def _recall_oracle(approx_sql: str, k: int = 5, bf_sql: str | None = None) -> str:
     """Recall@k contract: approximate top-k joined against the exact
     (brute-force) top-k, counted per query. Composes the two queries'
-    oracle SQL verbatim as nested CTEs."""
+    oracle SQL verbatim as nested CTEs. ``bf_sql`` swaps the exact
+    baseline (the √N rows pass the clustered-corpus brute force)."""
     return f"""
-    WITH bf AS ({_BF_ORACLE}),
+    WITH bf AS ({bf_sql if bf_sql is not None else _BF_ORACLE}),
     ax AS ({approx_sql}),
-    base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0)
+    base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {_ANN_Q_CAP})
     SELECT base.query_id,
            CAST(count(ax.neighbor_id) AS BIGINT) AS n_hits,
            CAST(count(ax.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
@@ -1588,7 +1682,7 @@ def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@5 of the LSH ANN path against brute force — the
     approximate operator ships with its accuracy contract."""
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     base = queries.select(F.col("vec_id").alias("query_id"))
     exact = ann_topk_bruteforce(emb, queries, k=5)
     approx = ann_topk_lsh(emb, queries, k=5, n_planes=8, dims=64, n_tables=_LSH_TABLES)
@@ -1599,7 +1693,7 @@ def ann_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@5 of the trained-IVF ANN path against brute force."""
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     base = queries.select(F.col("vec_id").alias("query_id"))
     exact = ann_topk_bruteforce(emb, queries, k=5)
     approx = ann_topk_ivf(
@@ -2805,7 +2899,7 @@ def _pq_oracle(
         )
     cb = f"cb{train_iters}"
     seed_cap = (
-        "" if max_codes is None else f" AND vec_id < {seed_mod * max_codes}"
+        "" if max_codes is None else f" AND vec_id <= {seed_mod * (max_codes - 1) + 1}"
     )
     if rerank is None:
         shortlist_ctes, final_score, final_rel = "", "approx_cosine", "scored"
@@ -2848,12 +2942,12 @@ def _pq_oracle(
                {_SUB_DOT.format(d=d, a="s", b="c")} AS pdot,
                {_SUB_N2.format(d=d, x="c")} AS pn2
         FROM subs s JOIN {cb} c ON s.sub = c.sub
-        WHERE s.vec_id % 100 = 0
+        WHERE s.vec_id % 100 = 0 AND s.vec_id < {_ANN_Q_CAP}
     ),
     qn AS (
         SELECT vec_id AS query_id,
                sqrt(list_sum(list_transform(range(64), i -> qv[i+1]*qv[i+1]))::DOUBLE) AS qnorm
-        FROM q WHERE vec_id % 100 = 0
+        FROM q WHERE vec_id % 100 = 0 AND vec_id < {_ANN_Q_CAP}
     ),
     acc AS (
         SELECT l.query_id, co.vec_id AS neighbor_id,
@@ -2902,7 +2996,7 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bicis_spark.extensions.similarity import ann_topk_pq
 
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     return ann_topk_pq(
         emb,
         queries,
@@ -2922,7 +3016,7 @@ def _pq_recall_oracle(k: int = 5) -> str:
     return f"""
     WITH bf AS ({_BF_ORACLE}),
     ax AS ({_PQ_ORACLE}),
-    base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0)
+    base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {_ANN_Q_CAP})
     SELECT base.query_id,
            CAST(count(ax.neighbor_id) AS BIGINT) AS n_hits,
            CAST(count(ax.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
@@ -2939,7 +3033,7 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bicis_spark.extensions.similarity import ann_topk_bruteforce, ann_topk_pq
 
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     base = queries.select(F.col("vec_id").alias("query_id"))
     exact = ann_topk_bruteforce(emb, queries, k=5)
     approx = ann_topk_pq(
@@ -2968,6 +3062,9 @@ def _ivfpq_oracle(
     k: int = 5,
     rerank: int = 40,
     max_codes: int | None = 256,
+    q_cte: str | None = None,
+    coarse_seed_where: str | None = None,
+    n_probe_sql: str | None = None,
 ) -> str:
     """Oracle for ``ann_topk_ivfpq``: the shared deterministic-k-means
     prefix trains the coarse router (ending in ``assign``), a probes CTE
@@ -3007,9 +3104,10 @@ def _ivfpq_oracle(
     cb = f"cb{pq_iters}"
     trained_cents = f"cents{ivf_iters}"
     seed_cap = (
-        "" if max_codes is None else f" AND vec_id < {seed_mod * max_codes}"
+        "" if max_codes is None else f" AND vec_id <= {seed_mod * (max_codes - 1) + 1}"
     )
-    return f"""{_kmeans_assign_prefix(mod, ivf_iters, max_lists)},
+    probe_limit = f"({n_probe_sql})" if n_probe_sql is not None else str(n_probe)
+    return f"""{_kmeans_assign_prefix(mod, ivf_iters, max_lists, q_cte=q_cte, seed_where=coarse_seed_where)},
     probes AS (
         SELECT query_id, centroid_id FROM (
             SELECT v.vec_id AS query_id, c.centroid_id,
@@ -3017,8 +3115,8 @@ def _ivfpq_oracle(
                                       ORDER BY {_COS.format(a='v', b='c')} DESC,
                                                c.centroid_id) AS rn
             FROM q v CROSS JOIN {trained_cents} c
-            WHERE v.vec_id % 100 = 0
-        ) t WHERE rn <= {n_probe}
+            WHERE v.vec_id % 100 = 0 AND v.vec_id < {_ANN_Q_CAP}
+        ) t WHERE rn <= {probe_limit}
     ),
     subs AS (
         SELECT vec_id, m AS sub, qv[m*{d}+1 : m*{d}+{d}] AS sv
@@ -3039,12 +3137,12 @@ def _ivfpq_oracle(
                {_SUB_DOT.format(d=d, a="s", b="c")} AS pdot,
                {_SUB_N2.format(d=d, x="c")} AS pn2
         FROM subs s JOIN {cb} c ON s.sub = c.sub
-        WHERE s.vec_id % 100 = 0
+        WHERE s.vec_id % 100 = 0 AND s.vec_id < {_ANN_Q_CAP}
     ),
     qn AS (
         SELECT vec_id AS query_id,
                sqrt(list_sum(list_transform(range(64), i -> qv[i+1]*qv[i+1]))::DOUBLE) AS qnorm
-        FROM q WHERE vec_id % 100 = 0
+        FROM q WHERE vec_id % 100 = 0 AND vec_id < {_ANN_Q_CAP}
     ),
     acc AS (
         SELECT l.query_id, co.vec_id AS neighbor_id,
@@ -3108,7 +3206,8 @@ _IVFPQ_ORACLE = _ivfpq_oracle(
 @register("ann_topk_ivfpq", _IVFPQ_ORACLE)
 def ann_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (round 9): trained coarse router → ADC compressed scan
-    over the 10 probed lists only → exact top-40 re-rank. Closes the
+    over the ``_IVFPQ_PROBES`` (20) probed lists only → exact top-40
+    re-rank. Closes the
     sf1→sf3 finding that the flat PQ scan's |Q|·N product is quadratic
     when the query rule scales |Q| with the corpus (SCALE.md r9) — the
     probed fraction bounds scanned codes, with the n_lists ∝ √N sizing
@@ -3116,7 +3215,7 @@ def ann_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bicis_spark.extensions.similarity import ann_topk_ivfpq
 
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     return ann_topk_ivfpq(
         emb,
         queries,
@@ -3140,7 +3239,7 @@ def _ivfpq_recall_oracle(k: int = 5) -> str:
     return f"""
     WITH bf AS ({_BF_ORACLE}),
     ax AS ({_IVFPQ_ORACLE}),
-    base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0)
+    base AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {_ANN_Q_CAP})
     SELECT base.query_id,
            CAST(count(ax.neighbor_id) AS BIGINT) AS n_hits,
            CAST(count(ax.neighbor_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
@@ -3160,7 +3259,7 @@ def ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     base = queries.select(F.col("vec_id").alias("query_id"))
     exact = ann_topk_bruteforce(emb, queries, k=5)
     approx = ann_topk_ivfpq(
@@ -3179,6 +3278,207 @@ def ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_codes=_PQ_K,
     )
     return ann_recall(base, exact, approx, 5)
+
+
+
+
+# ---------------------------------------------------------------------------
+# √N-sized IVF-PQ on a clustered synthetic corpus (round 10, r9 verdict #2)
+# ---------------------------------------------------------------------------
+
+#: Clustered synthetic corpus, quantized: embedding[d] = (base(cluster, d)
+#: + noise(id, d)) · 10⁶ with cluster = vec_id % 32, base ∈ [-3, 3],
+#: noise ∈ [-2, 2] — the EXACT integer formula of
+#: ``similarity.synth_clustered_embeddings`` followed by ``quantize``
+#: (integers are exact in double, so floor(double(v)·10⁶) = v·10⁶).
+#: In-cluster cosine ≈ 0.67, cross-cluster ≈ 0: the corpus shape where a
+#: small probe fraction is honestly sufficient (the driver's near-uniform
+#: embeddings force half-probe operating points — see ann_topk_ivfpq).
+_CLUST_Q_CTE = """
+q AS (
+    SELECT vec_id,
+           list_transform(range(64), d ->
+               ((((((vec_id % 32 + 1) * 2654435761 + (d + 1) * 2246822519)
+                   & 4294967295) >> 13) % 7 - 3)
+              + (((((vec_id + 1) * 2246822519 + (d + 1) * 3266489917)
+                   & 4294967295) >> 11) % 5 - 2)) * 1000000) AS qv
+    FROM embeddings
+)
+"""
+
+#: n_lists = max(1, ⌊√N⌋) — the FAISS IVF sizing rule as a deterministic
+#: scalar both engines compute from the corpus count (floor of a
+#: correctly-rounded double sqrt equals isqrt for every N < 2⁵²·ε-margin;
+#: Python side uses math.isqrt).
+_SQRT_NL_SQL = (
+    "(SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))"
+    " AS BIGINT)) FROM q)"
+)
+
+
+def _sqrt_np_sql(div: int) -> str:
+    """n_probe = max(1, n_lists // div) as a DuckDB scalar subquery."""
+    return (
+        "(SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))"
+        f" AS BIGINT) // {div}) FROM q)"
+    )
+
+
+#: Probe fraction 1/8 of √N lists — scan fraction ≈ 12.5% (< 0.2, the
+#: r9 verdict's bar), vs the flat row's constant 50% (20 of 40 lists).
+_SQRT_PROBE_DIV = 8
+_IVFPQ_SQRT_ORACLE = _ivfpq_oracle(
+    ivf_iters=1,
+    n_subspaces=_PQ_SUBS, sub_dims=_PQ_DIMS, seed_mod=_PQ_MOD,
+    pq_iters=_PQ_ITERS, rerank=_PQ_RERANK, max_codes=_PQ_K,
+    q_cte=_CLUST_Q_CTE,
+    coarse_seed_where=f"vec_id < {_SQRT_NL_SQL}",
+    n_probe_sql=_sqrt_np_sql(_SQRT_PROBE_DIV),
+)
+
+
+def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bicis_spark.extensions.similarity import synth_clustered_embeddings
+
+    ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    return synth_clustered_embeddings(ids, "vec_id", n_clusters=32, dims=64)
+
+
+def _sqrt_sizing(emb: DataFrame) -> tuple[int, int]:
+    """(n_lists, n_probe) = (max(1, ⌊√N⌋), max(1, n_lists // 8)) — the
+    one bounded count() action that sizes the index (O(1) result; the
+    oracle computes the identical scalars in SQL)."""
+    import math
+
+    n_lists = max(1, math.isqrt(emb.count()))
+    return n_lists, max(1, n_lists // _SQRT_PROBE_DIV)
+
+
+@register("ann_topk_ivfpq_sqrt", _IVFPQ_SQRT_ORACLE)
+def ann_topk_ivfpq_sqrt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at the FAISS sizing discipline (round 10): n_lists = ⌊√N⌋
+    (a deterministic function of the corpus count — grows with the data,
+    unlike the flat row's constant 40), n_probe = n_lists/8 (scan
+    fraction ≈ 12.5%), over the CLUSTERED synthetic corpus where that
+    probe fraction honestly reaches recall ≥ 0.8 (see
+    ``ann_ivfpq_sqrt_recall``). Per-query scanned vectors ≈ N/8 at a
+    bounded |Q| (= 20, ``_ANN_Q_CAP``), build cost N·√N — the asymptotic
+    shape the r9 verdict asked a declared row to exercise."""
+    from bicis_spark.extensions.similarity import ann_topk_ivfpq
+
+    emb = _clustered_corpus(spark, sf_dir)
+    queries = _ann_queries(emb)
+    n_lists, n_probe = _sqrt_sizing(emb)
+    return ann_topk_ivfpq(
+        emb,
+        queries,
+        k=5,
+        n_lists=n_lists,
+        n_probe=n_probe,
+        ivf_train_iters=1,
+        n_subspaces=_PQ_SUBS,
+        sub_dims=_PQ_DIMS,
+        seed_mod=_PQ_MOD,
+        pq_train_iters=_PQ_ITERS,
+        rerank=_PQ_RERANK,
+        max_codes=_PQ_K,
+    )
+
+
+_IVFPQ_SQRT_RECALL_ORACLE = _recall_oracle(
+    _IVFPQ_SQRT_ORACLE, bf_sql=_bf_oracle_sql(_CLUST_Q_CTE)
+)
+
+
+@register("ann_ivfpq_sqrt_recall", _IVFPQ_SQRT_RECALL_ORACLE)
+def ann_ivfpq_sqrt_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the √N-sized IVF-PQ path against clustered-
+    corpus brute force — the accuracy contract of the small-probe
+    operating point."""
+    from bicis_spark.extensions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq,
+    )
+
+    emb = _clustered_corpus(spark, sf_dir)
+    queries = _ann_queries(emb)
+    n_lists, n_probe = _sqrt_sizing(emb)
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_ivfpq(
+        emb,
+        queries,
+        k=5,
+        n_lists=n_lists,
+        n_probe=n_probe,
+        ivf_train_iters=1,
+        n_subspaces=_PQ_SUBS,
+        sub_dims=_PQ_DIMS,
+        seed_mod=_PQ_MOD,
+        pq_train_iters=_PQ_ITERS,
+        rerank=_PQ_RERANK,
+        max_codes=_PQ_K,
+    )
+    return ann_recall(base, exact, approx, 5)
+
+
+def _ivfpq_probe_curve_oracle(divs: tuple[int, ...]) -> str:
+    """Recall-vs-probe curve oracle: one (probe_lists, n_queries,
+    avg_recall) row per probe divisor, each replaying the full √N IVF-PQ
+    pipeline at that probe count against the clustered brute force."""
+    parts = []
+    for div in divs:
+        ax = _ivfpq_oracle(
+            ivf_iters=1,
+            n_subspaces=_PQ_SUBS, sub_dims=_PQ_DIMS, seed_mod=_PQ_MOD,
+            pq_iters=_PQ_ITERS, rerank=_PQ_RERANK, max_codes=_PQ_K,
+            q_cte=_CLUST_Q_CTE,
+            coarse_seed_where=f"vec_id < {_SQRT_NL_SQL}",
+            n_probe_sql=_sqrt_np_sql(div),
+        )
+        rec = _recall_oracle(ax, bf_sql=_bf_oracle_sql(_CLUST_Q_CTE))
+        np_scalar = _sqrt_np_sql(div).replace("FROM q", "FROM (SELECT vec_id FROM embeddings) q")
+        parts.append(
+            f"""
+    SELECT CAST({np_scalar} AS BIGINT) AS probe_lists,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_hits) AS DOUBLE)
+               / (CAST(5 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS avg_recall
+    FROM ({rec}) r{div}"""
+        )
+    return "\n    UNION ALL\n".join(parts)
+
+
+#: Curve divisors: probe √N/16, √N/8, √N/4 lists (scan ≈ 6%, 12.5%, 25%).
+_CURVE_DIVS = (16, 8, 4)
+
+
+@register("ann_ivfpq_probe_curve", _ivfpq_probe_curve_oracle(_CURVE_DIVS))
+def ann_ivfpq_probe_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-probe curve on the clustered corpus over ONE built √N
+    IVF-PQ index (index build shared across settings — the operator
+    persists the encoded corpus once): how recall@5 trades against the
+    probed fraction at the honest corpus shape."""
+    from bicis_spark.extensions.similarity import ann_ivfpq_probe_curve
+
+    emb = _clustered_corpus(spark, sf_dir)
+    queries = _ann_queries(emb)
+    n_lists, _ = _sqrt_sizing(emb)
+    settings = [max(1, n_lists // d) for d in _CURVE_DIVS]
+    return ann_ivfpq_probe_curve(
+        emb,
+        queries,
+        settings,
+        k=5,
+        n_lists=n_lists,
+        ivf_train_iters=1,
+        n_subspaces=_PQ_SUBS,
+        sub_dims=_PQ_DIMS,
+        seed_mod=_PQ_MOD,
+        pq_train_iters=_PQ_ITERS,
+        rerank=_PQ_RERANK,
+        max_codes=_PQ_K,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3347,7 +3647,7 @@ def hard_negative_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = read_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = _ann_queries(emb)
     topk = ann_topk_ivf(
         emb,
         queries,

@@ -55,89 +55,70 @@ _LOADED = False
 # CORRECTNESS_r01-r04 keys == queries() positions 1-50 in insertion order).
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
 #
-# ROUND-9 ROTATION (mechanical: last-hash-green round per query from
-# CORRECTNESS_r01–r08, oldest first, registration order on ties). The r8
-# verdict's task #3 leads the window: the only two registry rows whose
-# latest driver result is not a hash pass — `dedup_minhash_lsh_fast` and
-# `table_profile_orders_approx` (last driver-seen r3 as `no_oracle`,
-# pre-dating their oracles) — then every round-9-NEW query (the
-# never-checked-first rule; nine in total as the round added
-# capabilities: MP3, band profile, IVF-PQ pair, video pair, substring
-# spans, PNG, GIF — each displacement annotated inline on the row it
-# replaced), then the r3-vintage stalest rows and the 12 oldest
-# r4-vintage. One member (`dedup_embedding_cosine_lsh`) also had its
-# PLAN and ORACLE re-pointed this round (regime gate: k-means blocking
-# at τ=0.45), so its stale slot doubles as the re-verification of that
-# change — the same pattern as r8's glm re-checks.
+# ROUND-10 ROTATION (mechanical: scripts/next_window.py staleness rule —
+# last-hash-green round per query across CORRECTNESS_r01–r09, oldest
+# first, registration order on ties; never-checked rows lead). Every
+# registry row now has at least one driver hash pass (r9 closed the last
+# two), so the window is 4 round-10-NEW rows (the √N IVF-PQ family on
+# the clustered corpus + the auto-r banded profile) followed by the 46
+# STALEST re-verifications: 7 r3-vintage, 38 r4-vintage, 1 r5-vintage.
+# Zero r8/r9 repeats (the r9 verdict's rotation criterion). Three window
+# members also had their PLAN and ORACLE touched this round — the fixed-
+# size ANN query batch (ann_lsh_recall, ann_ivf_recall) and the live-
+# boundary seed caps (pagerank is untouched; the ANN family re-checks
+# ride the same slots) — so their stale slots double as re-verification
+# of those changes.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never hash-green (r3 `no_oracle` rows + round-9-new) --
-    "table_profile_orders_approx",
-    "dedup_minhash_lsh_fast",
-    "multimodal_mp3_decode",
-    "dedup_embedding_lsh_band_profile",
-    # -- 34 r3-vintage (last hash-green driver row: round 3) --
-    # (minhash_accuracy_contract — a pinned-true boolean row, the least
-    # informative re-check class per the r8 precedent — gave its slot to
-    # the round-9-new exact_substring_spans)
-    "exact_substring_spans",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "token_counts",
-    "text_quality",
-    "language_id",
-    "doc_fingerprints",
-    # (multimodal_decode_features / multimodal_frame_sample — the r3
-    # byte-slicing plumbing demos — gave their slots to the round-9-new
-    # REAL video surface that supersedes them, per never-checked-first)
-    "multimodal_video_decode",
-    "multimodal_video_frame_sample",
-    "token_counts_bpe",
-    "ann_topk_ivf",
-    # (ann_lsh_recall / ann_ivf_recall were the stalest remaining r3 rows
-    # but are bit-stable four consecutive rounds — their slots go to the
-    # round-9-new IVF-PQ pair, per the never-checked-first rule)
-    "ann_topk_ivfpq",
-    "ann_ivfpq_recall",
-    "curation_pipeline",
-    "stratified_sample_by_lang",
-    "curation_quota_sample",
-    # (top_shingles — its shingle machinery is exercised inside the
-    # dedup_ngram_jaccard family — gave its slot to the round-9-new
-    # multimodal_png_decode)
-    "multimodal_png_decode",
-    "dedup_clusters",
-    "vocab_stats",
-    "tfidf_top_terms",
-    "benchmark_decontamination",
-    "pii_scrub",
-    "doc_repetition",
-    "doc_chunks",
-    "sequence_packing",
-    "dedup_fuzzy_prefix",
-    # (neardup_survivors — the keep/drop view over the same CC machinery
-    # dedup_clusters re-checks two rows up — gave its slot to the
-    # round-9-new multimodal_gif_decode)
-    "multimodal_gif_decode",
-    "scd2_customer_status",
-    "char_entropy_quality",
-    "bpe_merge_table",
-    # -- 12 oldest r4-vintage (last hash-green driver row: round 4) --
-    "asof_forward_next_order",
-    "asof_nearest_order",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "streaming_topk_event_types",
-    "streaming_scd2_enrichment",
-    "training_mix_manifest",
-    "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "hourly_gap_fill_ffill",
-    "quality_expectations",
+    "dedup_embedding_lsh_band_auto",
+    "ann_topk_ivfpq_sqrt",
+    "ann_ivfpq_sqrt_recall",
+    "ann_ivfpq_probe_curve",
+    "minhash_accuracy_contract",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "top_shingles",
+    "neardup_survivors",
+    "cms_heavy_hitters",
+    "hll_distinct_contract",
+    "customer_event_reconciliation",
+    "quantity_deciles",
+    "totalprice_histogram",
+    "interval_overlap_error_purchase",
+    "vocab_encode_documents",
+    "streaming_dedup_watermark",
+    "snapshot_diff_orders",
+    "hourly_anomalies",
+    "training_epoch_shuffle",
+    "pagerank_part_supplier",
+    "bloom_pruned_part_revenue",
+    "key_skew_profile_events",
+    "hashed_features_customer",
+    "scaled_quantity_features",
+    "doc_cosine_topk",
+    "quantile_interpolation",
+    "bpe_encode_stats",
+    "topk_agg_orders_per_customer",
+    "prorated_daily_revenue",
+    "group_sample_events",
+    "quantile_approx_contract",
+    "above_avg_customers",
+    "grouping_sets_order_stats",
+    "array_hof_order_stats",
+    "merge_user_state",
+    "revenue_share_by_nation",
+    "mad_robust_anomalies",
+    "orders_30d_range_frame",
+    "price_percentile_vector",
+    "pivot_status_multi_agg",
+    "null_semantics_battery",
+    "json_typed_parse",
+    "sliding_window_distinct_users",
+    "hash_split_assignment",
+    "order_lifecycle_snapshot",
+    "running_median_value",
+    "csv_sink_roundtrip",
 )
 
 

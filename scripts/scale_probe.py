@@ -56,6 +56,12 @@ PROBES = [
     "ann_topk_ivfpq",
     "exact_substring_spans",
     "multimodal_video_decode",
+    # round-10 additions: the fixed-size-|Q| re-declared rows re-probed
+    # (exponents were 1.97 for pq under the growing-|Q| rule), plus the
+    # √N-list IVF-PQ on the clustered corpus and the auto-r banded profile
+    "ann_topk_bruteforce",
+    "ann_topk_ivfpq_sqrt",
+    "dedup_embedding_lsh_band_auto",
 ]
 
 TABLE_OF = {
@@ -87,6 +93,9 @@ TABLE_OF = {
     "ann_topk_ivfpq": "embeddings",
     "exact_substring_spans": "documents",
     "multimodal_video_decode": "documents",
+    "ann_topk_bruteforce": "embeddings",
+    "ann_topk_ivfpq_sqrt": "embeddings",
+    "dedup_embedding_lsh_band_auto": "embeddings",
 }
 
 
