@@ -1059,14 +1059,16 @@ def ann_topk_ivfpq(
 
     Why it exists (round 9, SCALE.md): the flat ``ann_topk_pq`` scan
     measured n^1.97 over sf1→sf3 — per-QUERY work is linear in codes, but
-    the benchmark's query rule (``vec_id % 100``) scales |Q| with the
-    corpus, so the |Q|·N product is quadratic. Probing cuts the scanned
-    codes to the probed fraction (n_probe/n_lists at balanced lists);
-    the remaining scale levers are stated honestly: at a CONSTANT
-    ``max_lists`` the fraction is constant (a constant-factor win, the
-    declared operating point), and the production discipline is
-    n_lists ∝ √N (the operator takes any cap; training cost N·√N, ADC
-    |Q|·n_probe·N/√N — the FAISS IVF sizing rule).
+    the benchmark's query rule (``vec_id % 100`` alone, pre-r10) scaled
+    |Q| with the corpus, so the |Q|·N product was quadratic. Round 10
+    fixed the declared batches at |Q| = 20 (``_ANN_Q_CAP``), and probing
+    cuts the scanned codes to the probed fraction (n_probe/n_lists at
+    balanced lists); the remaining scale levers are stated honestly: at
+    a CONSTANT ``max_lists`` the fraction is constant (a constant-factor
+    win, this row's declared operating point), and the production
+    discipline is n_lists ∝ √N (training cost N·√N, ADC
+    |Q|·n_probe·N/√N — the FAISS IVF sizing rule, exercised by the
+    declared ``ann_topk_ivfpq_sqrt`` row via the ``n_lists`` hook).
 
     Codes are PQ over the RAW vectors (not residuals): residual encoding
     is the spec'd refinement but needs per-list codebooks with no extra

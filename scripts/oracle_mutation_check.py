@@ -96,6 +96,8 @@ REPRESENTATIVES = [
 # (pattern, replacement, label) — applied ONE AT A TIME, first match only.
 MUTATIONS = [
     (r"(?<![<>=!])<(?![=<])", "<=", "lt->le"),
+    (r"(?<![<>])<=", "<", "le->lt"),  # r10: the class the live-boundary
+    # seed caps are designed to kill (<= mod·(L−1)+1 drops seed L)
     (r">=", ">", "ge->gt"),
     (r"(?<!\w)(\d+)(?!\w)", lambda m: str(int(m.group(1)) + 1), "int+1"),
 ]
