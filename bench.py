@@ -151,6 +151,7 @@ HEADLINE = [
     "ann_topk_ivfpq_sqrt",
     "ann_ivfpq_probe_curve",
     "dedup_embedding_lsh_band_auto",
+    "ann_topk_sq8",
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -257,6 +258,7 @@ _R10 = [
     "ann_topk_ivfpq_sqrt",          # n_lists = √N IVF-PQ (clustered corpus)
     "ann_ivfpq_probe_curve",        # recall-vs-probe curve, shared index
     "dedup_embedding_lsh_band_auto",  # r = ⌊log₂ n⌋ banded profile
+    "ann_topk_sq8",                 # int8 scalar-quantized scan + re-rank
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6), (8, _R8), (9, _R9), (10, _R10)):
@@ -370,7 +372,8 @@ def main() -> None:
 
     recall: dict[str, float] = {}
     for rname in ("ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall",
-                  "ann_ivfpq_recall", "ann_ivfpq_sqrt_recall"):
+                  "ann_ivfpq_recall", "ann_ivfpq_sqrt_recall",
+                  "ann_sq8_recall"):
         if rname in all_queries:
             row = (
                 all_queries[rname](spark, sf_dir)

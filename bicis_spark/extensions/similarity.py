@@ -1182,6 +1182,157 @@ def ann_ivfpq_probe_curve(
     return out
 
 
+def sq8_scales(c: DataFrame, qv_col: str = "qv", dims: int = 64) -> DataFrame:
+    """Per-dimension symmetric int8 scales over a quantized corpus, as a
+    ONE-ROW frame [sl: array<double>] for a broadcast scalar attach:
+    sl[d] = 127 / max|qv_d| (0 for an identically-zero dimension). The
+    64-key max aggregate is map-side combined; the fact table never
+    shuffles. Same float recipe as ``int8_quantize_stats`` (127.0/mx is
+    one double division — IEEE-identical in any engine)."""
+    xd = F.col("x").cast("double")
+    return (
+        c.select(F.posexplode(F.slice(F.col(qv_col), 1, dims)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(xd)).alias("mx"))
+        .select(
+            "pos",
+            F.when(F.col("mx") > 0, F.lit(127.0) / F.col("mx"))
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("sl")
+        )
+    )
+
+
+def sq8_encode(qv: Column, sl: Column) -> Column:
+    """int8 code vector: clamp(⌊qv_d · s_d + 0.5⌋, −127, 127) per
+    dimension — ``floor(·+0.5)`` rather than round() because the engines'
+    round() tie conventions differ while this float tree is
+    IEEE-identical (the ``int8_quantize_stats`` recipe)."""
+    return F.zip_with(
+        qv,
+        sl,
+        lambda x, s: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x.cast("double") * s + F.lit(0.5)).cast("long"),
+            ),
+        ),
+    )
+
+
+def ann_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int | None = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = DEFAULT_DIMS,
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN — FAISS's ``ScalarQuantizer`` QT_8bit
+    serving path: per-dimension symmetric scales trained on the corpus,
+    every vector compressed to 64 int8 codes (4× the raw-embedding
+    bandwidth win; 16× vs the quantized int64 working form), candidates
+    scored with the int8 dot product, and the top-``rerank`` shortlist
+    re-ranked with exact full-precision cosine.
+
+    Where it sits in the family: PQ compresses harder (M bytes) but
+    needs trained codebooks; SQ8 is the train-light middle ground real
+    serving stacks deploy first. This row keeps the brute-force scan
+    SHAPE (corpus × broadcast(fixed query batch), no corpus shuffle) —
+    compose with the IVF router for sublinear candidate counts.
+
+    Determinism: scales are one double division per dimension; codes are
+    floor(x·s + 0.5) clamps; int8 dots are exact int64 sums — the whole
+    pipeline replays bit-for-bit in the DuckDB oracle."""
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = tracked_persist(
+        corpus.repartition(n_parts).select(
+            F.col(id_col).alias("nid"), quantize(F.col(vec_col), dims).alias("qv")
+        )
+    )
+    # one-row scales frame attached by broadcast cross join (scalar
+    # attach): encoding then runs map-side — no explode shuffle of codes
+    scales = sq8_scales(c, "qv", dims or 64)
+    c8 = c.crossJoin(F.broadcast(scales)).select(
+        "nid",
+        sq8_encode(F.col("qv"), F.col("sl")).alias("c8"),
+    ).withColumn("cn8", norm_col(F.col("c8"), dims))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
+    )
+    q8 = q.crossJoin(F.broadcast(scales)).select(
+        "query_id",
+        F.col("qv"),
+        sq8_encode(F.col("qv"), F.col("sl")).alias("q8"),
+    ).withColumn("qn8", norm_col(F.col("q8"), dims))
+    pairs = c8.crossJoin(
+        F.broadcast(q8.select("query_id", "q8", "qn8"))
+    ).where(F.col("nid") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("nid").alias("neighbor_id"),
+        cosine_from_norms(
+            F.col("q8"), F.col("c8"), F.col("qn8"), F.col("cn8"), dims
+        ).alias("approx_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "approx_cosine",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+    shortlist = (
+        scored.withColumn("_arn", F.row_number().over(w))
+        .where(F.col("_arn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv_full = c.select(
+        F.col("nid").alias("neighbor_id"),
+        F.col("qv").alias("_nv"),
+        norm_col(F.col("qv"), dims).alias("_nn"),
+    )
+    exact = (
+        shortlist.join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .join(qv_full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_norms(
+                F.col("qv"), F.col("_nv"), norm_col(F.col("qv"), dims), F.col("_nn"), dims
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def int8_quantize_stats(
     df: DataFrame, id_col: str, vec_col: str, dims: int = 64
 ) -> DataFrame:

@@ -3482,6 +3482,95 @@ def ann_ivfpq_probe_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scalar-quantized (int8) ANN — FAISS ScalarQuantizer QT_8bit (round 10)
+# ---------------------------------------------------------------------------
+
+_SQ8_RERANK = 40
+_SQ8_ORACLE = f"""
+    WITH {_QV_CTE.strip()},
+    sc AS (
+        SELECT d, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS s
+        FROM (
+            SELECT d, max(abs(CAST(qv[d+1] AS DOUBLE))) AS mx
+            FROM q, range(64) t(d) GROUP BY d
+        ) m
+    ),
+    sarr AS (SELECT list(s ORDER BY d) AS sl FROM sc),
+    c8 AS (
+        SELECT vec_id,
+               list_transform(range(64), i ->
+                   greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                       CAST(floor(CAST(qv[i+1] AS DOUBLE) * sl[i+1] + 0.5)
+                            AS BIGINT)))) AS c8
+        FROM q, sarr
+    ),
+    scored AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(64), i -> qs.c8[i+1] * c.c8[i+1]))::DOUBLE
+               / nullif(sqrt(list_sum(list_transform(range(64), i -> qs.c8[i+1]*qs.c8[i+1]))::DOUBLE)
+                      * sqrt(list_sum(list_transform(range(64), i -> c.c8[i+1]*c.c8[i+1]))::DOUBLE), 0)
+                   AS approx_cosine
+        FROM c8 qs JOIN c8 c ON c.vec_id != qs.vec_id
+        WHERE qs.vec_id % 100 = 0 AND qs.vec_id < {_ANN_Q_CAP}
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cosine DESC, neighbor_id) AS arn
+            FROM scored
+        ) t WHERE arn <= {_SQ8_RERANK}
+    ),
+    ex AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_COS.format(a='qa', b='qb')} AS cosine
+        FROM short s
+        JOIN q qa ON qa.vec_id = s.query_id
+        JOIN q qb ON qb.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ex
+    ) t WHERE rank <= 5
+    """
+
+
+@register("ann_topk_sq8", _SQ8_ORACLE)
+def ann_topk_sq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized int8 ANN (round 10): per-dimension symmetric
+    scales trained on the corpus (one 64-key map-combined aggregate),
+    int8 codes via the floor(x·s + 0.5) clamp, int8-dot candidate
+    scoring, exact top-40 re-rank — the FAISS ScalarQuantizer QT_8bit
+    serving path (4× raw-embedding bandwidth), train-light vs PQ. The
+    whole pipeline (scales, codes, approx scores, re-rank) is replayed
+    bit-for-bit by the oracle."""
+    from bicis_spark.extensions.similarity import ann_topk_sq8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    return ann_topk_sq8(emb, queries, k=5, rerank=_SQ8_RERANK)
+
+
+@register("ann_sq8_recall", _recall_oracle(_SQ8_ORACLE))
+def ann_sq8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the int8 scalar-quantized path against brute
+    force — the compression loss measured, not assumed."""
+    from bicis_spark.extensions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_sq8,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_sq8(emb, queries, k=5, rerank=_SQ8_RERANK)
+    return ann_recall(base, exact, approx, 5)
+
+
+# ---------------------------------------------------------------------------
 # C4-style duplicated-span removal (round 4)
 # ---------------------------------------------------------------------------
 

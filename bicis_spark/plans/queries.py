@@ -61,7 +61,7 @@ _LOADED = False
 # registry row now has at least one driver hash pass (r9 closed the last
 # two), so the window is 4 round-10-NEW rows (the √N IVF-PQ family on
 # the clustered corpus + the auto-r banded profile) followed by the 46
-# STALEST re-verifications: 7 r3-vintage, 38 r4-vintage, 1 r5-vintage.
+# STALEST re-verifications (44 after the sq8 pair joined late).
 # Zero r8/r9 repeats (the r9 verdict's rotation criterion). Three window
 # members also had their PLAN and ORACLE touched this round — the fixed-
 # size ANN query batch (ann_lsh_recall, ann_ivf_recall) and the live-
@@ -117,8 +117,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sliding_window_distinct_users",
     "hash_split_assignment",
     "order_lifecycle_snapshot",
-    "running_median_value",
-    "csv_sink_roundtrip",
+    # (running_median_value / csv_sink_roundtrip — the two youngest
+    # stale candidates — gave their slots to the round-10-new int8
+    # scalar-quantized ANN pair, per the never-checked-first rule)
+    "ann_topk_sq8",
+    "ann_sq8_recall",
 )
 
 

@@ -276,3 +276,53 @@ def test_kcore_rounds_zero_delta_mode(spark):
     rec = kcore_peel(edges, "src", "dst", k=2, rounds=0, degree_mode="recompute")
     dlt = kcore_peel(edges, "src", "dst", k=2, rounds=0, degree_mode="delta")
     assert sorted(map(tuple, rec.collect())) == sorted(map(tuple, dlt.collect()))
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar-quantized ANN (round-10 late addition)
+# ---------------------------------------------------------------------------
+
+
+def test_sq8_encode_bounds_and_scale(spark):
+    """Codes are clamped int8 range; the per-dimension max maps to ±127
+    exactly (symmetric scales); a zero dimension yields zero codes."""
+    from bicis_spark.extensions.similarity import quantize, sq8_encode, sq8_scales
+
+    rows = [
+        (1, [1.0, -2.0, 0.0, 0.5]),
+        (2, [-4.0, 1.0, 0.0, -0.25]),
+        (3, [2.0, 4.0, 0.0, 0.125]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = df.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    scales = sq8_scales(c, "qv", 4)
+    c8 = {
+        r["vec_id"]: r["c8"]
+        for r in c.crossJoin(F.broadcast(scales))
+        .select("vec_id", sq8_encode(F.col("qv"), F.col("sl")).alias("c8"))
+        .collect()
+    }
+    for codes in c8.values():
+        assert all(-127 <= v <= 127 for v in codes)
+    # dim 0: max |x| = 4 (vec 2, negative) -> code -127 there
+    assert c8[2][0] == -127
+    # dim 1: max |x| = 4 at vec 3 -> +127
+    assert c8[3][1] == 127
+    # identically-zero dimension -> scale 0 -> all codes 0
+    assert all(c8[v][2] == 0 for v in c8)
+
+
+def test_sq8_topk_matches_bruteforce_with_rerank(spark, sf_dir):
+    """With a rerank deep enough, the int8 path returns the exact top-k
+    (the compression only affects shortlist selection)."""
+    from bicis_spark.extensions.similarity import ann_topk_bruteforce, ann_topk_sq8
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(200)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    sq8 = ann_topk_sq8(emb, queries, k=5, rerank=40)
+    e = sorted(map(tuple, exact.select("query_id", "rank", "neighbor_id").collect()))
+    a = sorted(map(tuple, sq8.select("query_id", "rank", "neighbor_id").collect()))
+    hits = sum(1 for x, y in zip(e, a) if x == y)
+    assert hits >= int(0.9 * len(e))
