@@ -152,6 +152,9 @@ HEADLINE = [
     "ann_ivfpq_probe_curve",
     "dedup_embedding_lsh_band_auto",
     "ann_topk_sq8",
+    # round-11 additions
+    "ann_topk_ivfsq8",
+    "ann_mmr_diversified",
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -260,8 +263,12 @@ _R10 = [
     "dedup_embedding_lsh_band_auto",  # r = ⌊log₂ n⌋ banded profile
     "ann_topk_sq8",                 # int8 scalar-quantized scan + re-rank
 ]
+_R11 = [
+    "ann_topk_ivfsq8",              # IVF router + int8 scan (IVF40,SQ8)
+    "ann_mmr_diversified",          # greedy MMR re-rank over top-40
+]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
-                       (6, _R6), (8, _R8), (9, _R9), (10, _R10)):
+                       (6, _R6), (8, _R8), (9, _R9), (10, _R10), (11, _R11)):
     for _n in _names:
         ROUND_OF[_n] = _round
 _unmapped = [q for q in HEADLINE if q not in ROUND_OF]
@@ -292,18 +299,29 @@ def _quiet_gate(max_tries: int = 10, threshold: float | None = None) -> float:
     """Optional load gate (SPARK_GRAFT_QUIET_GATE=1): retry the
     calibration up to ``max_tries`` times with 30s sleeps until it drops
     under ``threshold`` (env SPARK_GRAFT_QUIET_THRESHOLD, default 2× the
-    best calibration seen in the gate loop itself — a self-relative bar
-    that needs no per-host constant). Returns the final calibration."""
+    min of the EARLIER samples — a self-relative bar that needs no
+    per-host constant). Returns the final calibration.
+
+    Round 11 (r10 ADVICE #1): the gated sample is compared against the
+    min of strictly-earlier samples — the old form compared the first
+    sample against 2× itself, which is always true, making the gate a
+    no-op without SPARK_GRAFT_QUIET_THRESHOLD. Now a baseline sample is
+    taken first; a contended current sample (> 2× the quietest seen
+    before it) sleeps and retries."""
     thr_env = os.environ.get("SPARK_GRAFT_QUIET_THRESHOLD")
+    best_earlier = _host_calibration()  # baseline: never gated
     cal = _host_calibration()
-    best = cal
     for _ in range(max_tries):
-        thr = float(thr_env) if thr_env else (best * 2.0 if threshold is None else threshold)
+        thr = (
+            float(thr_env)
+            if thr_env
+            else (best_earlier * 2.0 if threshold is None else threshold)
+        )
         if cal <= thr:
             return cal
         time.sleep(30)
+        best_earlier = min(best_earlier, cal)
         cal = _host_calibration()
-        best = min(best, cal)
     return cal
 
 
@@ -343,27 +361,44 @@ def main() -> None:
         "ann_topk_pq",
         "pagerank_part_supplier",
     }
+    # Driver-facing per-row value = min across TWO temporally-separated
+    # full passes (round 11, r10 verdict #2), each pass itself a
+    # per-query min-of-2 (run 1 pays codegen/persist; run 2 is the
+    # steady state). One pass's back-to-back runs share a load window,
+    # so a transient contention spike inflates both and survives the
+    # within-pass min — BENCH_r10's driver-recorded total sat 25% above
+    # the committed canonical min-of-3 on pure jitter (verified row by
+    # row in the r10 verdict). Pass 2 re-times every row minutes later;
+    # the cross-pass min is the same discipline the canonical committed
+    # artifact uses. SPARK_GRAFT_BENCH_PASSES overrides (1 restores the
+    # single-pass form for quick local iteration).
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    pass_totals: list[float] = []
     timings: dict[str, float] = {}
-    for name in names:
-        if name in VOLATILE_WARMUP:
-            all_queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = all_queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        # Release builder persists between queries: some builders cache
-        # multi-consumer subtrees (dedup shingles, IVF centroids) with no
-        # release path of their own, and 48 queries of accumulation in one
-        # session contaminates later timings (the round-3 overlap
-        # regression suspect). Within a query, run 2 still reuses run 1's
-        # caches — that steady-state reuse is the thing being measured.
-        release_tracked()
-        spark.catalog.clearCache()
+    for pass_no in range(n_passes):
+        pass_best: dict[str, float] = {}
+        for name in names:
+            if pass_no == 0 and name in VOLATILE_WARMUP:
+                all_queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = all_queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            pass_best[name] = best
+            timings[name] = round(min(timings.get(name, best), best), 4)
+            # Release builder persists between queries: some builders cache
+            # multi-consumer subtrees (dedup shingles, IVF centroids) with no
+            # release path of their own, and 48 queries of accumulation in one
+            # session contaminates later timings (the round-3 overlap
+            # regression suspect). Within a query, run 2 still reuses run 1's
+            # caches — that steady-state reuse is the thing being measured.
+            release_tracked()
+            spark.catalog.clearCache()
+        pass_totals.append(round(sum(pass_best.values()), 4))
 
     # Accuracy contracts for the approximate ANN scale paths: mean recall@5
     # vs exact brute force at this SF, recorded per round alongside the
@@ -373,7 +408,7 @@ def main() -> None:
     recall: dict[str, float] = {}
     for rname in ("ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall",
                   "ann_ivfpq_recall", "ann_ivfpq_sqrt_recall",
-                  "ann_sq8_recall"):
+                  "ann_sq8_recall", "ann_ivfsq8_recall"):
         if rname in all_queries:
             row = (
                 all_queries[rname](spark, sf_dir)
@@ -431,6 +466,8 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "n_timing_passes": n_passes,
+        "per_pass_totals_sec": pass_totals,
         "host_calibration_pre_sec": cal_pre,
         "host_calibration_post_sec": _host_calibration(),
         "host_loadavg_1m_at_end": load_now,

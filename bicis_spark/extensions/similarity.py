@@ -85,6 +85,49 @@ def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column, dims: int | 
     return int_dot(a, b, dims).cast("double") / _nonzero(na * nb)
 
 
+def _topk_per_query(
+    scored: DataFrame,
+    order_col: str,
+    k: int,
+    rank_col: str | None = "rank",
+) -> DataFrame:
+    """Per-query top-k over an UNBOUNDED candidate frame via the salted
+    two-phase hash aggregation (``operators.topk.topk_by_group_agg`` —
+    round 11, r10 verdict #4): the ``row_number`` window form puts ALL of
+    one query's candidates through a single task's sort (|Q| tasks each
+    sorting up to N rows on the |Q|·N scan paths — brute force, PQ, SQ8
+    — and up to the probed fraction of N on IVF/IVF-PQ/LSH), while the
+    salted plan's map-side partial aggregation bounds every exchanged
+    group at ``n_salts``·k structs per query regardless of candidate
+    count. Exact, not approximate: the sort key embeds the identical
+    (order DESC NULLS LAST, neighbor_id ASC) ordering the windows used,
+    so results are bit-for-bit unchanged and the row_number-based DuckDB
+    oracles still replay them.
+
+    ``rank_col=None`` returns only (query_id, neighbor_id) — the
+    shortlist form feeding an exact re-rank (whose own final window runs
+    over ≤ |Q|·rerank rows and stays a window)."""
+    from bicis_spark.operators.topk import topk_by_group_agg
+
+    out = topk_by_group_agg(
+        scored,
+        ["query_id"],
+        order_col,
+        "neighbor_id",
+        k,
+        ["neighbor_id"],
+        descending=True,
+    )
+    if rank_col is None:
+        return out.select("query_id", "neighbor_id")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        order_col,
+        F.col("rank_in_group").cast("long").alias(rank_col),
+    )
+
+
 def ann_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,14 +157,7 @@ def ann_topk_bruteforce(
             F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dims
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_per_query(scored, "cosine", k)
 
 
 # ---------------------------------------------------------------------------
@@ -396,12 +432,7 @@ def ann_topk_ivf(
             F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dims
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_per_query(scored, "cosine", k)
 
 
 def ann_topk_lsh(
@@ -533,14 +564,7 @@ def ann_topk_lsh(
             F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dims
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_per_query(scored, "cosine", k)
 
 
 # ---------------------------------------------------------------------------
@@ -757,25 +781,9 @@ def ann_topk_pq(
             / _nonzero(F.col("_qn") * F.sqrt(F.col("_rn2").cast("double")))
         ).alias("approx_cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_cosine").desc(), F.col("neighbor_id")
-    )
     if rerank is None:
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "approx_cosine",
-                F.col("rank").cast("long").alias("rank"),
-            )
-        )
-    shortlist = (
-        scored.withColumn("_arn", F.row_number().over(w))
-        .where(F.col("_arn") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
+        return _topk_per_query(scored, "approx_cosine", k)
+    shortlist = _topk_per_query(scored, "approx_cosine", rerank, rank_col=None)
     qv_full = c.select(
         F.col("nid").alias("neighbor_id"),
         F.col("qv").alias("_nv"),
@@ -792,6 +800,7 @@ def ann_topk_pq(
             ).alias("cosine"),
         )
     )
+    # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -857,6 +866,7 @@ def _ivfpq_build(
     dims: int | None,
     n_lists: int | None = None,
     persist_codes: bool = False,
+    train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared IVF-PQ index build: returns (c, cents, cb, codes) — the
     persisted quantized corpus, trained coarse centroids, trained PQ
@@ -866,7 +876,20 @@ def _ivfpq_build(
     mod-with-cap form to the first-``n_lists`` ids — the hook that lets a
     declared row size the list count as a deterministic function of the
     corpus count (n_lists = ⌊√N⌋, the FAISS IVF sizing rule), replayable
-    in SQL as ``vec_id < (SELECT floor(sqrt(count(*))) FROM q)``."""
+    in SQL as ``vec_id < (SELECT floor(sqrt(count(*))) FROM q)``.
+
+    ``train_sample`` (round 11, r10 verdict #3) bounds the COARSE-
+    QUANTIZER TRAINING set to the deterministic first-``train_sample``
+    ids (the seed-cap pattern): Lloyd refinement assigns only the sample
+    to the n_lists centroids, so the training term drops from
+    iters·N·n_lists to iters·sample·n_lists — at n_lists = ⌊√N⌋ and
+    sample ∝ √N that is O(N) instead of the N^1.5 build term SCALE.md
+    r10 named. The FULL corpus is still assigned exactly once (the
+    unavoidable one-pass N·n_lists encode). FAISS's own discipline
+    (ClusteringParameters.max_points_per_centroid defaults to 256× the
+    centroid count; the repo row uses 64×). SQL-replayable: the oracle
+    filters the training assignment's vector side by the same
+    predicate."""
     c = (
         corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col).alias("nid"), quantize(F.col(vec_col), dims).alias("qv"))
@@ -886,8 +909,11 @@ def _ivfpq_build(
                 F.col("nid") <= n_centroids_mod * (max_lists - 1) + 1
             )
     seeds = c.where(seed_filter).select(F.col("nid").alias("centroid_id"), "qv")
+    train_vecs = (
+        c if train_sample is None else c.where(F.col("nid") < F.lit(int(train_sample)))
+    )
     cents = tracked_persist(
-        kmeans_refine_exact(c, seeds, ivf_train_iters, "nid", "qv", dims)
+        kmeans_refine_exact(train_vecs, seeds, ivf_train_iters, "nid", "qv", dims)
     )
     assign = ivf_assign(c, cents, "nid", "qv", dims).select("nid", "centroid_id")
 
@@ -982,25 +1008,9 @@ def _ivfpq_search(
             / _nonzero(F.col("_qn") * F.sqrt(F.col("_rn2").cast("double")))
         ).alias("approx_cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_cosine").desc(), F.col("neighbor_id")
-    )
     if rerank is None:
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "approx_cosine",
-                F.col("rank").cast("long").alias("rank"),
-            )
-        )
-    shortlist = (
-        scored.withColumn("_arn", F.row_number().over(w))
-        .where(F.col("_arn") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
+        return _topk_per_query(scored, "approx_cosine", k)
+    shortlist = _topk_per_query(scored, "approx_cosine", rerank, rank_col=None)
     qv_full = c.select(
         F.col("nid").alias("neighbor_id"),
         F.col("qv").alias("_nv"),
@@ -1017,6 +1027,7 @@ def _ivfpq_search(
             ).alias("cosine"),
         )
     )
+    # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -1050,6 +1061,7 @@ def ann_topk_ivfpq(
     vec_col: str = "embedding",
     dims: int | None = DEFAULT_DIMS,
     n_lists: int | None = None,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the composition ``ann_topk_pq``'s docstring promises
     (Jégou et al. 2011 §V: coarse quantizer + product codes): a trained
@@ -1095,6 +1107,7 @@ def ann_topk_ivfpq(
         vec_col,
         dims,
         n_lists=n_lists,
+        train_sample=train_sample,
     )
     return _ivfpq_search(
         c,
@@ -1119,6 +1132,7 @@ def ann_ivfpq_probe_curve(
     probe_settings: list[int],
     k: int = 5,
     n_lists: int | None = None,
+    train_sample: int | None = None,
     n_centroids_mod: int = 50,
     max_lists: int | None = 40,
     ivf_train_iters: int = 1,
@@ -1157,6 +1171,7 @@ def ann_ivfpq_probe_curve(
         dims,
         n_lists=n_lists,
         persist_codes=True,
+        train_sample=train_sample,
     )
     base = queries.select(F.col(id_col).alias("query_id"))
     exact = ann_topk_bruteforce(corpus, queries, k, id_col, vec_col, dims)
@@ -1283,25 +1298,9 @@ def ann_topk_sq8(
             F.col("q8"), F.col("c8"), F.col("qn8"), F.col("cn8"), dims
         ).alias("approx_cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_cosine").desc(), F.col("neighbor_id")
-    )
     if rerank is None:
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(
-                "query_id",
-                "neighbor_id",
-                "approx_cosine",
-                F.col("rank").cast("long").alias("rank"),
-            )
-        )
-    shortlist = (
-        scored.withColumn("_arn", F.row_number().over(w))
-        .where(F.col("_arn") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
+        return _topk_per_query(scored, "approx_cosine", k)
+    shortlist = _topk_per_query(scored, "approx_cosine", rerank, rank_col=None)
     qv_full = c.select(
         F.col("nid").alias("neighbor_id"),
         F.col("qv").alias("_nv"),
@@ -1318,6 +1317,7 @@ def ann_topk_sq8(
             ).alias("cosine"),
         )
     )
+    # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -1330,6 +1330,291 @@ def ann_topk_sq8(
             "cosine",
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def ann_topk_ivfsq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids_mod: int = 50,
+    n_probe: int = 10,
+    max_lists: int | None = 40,
+    ivf_train_iters: int = 1,
+    rerank: int | None = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = DEFAULT_DIMS,
+) -> DataFrame:
+    """IVF-SQ8 ANN — the composition ``ann_topk_sq8``'s docstring
+    promises (FAISS's ``IVF<n>,SQ8`` index family, round 11): the trained
+    IVF coarse router (``ann_topk_ivf``'s trainer, shared constants)
+    sends each query to its ``n_probe`` nearest lists, candidates WITHIN
+    the probed lists are scored with the int8 scalar-quantized dot
+    product (4× the raw-embedding scan bandwidth), and the
+    top-``rerank`` shortlist is re-ranked with exact full-precision
+    cosine.
+
+    Where it sits in the family: IVF-PQ compresses harder (M bytes per
+    vector, trained codebooks) but pays ADC table lookups; IVF-SQ8 keeps
+    plain dot products over int8 codes — the train-light probed
+    configuration serving stacks reach for before PQ. Per-query scanned
+    vectors ≈ probed fraction of N; scan bytes ≈ N/4 of the raw scan.
+
+    Shuffle shape: centroids, per-dim scales (one row), probe routes and
+    query codes all broadcast; the candidate scan is map-side over the
+    probed lists' partitions; shortlist selection is the salted two-phase
+    top-k (no full-candidate sort in one task); the exact re-rank touches
+    ≤ |Q|·rerank rows. Determinism: same exact-int64/IEEE-double recipe
+    as ``ann_topk_sq8`` + ``ann_topk_ivf`` — the whole pipeline replays
+    bit-for-bit in the DuckDB oracle."""
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = tracked_persist(
+        corpus.repartition(n_parts).select(
+            F.col(id_col).alias("nid"), quantize(F.col(vec_col), dims).alias("qv")
+        )
+    )
+    # --- coarse router: ann_topk_ivf's trainer (mod seeds, capped) ---
+    seed_filter = F.col("nid") % n_centroids_mod == 1
+    if max_lists is not None:
+        seed_filter = seed_filter & (
+            F.col("nid") <= n_centroids_mod * (max_lists - 1) + 1
+        )
+    seeds = c.where(seed_filter).select(F.col("nid").alias("centroid_id"), "qv")
+    cents = tracked_persist(
+        kmeans_refine_exact(c, seeds, ivf_train_iters, "nid", "qv", dims)
+    )
+    assign = ivf_assign(c, cents, "nid", "qv", dims).select("nid", "centroid_id")
+
+    # --- SQ8 codes over the full corpus (scales: one-row broadcast) ---
+    scales = sq8_scales(c, "qv", dims or 64)
+    c8 = (
+        c.join(assign, "nid")
+        .crossJoin(F.broadcast(scales))
+        .select(
+            "nid",
+            "centroid_id",
+            sq8_encode(F.col("qv"), F.col("sl")).alias("c8"),
+        )
+        .withColumn("cn8", norm_col(F.col("c8"), dims))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
+    )
+    q8 = q.crossJoin(F.broadcast(scales)).select(
+        "query_id",
+        sq8_encode(F.col("qv"), F.col("sl")).alias("q8"),
+    ).withColumn("qn8", norm_col(F.col("q8"), dims))
+
+    # --- probe routing (bounded |Q| × n_lists window) ---
+    qn_full = q.withColumn("qn", norm_col(F.col("qv"), dims))
+    q_pairs = qn_full.crossJoin(
+        F.broadcast(
+            cents.select("centroid_id", F.col("qv").alias("_cv")).withColumn(
+                "_cn", norm_col(F.col("_cv"), dims)
+            )
+        )
+    ).withColumn(
+        "_sim",
+        cosine_from_norms(F.col("qv"), F.col("_cv"), F.col("qn"), F.col("_cn"), dims),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_pairs.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+
+    # --- int8 scan over probed lists only ---
+    cand = (
+        c8.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(q8), "query_id")
+        .where(F.col("nid") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("nid").alias("neighbor_id"),
+        cosine_from_norms(
+            F.col("q8"), F.col("c8"), F.col("qn8"), F.col("cn8"), dims
+        ).alias("approx_cosine"),
+    )
+    if rerank is None:
+        return _topk_per_query(scored, "approx_cosine", k)
+    shortlist = _topk_per_query(scored, "approx_cosine", rerank, rank_col=None)
+    qv_full = c.select(
+        F.col("nid").alias("neighbor_id"),
+        F.col("qv").alias("_nv"),
+        norm_col(F.col("qv"), dims).alias("_nn"),
+    )
+    exact = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(qv_full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_norms(
+                F.col("qv"), F.col("_nv"), norm_col(F.col("qv"), dims), F.col("_nn"), dims
+            ).alias("cosine"),
+        )
+    )
+    # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def mmr_diversified_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = DEFAULT_DIMS,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    1998; the "diversity" re-rank every retrieval/RAG serving stack hangs
+    behind its ANN shortlist): greedily select ``k`` results per query
+    from the exact top-``shortlist`` candidates, each step maximizing
+
+        mmr(d) = 0.5·cos(q, d) − 0.5·max_{s ∈ selected} cos(d, s)
+
+    (λ = 0.5, the canonical balance; ties → lower neighbor_id; step 1 is
+    pure relevance). Output: [query_id, neighbor_id, relevance,
+    mmr_score, rank] — rank 1..k in selection order. Convention:
+    step 1's mmr_score is its raw relevance (there is no selected set
+    yet); the 0.5/0.5 blend applies from step 2 on.
+
+    Scale: the N-dependence lives entirely in the shortlist stage (the
+    salted-top-k brute-force scan here; swap in any ANN path — the MMR
+    stage only sees |Q|·shortlist rows). The greedy loop is ``k`` fixed
+    unrolled DataFrame steps, each a bounded candidates×selected join
+    (≤ shortlist·k rows per query) and a max_by hash-agg argmax — no
+    windows over unbounded frames, no iteration-count data dependence.
+
+    Determinism: candidate-candidate cosines use the same exact-int64
+    dot + IEEE double recipe as everything in this module; 0.5·a − 0.5·b
+    is one multiply each and one subtract, identically associated in the
+    DuckDB oracle (which unrolls the same ``k`` steps as CTEs)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = tracked_persist(
+        corpus.repartition(n_parts).select(
+            F.col(id_col).alias("nid"), quantize(F.col(vec_col), dims).alias("qv")
+        ).withColumn("n", norm_col(F.col("qv"), dims))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col), dims).alias("q_qv"),
+    ).withColumn("q_n", norm_col(F.col("q_qv"), dims))
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("nid").alias("neighbor_id"),
+        cosine_from_norms(
+            F.col("q_qv"), F.col("qv"), F.col("q_n"), F.col("n"), dims
+        ).alias("relevance"),
+    )
+    # exact top-`shortlist` relevance candidates per query (salted top-k
+    # keeps the order column, so the |Q|·N scored frame is scanned once),
+    # re-joined with their vectors for the pairwise diversity penalty —
+    # |Q|·shortlist rows from here on, independent of N
+    cand = tracked_persist(
+        _topk_per_query(scored, "relevance", shortlist, rank_col="_slr")
+        .join(
+            c.select(
+                F.col("nid").alias("neighbor_id"),
+                F.col("qv").alias("c_qv"),
+                F.col("n").alias("c_n"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", "relevance", "c_qv", "c_n")
+    )
+    # step 1: pure relevance argmax (max_by hash-agg, no window)
+    sel = cand.groupBy("query_id").agg(
+        F.max_by(
+            F.struct("neighbor_id", "relevance", "c_qv", "c_n"),
+            F.struct(F.col("relevance").alias("_r"), (-F.col("neighbor_id")).alias("_t")),
+        ).alias("_b")
+    ).select(
+        "query_id",
+        F.col("_b.neighbor_id").alias("neighbor_id"),
+        F.col("_b.relevance").alias("relevance"),
+        F.col("_b.relevance").alias("mmr_score"),
+        F.lit(1).cast("long").alias("rank"),
+        F.col("_b.c_qv").alias("s_qv"),
+        F.col("_b.c_n").alias("s_n"),
+    )
+    selected = sel
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pen = remaining.join(
+            selected.select(
+                "query_id", F.col("s_qv"), F.col("s_n")
+            ),
+            "query_id",
+        ).select(
+            "query_id",
+            "neighbor_id",
+            "relevance",
+            "c_qv",
+            "c_n",
+            cosine_from_norms(
+                F.col("c_qv"), F.col("s_qv"), F.col("c_n"), F.col("s_n"), dims
+            ).alias("_sim"),
+        )
+        mmr = pen.groupBy("query_id", "neighbor_id", "relevance").agg(
+            F.max("_sim").alias("_maxsim"),
+            F.first("c_qv").alias("c_qv"),
+            F.first("c_n").alias("c_n"),
+        ).select(
+            "query_id",
+            "neighbor_id",
+            "relevance",
+            "c_qv",
+            "c_n",
+            (F.lit(0.5) * F.col("relevance") - F.lit(0.5) * F.col("_maxsim")).alias(
+                "mmr_score"
+            ),
+        )
+        pick = mmr.groupBy("query_id").agg(
+            F.max_by(
+                F.struct("neighbor_id", "relevance", "mmr_score", "c_qv", "c_n"),
+                F.struct(
+                    F.col("mmr_score").alias("_m"),
+                    (-F.col("neighbor_id")).alias("_t"),
+                ),
+            ).alias("_b")
+        ).select(
+            "query_id",
+            F.col("_b.neighbor_id").alias("neighbor_id"),
+            F.col("_b.relevance").alias("relevance"),
+            F.col("_b.mmr_score").alias("mmr_score"),
+            F.lit(step).cast("long").alias("rank"),
+            F.col("_b.c_qv").alias("s_qv"),
+            F.col("_b.c_n").alias("s_n"),
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "query_id", "neighbor_id", "relevance", "mmr_score", "rank"
     )
 
 

@@ -110,6 +110,7 @@ def _kmeans_assign_prefix(
     max_clusters: int | None = None,
     q_cte: str | None = None,
     seed_where: str | None = None,
+    train_where: str | None = None,
 ) -> str:
     """Shared WITH-prefix replaying the deterministic k-means trainer
     (seeds ``vec_id % mod == 1`` capped at ``max_clusters``, max-cosine
@@ -120,7 +121,12 @@ def _kmeans_assign_prefix(
     ``q_cte`` swaps the vector source (default: the quantized embeddings
     table; the √N IVF-PQ row passes the clustered synthetic corpus);
     ``seed_where`` replaces the mod-rule seed predicate entirely (the √N
-    row passes ``vec_id < (SELECT floor(sqrt(count(*))) FROM q)``)."""
+    row passes ``vec_id < (SELECT floor(sqrt(count(*))) FROM q)``);
+    ``train_where`` (round 11, r10 verdict #3) filters the TRAINING
+    assignments' vector side — Lloyd refinement runs on the bounded
+    sample, while the final ``assign`` CTE still covers the full corpus
+    (``similarity._ivfpq_build``'s ``train_sample``)."""
+    train_pred = "" if train_where is None else f"\n            WHERE v.{train_where}"
     steps = []
     for t in range(train_iters):
         steps.append(
@@ -131,7 +137,7 @@ def _kmeans_assign_prefix(
                    row_number() OVER (PARTITION BY v.vec_id
                                       ORDER BY {_COS.format(a='v', b='c')} DESC,
                                                c.centroid_id) AS rn
-            FROM q v CROSS JOIN cents{t} c
+            FROM q v CROSS JOIN cents{t} c{train_pred}
         ) t WHERE rn = 1
     ),
     mean{t} AS (
@@ -3099,6 +3105,7 @@ def _ivfpq_oracle(
     q_cte: str | None = None,
     coarse_seed_where: str | None = None,
     n_probe_sql: str | None = None,
+    coarse_train_where: str | None = None,
 ) -> str:
     """Oracle for ``ann_topk_ivfpq``: the shared deterministic-k-means
     prefix trains the coarse router (ending in ``assign``), a probes CTE
@@ -3141,7 +3148,7 @@ def _ivfpq_oracle(
         "" if max_codes is None else f" AND vec_id <= {seed_mod * (max_codes - 1) + 1}"
     )
     probe_limit = f"({n_probe_sql})" if n_probe_sql is not None else str(n_probe)
-    return f"""{_kmeans_assign_prefix(mod, ivf_iters, max_lists, q_cte=q_cte, seed_where=coarse_seed_where)},
+    return f"""{_kmeans_assign_prefix(mod, ivf_iters, max_lists, q_cte=q_cte, seed_where=coarse_seed_where, train_where=coarse_train_where)},
     probes AS (
         SELECT query_id, centroid_id FROM (
             SELECT v.vec_id AS query_id, c.centroid_id,
@@ -3361,6 +3368,19 @@ def _sqrt_np_sql(div: int) -> str:
 #: Probe fraction 1/8 of √N lists — scan fraction ≈ 12.5% (< 0.2, the
 #: r9 verdict's bar), vs the flat row's constant 50% (20 of 40 lists).
 _SQRT_PROBE_DIV = 8
+
+#: Coarse-quantizer TRAINING sample bound (round 11, r10 verdict #3):
+#: Lloyd refinement runs on the deterministic first 64·⌊√N⌋ ids instead
+#: of the full corpus, cutting the training term from iters·N·√N (the
+#: N^1.5 build cost SCALE.md r10 named) to iters·64·N — linear; the full
+#: corpus is still assigned exactly once. 64 training points per
+#: centroid sits inside FAISS's own discipline (max_points_per_centroid
+#: defaults to 256; warnings start below ~39). At sf0.01/sf0.1 the bound
+#: (64·22 = 1408 / 64·44 = 2816) exceeds N (500 / 2000), so results are
+#: bit-identical there — the regression guarantee.
+_SQRT_TRAIN_PER_LIST = 64
+_SQRT_TRAIN_WHERE = f"vec_id < {_SQRT_TRAIN_PER_LIST} * {_SQRT_NL_SQL}"
+
 _IVFPQ_SQRT_ORACLE = _ivfpq_oracle(
     ivf_iters=1,
     n_subspaces=_PQ_SUBS, sub_dims=_PQ_DIMS, seed_mod=_PQ_MOD,
@@ -3368,6 +3388,7 @@ _IVFPQ_SQRT_ORACLE = _ivfpq_oracle(
     q_cte=_CLUST_Q_CTE,
     coarse_seed_where=f"vec_id < {_SQRT_NL_SQL}",
     n_probe_sql=_sqrt_np_sql(_SQRT_PROBE_DIV),
+    coarse_train_where=_SQRT_TRAIN_WHERE,
 )
 
 
@@ -3378,14 +3399,19 @@ def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth_clustered_embeddings(ids, "vec_id", n_clusters=32, dims=64)
 
 
-def _sqrt_sizing(emb: DataFrame) -> tuple[int, int]:
-    """(n_lists, n_probe) = (max(1, ⌊√N⌋), max(1, n_lists // 8)) — the
-    one bounded count() action that sizes the index (O(1) result; the
-    oracle computes the identical scalars in SQL)."""
+def _sqrt_sizing(emb: DataFrame) -> tuple[int, int, int]:
+    """(n_lists, n_probe, train_sample) = (max(1, ⌊√N⌋), max(1,
+    n_lists // 8), 64·n_lists) — the one bounded count() action that
+    sizes the index (O(1) result; the oracle computes the identical
+    scalars in SQL)."""
     import math
 
     n_lists = max(1, math.isqrt(emb.count()))
-    return n_lists, max(1, n_lists // _SQRT_PROBE_DIV)
+    return (
+        n_lists,
+        max(1, n_lists // _SQRT_PROBE_DIV),
+        _SQRT_TRAIN_PER_LIST * n_lists,
+    )
 
 
 @register("ann_topk_ivfpq_sqrt", _IVFPQ_SQRT_ORACLE)
@@ -3402,12 +3428,13 @@ def ann_topk_ivfpq_sqrt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _clustered_corpus(spark, sf_dir)
     queries = _ann_queries(emb)
-    n_lists, n_probe = _sqrt_sizing(emb)
+    n_lists, n_probe, train_sample = _sqrt_sizing(emb)
     return ann_topk_ivfpq(
         emb,
         queries,
         k=5,
         n_lists=n_lists,
+        train_sample=train_sample,
         n_probe=n_probe,
         ivf_train_iters=1,
         n_subspaces=_PQ_SUBS,
@@ -3436,7 +3463,7 @@ def ann_ivfpq_sqrt_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _clustered_corpus(spark, sf_dir)
     queries = _ann_queries(emb)
-    n_lists, n_probe = _sqrt_sizing(emb)
+    n_lists, n_probe, train_sample = _sqrt_sizing(emb)
     base = queries.select(F.col("vec_id").alias("query_id"))
     exact = ann_topk_bruteforce(emb, queries, k=5)
     approx = ann_topk_ivfpq(
@@ -3444,6 +3471,7 @@ def ann_ivfpq_sqrt_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         k=5,
         n_lists=n_lists,
+        train_sample=train_sample,
         n_probe=n_probe,
         ivf_train_iters=1,
         n_subspaces=_PQ_SUBS,
@@ -3469,6 +3497,7 @@ def _ivfpq_probe_curve_oracle(divs: tuple[int, ...]) -> str:
             q_cte=_CLUST_Q_CTE,
             coarse_seed_where=f"vec_id < {_SQRT_NL_SQL}",
             n_probe_sql=_sqrt_np_sql(div),
+            coarse_train_where=_SQRT_TRAIN_WHERE,
         )
         rec = _recall_oracle(ax, bf_sql=_bf_oracle_sql(_CLUST_Q_CTE))
         np_scalar = _sqrt_np_sql(div).replace("FROM q", "FROM (SELECT vec_id FROM embeddings) q")
@@ -3497,7 +3526,7 @@ def ann_ivfpq_probe_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _clustered_corpus(spark, sf_dir)
     queries = _ann_queries(emb)
-    n_lists, _ = _sqrt_sizing(emb)
+    n_lists, _, train_sample = _sqrt_sizing(emb)
     settings = [max(1, n_lists // d) for d in _CURVE_DIVS]
     return ann_ivfpq_probe_curve(
         emb,
@@ -3505,6 +3534,7 @@ def ann_ivfpq_probe_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         settings,
         k=5,
         n_lists=n_lists,
+        train_sample=train_sample,
         ivf_train_iters=1,
         n_subspaces=_PQ_SUBS,
         sub_dims=_PQ_DIMS,
@@ -3602,6 +3632,216 @@ def ann_sq8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ann_topk_bruteforce(emb, queries, k=5)
     approx = ann_topk_sq8(emb, queries, k=5, rerank=_SQ8_RERANK)
     return ann_recall(base, exact, approx, 5)
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8: coarse router + int8 scan (round 11 — the composition the SQ8
+# row's docstring promises; FAISS's "IVF<n>,SQ8" index family)
+# ---------------------------------------------------------------------------
+
+#: int8-code cosine between two c8-bearing relations (the SQ8 oracle's
+#: scoring expression, factored for reuse by the IVF-SQ8 oracle).
+_C8_COS = (
+    "list_sum(list_transform(range(64), i -> {a}.c8[i+1] * {b}.c8[i+1]))::DOUBLE"
+    " / nullif(sqrt(list_sum(list_transform(range(64), i -> {a}.c8[i+1]*{a}.c8[i+1]))::DOUBLE)"
+    " * sqrt(list_sum(list_transform(range(64), i -> {b}.c8[i+1]*{b}.c8[i+1]))::DOUBLE), 0)"
+)
+
+#: SQ8 per-dim scale training + corpus encode as reusable CTE text
+#: (identical to the inline CTEs in _SQ8_ORACLE).
+_SQ8_CTES = """
+    sc AS (
+        SELECT d, CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS s
+        FROM (
+            SELECT d, max(abs(CAST(qv[d+1] AS DOUBLE))) AS mx
+            FROM q, range(64) t(d) GROUP BY d
+        ) m
+    ),
+    sarr AS (SELECT list(s ORDER BY d) AS sl FROM sc),
+    c8 AS (
+        SELECT vec_id,
+               list_transform(range(64), i ->
+                   greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                       CAST(floor(CAST(qv[i+1] AS DOUBLE) * sl[i+1] + 0.5)
+                            AS BIGINT)))) AS c8
+        FROM q, sarr
+    )"""
+
+_IVFSQ8_PROBE = 10
+_IVFSQ8_RERANK = 40
+_IVFSQ8_ORACLE = f"""{_kmeans_assign_prefix(50, 1, _IVF_MAX_LISTS)},
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT v.vec_id AS query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS.format(a='v', b='c')} DESC,
+                                               c.centroid_id) AS rn
+            FROM q v CROSS JOIN cents1 c
+            WHERE v.vec_id % 100 = 0 AND v.vec_id < {_ANN_Q_CAP}
+        ) t WHERE rn <= {_IVFSQ8_PROBE}
+    ),{_SQ8_CTES},
+    scored AS (
+        SELECT p.query_id, co.vec_id AS neighbor_id,
+               {_C8_COS.format(a='qs', b='co')} AS approx_cosine
+        FROM c8 co
+        JOIN assign a ON a.vec_id = co.vec_id
+        JOIN probes p ON p.centroid_id = a.centroid_id
+        JOIN c8 qs ON qs.vec_id = p.query_id
+        WHERE co.vec_id != p.query_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cosine DESC, neighbor_id) AS arn
+            FROM scored
+        ) t WHERE arn <= {_IVFSQ8_RERANK}
+    ),
+    ex AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_COS.format(a='qa', b='qb')} AS cosine
+        FROM short s
+        JOIN q qa ON qa.vec_id = s.query_id
+        JOIN q qb ON qb.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ex
+    ) t WHERE rank <= 5
+    """
+
+
+@register("ann_topk_ivfsq8", _IVFSQ8_ORACLE)
+def ann_topk_ivfsq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 ANN (round 11): the trained IVF coarse router
+    (``ann_topk_ivf``'s trainer — mod-50 seeds, 40-list cap, 1 Lloyd
+    iteration) routes each query to its 10 nearest lists; candidates
+    within probed lists are scored with the int8 scalar-quantized dot
+    (``ann_topk_sq8``'s codes — 4× raw scan bandwidth), exact top-40
+    re-rank. FAISS's train-light probed configuration (``IVF40,SQ8``)
+    between the flat SQ8 scan and IVF-PQ's ADC. The oracle replays
+    coarse training, assignment, probe routing, scale training, int8
+    encode/scoring, and both rank stages bit-for-bit."""
+    from bicis_spark.extensions.similarity import ann_topk_ivfsq8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    return ann_topk_ivfsq8(
+        emb, queries, k=5, n_centroids_mod=50, n_probe=_IVFSQ8_PROBE,
+        max_lists=_IVF_MAX_LISTS, ivf_train_iters=1, rerank=_IVFSQ8_RERANK,
+    )
+
+
+@register("ann_ivfsq8_recall", _recall_oracle(_IVFSQ8_ORACLE))
+def ann_ivfsq8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the IVF-SQ8 path against brute force — the
+    probed int8 configuration's accuracy contract."""
+    from bicis_spark.extensions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfsq8,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_ivfsq8(
+        emb, queries, k=5, n_centroids_mod=50, n_probe=_IVFSQ8_PROBE,
+        max_lists=_IVF_MAX_LISTS, ivf_train_iters=1, rerank=_IVFSQ8_RERANK,
+    )
+    return ann_recall(base, exact, approx, 5)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (round 11): the RAG/retrieval diversity re-rank
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle(k: int = 5, shortlist: int = 40) -> str:
+    """Oracle for ``mmr_diversified_topk``: the exact top-``shortlist``
+    relevance candidates, then the greedy λ = 0.5 MMR selection unrolled
+    as ``k`` CTE steps — step i's penalty is max cosine against the
+    union of steps 1..i−1 (NOT EXISTS keeps already-selected candidates
+    out), argmax by (mmr_score DESC, neighbor_id). Replays the Spark
+    loop's 0.5·rel − 0.5·max_sim double arithmetic exactly."""
+    steps = []
+    for i in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT * FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+    selu{i - 1} AS ({prev_union}),
+    mmr{i} AS (
+        SELECT cd.query_id, cd.neighbor_id, cd.relevance,
+               0.5 * cd.relevance - 0.5 * max({_COS.format(a='ca', b='sa')})
+                   AS mmr_score
+        FROM cand cd
+        JOIN q ca ON ca.vec_id = cd.neighbor_id
+        JOIN selu{i - 1} s ON s.query_id = cd.query_id
+        JOIN q sa ON sa.vec_id = s.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM selu{i - 1} z
+                          WHERE z.query_id = cd.query_id
+                            AND z.neighbor_id = cd.neighbor_id)
+        GROUP BY cd.query_id, cd.neighbor_id, cd.relevance
+    ),
+    sel{i} AS (
+        SELECT query_id, neighbor_id, relevance, mmr_score,
+               CAST({i} AS BIGINT) AS rank
+        FROM (
+            SELECT query_id, neighbor_id, relevance, mmr_score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY mmr_score DESC, neighbor_id) AS rn
+            FROM mmr{i}
+        ) t WHERE rn = 1
+    )""")
+    final_union = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, k + 1))
+    return f"""
+    WITH {_QV_CTE.strip()},
+    rel AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS.format(a='qs', b='c')} AS relevance
+        FROM q qs JOIN q c ON c.vec_id != qs.vec_id
+        WHERE qs.vec_id % 100 = 0 AND qs.vec_id < {_ANN_Q_CAP}
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, relevance FROM (
+            SELECT query_id, neighbor_id, relevance,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY relevance DESC, neighbor_id) AS rn
+            FROM rel
+        ) t WHERE rn <= {shortlist}
+    ),
+    sel1 AS (
+        SELECT query_id, neighbor_id, relevance, relevance AS mmr_score,
+               CAST(1 AS BIGINT) AS rank
+        FROM (
+            SELECT query_id, neighbor_id, relevance,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY relevance DESC, neighbor_id) AS rn
+            FROM cand
+        ) t WHERE rn = 1
+    ),{",".join(steps)}
+    SELECT query_id, neighbor_id, relevance, mmr_score, rank
+    FROM ({final_union}) u
+    """
+
+
+@register("ann_mmr_diversified", _mmr_oracle(k=5, shortlist=40))
+def ann_mmr_diversified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-5 over the exact
+    top-40 shortlist (round 11): the diversity re-rank retrieval/RAG
+    stacks hang behind an ANN shortlist, as k fixed unrolled DataFrame
+    steps — bounded candidates×selected joins and max_by argmaxes, no
+    unbounded windows; all N-dependence stays in the (salted-top-k)
+    shortlist stage. λ = 0.5, ties → lower neighbor_id; the oracle
+    unrolls the identical greedy steps as CTEs."""
+    from bicis_spark.extensions.similarity import mmr_diversified_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    return mmr_diversified_topk(emb, queries, k=5, shortlist=40)
 
 
 # ---------------------------------------------------------------------------

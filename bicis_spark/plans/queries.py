@@ -55,73 +55,72 @@ _LOADED = False
 # CORRECTNESS_r01-r04 keys == queries() positions 1-50 in insertion order).
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
 #
-# ROUND-10 ROTATION (mechanical: scripts/next_window.py staleness rule —
-# last-hash-green round per query across CORRECTNESS_r01–r09, oldest
-# first, registration order on ties; never-checked rows lead). Every
-# registry row now has at least one driver hash pass (r9 closed the last
-# two), so the window is 4 round-10-NEW rows (the √N IVF-PQ family on
-# the clustered corpus + the auto-r banded profile) followed by the 46
-# STALEST re-verifications (44 after the sq8 pair joined late).
-# Zero r8/r9 repeats (the r9 verdict's rotation criterion). Three window
-# members also had their PLAN and ORACLE touched this round — the fixed-
-# size ANN query batch (ann_lsh_recall, ann_ivf_recall) and the live-
-# boundary seed caps (pagerank is untouched; the ANN family re-checks
-# ride the same slots) — so their stale slots double as re-verification
-# of those changes.
+# ROUND-11 ROTATION (mechanical: scripts/next_window.py — endgame
+# re-verification mode). Every registry row has at least one driver hash
+# pass since r10, so the window rotates onto the 50 STALEST rows by
+# last-driver-check round (oldest first, registration order on ties):
+# 3 round-11-NEW rows lead (never-checked-first rule: the IVF-SQ8
+# composition, its recall contract, and the MMR diversified re-rank),
+# then the stalest re-verifications: 1 r4 row (running_median_value) +
+# 46 r5 rows — the sink/runner/ML plumbing, the r5 curation battery,
+# ann_topk_pq + its recall contract, and the TPC-H battery
+# (q2/q4/q6-q8/q12/q14-q19/q21-q22; q9/q11/q13 gave their slots to the
+# new rows and head next round's queue with q20). Zero r9/r10 repeats
+# (the r10 verdict's rotation criterion #6). ann_topk_pq /
+# ann_pq_recall also had their PLAN touched this round (salted top-k
+# selection), so their stale slots double as re-verification of that
+# change.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "dedup_embedding_lsh_band_auto",
-    "ann_topk_ivfpq_sqrt",
-    "ann_ivfpq_sqrt_recall",
-    "ann_ivfpq_probe_curve",
-    "minhash_accuracy_contract",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    "top_shingles",
-    "neardup_survivors",
-    "cms_heavy_hitters",
-    "hll_distinct_contract",
-    "customer_event_reconciliation",
-    "quantity_deciles",
-    "totalprice_histogram",
-    "interval_overlap_error_purchase",
-    "vocab_encode_documents",
-    "streaming_dedup_watermark",
-    "snapshot_diff_orders",
-    "hourly_anomalies",
-    "training_epoch_shuffle",
-    "pagerank_part_supplier",
-    "bloom_pruned_part_revenue",
-    "key_skew_profile_events",
-    "hashed_features_customer",
-    "scaled_quantity_features",
-    "doc_cosine_topk",
-    "quantile_interpolation",
-    "bpe_encode_stats",
-    "topk_agg_orders_per_customer",
-    "prorated_daily_revenue",
-    "group_sample_events",
-    "quantile_approx_contract",
-    "above_avg_customers",
-    "grouping_sets_order_stats",
-    "array_hof_order_stats",
-    "merge_user_state",
-    "revenue_share_by_nation",
-    "mad_robust_anomalies",
-    "orders_30d_range_frame",
-    "price_percentile_vector",
-    "pivot_status_multi_agg",
-    "null_semantics_battery",
-    "json_typed_parse",
-    "sliding_window_distinct_users",
-    "hash_split_assignment",
-    "order_lifecycle_snapshot",
-    # (running_median_value / csv_sink_roundtrip — the two youngest
-    # stale candidates — gave their slots to the round-10-new int8
-    # scalar-quantized ANN pair, per the never-checked-first rule)
-    "ann_topk_sq8",
-    "ann_sq8_recall",
+    "ann_topk_ivfsq8",
+    "ann_ivfsq8_recall",
+    "ann_mmr_diversified",
+    "running_median_value",
+    "csv_sink_roundtrip",
+    "json_sink_roundtrip",
+    "string_normalize_stations",
+    "row_validity_filter",
+    "partitioned_sink_day_counts",
+    "bucketed_join_order_revenue",
+    "streaming_view_purchase_left_join",
+    "ols_calibration_deciles",
+    "streaming_upsert_user_state",
+    "ols_model_reload_predictions",
+    "pipeline_runner_hour_profile",
+    "vector_assembly_roundtrip",
+    "gopher_quality_flags",
+    "c4_line_clean",
+    "multimodal_bmp_wav_decode",
+    "semantic_dedup_flags",
+    "unigram_surprisal_quality",
+    "ann_topk_pq",
+    "ann_pq_recall",
+    "span_dedup_rebuild",
+    "target_encode_priority",
+    "k_anonymity_customer",
+    "hard_negative_candidates",
+    "temperature_mix_weights",
+    "bigram_surprisal_quality",
+    "dsir_importance_resample",
+    "dedup_incremental_batch",
+    "token_budget_allocation",
+    "next_event_training_examples",
+    "hll_overlap_contract",
+    "split_leakage_audit",
+    "quality_classifier_flags",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_census",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "q6_forecast_revenue",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
 )
 
 

@@ -30,27 +30,34 @@ from bicis_spark.plans import queries as registry  # noqa: E402
 
 
 def compute_rotation(window_size: int = 50) -> tuple[list[str], list[str]]:
-    """(next_window, leftover_queue) from the committed round records."""
+    """(next_window, leftover_queue) from the committed round records.
+
+    While unverified names remain, they fill the window (never-checked
+    first, registration order). Once every oracle-backed query has a
+    driver row (endgame, r11+), the window becomes a RE-VERIFICATION
+    rotation onto the stalest rows: rank by the LAST round each name
+    appeared in a CORRECTNESS record (oldest first, registration order on
+    ties) and take the first ``window_size`` — so every row keeps getting
+    a periodic independent driver hash check, oldest evidence first."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ever: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         with open(path) as f:
-            ever |= set(json.load(f))
+            for k in json.load(f):
+                last[k] = max(last.get(k, 0), rnd)
     oracles = registry.oracle_sql()
-    queue = [
-        n
-        for n in registry.queries()
-        if n in oracles and n not in ever
-    ]
-    return queue[:window_size], queue[window_size:]
+    names = [n for n in registry.queries() if n in oracles]
+    queue = [n for n in names if n not in last]
+    if queue:
+        return queue[:window_size], queue[window_size:]
+    order = {n: i for i, n in enumerate(names)}
+    ranked = sorted(names, key=lambda n: (last[n], order[n]))
+    return ranked[:window_size], ranked[window_size:]
 
 
 def main() -> None:
     window, leftover = compute_rotation()
-    if not window:
-        print("# every oracle-backed query has a driver row — rotation done;")
-        print("# keep the current window or re-verify the oldest rows.")
-        return
     print(f"# next DRIVER_WINDOW ({len(window)} names) — paste into plans/queries.py:")
     print("DRIVER_WINDOW: tuple[str, ...] = (")
     for n in window:

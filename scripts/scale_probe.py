@@ -62,6 +62,13 @@ PROBES = [
     "ann_topk_bruteforce",
     "ann_topk_ivfpq_sqrt",
     "dedup_embedding_lsh_band_auto",
+    # round-11 additions: the int8 scalar-quantized scan (landed after
+    # the r10 probe ran — r10 verdict #5) — expected ~1.0 (fixed-|Q|
+    # linear scan); the IVF-SQ8 composition; the MMR diversified re-rank
+    # (N-dependence only in its shortlist stage)
+    "ann_topk_sq8",
+    "ann_topk_ivfsq8",
+    "ann_mmr_diversified",
 ]
 
 TABLE_OF = {
@@ -96,7 +103,55 @@ TABLE_OF = {
     "ann_topk_bruteforce": "embeddings",
     "ann_topk_ivfpq_sqrt": "embeddings",
     "dedup_embedding_lsh_band_auto": "embeddings",
+    "ann_topk_sq8": "embeddings",
+    "ann_topk_ivfsq8": "embeddings",
+    "ann_mmr_diversified": "embeddings",
 }
+
+
+def _sqrt_build_search_split(spark, sf_dir: str) -> dict[str, float]:
+    """Build-vs-search cost split for the √N IVF-PQ row (round 11, r10
+    verdict #3's done-criterion): time (a) the index build alone — coarse
+    training on the bounded sample + the one-pass full assignment + PQ
+    encode, materialized via a count — and (b) the search stage over the
+    pre-built persisted index. The declared row times (a)+(b) fused; this
+    split shows which term carries the sf1→sf3 growth."""
+    from bicis_spark.caching import release_tracked
+    from bicis_spark.extensions.similarity import _ivfpq_build, _ivfpq_search
+    from bicis_spark.plans.extension_queries import (
+        _PQ_DIMS,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_MOD,
+        _PQ_RERANK,
+        _PQ_SUBS,
+        _ann_queries,
+        _clustered_corpus,
+        _sqrt_sizing,
+    )
+
+    emb = _clustered_corpus(spark, sf_dir)
+    queries = _ann_queries(emb)
+    n_lists, n_probe, train_sample = _sqrt_sizing(emb)
+    best_b, best_s = float("inf"), float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        c, cents, cb, codes = _ivfpq_build(
+            emb, 50, None, 1, _PQ_SUBS, _PQ_DIMS, _PQ_MOD, _PQ_ITERS,
+            _PQ_K, "vec_id", "embedding", None,
+            n_lists=n_lists, persist_codes=True, train_sample=train_sample,
+        )
+        codes.count()  # materialize the persisted index
+        best_b = min(best_b, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ivfpq_search(
+            c, cents, cb, codes, queries, 5, n_probe, _PQ_SUBS, _PQ_DIMS,
+            _PQ_RERANK, "vec_id", "embedding", None,
+        ).write.format("noop").mode("overwrite").save()
+        best_s = min(best_s, time.perf_counter() - t0)
+        release_tracked()
+        spark.catalog.clearCache()
+    return {"build_sec": round(best_b, 4), "search_sec": round(best_s, 4)}
 
 
 def main() -> None:
@@ -141,6 +196,8 @@ def main() -> None:
                 "input_rows": n,
                 "rows_per_sec": round(n / best),
             }
+            if name == "ann_topk_ivfpq_sqrt":
+                out[name][sf].update(_sqrt_build_search_split(spark, sf_dir))
     print(json.dumps(out, indent=1))
     spark.stop()
 
