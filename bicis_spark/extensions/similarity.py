@@ -1499,15 +1499,21 @@ def mmr_diversified_topk(
 
     Scale: the N-dependence lives entirely in the shortlist stage (the
     salted-top-k brute-force scan here; swap in any ANN path — the MMR
-    stage only sees |Q|·shortlist rows). The greedy loop is ``k`` fixed
-    unrolled DataFrame steps, each a bounded candidates×selected join
-    (≤ shortlist·k rows per query) and a max_by hash-agg argmax — no
-    windows over unbounded frames, no iteration-count data dependence.
+    stage only sees |Q|·shortlist rows). The greedy selection itself is a
+    grouped ``applyInPandas`` kernel over one query's ≤ ``shortlist``
+    candidates — the sanctioned escape hatch for a BOUNDED sequential
+    algorithm: k data-dependent argmax-then-update steps have no
+    shuffle-free declarative form, and the unrolled-DataFrame variant was
+    built and MEASURED first (k steps of anti-join + agg + argmax — 12-16s
+    of pure plan/AQE-stage overhead at every SF vs ~2s for the kernel,
+    SCALE.md round 11). One exchange (groupBy query_id), Arrow-batched,
+    per-group work O(shortlist²·dims) on ≤ 40 rows.
 
-    Determinism: candidate-candidate cosines use the same exact-int64
-    dot + IEEE double recipe as everything in this module; 0.5·a − 0.5·b
-    is one multiply each and one subtract, identically associated in the
-    DuckDB oracle (which unrolls the same ``k`` steps as CTEs)."""
+    Determinism: the kernel does exact-integer dot products in Python
+    (arbitrary precision), math.sqrt/multiply/divide on IEEE doubles in
+    the same operation order as the module's _COS recipe, and
+    0.5·a − 0.5·b — bit-replayable by the DuckDB oracle (which unrolls
+    the same ``k`` greedy steps as CTEs)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
@@ -1532,89 +1538,83 @@ def mmr_diversified_topk(
     # keeps the order column, so the |Q|·N scored frame is scanned once),
     # re-joined with their vectors for the pairwise diversity penalty —
     # |Q|·shortlist rows from here on, independent of N
-    cand = tracked_persist(
+    cz = (
         _topk_per_query(scored, "relevance", shortlist, rank_col="_slr")
-        .join(
-            c.select(
-                F.col("nid").alias("neighbor_id"),
-                F.col("qv").alias("c_qv"),
-                F.col("n").alias("c_n"),
-            ),
-            "neighbor_id",
-        )
-        .select("query_id", "neighbor_id", "relevance", "c_qv", "c_n")
+        .select("query_id", "neighbor_id", "relevance")
+        .join(c.select(F.col("nid").alias("neighbor_id"), "qv"), "neighbor_id")
+        .select("query_id", "neighbor_id", "relevance", "qv")
     )
-    # step 1: pure relevance argmax (max_by hash-agg, no window)
-    sel = cand.groupBy("query_id").agg(
-        F.max_by(
-            F.struct("neighbor_id", "relevance", "c_qv", "c_n"),
-            F.struct(F.col("relevance").alias("_r"), (-F.col("neighbor_id")).alias("_t")),
-        ).alias("_b")
-    ).select(
-        "query_id",
-        F.col("_b.neighbor_id").alias("neighbor_id"),
-        F.col("_b.relevance").alias("relevance"),
-        F.col("_b.relevance").alias("mmr_score"),
-        F.lit(1).cast("long").alias("rank"),
-        F.col("_b.c_qv").alias("s_qv"),
-        F.col("_b.c_n").alias("s_n"),
-    )
-    selected = sel
-    for step in range(2, k + 1):
-        remaining = cand.join(
-            selected.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        pen = remaining.join(
-            selected.select(
-                "query_id", F.col("s_qv"), F.col("s_n")
+
+    def _greedy(pdf):
+        import math
+
+        import pandas as pd
+
+        # deterministic candidate order; Python ints for exact dots
+        rows = sorted(
+            (
+                (int(r.neighbor_id), None if pd.isna(r.relevance) else float(r.relevance), [int(v) for v in r.qv])
+                for r in pdf.itertuples()
             ),
-            "query_id",
-        ).select(
-            "query_id",
-            "neighbor_id",
-            "relevance",
-            "c_qv",
-            "c_n",
-            cosine_from_norms(
-                F.col("c_qv"), F.col("s_qv"), F.col("c_n"), F.col("s_n"), dims
-            ).alias("_sim"),
+            key=lambda t: t[0],
         )
-        mmr = pen.groupBy("query_id", "neighbor_id", "relevance").agg(
-            F.max("_sim").alias("_maxsim"),
-            F.first("c_qv").alias("c_qv"),
-            F.first("c_n").alias("c_n"),
-        ).select(
-            "query_id",
-            "neighbor_id",
-            "relevance",
-            "c_qv",
-            "c_n",
-            (F.lit(0.5) * F.col("relevance") - F.lit(0.5) * F.col("_maxsim")).alias(
-                "mmr_score"
-            ),
+        qid = int(pdf["query_id"].iloc[0])
+        norms = [math.sqrt(float(sum(v * v for v in qv))) for _, _, qv in rows]
+
+        def cos(i: int, j: int):
+            den = norms[i] * norms[j]
+            if den == 0.0:
+                return None
+            d = sum(x * y for x, y in zip(rows[i][2], rows[j][2]))
+            return float(d) / den
+
+        out = []  # (nid, rel, mmr, rank)
+        pen: list = [None] * len(rows)  # max cos vs selected so far
+        chosen: set[int] = set()
+        for step in range(1, k + 1):
+            best = None  # (score, -?, idx) — argmax (score, lowest nid)
+            for i, (nid, rel, _) in enumerate(rows):
+                if i in chosen:
+                    continue
+                if step == 1:
+                    score = rel
+                else:
+                    score = (
+                        None
+                        if rel is None or pen[i] is None
+                        else 0.5 * rel - 0.5 * pen[i]
+                    )
+                if score is None:
+                    continue  # NULL scores lose (max_by / NULLS LAST parity)
+                if best is None or score > best[0] or (
+                    score == best[0] and nid < rows[best[1]][0]
+                ):
+                    best = (score, i)
+            if best is None:
+                break
+            score, i = best
+            chosen.add(i)
+            out.append((rows[i][0], rows[i][1], score, step))
+            for j in range(len(rows)):
+                if j in chosen:
+                    continue
+                s = cos(i, j)
+                if s is not None and (pen[j] is None or s > pen[j]):
+                    pen[j] = s
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(out),
+                "neighbor_id": [o[0] for o in out],
+                "relevance": [o[1] for o in out],
+                "mmr_score": [o[2] for o in out],
+                "rank": [o[3] for o in out],
+            }
         )
-        pick = mmr.groupBy("query_id").agg(
-            F.max_by(
-                F.struct("neighbor_id", "relevance", "mmr_score", "c_qv", "c_n"),
-                F.struct(
-                    F.col("mmr_score").alias("_m"),
-                    (-F.col("neighbor_id")).alias("_t"),
-                ),
-            ).alias("_b")
-        ).select(
-            "query_id",
-            F.col("_b.neighbor_id").alias("neighbor_id"),
-            F.col("_b.relevance").alias("relevance"),
-            F.col("_b.mmr_score").alias("mmr_score"),
-            F.lit(step).cast("long").alias("rank"),
-            F.col("_b.c_qv").alias("s_qv"),
-            F.col("_b.c_n").alias("s_n"),
-        )
-        selected = selected.unionByName(pick)
-    return selected.select(
-        "query_id", "neighbor_id", "relevance", "mmr_score", "rank"
+
+    return cz.groupBy("query_id").applyInPandas(
+        _greedy,
+        "query_id long, neighbor_id long, relevance double, "
+        "mmr_score double, rank long",
     )
 
 
