@@ -155,6 +155,8 @@ HEADLINE = [
     # round-11 additions
     "ann_topk_ivfsq8",
     "ann_mmr_diversified",
+    "ann_topk_hamming",
+    "ann_filtered_prepost_recall",
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -266,6 +268,8 @@ _R10 = [
 _R11 = [
     "ann_topk_ivfsq8",              # IVF router + int8 scan (IVF40,SQ8)
     "ann_mmr_diversified",          # greedy MMR re-rank over top-40
+    "ann_topk_hamming",             # binary sign bits + bit_count(xor) scan
+    "ann_filtered_prepost_recall",  # filtered-ANN strategy contract
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6), (8, _R8), (9, _R9), (10, _R10), (11, _R11)):
@@ -408,7 +412,7 @@ def main() -> None:
     recall: dict[str, float] = {}
     for rname in ("ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall",
                   "ann_ivfpq_recall", "ann_ivfpq_sqrt_recall",
-                  "ann_sq8_recall", "ann_ivfsq8_recall"):
+                  "ann_sq8_recall", "ann_ivfsq8_recall", "ann_hamming_recall"):
         if rname in all_queries:
             row = (
                 all_queries[rname](spark, sf_dir)

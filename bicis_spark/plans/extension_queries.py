@@ -95,6 +95,13 @@ _IVF_MAX_LISTS = 40
 #: is 499/1999, both under the cap). Deterministic and SQL-replayable.
 _ANN_Q_CAP = 2000
 
+#: The declared batch's size bound: ids 0, 100, ..., 1900 under the cap —
+#: at most 20 queries at ANY corpus size. Passed to the IVF-PQ/IVF-SQ8
+#: search stages so their query-side broadcast gate (r10 verdict residual
+#: #3, `similarity.ANN_BROADCAST_MAX_QUERIES`) is decided statically with
+#: zero runtime probe cost.
+_ANN_Q_N = _ANN_Q_CAP // 100
+
 
 def _ann_queries(emb: DataFrame) -> DataFrame:
     """The declared ANN query batch: every 100th vector, capped to the
@@ -3047,6 +3054,7 @@ def ann_topk_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_iters=_PQ_ITERS,
         rerank=_PQ_RERANK,
         max_codes=_PQ_K,
+        n_queries=_ANN_Q_N,
     )
 
 
@@ -3086,6 +3094,7 @@ def ann_pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_iters=_PQ_ITERS,
         rerank=_PQ_RERANK,
         max_codes=_PQ_K,
+        n_queries=_ANN_Q_N,
     )
     return ann_recall(base, exact, approx, 5)
 
@@ -3271,6 +3280,7 @@ def ann_topk_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_iters=_PQ_ITERS,
         rerank=_PQ_RERANK,
         max_codes=_PQ_K,
+        n_queries=_ANN_Q_N,
     )
 
 
@@ -3317,6 +3327,7 @@ def ann_ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_iters=_PQ_ITERS,
         rerank=_PQ_RERANK,
         max_codes=_PQ_K,
+        n_queries=_ANN_Q_N,
     )
     return ann_recall(base, exact, approx, 5)
 
@@ -3443,6 +3454,7 @@ def ann_topk_ivfpq_sqrt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_iters=_PQ_ITERS,
         rerank=_PQ_RERANK,
         max_codes=_PQ_K,
+        n_queries=_ANN_Q_N,
     )
 
 
@@ -3480,6 +3492,7 @@ def ann_ivfpq_sqrt_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_iters=_PQ_ITERS,
         rerank=_PQ_RERANK,
         max_codes=_PQ_K,
+        n_queries=_ANN_Q_N,
     )
     return ann_recall(base, exact, approx, 5)
 
@@ -3542,6 +3555,7 @@ def ann_ivfpq_probe_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_iters=_PQ_ITERS,
         rerank=_PQ_RERANK,
         max_codes=_PQ_K,
+        n_queries=_ANN_Q_N,
     )
 
 
@@ -3731,6 +3745,7 @@ def ann_topk_ivfsq8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivfsq8(
         emb, queries, k=5, n_centroids_mod=50, n_probe=_IVFSQ8_PROBE,
         max_lists=_IVF_MAX_LISTS, ivf_train_iters=1, rerank=_IVFSQ8_RERANK,
+        n_queries=_ANN_Q_N,
     )
 
 
@@ -3750,6 +3765,7 @@ def ann_ivfsq8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ann_topk_ivfsq8(
         emb, queries, k=5, n_centroids_mod=50, n_probe=_IVFSQ8_PROBE,
         max_lists=_IVF_MAX_LISTS, ivf_train_iters=1, rerank=_IVFSQ8_RERANK,
+        n_queries=_ANN_Q_N,
     )
     return ann_recall(base, exact, approx, 5)
 
@@ -3842,6 +3858,169 @@ def ann_mmr_diversified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = _ann_queries(emb)
     return mmr_diversified_topk(emb, queries, k=5, shortlist=40)
+
+
+# ---------------------------------------------------------------------------
+# Binary sign-bit (Hamming) ANN — FAISS IndexBinaryFlat shape (round 11)
+# ---------------------------------------------------------------------------
+
+_HAMMING_RERANK = 40
+
+#: Per-dimension sign signature as two 32-bit words (identical integer sum
+#: to similarity.sign_signature_word).
+_SIGN_WORDS_CTE = """
+    b AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(32), d ->
+                   CASE WHEN qv[d+1] > 0 THEN (CAST(1 AS BIGINT) << d)
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(range(32), d ->
+                   CASE WHEN qv[d+33] > 0 THEN (CAST(1 AS BIGINT) << d)
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+        FROM q
+    )"""
+
+_HAMMING_ORACLE = f"""
+    WITH {_QV_CTE.strip()},{_SIGN_WORDS_CTE},
+    scored AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(qs.lo, c.lo)) + bit_count(xor(qs.hi, c.hi))
+                   AS hamming
+        FROM b qs JOIN b c ON c.vec_id != qs.vec_id
+        WHERE qs.vec_id % 100 = 0 AND qs.vec_id < {_ANN_Q_CAP}
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming ASC, neighbor_id) AS rn
+            FROM scored
+        ) t WHERE rn <= {_HAMMING_RERANK}
+    ),
+    ex AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_COS.format(a='qa', b='qb')} AS cosine
+        FROM short s
+        JOIN q qa ON qa.vec_id = s.query_id
+        JOIN q qb ON qb.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ex
+    ) t WHERE rank <= 5
+    """
+
+
+@register("ann_topk_hamming", _HAMMING_ORACLE)
+def ann_topk_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-bit ANN (round 11): per-dimension sign signatures
+    (two 32-bit words — 16 bytes/vector, 64× vs float32), Hamming-ranked
+    candidates (one bit_count(xor) per word — the cheapest scan in the
+    family), exact top-40 cosine re-rank. FAISS IndexBinaryFlat's
+    serving shape. The oracle replays signatures, Hamming ranking, and
+    both rank stages bit-for-bit."""
+    from bicis_spark.extensions.similarity import ann_topk_hamming
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    return ann_topk_hamming(emb, queries, k=5, rerank=_HAMMING_RERANK)
+
+
+@register("ann_hamming_recall", _recall_oracle(_HAMMING_ORACLE))
+def ann_hamming_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the binary-Hamming path against brute force —
+    the 64×-compression accuracy contract."""
+    from bicis_spark.extensions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_hamming,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_hamming(emb, queries, k=5, rerank=_HAMMING_RERANK)
+    return ann_recall(base, exact, approx, 5)
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: pre-filter vs post-filter recall contract (round 11)
+# ---------------------------------------------------------------------------
+
+_FILTERED_OVERFETCH = 20
+
+_FILTERED_ORACLE = f"""
+    WITH {_QV_CTE.strip()},
+    pre_s AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS.format(a='qs', b='c')} AS cosine
+        FROM q qs JOIN q c ON c.vec_id != qs.vec_id AND c.vec_id % 2 = 0
+        WHERE qs.vec_id % 100 = 0 AND qs.vec_id < {_ANN_Q_CAP}
+    ),
+    pre AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM pre_s
+        ) t WHERE rank <= 5
+    ),
+    full_s AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS.format(a='qs', b='c')} AS cosine
+        FROM q qs JOIN q c ON c.vec_id != qs.vec_id
+        WHERE qs.vec_id % 100 = 0 AND qs.vec_id < {_ANN_Q_CAP}
+    ),
+    full20 AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM full_s
+        ) t WHERE rank <= {_FILTERED_OVERFETCH}
+    ),
+    post AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rank) AS rn
+            FROM full20 WHERE neighbor_id % 2 = 0
+        ) t WHERE rn <= 5
+    ),
+    base AS (SELECT vec_id AS query_id FROM embeddings
+             WHERE vec_id % 100 = 0 AND vec_id < {_ANN_Q_CAP})
+    SELECT base.query_id,
+           CAST(count(post.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(post.neighbor_id) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+    FROM base
+    LEFT JOIN pre ON pre.query_id = base.query_id
+    LEFT JOIN post ON post.query_id = pre.query_id
+                  AND post.neighbor_id = pre.neighbor_id
+    GROUP BY base.query_id
+    """
+
+
+@register("ann_filtered_prepost_recall", _FILTERED_ORACLE)
+def ann_filtered_prepost_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-ANN strategy contract (round 11): recall of POST-filter
+    search (overfetch 20 from the full corpus, drop non-matching
+    neighbors, keep best 5) against the PRE-filter ground truth (search
+    the filtered corpus directly) under the deterministic even-id
+    metadata predicate. The recall loss this row measures is WHY vector
+    stores push predicates into the index scan — the quantified version
+    of the pre-vs-post-filter trade every serving stack documents."""
+    from bicis_spark.extensions.similarity import ann_filtered_prepost
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    pre, post = ann_filtered_prepost(
+        emb, queries, lambda c: F.col(c) % 2 == 0, k=5,
+        overfetch=_FILTERED_OVERFETCH,
+    )
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    return ann_recall(base, pre, post, 5)
 
 
 # ---------------------------------------------------------------------------

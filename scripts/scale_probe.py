@@ -69,6 +69,7 @@ PROBES = [
     "ann_topk_sq8",
     "ann_topk_ivfsq8",
     "ann_mmr_diversified",
+    "ann_topk_hamming",
 ]
 
 TABLE_OF = {
@@ -106,6 +107,7 @@ TABLE_OF = {
     "ann_topk_sq8": "embeddings",
     "ann_topk_ivfsq8": "embeddings",
     "ann_mmr_diversified": "embeddings",
+    "ann_topk_hamming": "embeddings",
 }
 
 

@@ -271,6 +271,110 @@ def test_mmr_demotes_near_duplicate(spark):
 
 
 # ---------------------------------------------------------------------------
+# Binary Hamming ANN
+# ---------------------------------------------------------------------------
+
+
+def test_sign_signature_words_match_python(spark, sf_dir):
+    from bicis_spark.extensions.similarity import quantize, sign_signature_word
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(20)
+    got = (
+        emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+        .select(
+            "vec_id",
+            "qv",
+            sign_signature_word("qv", 0).alias("lo"),
+            sign_signature_word("qv", 32).alias("hi"),
+        )
+        .collect()
+    )
+    for r in got:
+        lo = sum((1 << j) for j in range(32) if r.qv[j] > 0)
+        hi = sum((1 << j) for j in range(32) if r.qv[32 + j] > 0)
+        assert (r.lo, r.hi) == (lo, hi)
+
+
+def test_hamming_full_rerank_equals_bruteforce(spark, sf_dir):
+    # rerank = N-1 makes the Hamming shortlist the whole corpus, so the
+    # exact re-rank must reproduce brute force exactly
+    from bicis_spark.extensions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_hamming,
+    )
+    from bicis_spark.plans.extension_queries import _ann_queries
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    n = emb.count()
+    full = ann_topk_hamming(emb, queries, k=5, rerank=n).collect()
+    bf = ann_topk_bruteforce(emb, queries, k=5).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id)  # noqa: E731
+    assert sorted(full, key=key) == sorted(bf, key=key)
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN pre/post
+# ---------------------------------------------------------------------------
+
+
+def test_filtered_prepost_semantics(spark, sf_dir):
+    from bicis_spark.extensions.similarity import ann_filtered_prepost
+    from bicis_spark.plans.extension_queries import _ann_queries
+    from bicis_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = _ann_queries(emb)
+    pre, post = ann_filtered_prepost(
+        emb, queries, lambda c: F.col(c) % 2 == 0, k=5, overfetch=20
+    )
+    pre_rows, post_rows = pre.collect(), post.collect()
+    # every returned neighbor satisfies the predicate on both strategies
+    assert all(r.neighbor_id % 2 == 0 for r in pre_rows)
+    assert all(r.neighbor_id % 2 == 0 for r in post_rows)
+    # post-filter keeps the ORIGINAL ranking order among survivors
+    by_q = {}
+    for r in post_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert len(rows) <= 5
+
+
+# ---------------------------------------------------------------------------
+# Query-side broadcast gate (r10 verdict residual #3)
+# ---------------------------------------------------------------------------
+
+
+def test_query_broadcast_gate(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from bicis_spark.extensions.similarity import (
+        ANN_BROADCAST_MAX_QUERIES,
+        _resolve_query_broadcast,
+    )
+
+    small = spark.range(0, 10).select(F.col("id").alias("query_id"))
+    probe_frame = spark.range(0, 100).select(F.col("id").alias("k"))
+    # static bound under the gate -> broadcast hint applied
+    bq = _resolve_query_broadcast(small, 10)
+    plan = bq(probe_frame)._jdf.queryExecution().logical().toString()
+    assert "Hint" in plan or "hint" in plan
+    # static bound over the gate -> identity (no hint node)
+    nbq = _resolve_query_broadcast(small, ANN_BROADCAST_MAX_QUERIES + 1)
+    plan2 = nbq(probe_frame)._jdf.queryExecution().logical().toString()
+    assert "Hint" not in plan2 and "hint" not in plan2
+    # None -> LIMIT-bounded runtime probe; 10 queries gate to broadcast
+    bq3 = _resolve_query_broadcast(small, None)
+    plan3 = bq3(probe_frame)._jdf.queryExecution().logical().toString()
+    assert "Hint" in plan3 or "hint" in plan3
+
+
+# ---------------------------------------------------------------------------
 # bench quiet gate
 # ---------------------------------------------------------------------------
 
