@@ -274,6 +274,100 @@ def tfidf_top_terms(
     )
 
 
+def hashed_doc_embedding(
+    df: DataFrame,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document embedding (the "hashing trick",
+    Weinberger et al. 2009): [id, v: array<long>] where
+    v[d] = Σ_tokens sign(h) · [h mod dims = d], h = the oracle-expressible
+    polynomial token hash (``dedup.poly_hash``), sign = ±1 from the hash's
+    next bit — a FIXED-dimension dense vector from raw text with no
+    trained model, the classic pre-embedding baseline (and the shape a
+    learned-embedding column would take).
+
+    Where it sits: ``doc_cosine_topk`` is the sparse inverted-index
+    content-similarity twin; this is the DENSE fixed-dim side that the
+    module's ANN paths (brute force / SQ8 / Hamming / MMR) consume
+    directly — text → vector → top-k with every stage SQL-replayable.
+
+    Plan: map-only (one expression per document — no explode, no
+    shuffle); integer components, exact norms."""
+    from bicis_spark.extensions.dedup import poly_hash
+
+    toks = F.split(F.col(text_col), " ")
+    hs = F.transform(toks, poly_hash)
+    v = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                h % F.lit(dims) == d,
+                F.when(
+                    F.floor(h / F.lit(dims)).cast("long") % 2 == 0, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ).otherwise(F.lit(0)).cast("long"),
+        ),
+    )
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), v.alias("v")
+    )
+
+
+def doc_retrieval_hashed(
+    df: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    dims: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end text retrieval over hashed embeddings (round 11): embed
+    every document map-side (``hashed_doc_embedding``), take the
+    ``query_pred`` subset as the query batch, exact cosine top-``k`` per
+    query via the salted two-phase top-k — the full text → vector →
+    retrieve pipeline in one declared plan, each stage bit-replayable.
+    Output: [query_id, neighbor_id, cosine, rank]."""
+    from bicis_spark.caching import tracked_persist
+    from bicis_spark.extensions.similarity import (
+        _topk_per_query,
+        cosine_from_norms,
+        norm_col,
+    )
+
+    emb = tracked_persist(
+        hashed_doc_embedding(df, dims, text_col, id_col).withColumn(
+            "n", norm_col(F.col("v"))
+        )
+    )
+    q = emb.where(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, "cosine", k)
+
+
 def doc_cosine_topk(
     df: DataFrame,
     k: int = 3,

@@ -4024,6 +4024,76 @@ def ann_filtered_prepost_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Hashed-embedding text retrieval (round 11): text -> vector -> top-k
+# ---------------------------------------------------------------------------
+
+_POLY_TOKEN_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(regexp_extract_all(s, '(.)', 1), c -> unicode(c)::BIGINT)), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647)"
+)
+
+_DOC_DOT = "list_sum(list_transform(range(64), i -> {a}.v[i+1] * {b}.v[i+1]))::DOUBLE"
+_DOC_NORM = "sqrt(list_sum(list_transform(range(64), i -> {x}.v[i+1] * {x}.v[i+1]))::DOUBLE)"
+_DOC_COS = (
+    f"{_DOC_DOT} / nullif({_DOC_NORM.format(x='{a}')} * {_DOC_NORM.format(x='{b}')}, 0)"
+)
+
+_HASHED_RETRIEVAL_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    hsx AS (
+        SELECT doc_id, list_transform(toks, s -> {_POLY_TOKEN_SQL}) AS hs
+        FROM t
+    ),
+    emb AS (
+        SELECT doc_id,
+               list_transform(range(64), d ->
+                   CAST(coalesce(list_sum(list_transform(hs, h ->
+                       CASE WHEN h % 64 = d
+                            THEN (CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+                            ELSE 0 END)), 0) AS BIGINT)) AS v
+        FROM hsx
+    ),
+    scored AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+               {_DOC_COS.format(a='q', b='c')} AS cosine
+        FROM emb q JOIN emb c ON c.doc_id != q.doc_id
+        WHERE q.doc_id % 100 = 0 AND q.doc_id < {_ANN_Q_CAP}
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) t WHERE rank <= 5
+    """
+
+
+@register("doc_retrieval_hashed", _HASHED_RETRIEVAL_ORACLE)
+def doc_retrieval_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TEXT retrieval over feature-hashing embeddings
+    (round 11): every document embedded map-side (polynomial token hash →
+    signed 64-dim count vector, the Weinberger et al. 2009 hashing
+    trick — no trained model, no shuffle), a fixed ≤ 20-document query
+    batch (the ANN cap discipline on doc_id), exact cosine top-5 per
+    query via the salted two-phase top-k. The dense fixed-dim twin of
+    ``doc_cosine_topk``'s sparse inverted index — the text → vector →
+    retrieve serving pipeline in one declared plan, every stage replayed
+    bit-for-bit by the oracle."""
+    from bicis_spark.extensions.text import doc_retrieval_hashed
+
+    docs = read_table(spark, sf_dir, "documents")
+    return doc_retrieval_hashed(
+        docs,
+        (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < _ANN_Q_CAP),
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4-style duplicated-span removal (round 4)
 # ---------------------------------------------------------------------------
 

@@ -70,6 +70,7 @@ PROBES = [
     "ann_topk_ivfsq8",
     "ann_mmr_diversified",
     "ann_topk_hamming",
+    "doc_retrieval_hashed",
 ]
 
 TABLE_OF = {
@@ -108,6 +109,7 @@ TABLE_OF = {
     "ann_topk_ivfsq8": "embeddings",
     "ann_mmr_diversified": "embeddings",
     "ann_topk_hamming": "embeddings",
+    "doc_retrieval_hashed": "documents",
 }
 
 
