@@ -414,7 +414,8 @@ def main() -> None:
     recall: dict[str, float] = {}
     for rname in ("ann_lsh_recall", "ann_ivf_recall", "ann_pq_recall",
                   "ann_ivfpq_recall", "ann_ivfpq_sqrt_recall",
-                  "ann_sq8_recall", "ann_ivfsq8_recall", "ann_hamming_recall"):
+                  "ann_sq8_recall", "ann_ivfsq8_recall", "ann_hamming_recall",
+                  "ann_hamming_uniform_recall"):
         if rname in all_queries:
             row = (
                 all_queries[rname](spark, sf_dir)

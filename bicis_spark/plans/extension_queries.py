@@ -3681,7 +3681,7 @@ _SQ8_CTES = """
         FROM q, sarr
     )"""
 
-_IVFSQ8_PROBE = 10
+_IVFSQ8_PROBE = 20
 _IVFSQ8_RERANK = 40
 _IVFSQ8_ORACLE = f"""{_kmeans_assign_prefix(50, 1, _IVF_MAX_LISTS)},
     probes AS (
@@ -3880,8 +3880,14 @@ _SIGN_WORDS_CTE = """
         FROM q
     )"""
 
-_HAMMING_ORACLE = f"""
-    WITH {_QV_CTE.strip()},{_SIGN_WORDS_CTE},
+def _hamming_oracle(q_cte: str | None = None) -> str:
+    """Oracle for the binary-Hamming path; ``q_cte`` swaps the vector
+    source (the declared rows use the clustered synthetic corpus — the
+    shape where sign signatures are honest; the uniform-corpus recall row
+    keeps the default driver embeddings)."""
+    src = _QV_CTE if q_cte is None else q_cte
+    return f"""
+    WITH {src.strip()},{_SIGN_WORDS_CTE},
     scored AS (
         SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
                bit_count(xor(qs.lo, c.lo)) + bit_count(xor(qs.hi, c.hi))
@@ -3913,25 +3919,57 @@ _HAMMING_ORACLE = f"""
     """
 
 
+_HAMMING_ORACLE = _hamming_oracle(_CLUST_Q_CTE)
+
+
 @register("ann_topk_hamming", _HAMMING_ORACLE)
 def ann_topk_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary sign-bit ANN (round 11): per-dimension sign signatures
     (two 32-bit words — 16 bytes/vector, 64× vs float32), Hamming-ranked
     candidates (one bit_count(xor) per word — the cheapest scan in the
     family), exact top-40 cosine re-rank. FAISS IndexBinaryFlat's
-    serving shape. The oracle replays signatures, Hamming ranking, and
-    both rank stages bit-for-bit."""
+    serving shape, declared on the CLUSTERED synthetic corpus — the
+    angular-structure regime where sign bits are informative (recall@5
+    0.99 at sf0.1; the near-uniform driver corpus measures 0.47 — see
+    ``ann_hamming_uniform_recall``). The oracle replays signatures,
+    Hamming ranking, and both rank stages bit-for-bit."""
     from bicis_spark.extensions.similarity import ann_topk_hamming
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _clustered_corpus(spark, sf_dir)
     queries = _ann_queries(emb)
     return ann_topk_hamming(emb, queries, k=5, rerank=_HAMMING_RERANK)
 
 
-@register("ann_hamming_recall", _recall_oracle(_HAMMING_ORACLE))
+@register(
+    "ann_hamming_recall",
+    _recall_oracle(_HAMMING_ORACLE, bf_sql=_bf_oracle_sql(_CLUST_Q_CTE)),
+)
 def ann_hamming_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall@5 of the binary-Hamming path against brute force —
-    the 64×-compression accuracy contract."""
+    """Measured recall@5 of the binary-Hamming path against clustered-
+    corpus brute force — the 64×-compression accuracy contract at the
+    corpus shape where sign signatures are honest (0.99 at sf0.1)."""
+    from bicis_spark.extensions.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_hamming,
+    )
+
+    emb = _clustered_corpus(spark, sf_dir)
+    queries = _ann_queries(emb)
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_hamming(emb, queries, k=5, rerank=_HAMMING_RERANK)
+    return ann_recall(base, exact, approx, 5)
+
+
+@register("ann_hamming_uniform_recall", _recall_oracle(_hamming_oracle()))
+def ann_hamming_uniform_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-Hamming path's measured FAILURE MODE: recall@5 on the
+    driver's NEAR-UNIFORM embeddings at the same operating point (0.47
+    at sf0.1 vs 0.99 on the clustered corpus). One sign bit per
+    dimension carries almost no information when vectors are isotropic
+    noise — the quantified reason binary indexes are deployed on
+    structured (real) embeddings, recorded as a contract rather than
+    assumed."""
     from bicis_spark.extensions.similarity import (
         ann_topk_bruteforce,
         ann_topk_hamming,

@@ -59,15 +59,17 @@ _LOADED = False
 # re-verification mode). Every registry row has at least one driver hash
 # pass since r10, so the window rotates onto the 50 STALEST rows by
 # last-driver-check round (oldest first, registration order on ties):
-# 7 round-11-NEW rows lead (never-checked-first rule: the IVF-SQ8
+# 8 round-11-NEW rows lead (never-checked-first rule: the IVF-SQ8
 # composition + recall, the MMR diversified re-rank, the binary-Hamming
 # path + recall, the filtered-ANN pre/post recall contract, and the
-# hashed-embedding text-retrieval pipeline), then
-# the stalest re-verifications: 1 r4 row (running_median_value) + 42 r5
+# hashed-embedding text-retrieval pipeline + the Hamming uniform-corpus
+# failure-mode contract), then
+# the stalest re-verifications: 1 r4 row (running_median_value) + 41 r5
 # rows — the sink/runner/ML plumbing, the r5 curation battery,
 # ann_topk_pq + its recall contract, and the TPC-H battery
-# (q4/q7-q8/q12/q14-q16/q18-q19/q22; q2/q6/q9/q11/q13/q17/q21 gave
+# (q4/q7-q8/q12/q14-q16/q18-q19; q2/q6/q9/q11/q13/q17/q21/q22 gave
 # their slots to the new rows and head next round's queue with q20 — q7, q8,
+# q15,
 # q15, q17, q21, q22's vacant boundaries are ALSO pinned by
 # tests/test_mutation_boundary_r11.py this round). Zero r9/r10 repeats
 # (the r10 verdict's rotation criterion #6). ann_topk_pq /
@@ -82,6 +84,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_hamming_recall",
     "ann_filtered_prepost_recall",
     "doc_retrieval_hashed",
+    "ann_hamming_uniform_recall",
     "running_median_value",
     "csv_sink_roundtrip",
     "json_sink_roundtrip",
@@ -124,7 +127,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q16_supplier_census",
     "q18_large_orders",
     "q19_disjunctive_revenue",
-    "q22_dormant_customers",
 )
 
 
