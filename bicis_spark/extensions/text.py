@@ -368,6 +368,142 @@ def doc_retrieval_hashed(
     return _topk_per_query(scored, "cosine", k)
 
 
+def doc_sparse_cosine_query_topk(
+    df: DataFrame,
+    query_pred: Column,
+    k: int = 20,
+    df_min: int = 2,
+    df_max: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-restricted sparse TF-cosine retrieval — the DIRECTED form of
+    ``doc_cosine_topk``: top-``k`` corpus neighbors for the
+    ``query_pred`` document subset only, over the same df-window-pruned
+    inverted index ([df_min, df_max] caps any token's fan-out at
+    df_max² pairs). The query side's tf rows are bounded (≤ |Q| docs) and
+    broadcast, so the candidate join is map-side over the corpus
+    posting lists; selection is the salted two-phase top-k. Output:
+    [query_id, neighbor_id, cosine, rank]."""
+    from bicis_spark.caching import tracked_persist
+    from bicis_spark.extensions.similarity import _topk_per_query
+
+    dt = term_doc_counts(df, text_col, id_col)
+    voc = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    keep = voc.where(
+        (F.col("df") >= df_min) & (F.col("df") <= df_max)
+    ).select("token")
+    tfk = tracked_persist(dt.join(F.broadcast(keep), "token"))
+    norms = tfk.groupBy(id_col).agg(
+        F.sum(F.col("tf_d") * F.col("tf_d")).cast("long").alias("ss")
+    )
+    qa = tfk.where(query_pred).select(
+        F.col(id_col).alias("query_id"), "token", F.col("tf_d").alias("tf_a")
+    )
+    b = tfk.select(
+        F.col(id_col).alias("neighbor_id"), "token", F.col("tf_d").alias("tf_b")
+    )
+    pairs = (
+        b.join(F.broadcast(qa), "token")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("query_id"), F.col("ss").alias("ss_a"))
+    nb = norms.select(
+        F.col(id_col).alias("neighbor_id"), F.col("ss").alias("ss_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(na), "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("ss_a").cast("double"))
+                    * F.sqrt(F.col("ss_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, "cosine", k)
+
+
+def hybrid_retrieval_rrf(
+    df: DataFrame,
+    query_pred: Column,
+    k_final: int = 10,
+    k_cand: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused per query by reciprocal rank
+    (round 11) — the standard RAG serving pattern: a DENSE ranking
+    (feature-hashing embeddings, ``doc_retrieval_hashed``) and a SPARSE
+    lexical ranking (df-pruned TF cosine,
+    ``doc_sparse_cosine_query_topk``) each contribute their top-``k_cand``
+    candidates per query; rrf(d) = Σ_lists 1/(rrf_k + rank_d) (absent
+    list contributes 0, Cormack et al. 2009), final top-``k_final`` per
+    query. Output: [query_id, doc_id, rank_dense, rank_sparse,
+    rrf_score, rank].
+
+    Scale: both candidate stages are the bounded declared plans; fusion
+    is a full-outer join of two ≤ |Q|·k_cand lists and the final rank is
+    a window over ≤ 2·k_cand rows per query. Floats: each term is one
+    IEEE division of exact integers, summed in fixed order — bitwise in
+    the oracle."""
+    dense = doc_retrieval_hashed(df, query_pred, k=k_cand, text_col=text_col,
+                                 id_col=id_col)
+    sparse = doc_sparse_cosine_query_topk(
+        df, query_pred, k=k_cand, text_col=text_col, id_col=id_col
+    )
+    a = dense.select(
+        F.col("query_id").alias("_qa"),
+        F.col("neighbor_id").alias("_ida"),
+        F.col("rank").alias("rank_dense"),
+    )
+    b = sparse.select(
+        F.col("query_id").alias("_qb"),
+        F.col("neighbor_id").alias("_idb"),
+        F.col("rank").alias("rank_sparse"),
+    )
+    fused = a.join(
+        b,
+        (F.col("_qa") == F.col("_qb")) & (F.col("_ida") == F.col("_idb")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("_qa"), F.col("_qb")).alias("query_id"),
+        F.coalesce(F.col("_ida"), F.col("_idb")).alias("doc_id"),
+        "rank_dense",
+        "rank_sparse",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_dense")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_sparse")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    # ≤ 2·k_cand rows per query — bounded, a window is fine here
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_final)
+        .select(
+            "query_id", "doc_id", "rank_dense", "rank_sparse",
+            "rrf_score", "rank",
+        )
+    )
+
+
 def doc_cosine_topk(
     df: DataFrame,
     k: int = 3,

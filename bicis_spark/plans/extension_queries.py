@@ -4077,8 +4077,9 @@ _DOC_COS = (
     f"{_DOC_DOT} / nullif({_DOC_NORM.format(x='{a}')} * {_DOC_NORM.format(x='{b}')}, 0)"
 )
 
-_HASHED_RETRIEVAL_ORACLE = f"""
-    WITH t AS (
+#: Hashed-embedding CTE prefix (t → hsx → emb) + the dense scored CTE,
+#: shared by the retrieval row and the hybrid-RRF row.
+_HASHED_EMB_CTES = f"""t AS (
         SELECT doc_id, string_split(text, ' ') AS toks
         FROM documents WHERE text IS NOT NULL
     ),
@@ -4095,17 +4096,20 @@ _HASHED_RETRIEVAL_ORACLE = f"""
                             ELSE 0 END)), 0) AS BIGINT)) AS v
         FROM hsx
     ),
-    scored AS (
+    dscored AS (
         SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
                {_DOC_COS.format(a='q', b='c')} AS cosine
         FROM emb q JOIN emb c ON c.doc_id != q.doc_id
         WHERE q.doc_id % 100 = 0 AND q.doc_id < {_ANN_Q_CAP}
-    )
+    )"""
+
+_HASHED_RETRIEVAL_ORACLE = f"""
+    WITH {_HASHED_EMB_CTES}
     SELECT query_id, neighbor_id, cosine, rank FROM (
         SELECT query_id, neighbor_id, cosine,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM scored
+        FROM dscored
     ) t WHERE rank <= 5
     """
 
@@ -4128,6 +4132,102 @@ def doc_retrieval_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < _ANN_Q_CAP),
         k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid sparse+dense retrieval, RRF-fused per query (round 11)
+# ---------------------------------------------------------------------------
+
+_HYBRID_K_CAND = 20
+_HYBRID_K_FINAL = 10
+_HYBRID_RRF_K = 60
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH {_HASHED_EMB_CTES},
+    ra AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM dscored
+        ) t WHERE rank <= {_HYBRID_K_CAND}
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*)::BIGINT AS tf_d
+        FROM tok GROUP BY doc_id, token
+    ),
+    voc AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+    keep AS (SELECT token FROM voc WHERE df BETWEEN 2 AND 50),
+    tfk AS (SELECT tf.doc_id, tf.token, tf.tf_d FROM tf JOIN keep USING (token)),
+    nrm AS (SELECT doc_id, sum(tf_d * tf_d)::BIGINT AS ss FROM tfk GROUP BY doc_id),
+    sp_pairs AS (
+        SELECT qa.doc_id AS query_id, b.doc_id AS neighbor_id,
+               sum(qa.tf_d * b.tf_d)::BIGINT AS dot
+        FROM tfk qa JOIN tfk b
+          ON qa.token = b.token AND b.doc_id != qa.doc_id
+        WHERE qa.doc_id % 100 = 0 AND qa.doc_id < {_ANN_Q_CAP}
+        GROUP BY qa.doc_id, b.doc_id
+    ),
+    sp AS (
+        SELECT query_id, neighbor_id,
+               dot::DOUBLE / (sqrt(na.ss::DOUBLE) * sqrt(nb.ss::DOUBLE)) AS cosine
+        FROM sp_pairs
+        JOIN nrm na ON sp_pairs.query_id = na.doc_id
+        JOIN nrm nb ON sp_pairs.neighbor_id = nb.doc_id
+    ),
+    rb AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM sp
+        ) t WHERE rank <= {_HYBRID_K_CAND}
+    ),
+    f AS (
+        SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+               COALESCE(ra.neighbor_id, rb.neighbor_id) AS doc_id,
+               ra.rank AS rank_dense, rb.rank AS rank_sparse,
+               COALESCE(CAST(1 AS DOUBLE) / ({_HYBRID_RRF_K} + ra.rank), 0.0)
+             + COALESCE(CAST(1 AS DOUBLE) / ({_HYBRID_RRF_K} + rb.rank), 0.0)
+                   AS rrf_score
+        FROM ra FULL OUTER JOIN rb
+          ON ra.query_id = rb.query_id AND ra.neighbor_id = rb.neighbor_id
+    )
+    SELECT query_id, doc_id, CAST(rank_dense AS BIGINT) AS rank_dense,
+           CAST(rank_sparse AS BIGINT) AS rank_sparse, rrf_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, doc_id, rank_dense, rank_sparse, rrf_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM f
+    ) t WHERE rank <= {_HYBRID_K_FINAL}
+    """
+
+
+@register("hybrid_retrieval_doc_rrf", _HYBRID_RRF_ORACLE)
+def hybrid_retrieval_doc_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused per query (round 11) — the
+    standard RAG serving pattern, end-to-end: the DENSE hashed-embedding
+    top-20 and the SPARSE df-pruned TF-cosine top-20 per query doc,
+    merged by reciprocal-rank fusion (Σ 1/(60+rank), absent list = 0),
+    final top-10. Both candidate stages are bounded declared plans (the
+    sparse query side broadcasts ≤ |Q| docs' posting rows); fusion is a
+    full-outer join of two ≤ |Q|·20 lists. Every float is a fixed-order
+    sum of exact-integer divisions — bitwise in the oracle."""
+    from bicis_spark.extensions.text import hybrid_retrieval_rrf
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hybrid_retrieval_rrf(
+        docs,
+        (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < _ANN_Q_CAP),
+        k_final=_HYBRID_K_FINAL,
+        k_cand=_HYBRID_K_CAND,
+        rrf_k=_HYBRID_RRF_K,
     )
 
 

@@ -71,6 +71,7 @@ PROBES = [
     "ann_mmr_diversified",
     "ann_topk_hamming",
     "doc_retrieval_hashed",
+    "hybrid_retrieval_doc_rrf",
 ]
 
 TABLE_OF = {
@@ -110,6 +111,7 @@ TABLE_OF = {
     "ann_mmr_diversified": "embeddings",
     "ann_topk_hamming": "embeddings",
     "doc_retrieval_hashed": "documents",
+    "hybrid_retrieval_doc_rrf": "documents",
 }
 
 

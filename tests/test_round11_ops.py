@@ -346,6 +346,39 @@ def test_filtered_prepost_semantics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hybrid sparse+dense RRF retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_semantics(spark, sf_dir):
+    from bicis_spark.extensions.text import hybrid_retrieval_rrf
+    from bicis_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = hybrid_retrieval_rrf(
+        docs, (F.col("doc_id") % 100 == 0), k_final=10, k_cand=20
+    ).collect()
+    assert out, "hybrid retrieval returned nothing"
+    for r in out:
+        assert r.rank_dense is not None or r.rank_sparse is not None
+        expect = 0.0
+        if r.rank_dense is not None:
+            expect += 1.0 / (60 + r.rank_dense)
+        if r.rank_sparse is not None:
+            expect += 1.0 / (60 + r.rank_sparse)
+        assert r.rrf_score == expect
+        assert 1 <= r.rank <= 10
+    # within a query, rrf_score is non-increasing with rank
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        scores = [r.rrf_score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
 # Query-side broadcast gate (r10 verdict residual #3)
 # ---------------------------------------------------------------------------
 
