@@ -159,6 +159,7 @@ HEADLINE = [
     "ann_filtered_prepost_recall",
     "doc_retrieval_hashed",
     "hybrid_retrieval_doc_rrf",
+    "embedding_pca_top_eigvec",
 ]
 # Non-headline baselines (quadratic by design; measured but kept out of the
 # headline so the total reflects the plans you'd run at scale):
@@ -274,6 +275,7 @@ _R11 = [
     "ann_filtered_prepost_recall",  # filtered-ANN strategy contract
     "doc_retrieval_hashed",         # text -> hashed vector -> top-k pipeline
     "hybrid_retrieval_doc_rrf",     # sparse+dense RRF-fused retrieval
+    "embedding_pca_top_eigvec",     # integer power-iteration PCA
 ]
 for _round, _names in ((1, _R1), (2, _R2), (3, _R3), (4, _R4), (5, _R5),
                        (6, _R6), (8, _R8), (9, _R9), (10, _R10), (11, _R11)):

@@ -59,12 +59,13 @@ _LOADED = False
 # re-verification mode). Every registry row has at least one driver hash
 # pass since r10, so the window rotates onto the 50 STALEST rows by
 # last-driver-check round (oldest first, registration order on ties):
-# 9 round-11-NEW rows lead (never-checked-first rule: the IVF-SQ8
+# 10 round-11-NEW rows lead (never-checked-first rule: the IVF-SQ8
 # composition + recall, the MMR diversified re-rank, the binary-Hamming
 # path + recall, the filtered-ANN pre/post recall contract, and the
 # hashed-embedding text-retrieval pipeline + the Hamming uniform-corpus
-# failure-mode contract + the hybrid sparse+dense RRF retrieval), then
-# the stalest re-verifications: 1 r4 row (running_median_value) + 40 r5
+# failure-mode contract, the hybrid sparse+dense RRF retrieval, and the
+# integer power-iteration PCA row), then
+# the stalest re-verifications: 1 r4 row (running_median_value) + 39 r5
 # rows — the sink/runner/ML plumbing, the r5 curation battery,
 # ann_topk_pq + its recall contract, and the TPC-H battery
 # (q4/q7-q8/q12/q14-q16/q18-q19; q2/q6/q9/q11/q13/q17/q21/q22 gave
@@ -86,6 +87,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_retrieval_hashed",
     "ann_hamming_uniform_recall",
     "hybrid_retrieval_doc_rrf",
+    "embedding_pca_top_eigvec",
     "running_median_value",
     "csv_sink_roundtrip",
     "json_sink_roundtrip",
@@ -126,7 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_census",
-    "q18_large_orders",
 )
 
 

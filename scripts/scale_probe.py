@@ -72,6 +72,7 @@ PROBES = [
     "ann_topk_hamming",
     "doc_retrieval_hashed",
     "hybrid_retrieval_doc_rrf",
+    "embedding_pca_top_eigvec",
 ]
 
 TABLE_OF = {
@@ -112,6 +113,7 @@ TABLE_OF = {
     "ann_topk_hamming": "embeddings",
     "doc_retrieval_hashed": "documents",
     "hybrid_retrieval_doc_rrf": "documents",
+    "embedding_pca_top_eigvec": "embeddings",
 }
 
 

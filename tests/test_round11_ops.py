@@ -346,6 +346,36 @@ def test_filtered_prepost_semantics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PCA power iteration — external validation against numpy's eigensolver
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_iteration_matches_numpy_on_clustered(spark, sf_dir):
+    import numpy as np
+
+    from bicis_spark.extensions.similarity import pca_power_iteration
+    from bicis_spark.plans.extension_queries import _clustered_corpus
+
+    emb = _clustered_corpus(spark, sf_dir)
+    rows = pca_power_iteration(emb).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r.dim] = r.component
+    ray = rows[0].rayleigh
+    X = np.stack([np.array(r.embedding, dtype=float) for r in emb.collect()])
+    C = np.cov(np.floor(X * 256).T, bias=False)
+    evals, evecs = np.linalg.eigh(C)
+    cos = abs(v @ evecs[:, -1]) / (np.linalg.norm(v) * np.linalg.norm(evecs[:, -1]))
+    # 3 iterations on a corpus with a dominant direction: near-alignment
+    # with the true top eigenvector, Rayleigh close to lambda_max. The
+    # engine matrix is the fdiv(cov_num, n)-scaled integer covariance
+    # (~ (n-1)x the numpy per-sample covariance), so compare ratios.
+    assert cos > 0.95, cos
+    lam_scaled = evals[-1] * (len(X) - 1)
+    assert ray / lam_scaled > 0.9, (ray, lam_scaled)
+
+
+# ---------------------------------------------------------------------------
 # Hybrid sparse+dense RRF retrieval
 # ---------------------------------------------------------------------------
 
