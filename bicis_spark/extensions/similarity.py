@@ -1831,9 +1831,10 @@ def pca_power_iteration(
     map-side combine (the shuffle carries 2080 keys regardless of N);
     (2) per-cell floor-division by n (the bm25 fdiv identity — floors
     identically in both engines) to keep every later product in int64;
-    (3) ``n_iter`` mat-vec steps over the TINY mirrored matrix (4096
-    rows): w = C·v exactly, then rescale v' = floor(w·scale / max|w|) —
-    integer re-normalization, no float accumulation anywhere.
+    (3) ``n_iter`` mat-vec steps w = C·v in exact Python ints over the
+    COLLECTED cells (bounded model state, O(d²) — the BPE-merge collect
+    class), each followed by the integer rescale
+    v' = floor(w·scale / max|w|) — no float accumulation anywhere.
 
     int64 headroom (documented like the covariance row): with
     |x|·quant ≤ ~1536 the pre-fdiv numerator is ≤ n²·(quant·X)²
@@ -1871,57 +1872,41 @@ def pca_power_iteration(
         (F.col("n") * F.col("sp") - F.col("si") * F.col("sj")).alias("_num"),
         "n",
     ).select("i", "j", F.expr("(_num - pmod(_num, n)) div n").alias("c"))
-    cov = tracked_persist(
-        cells.unionByName(
-            cells.where(F.col("i") != F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "c"
-            )
-        )
-    )
+    # The d(d+1)/2 integer cells are BOUNDED MODEL STATE (O(d²),
+    # independent of N — the BPE-merge / scalar-attach collect class):
+    # the power iteration itself runs over them in exact Python ints.
+    # The first build ran the loop as 3·(join+agg+scalar+crossjoin)
+    # DataFrame stages over the 4096-row matrix and measured ~10s of
+    # pure stage overhead at EVERY SF (the MMR lesson, SCALE.md r11);
+    # this form is one covariance job + one 2080-row collect.
+    cov: dict[tuple[int, int], int] = {}
+    for r in cells.collect():
+        cov[(r["i"], r["j"])] = r["c"]
+        if r["i"] != r["j"]:
+            cov[(r["j"], r["i"])] = r["c"]
 
-    def matvec(v: DataFrame) -> DataFrame:
-        return (
-            cov.join(
-                F.broadcast(v.select(F.col("dim").alias("jd"), "val")),
-                F.col("j") == F.col("jd"),
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("val")).cast("long").alias("wv"))
-            .select(F.col("i").alias("dim"), "wv")
-        )
+    def matvec(vec: list[int]) -> list[int]:
+        return [
+            sum(cov.get((i, j), 0) * vec[j] for j in range(dims))
+            for i in range(dims)
+        ]
 
-    v = spark.range(dims).select(
-        F.col("id").cast("int").alias("dim"),
-        F.lit(int(scale)).cast("long").alias("val"),
-    )
+    def fdiv(a: int, b: int) -> int:
+        return (a - (a % b + b) % b) // b  # floor division, b > 0
+
+    v = [int(scale)] * dims
     for _ in range(n_iter):
         w = matvec(v)
-        m = w.agg(F.max(F.abs(F.col("wv"))).alias("m"))
-        v = w.crossJoin(F.broadcast(m)).select(
-            "dim",
-            F.when(F.col("m") == 0, F.lit(0).cast("long"))
-            .otherwise(
-                F.expr(
-                    f"((wv * {int(scale)}) - pmod(wv * {int(scale)}, m)) div m"
-                )
-            )
-            .alias("val"),
-        )
+        m = max(abs(x) for x in w)
+        v = [0 if m == 0 else fdiv(x * int(scale), m) for x in w]
     wf = matvec(v)
-    ray = (
-        wf.join(v, "dim")
-        .agg(
-            F.sum(F.col("wv") * F.col("val")).cast("long").alias("vnum"),
-            F.sum(F.col("val") * F.col("val")).cast("long").alias("vden"),
-        )
-    )
-    return v.crossJoin(F.broadcast(ray)).select(
-        F.col("dim").cast("long").alias("dim"),
-        F.col("val").alias("component"),
-        (
-            F.col("vnum").cast("double")
-            / _nonzero(F.col("vden").cast("double"))
-        ).alias("rayleigh"),
+    vnum = sum(a * b for a, b in zip(wf, v))
+    vden = sum(x * x for x in v)
+    rayleigh = float(vnum) / float(vden) if vden != 0 else None
+    spark2 = corpus.sparkSession
+    return spark2.createDataFrame(
+        [(int(d), int(v[d]), rayleigh) for d in range(dims)],
+        "dim long, component long, rayleigh double",
     )
 
 
