@@ -34,15 +34,58 @@ QUANT_SCALE = 1_000_000
 DEFAULT_DIMS = 64
 
 
-def quantize(vec: Column, dims: int | None = None) -> Column:
+# -- SQL-fragment fast paths (round 11, optimization) ----------------------
+# Building these expressions through the Python functions API costs 20-35ms
+# PER CALL in driver py4j round-trips (each higher-order lambda is several
+# JVM calls; measured: int_dot 33ms, the same tree via one F.expr parse
+# 0.55ms — 60×). The helpers below therefore accept either a Column (the
+# original lambda path, kept for callers holding computed Columns) or a
+# STRING, treated as a raw SQL fragment and routed through one F.expr
+# parse. Both paths produce the same Catalyst operations (same casts, same
+# fold order), so results are bit-for-bit unchanged — verified by the
+# full DuckDB oracle emulation.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _norm2_sql(a: str) -> str:
+    return _dot_sql(a, a)
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(CAST({_norm2_sql(a)} AS DOUBLE))"
+
+
+def _quant_sql(vec: str) -> str:
+    return (
+        f"transform({vec}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+    )
+
+
+def _nonzero_sql(divisor: str) -> str:
+    return f"(CASE WHEN ({divisor}) != 0.0D THEN ({divisor}) END)"
+
+
+def quantize(vec: Column | str, dims: int | None = None) -> Column:
     """array<float> → array<long>: floor(double(x)·10⁶). floor (not round)
-    sidesteps cross-engine tie-rounding differences."""
+    sidesteps cross-engine tie-rounding differences. A str argument is a
+    SQL fragment (fast builder path — see the fragment-helper note)."""
+    if isinstance(vec, str):
+        return F.expr(_quant_sql(vec))
     return F.transform(
         vec, lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long")
     )
 
 
-def int_dot(a: Column, b: Column, dims: int | None = None) -> Column:
+def int_dot(a: Column | str, b: Column | str, dims: int | None = None) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -50,13 +93,15 @@ def int_dot(a: Column, b: Column, dims: int | None = None) -> Column:
     )
 
 
-def int_norm2(a: Column, dims: int | None = None) -> Column:
+def int_norm2(a: Column | str, dims: int | None = None) -> Column:
     return int_dot(a, a, dims)
 
 
-def norm_col(a: Column, dims: int | None = None) -> Column:
+def norm_col(a: Column | str, dims: int | None = None) -> Column:
     """√‖a‖ as double — precompute once per vector so pairwise cosine does
     one dot + one division instead of re-deriving both norms per pair."""
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a))
     return F.sqrt(int_norm2(a, dims).cast("double"))
 
 
@@ -70,18 +115,36 @@ def _nonzero(divisor: Column) -> Column:
     return F.when(divisor != F.lit(0.0), divisor)
 
 
-def cosine_sim(a: Column, b: Column, dims: int | None = None) -> Column:
+def cosine_sim(a: Column | str, b: Column | str, dims: int | None = None) -> Column:
     """Exact-integer cosine: dot/(√‖a‖·√‖b‖) with all inputs exact int64 —
     the double math sees identical operands in any engine. NULL for
     zero-norm inputs (see _nonzero)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"CAST({_dot_sql(a, b)} AS DOUBLE) / "
+            + _nonzero_sql(f"{_norm_sql(a)} * {_norm_sql(b)}")
+        )
     return int_dot(a, b, dims).cast("double") / _nonzero(
         norm_col(a, dims) * norm_col(b, dims)
     )
 
 
-def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column, dims: int | None = None) -> Column:
+def cosine_from_norms(
+    a: Column | str,
+    b: Column | str,
+    na: Column | str,
+    nb: Column | str,
+    dims: int | None = None,
+) -> Column:
     """Cosine with both norms precomputed (identical value to cosine_sim:
     same exact dot, same sqrt results, same multiply/divide order)."""
+    if all(isinstance(c, str) for c in (a, b, na, nb)):
+        return F.expr(
+            f"CAST({_dot_sql(a, b)} AS DOUBLE) / "
+            + _nonzero_sql(f"({na}) * ({nb})")
+        )
+    to_col = lambda c: F.expr(c) if isinstance(c, str) else c  # noqa: E731
+    a, b, na, nb = to_col(a), to_col(b), to_col(na), to_col(nb)
     return int_dot(a, b, dims).cast("double") / _nonzero(na * nb)
 
 

@@ -66,6 +66,16 @@ def get_spark(
         # One long-lived JVM serving many queries wants a cache sized to
         # its workload, same as a real Spark Thrift/Connect server.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # PySpark 4 wraps EVERY DataFrame/Column API call in a call-site
+        # capture (errors/utils.py _with_origin): a conf.get RPC + Python
+        # stack walk + PySparkCurrentOrigin.set/clear round-trips — 3-4
+        # extra py4j calls per API call, billed to every query BUILDER.
+        # Measured on the expression-heavy ANN rows: ~0.6s of a 3.6s
+        # build (17%) before any data moves. The capture only enriches
+        # error messages with user line numbers; a long-lived engine
+        # session values build latency over that nicety (same class of
+        # choice as disabling the UI above).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
