@@ -72,6 +72,11 @@ def _nonzero_sql(divisor: str) -> str:
     return f"(CASE WHEN ({divisor}) != 0.0D THEN ({divisor}) END)"
 
 
+def _cfn_sql(a: str, b: str, na: str, nb: str) -> str:
+    """cosine_from_norms as a SQL fragment (same tree as the Column path)."""
+    return f"CAST({_dot_sql(a, b)} AS DOUBLE) / " + _nonzero_sql(f"({na}) * ({nb})")
+
+
 def quantize(vec: Column | str, dims: int | None = None) -> Column:
     """array<float> → array<long>: floor(double(x)·10⁶). floor (not round)
     sidesteps cross-engine tie-rounding differences. A str argument is a
@@ -139,10 +144,7 @@ def cosine_from_norms(
     """Cosine with both norms precomputed (identical value to cosine_sim:
     same exact dot, same sqrt results, same multiply/divide order)."""
     if all(isinstance(c, str) for c in (a, b, na, nb)):
-        return F.expr(
-            f"CAST({_dot_sql(a, b)} AS DOUBLE) / "
-            + _nonzero_sql(f"({na}) * ({nb})")
-        )
+        return F.expr(_cfn_sql(a, b, na, nb))
     to_col = lambda c: F.expr(c) if isinstance(c, str) else c  # noqa: E731
     a, b, na, nb = to_col(a), to_col(b), to_col(na), to_col(nb)
     return int_dot(a, b, dims).cast("double") / _nonzero(na * nb)
@@ -208,19 +210,17 @@ def ann_topk_bruteforce(
     array math into codegen (None falls back to generic array lambdas).
     """
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(n_parts).select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col), dims).alias("cv")
-    ).withColumn("cn", norm_col(F.col("cv"), dims))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
-    ).withColumn("qn", norm_col(F.col("qv"), dims))
-    pairs = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.select(
+    c = corpus.repartition(n_parts).selectExpr(
+        f"{id_col} AS neighbor_id", f"{_quant_sql(vec_col)} AS cv"
+    ).selectExpr("*", f"{_norm_sql('cv')} AS cn")
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv"
+    ).selectExpr("*", f"{_norm_sql('qv')} AS qn")
+    pairs = c.crossJoin(F.broadcast(q)).where("neighbor_id != query_id")
+    scored = pairs.selectExpr(
         "query_id",
         "neighbor_id",
-        cosine_from_norms(
-            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dims
-        ).alias("cosine"),
+        f"{_cfn_sql('qv', 'cv', 'qn', 'cn')} AS cosine",
     )
     return _topk_per_query(scored, "cosine", k)
 
@@ -243,6 +243,24 @@ def _hyperplane_coeff(plane: int, dim: int) -> int:
     return ((h >> 13) % 7) - 3
 
 
+def _lsh_bucket_sql(
+    qvec: str, n_planes: int = 8, dims: int = 64, plane_offset: int = 0
+) -> str:
+    """``lsh_bucket``'s expression as a raw SQL fragment (fast builder
+    path — composable into larger selectExpr strings)."""
+    terms = []
+    for j in range(n_planes):
+        coeffs = ", ".join(
+            f"{_hyperplane_coeff(plane_offset + j, i)}L" for i in range(dims)
+        )
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with({qvec}, array({coeffs}), "
+            f"(x, c) -> x * c), 0L, (a, x) -> a + x) > 0 "
+            f"THEN {1 << j}L ELSE 0L END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 def lsh_bucket(
     qvec: Column | str, n_planes: int = 8, dims: int = 64, plane_offset: int = 0
 ) -> Column:
@@ -257,17 +275,7 @@ def lsh_bucket(
     resulting expression and values are identical.
     """
     if isinstance(qvec, str):
-        terms = []
-        for j in range(n_planes):
-            coeffs = ", ".join(
-                f"{_hyperplane_coeff(plane_offset + j, i)}L" for i in range(dims)
-            )
-            terms.append(
-                f"(CASE WHEN aggregate(zip_with({qvec}, array({coeffs}), "
-                f"(x, c) -> x * c), 0L, (a, x) -> a + x) > 0 "
-                f"THEN {1 << j}L ELSE 0L END)"
-            )
-        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+        return F.expr(_lsh_bucket_sql(qvec, n_planes, dims, plane_offset))
     acc = F.lit(0).cast("long")
     for j in range(n_planes):
         coeffs = [_hyperplane_coeff(plane_offset + j, i) for i in range(dims)]
@@ -294,14 +302,13 @@ def ivf_assign(
     """Assign each vector to its nearest centroid (max cosine, deterministic
     centroid-id tie-break). ``centroids``: [centroid_id, qv] — broadcast.
     Vector and centroid norms are computed once per row, not per pair."""
-    v = vectors.withColumn("_vn", norm_col(F.col(qv_col), dims))
-    cents = centroids.select(
-        F.col("centroid_id"), F.col(qv_col).alias("_cv")
-    ).withColumn("_cn", norm_col(F.col("_cv"), dims))
+    v = vectors.selectExpr("*", f"{_norm_sql(qv_col)} AS _vn")
+    cents = centroids.selectExpr(
+        "centroid_id", f"{qv_col} AS _cv", f"{_norm_sql(qv_col)} AS _cn"
+    )
     pairs = v.crossJoin(F.broadcast(cents))
-    scored = pairs.withColumn(
-        "_sim",
-        cosine_from_norms(F.col(qv_col), F.col("_cv"), F.col("_vn"), F.col("_cn"), dims),
+    scored = pairs.selectExpr(
+        "*", f"{_cfn_sql(qv_col, '_cv', '_vn', '_cn')} AS _sim"
     )
     # argmax via max_by hash-aggregate, NOT a row_number window: the agg
     # gets map-side partial combine so the (vector x centroid) pair rows
@@ -310,15 +317,15 @@ def ivf_assign(
     return (
         scored.groupBy(id_col)
         .agg(
-            F.max_by(
-                F.struct(F.col(qv_col).alias("_qv"), F.col("centroid_id")),
-                F.struct(F.col("_sim"), (-F.col("centroid_id")).alias("_nc")),
+            F.expr(
+                f"max_by(struct({qv_col} AS _qv, centroid_id), "
+                f"struct(_sim, -centroid_id AS _nc))"
             ).alias("_best")
         )
-        .select(
+        .selectExpr(
             id_col,
-            F.col("_best._qv").alias(qv_col),
-            F.col("_best.centroid_id").alias("centroid_id"),
+            f"_best._qv AS {qv_col}",
+            "_best.centroid_id AS centroid_id",
         )
     )
 
@@ -351,29 +358,24 @@ def kmeans_refine_exact(
     for _ in range(n_iter):
         assigned = ivf_assign(vectors, cents, id_col, qv_col, dims)
         means = (
-            assigned.select("centroid_id", F.posexplode(F.col(qv_col)))
+            assigned.selectExpr("centroid_id", f"posexplode({qv_col})")
             .groupBy("centroid_id", "pos")
             .agg(
-                F.floor(
-                    F.sum("col").cast("double") / F.count(F.lit(1)).cast("double")
-                )
-                .cast("long")
-                .alias("m")
+                F.expr(
+                    "CAST(floor(CAST(sum(col) AS DOUBLE) / "
+                    "CAST(count(1) AS DOUBLE)) AS BIGINT)"
+                ).alias("m")
             )
             .groupBy("centroid_id")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda x: x["m"],
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
                 ).alias("_new_qv")
             )
         )
         cents = (
             cents.join(means, "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(F.col("_new_qv"), F.col(qv_col)).alias(qv_col),
-            )
+            .selectExpr("centroid_id", f"coalesce(_new_qv, {qv_col}) AS {qv_col}")
         )
     return cents
 
@@ -431,10 +433,7 @@ def ann_topk_ivf(
     """
     c = (
         corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            quantize(F.col(vec_col), dims).alias("qv"),
-        )
+        .selectExpr(f"{id_col} AS neighbor_id", f"{_quant_sql(vec_col)} AS qv")
         # consumed by every training iteration and the final assignment —
         # persist so the corpus scan + quantize runs once; tracked: the
         # returned plan is lazy, harness boundaries release (caching.py)
@@ -463,23 +462,20 @@ def ann_topk_ivf(
     c_assigned = (
         ivf_assign(c, cents, "neighbor_id", "qv", dims)
         .withColumnRenamed("qv", "cv")
-        .withColumn("cn", norm_col(F.col("cv"), dims))
+        .selectExpr("*", f"{_norm_sql('cv')} AS cn")
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
-    ).withColumn("qn", norm_col(F.col("qv"), dims))
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv"
+    ).selectExpr("*", f"{_norm_sql('qv')} AS qn")
     # each query probes its n_probe nearest centroids
     q_pairs = q.crossJoin(
         F.broadcast(
-            cents.select("centroid_id", F.col("qv").alias("_cv")).withColumn(
-                "_cn", norm_col(F.col("_cv"), dims)
+            cents.selectExpr(
+                "centroid_id", "qv AS _cv", f"{_norm_sql('qv')} AS _cn"
             )
         )
-    ).withColumn(
-        "_sim",
-        cosine_from_norms(F.col("qv"), F.col("_cv"), F.col("qn"), F.col("_cn"), dims),
-    )
+    ).selectExpr("*", f"{_cfn_sql('qv', '_cv', 'qn', '_cn')} AS _sim")
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
     q_probes = (
         q_pairs.withColumn("_rn", F.row_number().over(wq))
@@ -488,14 +484,12 @@ def ann_topk_ivf(
     )
 
     cand = c_assigned.join(F.broadcast(q_probes), "centroid_id").where(
-        F.col("neighbor_id") != F.col("query_id")
+        "neighbor_id != query_id"
     )
-    scored = cand.select(
+    scored = cand.selectExpr(
         "query_id",
         "neighbor_id",
-        cosine_from_norms(
-            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dims
-        ).alias("cosine"),
+        f"{_cfn_sql('qv', 'cv', 'qn', 'cn')} AS cosine",
     )
     return _topk_per_query(scored, "cosine", k)
 
@@ -542,35 +536,26 @@ def ann_topk_lsh(
         raise ValueError("n_tables must be >= 1")
     c = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        quantize(F.col(vec_col), dims).alias("cv"),
+    ).selectExpr(
+        f"{id_col} AS neighbor_id", f"{_quant_sql(vec_col)} AS cv"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
-    )
+    q = queries.selectExpr(f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv")
     # one (table, bucket) struct per table, from disjoint plane ranges
-    c = c.withColumn(
-        "_tb",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket("cv", n_planes, dims, plane_offset=t * n_planes).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ),
-    ).select(
+    c = c.selectExpr(
+        "*",
+        "explode(array("
+        + ", ".join(
+            f"struct({t} AS tbl, "
+            f"{_lsh_bucket_sql('cv', n_planes, dims, t * n_planes)} AS bucket)"
+            for t in range(n_tables)
+        )
+        + ")) AS _tb",
+    ).selectExpr(
         "neighbor_id",
         "cv",
-        F.col("_tb.tbl").alias("tbl"),
-        F.col("_tb.bucket").alias("bucket"),
-        norm_col(F.col("cv"), dims).alias("cn"),
+        "_tb.tbl AS tbl",
+        "_tb.bucket AS bucket",
+        f"{_norm_sql('cv')} AS cn",
     )
     flips = [0]  # own bucket
     if multi_probe >= 1:
@@ -585,49 +570,41 @@ def ann_topk_lsh(
     # the cheap XOR probe flips — inlining the 64-dim bucket aggregate into
     # every probe element would codegen n_tables·|flips| copies of it
     q = (
-        q.withColumn(
-            "_tb",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            lsh_bucket(
-                                "qv", n_planes, dims, plane_offset=t * n_planes
-                            ).alias("home"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ),
+        q.selectExpr(
+            "*",
+            "explode(array("
+            + ", ".join(
+                f"struct({t} AS tbl, "
+                f"{_lsh_bucket_sql('qv', n_planes, dims, t * n_planes)} AS home)"
+                for t in range(n_tables)
+            )
+            + ")) AS _tb",
         )
-        .withColumn(
-            "bucket",
-            F.explode(
-                F.array(*[F.col("_tb.home").bitwiseXOR(F.lit(m)) for m in flips])
-            ),
+        .selectExpr(
+            "*",
+            "explode(array("
+            + ", ".join(f"(_tb.home ^ {m})" for m in flips)
+            + ")) AS bucket",
         )
-        .select(
+        .selectExpr(
             "query_id",
             "qv",
-            F.col("_tb.tbl").alias("tbl"),
+            "_tb.tbl AS tbl",
             "bucket",
-            norm_col(F.col("qv"), dims).alias("qn"),
+            f"{_norm_sql('qv')} AS qn",
         )
     )
     pairs = c.join(F.broadcast(q), ["tbl", "bucket"]).where(
-        F.col("neighbor_id") != F.col("query_id")
+        "neighbor_id != query_id"
     )
     if n_tables > 1:
         # a pair can match in several tables — dedup before the exact re-rank
         # so each candidate is scored once
         pairs = pairs.select("query_id", "neighbor_id", "qv", "cv", "qn", "cn").distinct()
-    scored = pairs.select(
+    scored = pairs.selectExpr(
         "query_id",
         "neighbor_id",
-        cosine_from_norms(
-            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), dims
-        ).alias("cosine"),
+        f"{_cfn_sql('qv', 'cv', 'qn', 'cn')} AS cosine",
     )
     return _topk_per_query(scored, "cosine", k)
 
@@ -635,6 +612,14 @@ def ann_topk_lsh(
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): compressed-domain ANN scoring
 # ---------------------------------------------------------------------------
+
+
+def _sub_l2_sql(a: str, b: str) -> str:
+    """Exact int64 squared L2 between two sub-vectors (SQL fragment)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
 
 
 def _sub_l2(a: Column, b: Column) -> Column:
@@ -654,17 +639,12 @@ def pq_subvectors(
     sub_dims: int = 8,
 ) -> DataFrame:
     """Explode quantized vectors into (id, sub, sv) sub-vector rows."""
-    parts = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("sub"),
-                F.slice(F.col(qv_col), m * sub_dims + 1, sub_dims).alias("sv"),
-            )
-            for m in range(n_subspaces)
-        ]
-    )
-    return df.select(id_col, F.explode(parts).alias("_p")).select(
-        id_col, F.col("_p.sub").alias("sub"), F.col("_p.sv").alias("sv")
+    parts = "array(" + ", ".join(
+        f"struct({m} AS sub, slice({qv_col}, {m * sub_dims + 1}, {sub_dims}) AS sv)"
+        for m in range(n_subspaces)
+    ) + ")"
+    return df.selectExpr(id_col, f"explode({parts}) AS _p").selectExpr(
+        id_col, "_p.sub AS sub", "_p.sv AS sv"
     )
 
 
@@ -687,43 +667,36 @@ def pq_train_codebooks(
     cb = seeds
     for _ in range(train_iters):
         pairs = subvecs.join(
-            F.broadcast(cb.select("sub", "cid", F.col("sv").alias("_cv"))), "sub"
+            F.broadcast(cb.selectExpr("sub", "cid", "sv AS _cv")), "sub"
         )
         assigned = (
-            pairs.withColumn("_d", _sub_l2(F.col("sv"), F.col("_cv")))
+            pairs.selectExpr("*", f"{_sub_l2_sql('sv', '_cv')} AS _d")
             .groupBy(id_col, "sub")
             .agg(
-                F.min_by(
-                    F.struct(F.col("sv").alias("_sv"), F.col("cid")),
-                    F.struct(F.col("_d"), F.col("cid")),
+                F.expr(
+                    "min_by(struct(sv AS _sv, cid), struct(_d, cid))"
                 ).alias("_best")
             )
-            .select(
-                "sub",
-                F.col("_best.cid").alias("cid"),
-                F.col("_best._sv").alias("sv"),
-            )
+            .selectExpr("sub", "_best.cid AS cid", "_best._sv AS sv")
         )
         means = (
-            assigned.select("sub", "cid", F.posexplode("sv"))
+            assigned.selectExpr("sub", "cid", "posexplode(sv)")
             .groupBy("sub", "cid", "pos")
             .agg(
-                F.floor(
-                    F.sum("col").cast("double") / F.count(F.lit(1)).cast("double")
-                )
-                .cast("long")
-                .alias("m")
+                F.expr(
+                    "CAST(floor(CAST(sum(col) AS DOUBLE) / "
+                    "CAST(count(1) AS DOUBLE)) AS BIGINT)"
+                ).alias("m")
             )
             .groupBy("sub", "cid")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda x: x["m"],
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
                 ).alias("_new_sv")
             )
         )
-        cb = cb.join(means, ["sub", "cid"], "left").select(
-            "sub", "cid", F.coalesce(F.col("_new_sv"), F.col("sv")).alias("sv")
+        cb = cb.join(means, ["sub", "cid"], "left").selectExpr(
+            "sub", "cid", "coalesce(_new_sv, sv) AS sv"
         )
     return cb
 
@@ -736,15 +709,13 @@ def pq_encode(
     per vector instead of the float array (64×4 bytes → M bytes at
     K ≤ 256); downstream scans read only the code columns."""
     pairs = subvecs.join(
-        F.broadcast(codebooks.select("sub", "cid", F.col("sv").alias("_cv"))), "sub"
+        F.broadcast(codebooks.selectExpr("sub", "cid", "sv AS _cv")), "sub"
     )
     return (
-        pairs.withColumn("_d", _sub_l2(F.col("sv"), F.col("_cv")))
+        pairs.selectExpr("*", f"{_sub_l2_sql('sv', '_cv')} AS _d")
         .groupBy(id_col, "sub")
-        .agg(
-            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_best")
-        )
-        .select(id_col, "sub", F.col("_best.cid").alias("code"))
+        .agg(F.expr("min(struct(_d, cid))").alias("_best"))
+        .selectExpr(id_col, "sub", "_best.cid AS code")
     )
 
 
@@ -792,7 +763,7 @@ def ann_topk_pq(
     bq = _resolve_query_broadcast(queries, n_queries)
     c = (
         corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("nid"), quantize(F.col(vec_col)).alias("qv"))
+        .selectExpr(f"{id_col} AS nid", f"{_quant_sql(vec_col)} AS qv")
         # consumed by seeds, train, encode, and the re-rank stage — persist
         # so the corpus scan + repartition exchange runs once, not 3-4x;
         # tracked: lazy result plan, harness boundaries release (caching.py)
@@ -817,54 +788,47 @@ def ann_topk_pq(
 
     codes = pq_encode(subvecs, cb, "nid")
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-    )
+    q = queries.selectExpr(f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv")
     qsubs = pq_subvectors(q, "query_id", "qv", n_subspaces, sub_dims)
     lut = qsubs.join(
-        F.broadcast(cb.select("sub", "cid", F.col("sv").alias("_cv"))), "sub"
-    ).select(
+        F.broadcast(cb.selectExpr("sub", "cid", "sv AS _cv")), "sub"
+    ).selectExpr(
         "query_id",
         "sub",
-        F.col("cid").alias("code"),
-        int_dot(F.col("sv"), F.col("_cv")).alias("_pdot"),
-        int_norm2(F.col("_cv")).alias("_pn2"),
+        "cid AS code",
+        f"{_dot_sql('sv', '_cv')} AS _pdot",
+        f"{_norm2_sql('_cv')} AS _pn2",
     )
-    qn = q.select("query_id", norm_col(F.col("qv")).alias("_qn"))
+    qn = q.selectExpr("query_id", f"{_norm_sql('qv')} AS _qn")
     acc = (
         codes.join(bq(lut), ["sub", "code"])
-        .where(F.col("nid") != F.col("query_id"))
+        .where("nid != query_id")
         .groupBy("query_id", "nid")
         .agg(
-            F.sum("_pdot").cast("long").alias("_adot"),
-            F.sum("_pn2").cast("long").alias("_rn2"),
+            F.expr("CAST(sum(_pdot) AS BIGINT)").alias("_adot"),
+            F.expr("CAST(sum(_pn2) AS BIGINT)").alias("_rn2"),
         )
     )
-    scored = acc.join(bq(qn), "query_id").select(
+    scored = acc.join(bq(qn), "query_id").selectExpr(
         "query_id",
-        F.col("nid").alias("neighbor_id"),
-        (
-            F.col("_adot").cast("double")
-            / _nonzero(F.col("_qn") * F.sqrt(F.col("_rn2").cast("double")))
-        ).alias("approx_cosine"),
+        "nid AS neighbor_id",
+        "CAST(_adot AS DOUBLE) / "
+        + _nonzero_sql("_qn * sqrt(CAST(_rn2 AS DOUBLE))")
+        + " AS approx_cosine",
     )
     if rerank is None:
         return _topk_per_query(scored, "approx_cosine", k)
     shortlist = _topk_per_query(scored, "approx_cosine", rerank, rank_col=None)
-    qv_full = c.select(
-        F.col("nid").alias("neighbor_id"),
-        F.col("qv").alias("_nv"),
-        norm_col(F.col("qv")).alias("_nn"),
+    qv_full = c.selectExpr(
+        "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
     )
     exact = (
         shortlist.join(F.broadcast(q), "query_id")
         .join(qv_full, "neighbor_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cosine_from_norms(
-                F.col("qv"), F.col("_nv"), norm_col(F.col("qv")), F.col("_nn")
-            ).alias("cosine"),
+            f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
         )
     )
     # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
@@ -959,7 +923,7 @@ def _ivfpq_build(
     predicate."""
     c = (
         corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("nid"), quantize(F.col(vec_col), dims).alias("qv"))
+        .selectExpr(f"{id_col} AS nid", f"{_quant_sql(vec_col)} AS qv")
     )
     # consumed by coarse seeds/training/assignment, PQ subvectors, and the
     # re-rank — persist once (tracked; harness boundaries release)
@@ -1049,20 +1013,15 @@ def _ivfpq_search(
     LIMIT-bounded count and fall back to shuffle joins — r10 verdict
     residual #3)."""
     bq = _resolve_query_broadcast(queries, n_queries)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
-    )
-    qn_full = q.withColumn("qn", norm_col(F.col("qv"), dims))
+    q = queries.selectExpr(f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv")
+    qn_full = q.selectExpr("*", f"{_norm_sql('qv')} AS qn")
     q_pairs = qn_full.crossJoin(
         F.broadcast(
-            cents.select("centroid_id", F.col("qv").alias("_cv")).withColumn(
-                "_cn", norm_col(F.col("_cv"), dims)
+            cents.selectExpr(
+                "centroid_id", "qv AS _cv", f"{_norm_sql('qv')} AS _cn"
             )
         )
-    ).withColumn(
-        "_sim",
-        cosine_from_norms(F.col("qv"), F.col("_cv"), F.col("qn"), F.col("_cn"), dims),
-    )
+    ).selectExpr("*", f"{_cfn_sql('qv', '_cv', 'qn', '_cn')} AS _sim")
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("centroid_id")
     )
@@ -1073,52 +1032,47 @@ def _ivfpq_search(
     )
     qsubs = pq_subvectors(q, "query_id", "qv", n_subspaces, sub_dims)
     lut = qsubs.join(
-        F.broadcast(cb.select("sub", "cid", F.col("sv").alias("_cv"))), "sub"
-    ).select(
+        F.broadcast(cb.selectExpr("sub", "cid", "sv AS _cv")), "sub"
+    ).selectExpr(
         "query_id",
         "sub",
-        F.col("cid").alias("code"),
-        int_dot(F.col("sv"), F.col("_cv")).alias("_pdot"),
-        int_norm2(F.col("_cv")).alias("_pn2"),
+        "cid AS code",
+        f"{_dot_sql('sv', '_cv')} AS _pdot",
+        f"{_norm2_sql('_cv')} AS _pn2",
     )
-    qn = q.select("query_id", norm_col(F.col("qv"), dims).alias("_qn"))
+    qn = q.selectExpr("query_id", f"{_norm_sql('qv')} AS _qn")
 
     # --- ADC over probed lists only ---
     acc = (
         codes.join(bq(probes), "centroid_id")
         .join(bq(lut), ["query_id", "sub", "code"])
-        .where(F.col("nid") != F.col("query_id"))
+        .where("nid != query_id")
         .groupBy("query_id", "nid")
         .agg(
-            F.sum("_pdot").cast("long").alias("_adot"),
-            F.sum("_pn2").cast("long").alias("_rn2"),
+            F.expr("CAST(sum(_pdot) AS BIGINT)").alias("_adot"),
+            F.expr("CAST(sum(_pn2) AS BIGINT)").alias("_rn2"),
         )
     )
-    scored = acc.join(bq(qn), "query_id").select(
+    scored = acc.join(bq(qn), "query_id").selectExpr(
         "query_id",
-        F.col("nid").alias("neighbor_id"),
-        (
-            F.col("_adot").cast("double")
-            / _nonzero(F.col("_qn") * F.sqrt(F.col("_rn2").cast("double")))
-        ).alias("approx_cosine"),
+        "nid AS neighbor_id",
+        "CAST(_adot AS DOUBLE) / "
+        + _nonzero_sql("_qn * sqrt(CAST(_rn2 AS DOUBLE))")
+        + " AS approx_cosine",
     )
     if rerank is None:
         return _topk_per_query(scored, "approx_cosine", k)
     shortlist = _topk_per_query(scored, "approx_cosine", rerank, rank_col=None)
-    qv_full = c.select(
-        F.col("nid").alias("neighbor_id"),
-        F.col("qv").alias("_nv"),
-        norm_col(F.col("qv"), dims).alias("_nn"),
+    qv_full = c.selectExpr(
+        "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
     )
     exact = (
         shortlist.join(bq(q), "query_id")
         .join(qv_full, "neighbor_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cosine_from_norms(
-                F.col("qv"), F.col("_nv"), norm_col(F.col("qv"), dims), F.col("_nn"), dims
-            ).alias("cosine"),
+            f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
         )
     )
     # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
@@ -1302,31 +1256,29 @@ def sq8_scales(c: DataFrame, qv_col: str = "qv", dims: int = 64) -> DataFrame:
     64-key max aggregate is map-side combined; the fact table never
     shuffles. Same float recipe as ``int8_quantize_stats`` (127.0/mx is
     one double division — IEEE-identical in any engine)."""
-    xd = F.col("x").cast("double")
     return (
-        c.select(F.posexplode(F.slice(F.col(qv_col), 1, dims)).alias("pos", "x"))
+        c.selectExpr(f"posexplode(slice({qv_col}, 1, {dims})) AS (pos, x)")
         .groupBy("pos")
-        .agg(F.max(F.abs(xd)).alias("mx"))
-        .select(
+        .agg(F.expr("max(abs(CAST(x AS DOUBLE)))").alias("mx"))
+        .selectExpr(
             "pos",
-            F.when(F.col("mx") > 0, F.lit(127.0) / F.col("mx"))
-            .otherwise(F.lit(0.0))
-            .alias("s"),
+            "CASE WHEN mx > 0 THEN 127.0D / mx ELSE 0.0D END AS s",
         )
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                lambda x: x["s"],
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s))), x -> x.s)"
             ).alias("sl")
         )
     )
 
 
-def sq8_encode(qv: Column, sl: Column) -> Column:
+def sq8_encode(qv: Column | str, sl: Column | str) -> Column:
     """int8 code vector: clamp(⌊qv_d · s_d + 0.5⌋, −127, 127) per
     dimension — ``floor(·+0.5)`` rather than round() because the engines'
     round() tie conventions differ while this float tree is
     IEEE-identical (the ``int8_quantize_stats`` recipe)."""
+    if isinstance(qv, str) and isinstance(sl, str):
+        return F.expr(_sq8_encode_sql(qv, sl))
     return F.zip_with(
         qv,
         sl,
@@ -1337,6 +1289,15 @@ def sq8_encode(qv: Column, sl: Column) -> Column:
                 F.floor(x.cast("double") * s + F.lit(0.5)).cast("long"),
             ),
         ),
+    )
+
+
+def _sq8_encode_sql(qv: str, sl: str) -> str:
+    """``sq8_encode`` as a SQL fragment (fast builder path; same tree)."""
+    return (
+        f"zip_with({qv}, {sl}, (x, s) -> "
+        f"greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), "
+        f"CAST(floor(CAST(x AS DOUBLE) * s + 0.5D) AS BIGINT))))"
     )
 
 
@@ -1367,52 +1328,41 @@ def ann_topk_sq8(
     pipeline replays bit-for-bit in the DuckDB oracle."""
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = tracked_persist(
-        corpus.repartition(n_parts).select(
-            F.col(id_col).alias("nid"), quantize(F.col(vec_col), dims).alias("qv")
+        corpus.repartition(n_parts).selectExpr(
+            f"{id_col} AS nid", f"{_quant_sql(vec_col)} AS qv"
         )
     )
     # one-row scales frame attached by broadcast cross join (scalar
     # attach): encoding then runs map-side — no explode shuffle of codes
     scales = sq8_scales(c, "qv", dims or 64)
-    c8 = c.crossJoin(F.broadcast(scales)).select(
-        "nid",
-        sq8_encode(F.col("qv"), F.col("sl")).alias("c8"),
-    ).withColumn("cn8", norm_col(F.col("c8"), dims))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
-    )
-    q8 = q.crossJoin(F.broadcast(scales)).select(
-        "query_id",
-        F.col("qv"),
-        sq8_encode(F.col("qv"), F.col("sl")).alias("q8"),
-    ).withColumn("qn8", norm_col(F.col("q8"), dims))
+    c8 = c.crossJoin(F.broadcast(scales)).selectExpr(
+        "nid", f"{_sq8_encode_sql('qv', 'sl')} AS c8"
+    ).selectExpr("*", f"{_norm_sql('c8')} AS cn8")
+    q = queries.selectExpr(f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv")
+    q8 = q.crossJoin(F.broadcast(scales)).selectExpr(
+        "query_id", "qv", f"{_sq8_encode_sql('qv', 'sl')} AS q8"
+    ).selectExpr("*", f"{_norm_sql('q8')} AS qn8")
     pairs = c8.crossJoin(
         F.broadcast(q8.select("query_id", "q8", "qn8"))
-    ).where(F.col("nid") != F.col("query_id"))
-    scored = pairs.select(
+    ).where("nid != query_id")
+    scored = pairs.selectExpr(
         "query_id",
-        F.col("nid").alias("neighbor_id"),
-        cosine_from_norms(
-            F.col("q8"), F.col("c8"), F.col("qn8"), F.col("cn8"), dims
-        ).alias("approx_cosine"),
+        "nid AS neighbor_id",
+        f"{_cfn_sql('q8', 'c8', 'qn8', 'cn8')} AS approx_cosine",
     )
     if rerank is None:
         return _topk_per_query(scored, "approx_cosine", k)
     shortlist = _topk_per_query(scored, "approx_cosine", rerank, rank_col=None)
-    qv_full = c.select(
-        F.col("nid").alias("neighbor_id"),
-        F.col("qv").alias("_nv"),
-        norm_col(F.col("qv"), dims).alias("_nn"),
+    qv_full = c.selectExpr(
+        "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
     )
     exact = (
         shortlist.join(F.broadcast(q.select("query_id", "qv")), "query_id")
         .join(qv_full, "neighbor_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cosine_from_norms(
-                F.col("qv"), F.col("_nv"), norm_col(F.col("qv"), dims), F.col("_nn"), dims
-            ).alias("cosine"),
+            f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
         )
     )
     # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
@@ -1470,8 +1420,8 @@ def ann_topk_ivfsq8(
     bq = _resolve_query_broadcast(queries, n_queries)
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = tracked_persist(
-        corpus.repartition(n_parts).select(
-            F.col(id_col).alias("nid"), quantize(F.col(vec_col), dims).alias("qv")
+        corpus.repartition(n_parts).selectExpr(
+            f"{id_col} AS nid", f"{_quant_sql(vec_col)} AS qv"
         )
     )
     # --- coarse router: ann_topk_ivf's trainer (mod seeds, capped) ---
@@ -1491,33 +1441,25 @@ def ann_topk_ivfsq8(
     c8 = (
         c.join(assign, "nid")
         .crossJoin(F.broadcast(scales))
-        .select(
-            "nid",
-            "centroid_id",
-            sq8_encode(F.col("qv"), F.col("sl")).alias("c8"),
+        .selectExpr(
+            "nid", "centroid_id", f"{_sq8_encode_sql('qv', 'sl')} AS c8"
         )
-        .withColumn("cn8", norm_col(F.col("c8"), dims))
+        .selectExpr("*", f"{_norm_sql('c8')} AS cn8")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
-    )
-    q8 = q.crossJoin(F.broadcast(scales)).select(
-        "query_id",
-        sq8_encode(F.col("qv"), F.col("sl")).alias("q8"),
-    ).withColumn("qn8", norm_col(F.col("q8"), dims))
+    q = queries.selectExpr(f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv")
+    q8 = q.crossJoin(F.broadcast(scales)).selectExpr(
+        "query_id", f"{_sq8_encode_sql('qv', 'sl')} AS q8"
+    ).selectExpr("*", f"{_norm_sql('q8')} AS qn8")
 
     # --- probe routing (bounded |Q| × n_lists window) ---
-    qn_full = q.withColumn("qn", norm_col(F.col("qv"), dims))
+    qn_full = q.selectExpr("*", f"{_norm_sql('qv')} AS qn")
     q_pairs = qn_full.crossJoin(
         F.broadcast(
-            cents.select("centroid_id", F.col("qv").alias("_cv")).withColumn(
-                "_cn", norm_col(F.col("_cv"), dims)
+            cents.selectExpr(
+                "centroid_id", "qv AS _cv", f"{_norm_sql('qv')} AS _cn"
             )
         )
-    ).withColumn(
-        "_sim",
-        cosine_from_norms(F.col("qv"), F.col("_cv"), F.col("qn"), F.col("_cn"), dims),
-    )
+    ).selectExpr("*", f"{_cfn_sql('qv', '_cv', 'qn', '_cn')} AS _sim")
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("centroid_id")
     )
@@ -1531,32 +1473,26 @@ def ann_topk_ivfsq8(
     cand = (
         c8.join(bq(probes), "centroid_id")
         .join(bq(q8), "query_id")
-        .where(F.col("nid") != F.col("query_id"))
+        .where("nid != query_id")
     )
-    scored = cand.select(
+    scored = cand.selectExpr(
         "query_id",
-        F.col("nid").alias("neighbor_id"),
-        cosine_from_norms(
-            F.col("q8"), F.col("c8"), F.col("qn8"), F.col("cn8"), dims
-        ).alias("approx_cosine"),
+        "nid AS neighbor_id",
+        f"{_cfn_sql('q8', 'c8', 'qn8', 'cn8')} AS approx_cosine",
     )
     if rerank is None:
         return _topk_per_query(scored, "approx_cosine", k)
     shortlist = _topk_per_query(scored, "approx_cosine", rerank, rank_col=None)
-    qv_full = c.select(
-        F.col("nid").alias("neighbor_id"),
-        F.col("qv").alias("_nv"),
-        norm_col(F.col("qv"), dims).alias("_nn"),
+    qv_full = c.selectExpr(
+        "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
     )
     exact = (
         shortlist.join(F.broadcast(q), "query_id")
         .join(qv_full, "neighbor_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cosine_from_norms(
-                F.col("qv"), F.col("_nv"), norm_col(F.col("qv"), dims), F.col("_nn"), dims
-            ).alias("cosine"),
+            f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
         )
     )
     # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
@@ -1584,12 +1520,17 @@ def sign_signature_word(qv_col: str, start: int, width: int = 32) -> Column:
     py4j parse instead of thousands of Column-API round-trips); the
     DuckDB oracle computes the identical sum with a range/CASE
     transform."""
+    return F.expr(_sign_signature_sql(qv_col, start, width))
+
+
+def _sign_signature_sql(qv_col: str, start: int, width: int = 32) -> str:
+    """``sign_signature_word`` as a raw SQL fragment (composable)."""
     terms = [
         f"(CASE WHEN element_at({qv_col}, {start + j + 1}) > 0L"
         f" THEN {1 << j}L ELSE 0L END)"
         for j in range(width)
     ]
-    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def ann_topk_hamming(
@@ -1619,49 +1560,44 @@ def ann_topk_hamming(
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = tracked_persist(
         corpus.repartition(n_parts)
-        .select(
-            F.col(id_col).alias("nid"), quantize(F.col(vec_col), dims).alias("qv")
+        .selectExpr(f"{id_col} AS nid", f"{_quant_sql(vec_col)} AS qv")
+        .selectExpr(
+            "*",
+            f"{_sign_signature_sql('qv', 0)} AS lo",
+            f"{_sign_signature_sql('qv', 32)} AS hi",
         )
-        .withColumn("lo", sign_signature_word("qv", 0))
-        .withColumn("hi", sign_signature_word("qv", 32))
     )
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), quantize(F.col(vec_col), dims).alias("qv")
+        queries.selectExpr(f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv")
+        .selectExpr(
+            "*",
+            f"{_sign_signature_sql('qv', 0)} AS qlo",
+            f"{_sign_signature_sql('qv', 32)} AS qhi",
         )
-        .withColumn("qlo", sign_signature_word("qv", 0))
-        .withColumn("qhi", sign_signature_word("qv", 32))
     )
     pairs = c.crossJoin(
         F.broadcast(q.select("query_id", "qlo", "qhi"))
-    ).where(F.col("nid") != F.col("query_id"))
-    scored = pairs.select(
+    ).where("nid != query_id")
+    scored = pairs.selectExpr(
         "query_id",
-        F.col("nid").alias("neighbor_id"),
-        (
-            F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
-            + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
-        ).cast("long").alias("hamming"),
+        "nid AS neighbor_id",
+        "CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS BIGINT) AS hamming",
     )
     if rerank is None:
         return _topk_per_query(scored, "hamming", k, descending=False)
     shortlist = _topk_per_query(
         scored, "hamming", rerank, rank_col=None, descending=False
     )
-    qv_full = c.select(
-        F.col("nid").alias("neighbor_id"),
-        F.col("qv").alias("_nv"),
-        norm_col(F.col("qv"), dims).alias("_nn"),
+    qv_full = c.selectExpr(
+        "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
     )
     exact = (
         shortlist.join(F.broadcast(q.select("query_id", "qv")), "query_id")
         .join(qv_full, "neighbor_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cosine_from_norms(
-                F.col("qv"), F.col("_nv"), norm_col(F.col("qv"), dims), F.col("_nn"), dims
-            ).alias("cosine"),
+            f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
         )
     )
     # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
@@ -1772,21 +1708,18 @@ def mmr_diversified_topk(
         raise ValueError("k must be >= 1")
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = tracked_persist(
-        corpus.repartition(n_parts).select(
-            F.col(id_col).alias("nid"), quantize(F.col(vec_col), dims).alias("qv")
-        ).withColumn("n", norm_col(F.col("qv"), dims))
+        corpus.repartition(n_parts).selectExpr(
+            f"{id_col} AS nid", f"{_quant_sql(vec_col)} AS qv"
+        ).selectExpr("*", f"{_norm_sql('qv')} AS n")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        quantize(F.col(vec_col), dims).alias("q_qv"),
-    ).withColumn("q_n", norm_col(F.col("q_qv"), dims))
-    pairs = c.crossJoin(F.broadcast(q)).where(F.col("nid") != F.col("query_id"))
-    scored = pairs.select(
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS q_qv"
+    ).selectExpr("*", f"{_norm_sql('q_qv')} AS q_n")
+    pairs = c.crossJoin(F.broadcast(q)).where("nid != query_id")
+    scored = pairs.selectExpr(
         "query_id",
-        F.col("nid").alias("neighbor_id"),
-        cosine_from_norms(
-            F.col("q_qv"), F.col("qv"), F.col("q_n"), F.col("n"), dims
-        ).alias("relevance"),
+        "nid AS neighbor_id",
+        f"{_cfn_sql('q_qv', 'qv', 'q_n', 'n')} AS relevance",
     )
     # exact top-`shortlist` relevance candidates per query (salted top-k
     # keeps the order column, so the |Q|·N scored frame is scanned once),
