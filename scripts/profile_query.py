@@ -35,14 +35,37 @@ from bicis_spark.session import get_spark  # noqa: E402
 def _parse_event_log(log_dir: str) -> None:
     import glob
 
-    files = sorted(glob.glob(os.path.join(log_dir, "*")))
+    entries = sorted(glob.glob(os.path.join(log_dir, "*")))
+    files: list[str] = []
+    for e in entries:
+        if os.path.isdir(e):
+            # Spark 4 rolling (v2) event log: a directory of events_* parts
+            files.extend(sorted(glob.glob(os.path.join(e, "events_*"))))
+        elif "appstatus" not in os.path.basename(e):
+            files.append(e)
     if not files:
         print("no event log found", file=sys.stderr)
         return
+
+    def _lines(path):
+        with open(path, "rb") as fh:
+            head = fh.read(4)
+        if head == b"\x28\xb5\x2f\xfd":  # zstd frame magic
+            import subprocess
+
+            out = subprocess.run(
+                ["zstd", "-dc", path], capture_output=True, check=True
+            ).stdout
+            yield from out.decode().splitlines()
+        else:
+            with open(path) as fh:
+                yield from fh
+
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    with open(files[-1]) as fh:
-        for line in fh:
+    lines = (line for f in files for line in _lines(f))
+    if True:
+        for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -65,7 +88,7 @@ def _parse_event_log(log_dir: str) -> None:
                     a.get("Name"): a.get("Value")
                     for a in si.get("Accumulables", [])
                 }
-                stages[si["Stage Id"]] = {
+                stages[si.get("Stage ID", si.get("Stage Id"))] = {
                     "name": si.get("Stage Name", ""),
                     "tasks": si.get("Number of Tasks", 0),
                     "ms": (si.get("Completion Time", 0) or 0)
@@ -119,6 +142,9 @@ def main() -> None:
         extra = {
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{log_dir}",
+            # plain single-file JSON so the parser needs no zstd codec
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         }
     spark = get_spark(app_name=f"profile_{args.name}", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
