@@ -76,6 +76,22 @@ def get_spark(
         # session values build latency over that nicety (same class of
         # choice as disabling the UI above).
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # The bypass-merge shuffle writer opens ONE FILE PER REDUCE
+        # PARTITION per map task (maps×reducers creates+opens per
+        # exchange, then an mmap/transferTo concat). jstack sampling of
+        # the iterative-graph rows showed executor threads serialized in
+        # FileOutputStream.open0/DiskBlockManager under it — shuffle
+        # *write time* was ~40% of task run time for 64 KB outputs.
+        # Forcing the sort-based writer (2 files per map task regardless
+        # of reducer count) cut pagerank_part_supplier 6.0→2.2s and
+        # kcore_parts 6.1→3.6s (A/B, warm min-of-3). On a real cluster
+        # this conf is inert: bypass only ever engages when reducers ≤
+        # 200, which a 100 TB shuffle never is — the default only
+        # penalizes exactly this local/low-partition regime.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

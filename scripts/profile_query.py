@@ -103,6 +103,17 @@ def _parse_event_log(log_dir: str) -> None:
                     / 1e9,
                     "rt": (acc.get("internal.metrics.executorRunTime", 0) or 0)
                     / 1e3,
+                    "deser": (
+                        acc.get("internal.metrics.executorDeserializeTime", 0)
+                        or 0
+                    )
+                    / 1e3,
+                    "gc": (acc.get("internal.metrics.jvmGCTime", 0) or 0) / 1e3,
+                    "fetch": (
+                        acc.get("internal.metrics.shuffle.read.fetchWaitTime", 0)
+                        or 0
+                    )
+                    / 1e3,
                 }
     for jid in sorted(jobs):
         j = jobs[jid]
@@ -121,6 +132,8 @@ def _parse_event_log(log_dir: str) -> None:
             print(
                 f"    stage {sid:4d} {s['ms'] / 1e3:7.2f}s  tasks={s['tasks']:3d}"
                 f" taskTime={s['rt']:7.2f}s cpu={s['cpu']:7.2f}s"
+                f" deser={s['deser']:6.2f}s gc={s['gc']:5.2f}s"
+                f" fetch={s['fetch']:5.2f}s"
                 f" shufR={sh:8.1f}MB shufW={sw:8.1f}MB  {s['name'][:60]}"
             )
 
