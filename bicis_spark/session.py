@@ -93,6 +93,24 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"),
         )
     )
+    # Shuffle/spill local dirs belong on the fastest node-local storage.
+    # In this sandbox the root FS is virtio-ext4 where the per-file
+    # create/unlink syscalls of shuffle temp files dominate near-empty
+    # micro-batch stages (streaming rows 2-4x slower on ext4 than tmpfs
+    # under the sort writer, A/B in OPTIMIZATION_r11.md); tmpfs makes
+    # them ~free. Production deploys point this at NVMe via
+    # SPARK_GRAFT_LOCAL_DIR (or Spark's own SPARK_LOCAL_DIRS, which
+    # Spark itself gives precedence); tmpfs is appropriate locally
+    # because bench-scale shuffles are MBs against a 126 GB tmpfs.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-graft-local"
+    if local_dir:
+        try:
+            os.makedirs(local_dir, exist_ok=True)
+            builder = builder.config("spark.local.dir", local_dir)
+        except OSError:
+            pass
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
