@@ -68,7 +68,17 @@ def pagerank_fixed_point(
     # bicis_spark/caching.py: plan-only tooling sees a checkpoint stub
     # for this query; at real cluster scale swap localCheckpoint for a
     # reliable checkpoint dir, same caveat as the CC loop).
-    with persisted(verts, edges.join(deg, on="src")) as (verts, ew):
+    # DEPENDENCY-FIRST registration (r11): persist() compiles the cached
+    # plan against the cache state AT REGISTRATION, so registering the
+    # shared edge build first lets verts'/ew's cached plans scan
+    # InMemoryRelation(edges) instead of each re-computing the caller's
+    # (typically expensive) edge derivation — measured 2.9→1.7s on the
+    # 2.4M-row co-purchase preamble (label_propagation A/B).
+    with persisted(edges, verts, edges.join(deg, on="src")) as (
+        _e,
+        verts,
+        ew,
+    ):
         return _power_iterations(
             verts, ew, n_iter, scale, damping_num, damping_den,
             checkpoint_every, broadcast_ranks=False,
@@ -183,7 +193,10 @@ def pagerank_bipartite(
             )
         )
     )
-    with persisted(verts, ew) as (verts, ew):
+    # dependency-first: pairs is the shared subtree of verts AND ew —
+    # register it first so their cached plans read the pairs cache (see
+    # pagerank_fixed_point)
+    with persisted(pairs, verts, ew) as (_p, verts, ew):
         return _power_iterations(
             verts, ew, n_iter, scale, damping_num, damping_den,
             checkpoint_every, broadcast_ranks=broadcast_state,
@@ -441,31 +454,50 @@ def label_propagation(
         .union(edges.select(F.col("dst").alias("v")))
         .distinct()
     )
-    with persisted(verts, edges) as (verts, edges):
-        labels = verts.select("v", F.col("v").alias("lbl"))
-        for i in range(n_iter):
-            if i > 0 and checkpoint_every > 0 and i % checkpoint_every == 0:
-                labels = labels.localCheckpoint(eager=True)
-            lbl_src = labels.withColumnRenamed("v", "src")
-            if broadcast_labels:
-                lbl_src = F.broadcast(lbl_src)
-            cnt = (
-                edges.join(lbl_src, on="src")
-                .groupBy(F.col("dst").alias("v"), "lbl")
-                .agg(F.count(F.lit(1)).alias("_c"))
-            )
-            pick = cnt.groupBy("v").agg(
-                F.max_by(
-                    F.col("lbl"), F.struct(F.col("_c"), -F.col("lbl"))
-                ).alias("_new")
-            )
-            labels = (
-                labels.join(pick, on="v", how="left")
-                .select("v", F.coalesce(F.col("_new"), F.col("lbl")).alias("lbl"))
-            )
-        return labels.select(
-            F.col("v").alias("node"), F.col("lbl").cast("long").alias("label")
-        ).localCheckpoint(eager=True)
+    # dependency-first: edges before the verts derived from it (see
+    # pagerank_fixed_point)
+    round_caches: list[DataFrame] = []
+    try:
+        with persisted(edges, verts) as (edges, verts):
+            labels = verts.select("v", F.col("v").alias("lbl"))
+            for i in range(n_iter):
+                if i > 0 and checkpoint_every > 0 and i % checkpoint_every == 0:
+                    labels = labels.localCheckpoint(eager=True)
+                elif i > 0:
+                    # each round reads its predecessor TWICE (the cnt
+                    # join + the left-join base), so an unpersisted
+                    # mid-round frame duplicates the whole prior round's
+                    # subtree in the next plan (profiled at sf0.1: the
+                    # 25 MB count exchange ran 2x per round) — the same
+                    # lazy-persist double-step bellman_ford_rounds
+                    # documents
+                    labels = labels.persist()
+                    round_caches.append(labels)
+                lbl_src = labels.withColumnRenamed("v", "src")
+                if broadcast_labels:
+                    lbl_src = F.broadcast(lbl_src)
+                cnt = (
+                    edges.join(lbl_src, on="src")
+                    .groupBy(F.col("dst").alias("v"), "lbl")
+                    .agg(F.count(F.lit(1)).alias("_c"))
+                )
+                pick = cnt.groupBy("v").agg(
+                    F.max_by(
+                        F.col("lbl"), F.struct(F.col("_c"), -F.col("lbl"))
+                    ).alias("_new")
+                )
+                labels = (
+                    labels.join(pick, on="v", how="left")
+                    .select(
+                        "v", F.coalesce(F.col("_new"), F.col("lbl")).alias("lbl")
+                    )
+                )
+            return labels.select(
+                F.col("v").alias("node"), F.col("lbl").cast("long").alias("label")
+            ).localCheckpoint(eager=True)
+    finally:
+        for c in round_caches:
+            c.unpersist()
 
 
 def bfs_hops(
