@@ -1224,29 +1224,142 @@ def ann_ivfpq_probe_curve(
         persist_codes=True,
         train_sample=train_sample,
     )
+    # --- one shared ADC scan for the WHOLE curve (round 11) ---
+    # Every candidate lives in exactly ONE inverted list, so its partial
+    # sums are identical at every probe setting that reaches that list;
+    # the per-setting searches differ only in WHICH (query, list) pairs
+    # they admit. Scan once at max(probe_settings) carrying each pair's
+    # probe rank, then fan each scored candidate out to the settings
+    # whose cutoff admits it (explode over the setting array) — the
+    # former 3 independent search DAGs (ADC join + aggregate each)
+    # collapse into one, the exact brute-force reference is scanned once
+    # instead of once per setting, and the per-setting sums are the SAME
+    # set of exact integers, so every value is bit-identical to the
+    # per-setting form the oracle replays.
+    distinct_ps = sorted({int(p) for p in probe_settings})
+    max_p = distinct_ps[-1]
+    parr = "array({})".format(",".join(str(p) for p in distinct_ps))
+    bq = _resolve_query_broadcast(queries, n_queries)
+    q = queries.selectExpr(f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv")
+    qn_full = q.selectExpr("*", f"{_norm_sql('qv')} AS qn")
+    q_pairs = qn_full.crossJoin(
+        F.broadcast(
+            cents.selectExpr(
+                "centroid_id", "qv AS _cv", f"{_norm_sql('qv')} AS _cn"
+            )
+        )
+    ).selectExpr("*", f"{_cfn_sql('qv', '_cv', 'qn', '_cn')} AS _sim")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_pairs.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= max_p)
+        .select("query_id", "centroid_id", "_rn")
+    )
+    qsubs = pq_subvectors(q, "query_id", "qv", n_subspaces, sub_dims)
+    lut = qsubs.join(
+        F.broadcast(cb.selectExpr("sub", "cid", "sv AS _cv")), "sub"
+    ).selectExpr(
+        "query_id",
+        "sub",
+        "cid AS code",
+        f"{_dot_sql('sv', '_cv')} AS _pdot",
+        f"{_norm2_sql('_cv')} AS _pn2",
+    )
+    qn = q.selectExpr("query_id", f"{_norm_sql('qv')} AS _qn")
+    acc = (
+        codes.join(bq(probes), "centroid_id")
+        .join(bq(lut), ["query_id", "sub", "code"])
+        .where("nid != query_id")
+        .groupBy("query_id", "nid")
+        .agg(
+            F.expr("CAST(sum(_pdot) AS BIGINT)").alias("_adot"),
+            F.expr("CAST(sum(_pn2) AS BIGINT)").alias("_rn2"),
+            # one list per nid ⇒ _rn is constant across the group
+            F.min("_rn").alias("_minrn"),
+        )
+    )
+    scored = acc.join(bq(qn), "query_id").selectExpr(
+        "query_id",
+        "nid AS neighbor_id",
+        "_minrn",
+        "CAST(_adot AS DOUBLE) / "
+        + _nonzero_sql("_qn * sqrt(CAST(_rn2 AS DOUBLE))")
+        + " AS approx_cosine",
+    )
+    cand = scored.selectExpr(
+        "*", f"explode(filter({parr}, p -> p >= _minrn)) AS _probe"
+    )
+    from bicis_spark.operators.topk import topk_by_group_agg
+
+    if rerank is None:
+        approx_topk = topk_by_group_agg(
+            cand, ["_probe", "query_id"], "approx_cosine", "neighbor_id",
+            k, ["neighbor_id"], descending=True,
+        ).select("_probe", "query_id", "neighbor_id")
+    else:
+        short = topk_by_group_agg(
+            cand, ["_probe", "query_id"], "approx_cosine", "neighbor_id",
+            rerank, ["neighbor_id"], descending=True,
+        ).select("_probe", "query_id", "neighbor_id")
+        qv_full = c.selectExpr(
+            "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
+        )
+        exact_sc = (
+            short.join(bq(q), "query_id")
+            .join(qv_full, "neighbor_id")
+            .selectExpr(
+                "_probe",
+                "query_id",
+                "neighbor_id",
+                f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
+            )
+        )
+        w2 = Window.partitionBy("_probe", "query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        approx_topk = (
+            exact_sc.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("_probe", "query_id", "neighbor_id")
+        )
     base = queries.select(F.col(id_col).alias("query_id"))
     exact = ann_topk_bruteforce(corpus, queries, k, id_col, vec_col, dims)
-    out = None
-    for p in probe_settings:
-        approx = _ivfpq_search(
-            c, cents, cb, codes, queries, k, int(p),
-            n_subspaces, sub_dims, rerank, id_col, vec_col, dims,
-            n_queries=n_queries,
+    inter = exact.select("query_id", "neighbor_id").join(
+        approx_topk, ["query_id", "neighbor_id"]
+    )
+    hits = inter.groupBy("_probe", "query_id").agg(
+        F.count(F.lit(1)).alias("_h")
+    )
+    basex = base.selectExpr("query_id", f"explode({parr}) AS _probe")
+    rec = basex.join(hits, ["_probe", "query_id"], "left").select(
+        "_probe",
+        "query_id",
+        F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    curve = rec.groupBy("_probe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (
+            F.sum("n_hits").cast("double")
+            / (F.lit(float(k)) * F.count(F.lit(1)).cast("double"))
+        ).alias("avg_recall"),
+    )
+    # re-expand to the INPUT setting list (duplicate settings — possible
+    # at tiny SFs where n_lists//16 == n_lists//8 — must yield duplicate
+    # output rows exactly as the per-setting loop did)
+    wanted = queries.sparkSession.range(1).selectExpr(
+        "explode(array({})) AS probe_lists".format(
+            ",".join(str(int(p)) for p in probe_settings)
         )
-        rec = ann_recall(base, exact, approx, k)
-        row = rec.agg(
-            F.count(F.lit(1)).cast("long").alias("n_queries"),
-            (
-                F.sum("n_hits").cast("double")
-                / (F.lit(float(k)) * F.count(F.lit(1)).cast("double"))
-            ).alias("avg_recall"),
-        ).select(
-            F.lit(int(p)).cast("long").alias("probe_lists"),
-            "n_queries",
-            "avg_recall",
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
+    return wanted.join(
+        F.broadcast(curve), F.col("probe_lists") == F.col("_probe")
+    ).select(
+        F.col("probe_lists").cast("long").alias("probe_lists"),
+        "n_queries",
+        "avg_recall",
+    )
 
 
 def sq8_scales(c: DataFrame, qv_col: str = "qv", dims: int = 64) -> DataFrame:
