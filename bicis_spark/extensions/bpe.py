@@ -33,6 +33,8 @@ counts are exact ints; ties broken by (left, right) binary ordering.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from bicis_spark.sources.io import local_frame
 from pyspark.sql import functions as F
 
 SEP = "\x1f"  # unit separator: never appears in corpus text
@@ -100,7 +102,7 @@ def bpe_train(
         cur = nxt
     cur.unpersist()
 
-    return spark.createDataFrame(
+    return local_frame(spark, 
         merges,
         "round long, merge_left string, merge_right string, pair_count long",
     )

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bicis_spark.caching import tracked_persist
+from bicis_spark.sources.io import local_frame
 
 QUANT_SCALE = 1_000_000
 
@@ -1956,7 +1957,7 @@ def pca_power_iteration(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(quant)).cast("long")
     )
     q = corpus.select(xq.alias("xq"))
-    pairs_dim = spark.createDataFrame(
+    pairs_dim = local_frame(spark, 
         [(i, j) for i in range(dims) for j in range(i, dims)], "i int, j int"
     )
     g = (
@@ -2013,7 +2014,7 @@ def pca_power_iteration(
     vden = sum(x * x for x in v)
     rayleigh = float(vnum) / float(vden) if vden != 0 else None
     spark2 = corpus.sparkSession
-    return spark2.createDataFrame(
+    return local_frame(spark2, 
         [(int(d), int(v[d]), rayleigh) for d in range(dims)],
         "dim long, component long, rayleigh double",
     )

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bicis_spark.caching import persisted
+from bicis_spark.sources.io import local_frame
 
 FP_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*31 + char within int64
 
@@ -670,7 +671,7 @@ def char_entropy(
     base = df.where(t.isNotNull() & (F.length(t) > 0))
     if max_len is None:
         max_len = base.agg(F.max(F.length(t))).first()[0] or 1
-    qlog = spark.createDataFrame(
+    qlog = local_frame(spark, 
         [(k, math.floor(k * math.log2(k) * scale)) for k in range(1, max_len + 1)],
         "k long, qlog long",
     )
@@ -757,7 +758,7 @@ def unigram_surprisal(
         distinct_counts = [r[0] for r in vocab.select("c").distinct().collect()]
         spark = df.sparkSession
         qlog_n = math.floor(math.log2(n_total) * scale)
-        qlog = spark.createDataFrame(
+        qlog = local_frame(spark, 
             [(k, math.floor(math.log2(k) * scale)) for k in distinct_counts],
             "k long, qlog long",
         )
@@ -843,7 +844,7 @@ def bigram_surprisal(
                 .collect()
             )
             spark = df.sparkSession
-            qlog = spark.createDataFrame(
+            qlog = local_frame(spark, 
                 [
                     (int(r[0]), math.floor(math.log2(int(r[0])) * scale))
                     for r in counts
@@ -941,7 +942,7 @@ def bm25_scores(
         for r in tf.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df")).collect()
     }
     spark = df.sparkSession
-    idf_tbl = spark.createDataFrame(
+    idf_tbl = local_frame(spark, 
         [
             (
                 t,
@@ -1163,7 +1164,7 @@ def corpus_kl_divergence(
                 slice_rows.append(
                     (gval, ns, ntypes, qlog(ns + v_size), a_s)
                 )
-            sdim = spark.createDataFrame(
+            sdim = local_frame(spark, 
                 slice_rows, "_g string, ns long, ntypes long, qns long, a_s long"
             )
 
@@ -1175,12 +1176,18 @@ def corpus_kl_divergence(
                 (F.col("_ct") + 1).alias("_k3"),
             )
             with persisted(joined) as (jp,):
-                ks = set()
-                for col in ("_k1", "_k2", "_k3"):
-                    ks.update(
-                        r[0] for r in jp.select(col).distinct().collect()
+                # one distinct over the exploded k-columns instead of
+                # three separate collect jobs (r11: same value set, one
+                # cached-frame scan)
+                ks = {
+                    r[0]
+                    for r in jp.selectExpr(
+                        "explode(array(_k1, _k2, _k3)) AS k"
                     )
-                qtab = spark.createDataFrame(
+                    .distinct()
+                    .collect()
+                }
+                qtab = local_frame(spark, 
                     [(k, qlog(k)) for k in sorted(ks)], "k long, q long"
                 )
 
@@ -1204,24 +1211,31 @@ def corpus_kl_divergence(
                 partial = enriched.groupBy("_g").agg(
                     F.sum(term).cast("long").alias("partial")
                 )
-                s_global = vocab.select(
-                    (F.col("_ct") + 1).alias("_k3")
-                ).join(F.broadcast(q_of("_k3", "_q3")), "_k3").agg(
-                    F.sum("_q3").cast("long")
-                ).first()[0]
+                # S_global stays IN the plan as a broadcast 1-row scalar
+                # attach (r11) — it was a driver .first() that cost its
+                # own job; the integer sum is identical either way
+                sg = (
+                    vocab.select((F.col("_ct") + 1).alias("_k3"))
+                    .join(F.broadcast(q_of("_k3", "_q3")), "_k3")
+                    .agg(F.sum("_q3").cast("long").alias("_sglobal"))
+                )
 
-                out = partial.join(F.broadcast(sdim), "_g").select(
-                    F.col("_g").alias(group_col),
-                    F.col("ns").alias("n_tokens"),
-                    F.col("ntypes").alias("n_types"),
-                    F.lit(v_size).cast("long").alias("vocab_size"),
-                    (
-                        F.col("partial")
-                        + F.lit(v_size) * F.col("a_s")
-                        - F.lit(s_global)
+                out = (
+                    partial.join(F.broadcast(sdim), "_g")
+                    .crossJoin(F.broadcast(sg))
+                    .select(
+                        F.col("_g").alias(group_col),
+                        F.col("ns").alias("n_tokens"),
+                        F.col("ntypes").alias("n_types"),
+                        F.lit(v_size).cast("long").alias("vocab_size"),
+                        (
+                            F.col("partial")
+                            + F.lit(v_size) * F.col("a_s")
+                            - F.col("_sglobal")
+                        )
+                        .cast("long")
+                        .alias("kl_num"),
                     )
-                    .cast("long")
-                    .alias("kl_num"),
                 )
                 result = out.withColumn(
                     "kl_bits",

@@ -23,6 +23,8 @@ Scale + determinism notes:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from bicis_spark.sources.io import local_frame
 from pyspark.sql import functions as F
 
 
@@ -312,7 +314,7 @@ def mutual_information_rank(
     for frame, col in ((cells, "n_xy"), (margx, "n_x"), (margy, "n_y")):
         ks.update(r[0] for r in frame.select(col).distinct().collect())
     spark = df.sparkSession
-    qlog = spark.createDataFrame(
+    qlog = local_frame(spark, 
         [(int(k), int(math.floor(math.log2(k) * scale))) for k in sorted(ks)],
         "k long, q long",
     )
@@ -450,11 +452,11 @@ def naive_bayes_confusion(
             q(r["n_fvc"] + 1) - q_den[(r["_f"], r["_y"])]
         )
     spark = df.sparkSession
-    model = spark.createDataFrame(
+    model = local_frame(spark, 
         [(f, v, vec) for (f, v), vec in sorted(lik.items())],
         "_f string, _v string, _lqs array<long>",
     )
-    fallback = spark.createDataFrame(
+    fallback = local_frame(spark, 
         [
             (f, [-q_den[(f, c)] for c in classes])
             for f in sorted(vf_rows)

@@ -15,6 +15,8 @@ no driver collect.
 from __future__ import annotations
 
 from pyspark.ml.feature import VectorAssembler
+
+from bicis_spark.sources.io import local_frame
 from pyspark.ml.regression import (
     GeneralizedLinearRegression,
     GeneralizedLinearRegressionModel,
@@ -268,7 +270,7 @@ def fit_poisson_irls_step(
     # this closes the same gap on the fit it calls first (r8 verdict #4).
     base = base.where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     ys = sorted(r[0] for r in base.select("_y").distinct().collect())
-    ztab = spark.createDataFrame(
+    ztab = local_frame(spark, 
         [
             (
                 int(v),
@@ -388,7 +390,7 @@ def score_poisson_irls_step(
     for xv in xs:
         eta = intercept + slope * float(xv)
         mu_rows.append((int(xv), eta, math.exp(eta)))
-    mutab = spark.createDataFrame(mu_rows, "_x long, eta double, mu double")
+    mutab = local_frame(spark, mu_rows, "_x long, eta double, mu double")
     scored = base.join(F.broadcast(mutab), "_x")
     preds = scored.select(
         *id_cols,

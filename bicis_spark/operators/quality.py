@@ -20,6 +20,8 @@ Plan shape (scales to 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from bicis_spark.sources.io import local_frame
 from pyspark.sql import functions as F
 
 
@@ -109,7 +111,7 @@ def benford_digit_audit(
 
     spark = df.sparkSession
     expected = [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
-    bt = spark.createDataFrame(expected, "digit long, benford_share double")
+    bt = local_frame(spark, expected, "digit long, benford_share double")
     digit = F.expr(
         f"CAST(substr(CAST(CAST(floor({value_col}) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
     )

@@ -16,6 +16,8 @@ between ANALYZE (approx) and audit (exact).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from bicis_spark.sources.io import local_frame
 from pyspark.sql import functions as F
 
 _INTEGRAL = {"bigint", "int", "smallint", "tinyint", "long", "integer"}
@@ -481,7 +483,7 @@ def weighted_quantiles(
     ).select("_b", "_tot", (F.col("_cw") - F.col("_bw")).alias("_prev"), "_cw")
 
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark, 
         [(label, int(n), int(d)) for label, n, d in quantiles],
         "quantile STRING, q_num LONG, q_den LONG",
     )

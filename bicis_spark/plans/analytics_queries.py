@@ -35,7 +35,7 @@ from bicis_spark.operators.quality import (
 from bicis_spark.operators.sketch import heavy_hitters_with_contract
 from bicis_spark.operators.timeseries import gap_fill_forward
 from bicis_spark.plans.queries import register
-from bicis_spark.sources.io import read_table
+from bicis_spark.sources.io import local_frame, read_table
 
 # ---------------------------------------------------------------------------
 # Deterministic hash-split rule, shared by hash_split_assignment,
@@ -2271,7 +2271,7 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("user_id") % 5, F.lit(0)).alias("grp"),
         F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("v"),
     )
-    dim = spark.createDataFrame(
+    dim = local_frame(spark, 
         [(1, "one"), (2, "two"), (3, "three"), (4, "four"), (None, "missing")],
         "g long, label string",
     )

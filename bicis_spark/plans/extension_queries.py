@@ -51,7 +51,7 @@ from bicis_spark.extensions.text import (
     token_count,
 )
 from bicis_spark.plans.queries import register
-from bicis_spark.sources.io import read_table
+from bicis_spark.sources.io import local_frame, read_table
 
 # DuckDB fragment: distinct 3-word shingle sets per doc
 _SH_CTE = """
@@ -5100,7 +5100,7 @@ def embedding_covariance_ints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element_at picks — measured 3.8x faster at sf0.1 than exploding a
     # per-row constant 2080-struct array, which Catalyst does not
     # constant-fold out of the interpreted HOF pipeline
-    pairs_dim = spark.createDataFrame(
+    pairs_dim = local_frame(spark, 
         [(i, j) for i in range(64) for j in range(i, 64)], "i int, j int"
     )
     pairs = q.crossJoin(F.broadcast(pairs_dim)).select(

@@ -153,6 +153,31 @@ def ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-local model state (qlog tables, codebooks, scalar
+    dims) as a DataFrame WITHOUT the plain-list ``createDataFrame`` path:
+    that pickles the rows into ``defaultParallelism`` RDD slices, so
+    every consumer scan runs one Python worker per core — profiled on
+    corpus_kl_divergence as 32-task jobs with ~0.3 s/task of pure worker
+    round-trip and ≈0 CPU (guide §4, the JVM↔Python boundary), ~2.0 s
+    per frame vs ~0.26 s through pandas/Arrow. The Arrow path converts
+    driver-side and ships record batches the JVM scans natively — no
+    Python workers at read time. Falls back to the plain path when
+    pandas is unavailable or conversion fails (e.g. exotic types)."""
+    if rows:
+        try:
+            import pandas as pd
+
+            ncols = len(rows[0])
+            pdf = pd.DataFrame(
+                [tuple(r) for r in rows], columns=[str(i) for i in range(ncols)]
+            )
+            return spark.createDataFrame(pdf, schema)
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver test table with its explicit schema.
 
