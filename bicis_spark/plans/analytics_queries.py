@@ -5628,19 +5628,21 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    # two chained generators instead of the nested transform lambdas
+    # (r11): higher-order functions are CodegenFallback — the flattened
+    # transform form evaluated interpreted per element; posexplode +
+    # explode(slice(...)) stays in whole-stage codegen. Same pair set
+    # (A/B: identical count/sum aggregates, 0.69→0.59s at sf0.1).
     return (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select("ps", F.posexplode("ps").alias("i", "x"))
         .select(
+            F.col("x").alias("src"),
             F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps) - i - 1), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("p")
+                F.expr("slice(ps, i + 2, size(ps) - i - 1)")
+            ).alias("dst"),
         )
-        .select("p.src", "p.dst")
     )
 
 _LCC_SQL = f"""
@@ -6727,6 +6729,9 @@ def shortest_path_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+    # chained generators instead of nested transform lambdas — same
+    # rationale and A/B as _copurchase_pairs (higher-order functions are
+    # CodegenFallback; generators stay in codegen)
     pw = (
         li.groupBy("l_orderkey")
         .agg(
@@ -6734,25 +6739,22 @@ def shortest_path_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.collect_set(F.struct("l_partkey", "cents"))
             ).alias("ps")
         )
+        .select("ps", F.posexplode("ps").alias("i", "x"))
         .select(
+            F.col("x").alias("x"),
             F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps) - i - 1), "
-                    "y -> struct(x.l_partkey AS a, y.l_partkey AS b, "
-                    "abs(x.cents - y.cents) AS w))))"
-                )
-            ).alias("p")
+                F.expr("slice(ps, i + 2, size(ps) - i - 1)")
+            ).alias("y"),
         )
         # struct-sorted order gives a <= b; equal partkeys (same part,
         # two prices in one order) are excluded by the strict < of the
         # reference semantics. Parallel edges (same pair, several orders
         # or price-pairs) stay — min-relaxation collapses them for free
-        .where(F.col("p.a") != F.col("p.b"))
+        .where(F.col("x.l_partkey") != F.col("y.l_partkey"))
         .select(
-            F.col("p.a").alias("a"),
-            F.col("p.b").alias("b"),
-            F.col("p.w").cast("long").alias("w"),
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+            F.expr("abs(x.cents - y.cents)").cast("long").alias("w"),
         )
     )
     esym = pw.select(
