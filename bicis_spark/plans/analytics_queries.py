@@ -587,7 +587,7 @@ def vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     id sequences via a BROADCAST token->id map + `transform` — the corpus
     is never exploded or shuffled. Ids serialize to a string so the
     comparison is scalar-exact."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return encode_documents(docs, vocab_size=1000)
 
 
@@ -762,7 +762,7 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     1321 on both engines, so key, shard, AND position replay bit-for-bit
     in the oracle. Only shuffle: the per-shard window exchange — no
     global sort."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return epoch_shuffle(
         docs.select("doc_id"), "doc_id", epoch=3, n_shards=8
     ).select("shard", "position", "doc_id")
@@ -1363,7 +1363,7 @@ def doc_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune (df in [2, 50]) so no token fans out more than df_max^2 pairs.
     The content-similarity twin of the embedding ANN queries: same top-k
     contract, but over exact token statistics with int64 dot products."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return doc_cosine_topk(docs, k=3, df_min=2, df_max=50)
 
 
@@ -1476,7 +1476,7 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python's libm, which DuckDB's log2 matches exactly."""
     from bicis_spark.extensions.text import char_entropy
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return char_entropy(docs)
 
 
@@ -1525,7 +1525,7 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never shuffles."""
     from bicis_spark.extensions.bpe import bpe_train
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return bpe_train(docs, n_merges=8)
 
 
@@ -1577,7 +1577,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a single shuffle-free scan."""
     from bicis_spark.extensions.bpe import bpe_encode, bpe_train
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     merges = [
         (r["merge_left"], r["merge_right"])
         for r in bpe_train(docs, n_merges=8).collect()
@@ -3422,7 +3422,7 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~10^13 source tokens; the rank window runs over |sources| rows, never
     the corpus. This is the budgeting step that turns temperature-mix
     WEIGHTS into integer per-source token draws."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     src = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
     )
@@ -3936,7 +3936,7 @@ def quality_classifier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact; the oracle replays the full path."""
     from bicis_spark.operators.featurize import linear_text_classifier
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return linear_text_classifier(docs, "doc_id", "text")
 
 

@@ -199,7 +199,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-keyed exact dedup: the shuffle moves 16-byte hashes, not
     document text; the oracle groups by the raw text, proving the
     fingerprint path reproduces exact-text semantics."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     out = exact_dedup(docs, ["text"], "doc_id")
     # re-attach a cheap metadata column via the surviving ids
     docs_meta = docs.select(F.col("doc_id"), "n_chars")
@@ -242,7 +242,7 @@ _NGRAM_PAIRS_SQL = f"""
 
 @register("dedup_ngram_jaccard", _NGRAM_PAIRS_SQL)
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4, max_doc_freq=50)
 
 
@@ -326,7 +326,7 @@ def minhash_accuracy_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate dedup path ships with its accuracy contract (the
     MinHash analogue of ann_lsh_recall): per LSH candidate pair, sketch
     estimate vs exact Jaccard, both bitwise-deterministic."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return minhash_estimate_pairs(docs, "doc_id", "text", n=3, k=32, bands=8)
 
 
@@ -335,7 +335,7 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the oracle-expressible polynomial shingle hash —
     even the approximate candidate generation is hash-checked bit-for-bit.
     Production default stays xxhash64 (hash_mode param)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="poly"
     )
@@ -388,7 +388,7 @@ def _simhash_oracle_sql(bits: int = 48, max_hamming: int = 2, block_bits: int = 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with oracle-replayable dual polynomial hashes
     (production default stays xxhash64 via hash_mode)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return simhash_pairs(
         docs, "doc_id", "text", bits=48, max_hamming=2, block_bits=16,
         hash_mode="poly",
@@ -730,7 +730,7 @@ def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents",
 )
 def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
@@ -750,7 +750,7 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return quality_metrics(docs)
 
 
@@ -807,7 +807,7 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gopher_quality_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule battery (Rae et al. 2021 A1.1) over documents:
     per-rule booleans + conjunctive keep. Map-only column expressions."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return gopher_quality(docs)
 
 
@@ -874,7 +874,7 @@ def c4_line_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just the flags. Map-only, zero shuffles."""
     from bicis_spark.extensions.curation import c4_line_filter
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     d = F.col("doc_id")
     t = F.col("text")
     l1 = F.concat(F.substring(t, 1, 60), F.lit("."))
@@ -920,7 +920,7 @@ def c4_line_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return language_id(docs)
 
 
@@ -937,7 +937,7 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return fingerprints(docs)
 
 
@@ -961,7 +961,7 @@ def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary wrap → mapInPandas decode stub. The oracle replays the fake
     features byte-wise (corpus is ASCII so char codes == bytes)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return decode_media(to_binary_table(docs))
 
 
@@ -975,7 +975,7 @@ def multimodal_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return frame_sample(to_binary_table(docs), every_n_bytes=64)
 
 
@@ -1008,7 +1008,7 @@ def multimodal_bmp_wav_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the expected features arithmetically from doc_id, so
     a hash MATCH proves the byte-level decoder inverts the byte-level
     encoder (padding stripped, chunks walked) — not that two stubs agree."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return decode_codec_features(synth_media(docs), strict=True)
 
 
@@ -1073,7 +1073,7 @@ def multimodal_jpeg_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform+clamp — not that two stubs agree. The 64-pixel-per-block
     grid lives only in the ORACLE; the engine side decodes blocks as two
     8×8 int64 matmuls inside Arrow-batched mapInPandas."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return decode_jpeg_features(synth_media_jpeg(docs), strict=True)
 
 
@@ -1130,7 +1130,7 @@ def multimodal_png_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media_png,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return decode_png_features(synth_media_png(docs), strict=True)
 
 
@@ -1190,7 +1190,7 @@ def multimodal_gif_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media_gif,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return decode_gif_features(synth_media_gif(docs), strict=True)
 
 
@@ -1280,7 +1280,7 @@ def multimodal_video_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media_video,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return decode_video_features(synth_media_video(docs), strict=True)
 
 
@@ -1304,7 +1304,7 @@ def multimodal_video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFra
         video_frame_features,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return video_frame_features(synth_media_video(docs), every_n=2, strict=True)
 
 
@@ -1379,7 +1379,7 @@ def multimodal_mpeg1_audio_decode_q(spark: SparkSession, sf_dir: str) -> DataFra
         synth_media_mpeg1,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return decode_mpeg1_features(synth_media_mpeg1(docs), strict=True)
 
 
@@ -1565,7 +1565,7 @@ def multimodal_mp3_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reservoir walk and the entire granule bit layout. The honest
     residual vs wire MP3 is the entropy-codebook DATA seam (canonical
     codes over spec shapes; ISO B.7 drop-in documented in the module)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return decode_mp3_features(synth_media_mp3(docs), strict=True)
 
 
@@ -1583,7 +1583,7 @@ def multimodal_mp3_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_counts_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization (word pieces + punctuation as separate
     tokens) — the pre-tokenizer split most BPE vocabularies assume."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     pat = F.lit(r"([a-zA-Z0-9]+|[^a-zA-Z0-9\s])")
     toks = F.regexp_extract_all(F.col("text"), pat, 1)
     return docs.select(
@@ -1802,7 +1802,7 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup survivors — a left-semi prune before the per-token scoring."""
     from bicis_spark.extensions.dedup import fingerprint_cols
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     q = quality_metrics(docs)
     kept = docs.join(
         q.where((F.col("n_tokens") >= 30) & (F.col("unique_ratio") >= 0.3)).select(
@@ -1864,7 +1864,7 @@ def stratified_sample_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, runs, and partitionings (no RNG anywhere)."""
     from bicis_spark.extensions.sampling import stratified_sample
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     labeled = language_id(docs).select("doc_id", "predicted_lang").join(
         docs.select("doc_id", "text"), "doc_id"
     )
@@ -1896,7 +1896,7 @@ def curation_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffle."""
     from bicis_spark.extensions.sampling import quota_sample
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     labeled = language_id(docs).select("doc_id", "predicted_lang").join(
         quality_metrics(docs).select("doc_id", "n_tokens"), "doc_id"
     )
@@ -1926,7 +1926,7 @@ def top_shingles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hottest 3-gram shingles (non-distinct, so repeats within a doc count)."""
     from bicis_spark.extensions.dedup import shingles
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     toks = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.size(toks) - 3)
     raw_shingles = F.transform(
@@ -1973,7 +1973,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash+LSH pair graph — pairs become keep/drop decisions (one
     canonical doc per cluster). The oracle computes the same components via
     a recursive reachability CTE."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="poly"
     )
@@ -1995,7 +1995,7 @@ def vocab_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct expand)."""
     from bicis_spark.extensions.text import vocab_stats
 
-    return vocab_stats(read_table(spark, sf_dir, "documents"))
+    return vocab_stats(read_table(spark, sf_dir, "documents", spread=True))
 
 
 @register(
@@ -2026,7 +2026,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     window)."""
     from bicis_spark.extensions.text import tfidf_top_terms
 
-    return tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+    return tfidf_top_terms(read_table(spark, sf_dir, "documents", spread=True), k=3)
 
 
 # ---------------------------------------------------------------------------
@@ -2067,7 +2067,7 @@ def benchmark_decontamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast probe)."""
     from bicis_spark.extensions.curation import decontaminate
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     bench = docs.where(F.col("doc_id") % 20 == 0)
     corpus = docs.where(F.col("doc_id") % 20 != 0)
     return decontaminate(corpus, bench, n=4)
@@ -2108,7 +2108,7 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     column expressions, no shuffle."""
     from bicis_spark.extensions.curation import pii_metrics
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     d = F.col("doc_id")
     aug = docs.select(
         d.alias("doc_id"),
@@ -2184,7 +2184,7 @@ def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row (zero shuffle — deliberately not explode+groupBy)."""
     from bicis_spark.extensions.curation import repetition_metrics
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return repetition_metrics(docs)
 
 
@@ -2209,7 +2209,7 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     output rows scale with tokens/16, never shuffled."""
     from bicis_spark.extensions.curation import chunk_documents
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return chunk_documents(docs, chunk_tokens=16)
 
 
@@ -2241,7 +2241,7 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently, no global order."""
     from bicis_spark.extensions.curation import pack_sequences
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return pack_sequences(docs, seq_tokens=64)
 
 
@@ -2268,7 +2268,7 @@ def dedup_fuzzy_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; edit distance runs only inside blocks — never all-pairs.
     At 100 TB the block key would be a fingerprint band (as in LSH) but
     the join shape is identical."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     t = docs.select(
         "doc_id",
         F.substring("text", 1, 60).alias("pfx"),
@@ -2320,7 +2320,7 @@ def neardup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus document appears with its cluster id and a kept flag
     (kept ⇔ it IS the cluster minimum; untouched docs keep themselves).
     This is the keep/drop list a curation run applies."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.4, hash_mode="poly"
     )
@@ -2359,7 +2359,7 @@ def dedup_minhash_lsh_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01/sf0.1; banding theory at j≈0.7+, r=4, b=8 predicts >99%).
     Precision needs no contract — emitted pairs are exact-Jaccard-verified
     by construction."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     # ref feeds BOTH the count aggregate and the semi-join probe: without
     # a persist the inverted-index plan runs twice (measured ~2x of this
     # query's bench cost)
@@ -2715,7 +2715,7 @@ def bm25_query_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationals, libm-log-table idf, integer-exact throughout."""
     from bicis_spark.extensions.text import bm25_scores
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return bm25_scores(docs, ["dup", "data", "join"])
 
 
@@ -2745,7 +2745,7 @@ def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     placements."""
     from bicis_spark.extensions.curation import packing_efficiency
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return packing_efficiency(docs, seq_tokens=64)
 
 
@@ -2838,7 +2838,7 @@ def ngram_novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     double hashes bit-identically."""
     from bicis_spark.extensions.curation import ngram_novelty
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return ngram_novelty(docs, "doc_id", "text", n=3)
 
 
@@ -2879,7 +2879,7 @@ def unigram_surprisal_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 sums, one final division."""
     from bicis_spark.extensions.text import unigram_surprisal
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return unigram_surprisal(docs)
 
 
@@ -4127,7 +4127,7 @@ def doc_retrieval_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit by the oracle."""
     from bicis_spark.extensions.text import doc_retrieval_hashed
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return doc_retrieval_hashed(
         docs,
         (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < _ANN_Q_CAP),
@@ -4221,7 +4221,7 @@ def hybrid_retrieval_doc_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of exact-integer divisions — bitwise in the oracle."""
     from bicis_spark.extensions.text import hybrid_retrieval_rrf
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return hybrid_retrieval_rrf(
         docs,
         (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < _ANN_Q_CAP),
@@ -4414,7 +4414,7 @@ def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands and span rebuilds replayed verbatim."""
     from bicis_spark.extensions.curation import exact_substring_spans
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return exact_substring_spans(docs, "text", "doc_id", k=5, min_span_tokens=10)
 
 
@@ -4427,7 +4427,7 @@ def span_dedup_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the fingerprint path reproduces raw-span semantics."""
     from bicis_spark.extensions.curation import span_dedup
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return span_dedup(docs, span_tokens=10)
 
 
@@ -4560,7 +4560,7 @@ def temperature_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the normalizing sum, so no float accumulation order exists
     anywhere. Scale: one vocab-free aggregate over the corpus (map-side
     combined), |languages| rows after."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     per_lang = (
         docs.where(t.isNotNull() & (F.length(t) > 0))
@@ -4627,7 +4627,7 @@ def bigram_surprisal_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sums exact int64."""
     from bicis_spark.extensions.text import bigram_surprisal
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return bigram_surprisal(docs)
 
 
@@ -4685,7 +4685,7 @@ def dsir_importance_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-matching a 100 TB crawl to a curated target."""
     from bicis_spark.extensions.sampling import importance_resample
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     docs = docs.withColumn("size_class", F.expr("n_chars DIV 100"))
     return importance_resample(
         docs,
@@ -4720,7 +4720,7 @@ def dedup_incremental_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus on every nightly ingest."""
     from bicis_spark.extensions.dedup import fingerprint_index, incremental_dedup
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     old = docs.where(F.col("doc_id") % 10 < 7)
     new = docs.where(F.col("doc_id") % 10 >= 7)
     idx = fingerprint_index(old, ["text"])
@@ -4751,7 +4751,7 @@ def domain_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one task never happens."""
     from bicis_spark.extensions.curation import domain_cap_sample
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return domain_cap_sample(docs, cap=15)
 
 
@@ -4801,7 +4801,7 @@ def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     of two exact integer divisions, so the oracle replay is bitwise."""
     from bicis_spark.extensions.text import bm25_scores, rank_topn, rrf_fuse, tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     terms = ["dup", "data", "join"]
     bm = bm25_scores(docs, terms)
     ra = rank_topn(
@@ -4872,6 +4872,9 @@ def dedup_prefix_filter_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame
     Jaccard saturates; shingle sets make τ-pairs genuine near-copies)."""
     from bicis_spark.extensions.dedup import prefix_filtered_jaccard_pairs
 
+    # no spread: the operator's first step is a per-doc lead() window, so
+    # its exchange already distributes the corpus; an earlier repartition
+    # only shifted AQE size estimates and measured 1.96→2.92s
     docs = read_table(spark, sf_dir, "documents")
     return prefix_filtered_jaccard_pairs(docs, shingle_n=3)
 
@@ -4900,7 +4903,7 @@ def phrase_search_positional_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     position arithmetic over the same token streams."""
     from bicis_spark.extensions.text import phrase_search
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return phrase_search(docs, "big order scan")
 
 
@@ -5015,7 +5018,7 @@ def skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice algebra emits exactly the in-window pairs. At 100 TB this is
     the prep pass whose output feeds embedding training; the quadratic
     join formulation the oracle uses is precisely what it avoids."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     toks = F.filter(
         F.split(F.lower(F.col("text")), " ", -1), lambda x: x != F.lit("")
     )
@@ -5312,7 +5315,7 @@ def zipf_fit_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int64"
         )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     toks = F.explode(
         F.filter(
             F.split(F.lower(F.col("text")), " ", -1), lambda x: x != F.lit("")
@@ -5412,7 +5415,7 @@ def corpus_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kl_num is an exact int64."""
     from bicis_spark.extensions.text import corpus_kl_divergence
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return corpus_kl_divergence(docs, "source", "text")
 
 

@@ -178,14 +178,72 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+_SPLIT_UNITS_CACHE: dict[str, tuple[tuple, int]] = {}
+
+
+def _splittable_units(path: str) -> int:
+    """Parquet scan parallelism ceiling for ``path``: total row groups
+    across member files (a row group is the atomic Spark split unit —
+    byte-range splits beyond it yield empty tasks). Footer-only read,
+    cached on file identity like the ts-unit probe."""
+    import glob
+    import os
+
+    try:
+        files = (
+            tuple(
+                sorted(
+                    glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+                )
+            )
+            if os.path.isdir(path)
+            else (path,)
+        )
+        fp = tuple((f, os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files)
+    except OSError:
+        return 1 << 30  # unknowable: assume splittable, never repartition
+    cached = _SPLIT_UNITS_CACHE.get(path)
+    if cached is not None and cached[0] == fp:
+        return cached[1]
+    try:
+        import pyarrow.parquet as pq
+
+        units = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        units = 1 << 30
+    _SPLIT_UNITS_CACHE[path] = (fp, units)
+    return units
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one driver test table with its explicit schema.
 
     Explicit schema (not parquet-footer trust alone) pins column order and
     integer widths so downstream plans and oracle hashes are deterministic.
-    """
+
+    ``spread=True`` asks for scan-output parallelism when the file layout
+    cannot supply it: parquet row groups are Spark's atomic split unit,
+    and the local testdata ships ONE row group per table, so every scan —
+    and any heavy map-side work fused into its stage — runs in a single
+    task. When (and only when) the footer probe shows fewer splittable
+    units than half the cores, the scan is repartitioned to
+    ``defaultParallelism``; on production layouts (many row groups) the
+    gate never fires, so the extra exchange exists exactly where the
+    input layout starves the executors and nowhere else (guide §2 —
+    partitioning derived from the input, not a constant). Reserve it for
+    scans feeding heavy per-row compute (n-gram explosion, codec decode):
+    for cheap aggregations the exchange costs more than the
+    single-threaded work (measured on pricing_summary: 0.24→0.60s)."""
     ensure_session_confs(spark)
-    return _read_with_schema(spark, f"{sf_dir}/{name}.parquet", TABLES[name])
+    path = f"{sf_dir}/{name}.parquet"
+    df = _read_with_schema(spark, path, TABLES[name])
+    if spread:
+        cores = spark.sparkContext.defaultParallelism
+        if _splittable_units(path) < max(2, cores // 2):
+            df = df.repartition(cores)
+    return df
 
 
 def _read_with_schema(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
