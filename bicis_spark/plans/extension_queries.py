@@ -4929,7 +4929,9 @@ def dedup_edit_distance_names_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocking admits no false negatives on this corpus."""
     from bicis_spark.extensions.dedup import edit_distance_pairs
 
-    cust = read_table(spark, sf_dir, "customer")
+    # spread: the FastSS deletion-neighborhood explode fuses into the
+    # single-row-group scan stage (see read_table docstring)
+    cust = read_table(spark, sf_dir, "customer", spread=True)
     return edit_distance_pairs(cust, "c_custkey", "c_name")
 
 
@@ -5195,7 +5197,7 @@ def golden_record_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         edit_distance_pairs,
     )
 
-    cust = read_table(spark, sf_dir, "customer")
+    cust = read_table(spark, sf_dir, "customer", spread=True)
     pairs = edit_distance_pairs(cust, "c_custkey", "c_name").select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
