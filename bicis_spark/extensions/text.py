@@ -295,15 +295,29 @@ def hashed_doc_embedding(
     directly — text → vector → top-k with every stage SQL-replayable.
 
     Plan: map-only (one expression per document — no explode, no
-    shuffle); integer components, exact norms."""
+    shuffle); integer components, exact norms.
+
+    The token-hash array is materialized as its own projection (``_hs``)
+    before the per-dimension sums reference it (round 11, optimization
+    session 2): with the hash tree INLINED in the outer ``transform``
+    lambda, the interpreted HOF evaluator re-derives ``poly_hash`` per
+    dimension. Measured A/B at sf0.1 (values bit-identical, 5000 rows):
+    steady-state noop time is within noise (~1.8s both forms — the 64
+    per-dim aggregate passes dominate either way), but FIRST-execution
+    cost halves (7.3→3.9s / 6.2→2.1s pairs) — the split projection
+    compiles and evaluates a much smaller first-pass tree. Kept for the
+    cheaper cold path; per-dimension sums unchanged."""
     from bicis_spark.extensions.dedup import poly_hash
 
     toks = F.split(F.col(text_col), " ")
     hs = F.transform(toks, poly_hash)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), hs.alias("_hs")
+    )
     v = F.transform(
         F.sequence(F.lit(0), F.lit(dims - 1)),
         lambda d: F.aggregate(
-            hs,
+            F.col("_hs"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(
@@ -314,9 +328,7 @@ def hashed_doc_embedding(
             ).otherwise(F.lit(0)).cast("long"),
         ),
     )
-    return df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), v.alias("v")
-    )
+    return base.select(F.col(id_col), v.alias("v"))
 
 
 def doc_retrieval_hashed(

@@ -29,6 +29,13 @@ def test_bench_json_contract(tmp_path):
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_DETAIL_FILE=detail,
+        # Single timing pass: the round-11 driver-facing default became TWO
+        # temporally-separated passes (r10 verdict #2), which doubled this
+        # test's full-bench subprocess to ~875s quiet — past the old 900s
+        # timeout. The contract under test is the stdout JSON line + detail
+        # file routing, not the pass count; bench.py documents this env as
+        # the quick-iteration knob.
+        SPARK_GRAFT_BENCH_PASSES="1",
     )
     repo_artifact = os.path.join(_REPO, "BENCH_FULL_latest.json")
     artifact_sig_before = (
@@ -42,7 +49,7 @@ def test_bench_json_contract(tmp_path):
         text=True,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=900,
+        timeout=900,  # one pass measured ~450s quiet; 2x margin
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     json_lines = [
@@ -64,6 +71,7 @@ def test_bench_json_contract(tmp_path):
     with open(detail) as f:
         full = json.load(f)
     assert full["value"] == payload["value"]
+    assert full["n_timing_passes"] == 1  # env override honored
     assert len(full["queries"]) >= 15
     assert full["queries"].keys() <= set(__import__("bench").HEADLINE)
     assert payload["n_queries"] == len(full["queries"])
