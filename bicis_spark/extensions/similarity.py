@@ -1326,7 +1326,28 @@ def ann_ivfpq_probe_curve(
             .select("_probe", "query_id", "neighbor_id")
         )
     base = queries.select(F.col(id_col).alias("query_id"))
-    exact = ann_topk_bruteforce(corpus, queries, k, id_col, vec_col, dims)
+    # Brute-force reference over the PERSISTED quantized corpus (round 11,
+    # optimization session 2): ann_topk_bruteforce(corpus, ...) would
+    # re-scan and re-quantize the raw corpus a second time; ``c`` already
+    # holds exactly the (nid, qv) rows it would derive (same repartition,
+    # same quantize), so the reference scan is served from the index
+    # build's cache — one fewer full corpus scan + quantize per row at
+    # any scale. Values bit-identical (same expression trees, same salted
+    # top-k; oracle MATCH re-checked at sf0.01 and sf0.001).
+    cq = c.selectExpr(
+        "nid AS neighbor_id", "qv AS cv"
+    ).selectExpr("*", f"{_norm_sql('cv')} AS cn")
+    qq = queries.selectExpr(
+        f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv"
+    ).selectExpr("*", f"{_norm_sql('qv')} AS qn")
+    bf_scored = cq.crossJoin(F.broadcast(qq)).where(
+        "neighbor_id != query_id"
+    ).selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"{_cfn_sql('qv', 'cv', 'qn', 'cn')} AS cosine",
+    )
+    exact = _topk_per_query(bf_scored, "cosine", k)
     inter = exact.select("query_id", "neighbor_id").join(
         approx_topk, ["query_id", "neighbor_id"]
     )
