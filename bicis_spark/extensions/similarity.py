@@ -1780,11 +1780,38 @@ def ann_filtered_prepost(
     corpus (on ``id_col``) and the post-filter results (on
     ``neighbor_id``). Both sides reuse the exact brute-force scan
     (salted top-k); the post-filter re-rank is a bounded window over
-    ≤ |Q|·overfetch rows."""
-    pre = ann_topk_bruteforce(
-        corpus.where(predicate(id_col)), queries, k, id_col, vec_col, dims
+    ≤ |Q|·overfetch rows.
+
+    The two scans share ONE persisted quantized corpus (round 11,
+    optimization session 2): two independent ``ann_topk_bruteforce``
+    calls each re-scanned and re-quantized the raw corpus; the predicate
+    reads only the id column, so filtering the quantized frame is the
+    same row set and the pre side is served from the full side's cache —
+    the corpus is read and quantized once per row at any scale. Same
+    expression trees and salted top-k ⇒ values bit-identical (oracle
+    MATCH re-checked at sf0.01 and sf0.001)."""
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = tracked_persist(
+        corpus.repartition(n_parts)
+        .selectExpr(f"{id_col} AS neighbor_id", f"{_quant_sql(vec_col)} AS cv")
+        .selectExpr("*", f"{_norm_sql('cv')} AS cn")
     )
-    full = ann_topk_bruteforce(corpus, queries, overfetch, id_col, vec_col, dims)
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv"
+    ).selectExpr("*", f"{_norm_sql('qv')} AS qn")
+
+    def _bf_topk(cdf: DataFrame, kk: int) -> DataFrame:
+        scored = cdf.crossJoin(F.broadcast(q)).where(
+            "neighbor_id != query_id"
+        ).selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{_cfn_sql('qv', 'cv', 'qn', 'cn')} AS cosine",
+        )
+        return _topk_per_query(scored, "cosine", kk)
+
+    pre = _bf_topk(c.where(predicate("neighbor_id")), k)
+    full = _bf_topk(c, overfetch)
     w = Window.partitionBy("query_id").orderBy("rank")
     post = (
         full.where(predicate("neighbor_id"))
