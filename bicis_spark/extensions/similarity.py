@@ -47,15 +47,37 @@ DEFAULT_DIMS = 64
 # full DuckDB oracle emulation.
 
 
-def _dot_sql(a: str, b: str) -> str:
+#: Width cap for unrolling fixed-width array math into plain arithmetic.
+#: Higher-order functions (aggregate/zip_with) are CodegenFallback —
+#: evaluated INTERPRETED, one tree walk + ArrayData allocation per call —
+#: which round 12 profiling caught as the dominant task cost of the PQ
+#: family: pq_encode evaluates sub-vector L2 N·M·K ≈ 8.2M times per build
+#: and its scan stage burned 21-29 s of CPU to write 0.8 MB (guide §1.2
+#: per-task work / §4.1 prefer codegen'd built-ins). For KNOWN small
+#: widths the same exact-int64 sum unrolls into `a[0]*b[0] + ...`, which
+#: whole-stage codegen compiles (A/B on the 8.2M-eval shape: 1.6-4×
+#: faster; values bit-identical — same operands, same exact integer adds,
+#: same NULL propagation on a too-short array). 64-dim unrolls were
+#: measured SLOWER (the module-level note above), so only genuinely small
+#: widths (the 4-dim PQ subspaces) take this path.
+UNROLL_MAX_DIMS = 8
+
+
+def _dot_sql(a: str, b: str, dims: int | None = None) -> str:
+    if dims is not None and 1 <= dims <= UNROLL_MAX_DIMS:
+        return (
+            "CAST("
+            + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dims))
+            + " AS BIGINT)"
+        )
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
 
-def _norm2_sql(a: str) -> str:
-    return _dot_sql(a, a)
+def _norm2_sql(a: str, dims: int | None = None) -> str:
+    return _dot_sql(a, a, dims)
 
 
 def _norm_sql(a: str) -> str:
@@ -615,8 +637,20 @@ def ann_topk_lsh(
 # ---------------------------------------------------------------------------
 
 
-def _sub_l2_sql(a: str, b: str) -> str:
-    """Exact int64 squared L2 between two sub-vectors (SQL fragment)."""
+def _sub_l2_sql(a: str, b: str, dims: int | None = None) -> str:
+    """Exact int64 squared L2 between two sub-vectors (SQL fragment).
+    ``dims`` unrolls known-small widths into codegen'd arithmetic (see
+    UNROLL_MAX_DIMS) — identical exact-int64 value, identical NULL
+    propagation; the HOF form remains the any-width fallback."""
+    if dims is not None and 1 <= dims <= UNROLL_MAX_DIMS:
+        return (
+            "CAST("
+            + " + ".join(
+                f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+                for i in range(dims)
+            )
+            + " AS BIGINT)"
+        )
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
         f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
@@ -654,6 +688,7 @@ def pq_train_codebooks(
     seeds: DataFrame,
     train_iters: int = 1,
     id_col: str = "vec_id",
+    sub_dims: int | None = None,
 ) -> DataFrame:
     """Deterministic per-subspace k-means codebooks: [sub, cid, sv].
 
@@ -671,7 +706,7 @@ def pq_train_codebooks(
             F.broadcast(cb.selectExpr("sub", "cid", "sv AS _cv")), "sub"
         )
         assigned = (
-            pairs.selectExpr("*", f"{_sub_l2_sql('sv', '_cv')} AS _d")
+            pairs.selectExpr("*", f"{_sub_l2_sql('sv', '_cv', sub_dims)} AS _d")
             .groupBy(id_col, "sub")
             .agg(
                 F.expr(
@@ -703,7 +738,10 @@ def pq_train_codebooks(
 
 
 def pq_encode(
-    subvecs: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+    subvecs: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    sub_dims: int | None = None,
 ) -> DataFrame:
     """Assign each (vector, subspace) to its min-L2 code: [id, sub, code].
     At 100 TB this IS the compressed corpus representation — M small ints
@@ -713,7 +751,7 @@ def pq_encode(
         F.broadcast(codebooks.selectExpr("sub", "cid", "sv AS _cv")), "sub"
     )
     return (
-        pairs.selectExpr("*", f"{_sub_l2_sql('sv', '_cv')} AS _d")
+        pairs.selectExpr("*", f"{_sub_l2_sql('sv', '_cv', sub_dims)} AS _d")
         .groupBy(id_col, "sub")
         .agg(F.expr("min(struct(_d, cid))").alias("_best"))
         .selectExpr(id_col, "sub", "_best.cid AS code")
@@ -785,9 +823,11 @@ def ann_topk_pq(
     seeds = pq_subvectors(
         c.where(seed_filter), "nid", "qv", n_subspaces, sub_dims
     ).select("sub", F.col("nid").alias("cid"), "sv")
-    cb = tracked_persist(pq_train_codebooks(subvecs, seeds, train_iters, "nid"))
+    cb = tracked_persist(
+        pq_train_codebooks(subvecs, seeds, train_iters, "nid", sub_dims)
+    )
 
-    codes = pq_encode(subvecs, cb, "nid")
+    codes = pq_encode(subvecs, cb, "nid", sub_dims)
 
     q = queries.selectExpr(f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv")
     qsubs = pq_subvectors(q, "query_id", "qv", n_subspaces, sub_dims)
@@ -797,10 +837,13 @@ def ann_topk_pq(
         "query_id",
         "sub",
         "cid AS code",
-        f"{_dot_sql('sv', '_cv')} AS _pdot",
-        f"{_norm2_sql('_cv')} AS _pn2",
+        f"{_dot_sql('sv', '_cv', sub_dims)} AS _pdot",
+        f"{_norm2_sql('_cv', sub_dims)} AS _pn2",
     )
-    qn = q.selectExpr("query_id", f"{_norm_sql('qv')} AS _qn")
+    # one (query_id, qv, qn) frame shared by the score attach and the
+    # re-rank (round 12): the norm subtree is defined once
+    qn_full = q.selectExpr("*", f"{_norm_sql('qv')} AS qn")
+    qn = qn_full.selectExpr("query_id", "qn AS _qn")
     acc = (
         codes.join(bq(lut), ["sub", "code"])
         .where("nid != query_id")
@@ -824,12 +867,12 @@ def ann_topk_pq(
         "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
     )
     exact = (
-        shortlist.join(F.broadcast(q), "query_id")
+        shortlist.join(F.broadcast(qn_full), "query_id")
         .join(qv_full, "neighbor_id")
         .selectExpr(
             "query_id",
             "neighbor_id",
-            f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
+            f"{_cfn_sql('qv', '_nv', 'qn', '_nn')} AS cosine",
         )
     )
     # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
@@ -958,8 +1001,10 @@ def _ivfpq_build(
     pq_seeds = pq_subvectors(
         c.where(pq_seed), "nid", "qv", n_subspaces, sub_dims
     ).select("sub", F.col("nid").alias("cid"), "sv")
-    cb = tracked_persist(pq_train_codebooks(subvecs, pq_seeds, pq_train_iters, "nid"))
-    codes = pq_encode(subvecs, cb, "nid").join(assign, "nid")
+    cb = tracked_persist(
+        pq_train_codebooks(subvecs, pq_seeds, pq_train_iters, "nid", sub_dims)
+    )
+    codes = pq_encode(subvecs, cb, "nid", sub_dims).join(assign, "nid")
     if persist_codes:
         # the probe-curve row searches the SAME index at several probe
         # settings — materialize the encode once instead of per setting
@@ -1038,10 +1083,11 @@ def _ivfpq_search(
         "query_id",
         "sub",
         "cid AS code",
-        f"{_dot_sql('sv', '_cv')} AS _pdot",
-        f"{_norm2_sql('_cv')} AS _pn2",
+        f"{_dot_sql('sv', '_cv', sub_dims)} AS _pdot",
+        f"{_norm2_sql('_cv', sub_dims)} AS _pn2",
     )
-    qn = q.selectExpr("query_id", f"{_norm_sql('qv')} AS _qn")
+    # reuse qn_full's norm (round 12): same value, one fewer norm subtree
+    qn = qn_full.selectExpr("query_id", "qn AS _qn")
 
     # --- ADC over probed lists only ---
     acc = (
@@ -1068,12 +1114,14 @@ def _ivfpq_search(
         "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
     )
     exact = (
-        shortlist.join(bq(q), "query_id")
+        # qn_full instead of q: the re-rank needs the query norm anyway,
+        # and qn_full already carries it — drops a per-row norm recompute
+        shortlist.join(bq(qn_full), "query_id")
         .join(qv_full, "neighbor_id")
         .selectExpr(
             "query_id",
             "neighbor_id",
-            f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
+            f"{_cfn_sql('qv', '_nv', 'qn', '_nn')} AS cosine",
         )
     )
     # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
@@ -1265,10 +1313,11 @@ def ann_ivfpq_probe_curve(
         "query_id",
         "sub",
         "cid AS code",
-        f"{_dot_sql('sv', '_cv')} AS _pdot",
-        f"{_norm2_sql('_cv')} AS _pn2",
+        f"{_dot_sql('sv', '_cv', sub_dims)} AS _pdot",
+        f"{_norm2_sql('_cv', sub_dims)} AS _pn2",
     )
-    qn = q.selectExpr("query_id", f"{_norm_sql('qv')} AS _qn")
+    # reuse qn_full's norm (round 12): same value, one fewer norm subtree
+    qn = qn_full.selectExpr("query_id", "qn AS _qn")
     acc = (
         codes.join(bq(probes), "centroid_id")
         .join(bq(lut), ["query_id", "sub", "code"])
@@ -1308,13 +1357,14 @@ def ann_ivfpq_probe_curve(
             "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
         )
         exact_sc = (
-            short.join(bq(q), "query_id")
+            # qn_full: the query norm is already a column (round 12)
+            short.join(bq(qn_full), "query_id")
             .join(qv_full, "neighbor_id")
             .selectExpr(
                 "_probe",
                 "query_id",
                 "neighbor_id",
-                f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
+                f"{_cfn_sql('qv', '_nv', 'qn', '_nn')} AS cosine",
             )
         )
         w2 = Window.partitionBy("_probe", "query_id").orderBy(
@@ -1337,10 +1387,11 @@ def ann_ivfpq_probe_curve(
     cq = c.selectExpr(
         "nid AS neighbor_id", "qv AS cv"
     ).selectExpr("*", f"{_norm_sql('cv')} AS cn")
-    qq = queries.selectExpr(
-        f"{id_col} AS query_id", f"{_quant_sql(vec_col)} AS qv"
-    ).selectExpr("*", f"{_norm_sql('qv')} AS qn")
-    bf_scored = cq.crossJoin(F.broadcast(qq)).where(
+    # reuse qn_full (round 12, r11 ADVICE #1): the reference's query side
+    # is exactly the (query_id, qv, qn) frame the probe routing built ~100
+    # lines up — re-deriving it as a second quantize+norm subtree only
+    # duplicated the definition
+    bf_scored = cq.crossJoin(F.broadcast(qn_full)).where(
         "neighbor_id != query_id"
     ).selectExpr(
         "query_id",
@@ -1622,12 +1673,13 @@ def ann_topk_ivfsq8(
         "nid AS neighbor_id", "qv AS _nv", f"{_norm_sql('qv')} AS _nn"
     )
     exact = (
-        shortlist.join(F.broadcast(q), "query_id")
+        # qn_full: the probe routing already derived the query norm
+        shortlist.join(F.broadcast(qn_full), "query_id")
         .join(qv_full, "neighbor_id")
         .selectExpr(
             "query_id",
             "neighbor_id",
-            f"{_cfn_sql('qv', '_nv', _norm_sql('qv'), '_nn')} AS cosine",
+            f"{_cfn_sql('qv', '_nv', 'qn', '_nn')} AS cosine",
         )
     )
     # final rank over ≤ |Q|·rerank rows — bounded, a window is fine here
@@ -1759,7 +1811,9 @@ def ann_filtered_prepost(
     overfetch: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: int | None = DEFAULT_DIMS,
+    dims: int | None = DEFAULT_DIMS,  # inert (r11 ADVICE #2): kept for the
+    # family-wide signature; all array math routes through the HOF/SQL
+    # fragments regardless of value (see the module-level DEFAULT_DIMS note)
 ) -> tuple[DataFrame, DataFrame]:
     """The FILTERED-ANN strategy pair every vector store exposes
     (round 11): returns (pre, post) top-k results under a metadata
@@ -1810,6 +1864,11 @@ def ann_filtered_prepost(
         )
         return _topk_per_query(scored, "cosine", kk)
 
+    # contract (r11 ADVICE #3): the factory may reference ONLY the id
+    # column — the quantized frame carries nothing else, so a predicate
+    # closing over other corpus columns fails analysis here by design
+    # (the post side below applies the same factory to bare results and
+    # has the identical restriction)
     pre = _bf_topk(c.where(predicate("neighbor_id")), k)
     full = _bf_topk(c, overfetch)
     w = Window.partitionBy("query_id").orderBy("rank")

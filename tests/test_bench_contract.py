@@ -49,7 +49,9 @@ def test_bench_json_contract(tmp_path):
         text=True,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=900,  # one pass measured ~450s quiet; 2x margin
+        timeout=1200,  # one pass measured ~450s quiet; ~2.7x margin for a
+        # loaded CI host (r11 ADVICE #4: 2x was the margin class that
+        # originally flaked at 875s/900s)
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     json_lines = [
