@@ -528,18 +528,34 @@ def bfs_hops(
     deterministic; the declared oracle replays the identical min-hop
     semantics as a depth-bounded recursive CTE.
     """
-    visited = (
+    import functools
+
+    first = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("long").alias("hops"))
         .localCheckpoint(eager=True)
     )
-    frontier = visited.select("node")
+    # Per-round hop frames, each an eagerly checkpointed delta; `visited`
+    # is their LAZY union (every leaf a cached-RDD scan). Round 12 (r11
+    # verdict #4, guide §1.5/§2.6 — fewer actions per round): the old
+    # form re-checkpointed `visited.union(nxt)` every round, paying one
+    # extra materialization job per round AND re-copying the whole
+    # visited set's blocks each time (O(V · rounds) copies). The
+    # anti-join probe reads the same rows either way — a union of k
+    # cached scans instead of one re-copied cache — and the returned
+    # union is exactly the same row multiset the incremental unions
+    # produced. The per-round frontier and the emptiness probe (one
+    # bounded driver scalar over the just-materialized delta) are
+    # unchanged.
+    frames = [first]
+    frontier = first.select("node")
     e = edges.select(
         F.col(edges.columns[0]).cast("long").alias("src"),
         F.col(edges.columns[1]).cast("long").alias("dst"),
     )
     for d in range(1, max_hops + 1):
+        visited = functools.reduce(DataFrame.unionByName, frames)
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
@@ -549,11 +565,9 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(
-            nxt.select("node", F.lit(d).cast("long").alias("hops"))
-        ).localCheckpoint(eager=True)
+        frames.append(nxt.select("node", F.lit(d).cast("long").alias("hops")))
         frontier = nxt.select("node")
-    return visited
+    return functools.reduce(DataFrame.unionByName, frames)
 
 
 def local_clustering_coefficient(
