@@ -622,6 +622,9 @@ def streaming_dedup_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             keyed, ["user_id", "event_type", "hour"], "ts", "2 hours"
         ),
         "streaming_dedup_watermark_mem",
+        # dedup emits each key on FIRST ARRIVAL — the finalize batch only
+        # evicts state (round 12, see run_append_to_completion)
+        nodata_batch=False,
     )
 
 

@@ -920,6 +920,10 @@ def streaming_view_purchase_join_q(spark: SparkSession, sf_dir: str) -> DataFram
         return run_append_to_completion(
             view_purchase_join_stream(views, purchases),
             "streaming_view_purchase_join_mem",
+            # INNER join matches are emitted immediately — the finalize
+            # batch only evicts state (round 12); the LEFT OUTER twin
+            # below keeps it (null emission is watermark-gated)
+            nodata_batch=False,
         )
 
 
@@ -944,6 +948,8 @@ def streaming_distinct_user_types_q(spark: SparkSession, sf_dir: str) -> DataFra
     return run_append_to_completion(
         distinct_keys_stream(stream, ["user_id", "event_type"]),
         "streaming_distinct_user_types_mem",
+        # dropDuplicates emits on first arrival; no watermark-gated output
+        nodata_batch=False,
     )
 
 
