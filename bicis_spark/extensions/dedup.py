@@ -1393,25 +1393,39 @@ def prefix_filtered_jaccard_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    sa = ordered.select(
-        F.col("_id").alias("id_a"),
-        F.col("_ot").alias("_sa"),
-        F.col("_n").alias("_na"),
+    # Verify by inverted-index count, NOT array_intersect (round 12,
+    # guide §1.2 per-task work): ArrayIntersect over STRUCT elements has
+    # no codegen/hash specialization — it runs the generic interpreted
+    # O(|a|·|b|) ordering.equiv scan, profiled at sf0.1 as ONE fused
+    # stage of 37-47 s task CPU for 43k candidate pairs × ~52-element
+    # sets (the whole steady-state cost of this row, 5.1 s wall at 8
+    # cores). Counting the intersection through the exploded gram rows
+    # keeps every operator codegen'd: candidates join their a-side gram
+    # rows (|cand|·|a| rows), hash-join the b-side (element, id) rows,
+    # and a map-side-combined count yields the identical exact integer —
+    # both sets are DISTINCT by construction, so |common rows| =
+    # |intersection|. Every candidate shares a prefix element, so no
+    # inter = 0 group is lost (and a lost one would fail τ anyway). Same
+    # verify shape PPJoin implementations use at scale; sizes come from
+    # the persisted ordered frame as before.
+    tok_a = tokh.select(F.col("_id").alias("id_a"), "_t")
+    tok_b = tokh.select(F.col("_id").alias("id_b"), "_t")
+    inter_cnt = (
+        cand.join(tok_a, "id_a")
+        .join(tok_b, ["id_b", "_t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
-    sb = ordered.select(
-        F.col("_id").alias("id_b"),
-        F.col("_ot").alias("_sb"),
-        F.col("_n").alias("_nb"),
-    )
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    sz_a = ordered.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sz_b = ordered.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     verified = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter_cnt.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .select(
             "id_a",
             "id_b",
-            inter.alias("inter"),
-            (F.col("_na") + F.col("_nb") - inter).alias("uni"),
+            "inter",
+            (F.col("_na") + F.col("_nb") - F.col("inter")).alias("uni"),
         )
         .where(F.col("inter") * tau_den >= F.lit(tau_num) * F.col("uni"))
     )
