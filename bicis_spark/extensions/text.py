@@ -900,6 +900,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     log_scale: int = 1_000_000,
+    pre_tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 retrieval scoring of the corpus against a fixed term set,
     with the Okapi constants as exact rationals (k1 = 6/5, b = 3/4) and
@@ -929,12 +930,29 @@ def bm25_scores(
     through DECIMAL(38,0)."""
     import math
 
-    base = df.where(
-        F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")).alias("_w"),
-    )
+    from bicis_spark.caching import tracked_persist
+
+    # The tokenize pass feeds THREE actions per build (the corpus-stats
+    # scalar, the per-term df collect, and the final scored job), so an
+    # unpersisted base re-tokenized the corpus three times per run
+    # (round 12, guide §1.5/§5 caching). ``pre_tokenized`` lets a caller
+    # that already built the (_id, _w) token frame (rrf_fusion_topk's
+    # term-density arm shares the identical tokenize) pass it in, so the
+    # corpus is tokenized ONCE for both retrieval arms; the caller owns
+    # that frame's persist.
+    if pre_tokenized is not None:
+        base = pre_tokenized
+    else:
+        base = tracked_persist(
+            df.where(
+                F.col(text_col).isNotNull() & (F.length(F.col(text_col)) > 0)
+            ).select(
+                F.col(id_col).alias("_id"),
+                F.filter(
+                    tokens(F.col(text_col)), lambda x: x != F.lit("")
+                ).alias("_w"),
+            )
+        )
     dl = base.select("_id", F.size("_w").cast("long").alias("_dl"))
     stats = dl.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("_n"),

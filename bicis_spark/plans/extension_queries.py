@@ -4799,29 +4799,40 @@ def rrf_fusion_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate lists come from TakeOrderedAndProject (no global window),
     fusion joins two 50-row lists, and every float is a fixed-order sum
     of two exact integer divisions, so the oracle replay is bitwise."""
+    from bicis_spark.caching import tracked_persist
     from bicis_spark.extensions.text import bm25_scores, rank_topn, rrf_fuse, tokens
 
     docs = read_table(spark, sf_dir, "documents", spread=True)
     terms = ["dup", "data", "join"]
-    bm = bm25_scores(docs, terms)
+    # ONE tokenize pass for both retrieval arms (round 12, r11 verdict
+    # #5): the BM25 arm and the term-density arm derive the identical
+    # (_id, _w) token frame — build it once, persist it (it feeds the
+    # BM25 stats/df/score actions AND the density aggregates), and hand
+    # it to bm25_scores via its pre_tokenized seam.
+    base = tracked_persist(
+        docs.where(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        ).select(
+            F.col("doc_id").alias("_id"),
+            F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("_w"),
+        )
+    )
+    bm = bm25_scores(docs, terms, pre_tokenized=base)
     ra = rank_topn(
         bm.select("doc_id", "score_q"),
         [F.desc("score_q"), F.asc("doc_id")],
     )
-    base = docs.where(
-        F.col("text").isNotNull() & (F.length("text") > 0)
-    ).select(
-        "doc_id",
-        F.filter(tokens(F.col("text")), lambda x: x != F.lit("")).alias("_w"),
-    )
     tf2 = (
-        base.select("doc_id", F.explode("_w").alias("_t"))
+        base.select(F.col("_id").alias("doc_id"), F.explode("_w").alias("_t"))
         .where(F.col("_t").isin(terms))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("tf_sum"))
     )
     den = tf2.join(
-        base.select("doc_id", F.size("_w").cast("long").alias("_dl")), "doc_id"
+        base.select(
+            F.col("_id").alias("doc_id"), F.size("_w").cast("long").alias("_dl")
+        ),
+        "doc_id",
     ).select("doc_id", F.expr("(tf_sum * 1000000) div _dl").alias("density"))
     rb = rank_topn(den, [F.desc("density"), F.asc("doc_id")])
     fused = rrf_fuse(ra, rb)
