@@ -408,26 +408,29 @@ def poly_hash2(s: Column) -> Column:
     )
 
 
-def simhash(text: Column, bits: int = 48, hash_mode: str = "xxhash64") -> Column:
-    """SimHash signature from token hashes: bit i of the signature is the
-    sign of Σ_tokens (±1 by the token-hash's bit i). Array-side, no UDF.
-
-    bits ≤ 63 (bit 63 would overflow the signed long literal); in 'poly'
-    mode bits ≤ 62 (two 31-bit polynomial hashes concatenated).
-    """
-    if not 1 <= bits <= 63:
-        raise ValueError("bits must be in [1, 63]")
+def token_hashes(text: Column, hash_mode: str = "xxhash64") -> Column:
+    """The per-token hash array a SimHash signature folds over —
+    factored out (round 12, r11 verdict #7) so callers can materialize
+    it as its OWN projection before the per-bit sums reference it: with
+    the hash tree inlined, the interpreted HOF evaluator re-derived
+    every token hash once per signature bit (48×) — the identical
+    defect class hashed_doc_embedding fixed per-dimension in r11."""
     toks = F.split(text, " ")
     if hash_mode == "xxhash64":
-        hashed = F.transform(toks, lambda t: F.xxhash64(t))
-    elif hash_mode == "poly":
-        if bits > 62:
-            raise ValueError("poly mode supplies 62 hash bits")
-        hashed = F.transform(
+        return F.transform(toks, lambda t: F.xxhash64(t))
+    if hash_mode == "poly":
+        return F.transform(
             toks, lambda t: poly_hash(t) + poly_hash2(t) * F.lit(1 << 31)
         )
-    else:
-        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def simhash_from_hashes(hashed: Column, bits: int = 48) -> Column:
+    """SimHash signature from a PRE-MATERIALIZED token-hash array (see
+    token_hashes): bit i of the signature is the sign of
+    Σ_tokens (±1 by the token-hash's bit i)."""
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63]")
 
     def bit_step(i: int):
         mask = F.lit(1 << i)
@@ -438,6 +441,22 @@ def simhash(text: Column, bits: int = 48, hash_mode: str = "xxhash64") -> Column
         bit_sum = F.aggregate(hashed, F.lit(0).cast("long"), bit_step(i))
         acc = acc + F.when(bit_sum > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return acc
+
+
+def simhash(text: Column, bits: int = 48, hash_mode: str = "xxhash64") -> Column:
+    """SimHash signature from token hashes: bit i of the signature is the
+    sign of Σ_tokens (±1 by the token-hash's bit i). Array-side, no UDF.
+
+    bits ≤ 63 (bit 63 would overflow the signed long literal); in 'poly'
+    mode bits ≤ 62 (two 31-bit polynomial hashes concatenated).
+
+    NOTE: this single-Column form inlines the token-hash array into every
+    per-bit aggregate (re-derived ``bits`` times by the interpreted HOF
+    evaluator) — DataFrame-level callers should project ``token_hashes``
+    first and fold with ``simhash_from_hashes`` (simhash_pairs does)."""
+    if hash_mode == "poly" and bits > 62:
+        raise ValueError("poly mode supplies 62 hash bits")
+    return simhash_from_hashes(token_hashes(text, hash_mode), bits)
 
 
 def simhash_pairs(
@@ -457,9 +476,20 @@ def simhash_pairs(
     noise floor that 32 bits cannot (measured: 24 pairs vs 989)."""
     if bits // block_bits <= max_hamming:
         raise ValueError("need more than max_hamming blocks for completeness")
+    if hash_mode == "poly" and bits > 62:
+        raise ValueError("poly mode supplies 62 hash bits")
+    # token-hash array materialized as its own projection before the
+    # per-bit folds (round 12): inlined, the interpreted HOF evaluator
+    # re-derived every token hash once per signature bit (48×) — the
+    # hashed_doc_embedding defect class. CollapseProject keeps the two
+    # projections separate (the reference is non-cheap and multiply
+    # used), so the hashes compute once per document. Values identical.
     sigs = _partitioned(df, parallelism).select(
         F.col(id_col).alias("doc"),
-        simhash(F.col(text_col), bits, hash_mode).alias("sig"),
+        token_hashes(F.col(text_col), hash_mode).alias("_hs"),
+    ).select(
+        "doc",
+        simhash_from_hashes(F.col("_hs"), bits).alias("sig"),
     )
     n_blocks = bits // block_bits
     block_arr = F.array(
