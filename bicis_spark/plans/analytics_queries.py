@@ -872,18 +872,16 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     fan-out bounded by lines-per-order, never a cross join."""
     from bicis_spark.operators.graph import label_propagation
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    # pair build via the shared _copurchase_pairs combination expansion
+    # (round 12, guide §2.4): the lineitem SELF-JOIN form shuffled the
+    # fact table twice and joined before its distinct; the expansion is
+    # one map-side-combined groupBy + codegen generators — the identical
+    # (pa < pb) pair set after the same distinct (the r7/r11 lesson every
+    # other co-purchase consumer already took; the oracle keeps its
+    # self-join form as the independent implementation)
     u = tracked_persist(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        _copurchase_pairs(spark, sf_dir)
+        .select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
         .distinct()
     )
     edges = u.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
