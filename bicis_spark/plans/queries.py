@@ -55,6 +55,24 @@ _LOADED = False
 # CORRECTNESS_r01-r04 keys == queries() positions 1-50 in insertion order).
 # DRIVER_WINDOW pins exactly which 50 get that hard check this round.
 #
+# ROUND-12 ROTATION (endgame re-verification mode — all 311 oracle-backed
+# rows have driver rows; scripts/next_window.py computes the stalest-first
+# queue). Slots go, in priority order, to:
+# 1. Every row whose PLAN was touched by this optimization round (the r11
+#    verdict #9 rule: plan-touched rows re-enter the window the round they
+#    are touched): the PQ/IVF-PQ/IVF-SQ8 family (subvector-math unroll +
+#    qn_full reuse — 9 rows), the 9 streaming drains (no-data finalize
+#    batch skip; the left-outer join kept the batch but shares the changed
+#    drain function), bfs_part_supplier_hops (visited-union restructure),
+#    dedup_prefix_filter_jaccard (verify rewrite), bm25_query_scores /
+#    rrf_fusion_topk (tokenize-once), dedup_simhash (hash hoist),
+#    frequent_itemsets_parts (combination expansion), and
+#    label_propagation_communities (shared pair build) — 25 rows.
+# 2. The r11-promised stale TPC-H queue: q2/q6/q9/q11/q13/q17/q20-q22 plus
+#    q18/q19 (stalest-first per the mechanical rotation) — 11 rows.
+# 3. The next 14 stalest rows in mechanical queue order (last checked r5,
+#    registration order on ties).
+#
 # ROUND-11 ROTATION (mechanical: scripts/next_window.py — endgame
 # re-verification mode). Every registry row has at least one driver hash
 # pass since r10, so the window rotates onto the 50 STALEST rows by
@@ -78,56 +96,59 @@ _LOADED = False
 # selection + the query-broadcast gate), so their stale slots double as
 # re-verification of those changes.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "ann_topk_ivfsq8",
-    "ann_ivfsq8_recall",
-    "ann_mmr_diversified",
-    "ann_topk_hamming",
-    "ann_hamming_recall",
-    "ann_filtered_prepost_recall",
-    "doc_retrieval_hashed",
-    "ann_hamming_uniform_recall",
-    "hybrid_retrieval_doc_rrf",
-    "embedding_pca_top_eigvec",
-    "running_median_value",
-    "csv_sink_roundtrip",
-    "json_sink_roundtrip",
-    "string_normalize_stations",
-    "row_validity_filter",
-    "partitioned_sink_day_counts",
-    "bucketed_join_order_revenue",
-    "streaming_view_purchase_left_join",
-    "ols_calibration_deciles",
-    "streaming_upsert_user_state",
-    "ols_model_reload_predictions",
-    "pipeline_runner_hour_profile",
-    "vector_assembly_roundtrip",
-    "gopher_quality_flags",
-    "c4_line_clean",
-    "multimodal_bmp_wav_decode",
-    "semantic_dedup_flags",
-    "unigram_surprisal_quality",
+    # --- 1. plan-touched this round (25) ---
     "ann_topk_pq",
     "ann_pq_recall",
-    "span_dedup_rebuild",
-    "target_encode_priority",
-    "k_anonymity_customer",
-    "hard_negative_candidates",
-    "temperature_mix_weights",
-    "bigram_surprisal_quality",
-    "dsir_importance_resample",
-    "dedup_incremental_batch",
-    "token_budget_allocation",
-    "next_event_training_examples",
-    "hll_overlap_contract",
-    "split_leakage_audit",
-    "quality_classifier_flags",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_census",
+    "ann_topk_ivfpq",
+    "ann_ivfpq_recall",
+    "ann_topk_ivfpq_sqrt",
+    "ann_ivfpq_sqrt_recall",
+    "ann_ivfpq_probe_curve",
+    "ann_topk_ivfsq8",
+    "ann_ivfsq8_recall",
+    "bfs_part_supplier_hops",
+    "streaming_view_purchase_join",
+    "streaming_view_purchase_left_join",
+    "streaming_distinct_user_types",
+    "streaming_dedup_watermark",
+    "streaming_hourly_counts",
+    "streaming_session_counts",
+    "streaming_enriched_segment_stats",
+    "streaming_topk_event_types",
+    "streaming_scd2_enrichment",
+    "dedup_prefix_filter_jaccard",
+    "bm25_query_scores",
+    "rrf_fusion_topk",
+    "dedup_simhash",
+    "frequent_itemsets_parts",
+    "label_propagation_communities",
+    # --- 2. the r11-promised stale TPC-H queue (11) ---
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "q6_forecast_revenue",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q20_promotion_suppliers",
+    # --- 3. next-stalest fills in mechanical queue order (14) ---
+    "ols_conformal_intervals",
+    "ols_per_brand_models",
+    "glm_poisson_irls_contract",
+    "semantic_dedup_two_level_flags",
+    "cluster_balanced_sample",
+    "packing_efficiency",
+    "incremental_agg_maintenance",
+    "ngram_novelty_scores",
+    "domain_cap_sample",
+    "phrase_search_positional",
+    "dedup_edit_distance_names",
+    "embedding_int8_quantize",
+    "skipgram_pairs",
+    "embedding_covariance_ints",
 )
 
 
